@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in ``supplier_performance_data_pipeline_spark``;
+this file is a thin view over its query registry.
 """
 
 from __future__ import annotations
@@ -13,26 +15,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The reference's core query — supplier KPIs from the 3-way join
+    (reference: src/compute_kpis.py:24-74) — over the TPC-H→domain
+    adapter.
+    """
+    specs = load_all()
+    return specs["supplier_kpis"].build(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.build for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted → rows-only)."""
+    return {
+        name: spec.oracle
+        for name, spec in load_all().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries; prints ONE JSON line for the driver.
+
+Runs each headline query from the registry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full
+execution with a count-ish action that can't be optimized away less than
+the query itself (we collect the small result — every headline query
+aggregates down to KB-scale output, as analytics queries should).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from supplier_performance_data_pipeline_spark.plans.registry import load_all
+from supplier_performance_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "supplier_kpis",
+    "supplier_risk_summary",
+    "orphan_checks",
+    "top10_risk_suppliers",
+    "kpi_tiles_filtered",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="bench")
+    specs = load_all()
+    names = [n for n in HEADLINE if n in specs]
+
+    # Warm the JVM/codegen once with the cheapest query so per-query times
+    # measure the plan, not session startup.
+    specs[names[0]].build(spark, sf_dir).limit(1).collect()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        rows = specs[name].build(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+        assert rows is not None
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,296 @@
+"""Core parity queries (SURVEY.md §2.1-§2.5) over the driver testdata.
+
+Every query runs the engine's domain operators through the TPC-H→domain
+adapter (plans/tpch_domain.py) and has a DuckDB oracle that mirrors the
+mapping verbatim. All double outputs are rounded to 6 decimals on BOTH
+sides so order-of-reduction float noise can't break the value hash
+(SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.functions.scalar import round_doubles
+from supplier_performance_data_pipeline_spark.operators.kpis import (
+    compute_supplier_kpis,
+    per_po_dataset,
+)
+from supplier_performance_data_pipeline_spark.operators.quality import (
+    orphan_counts_df,
+)
+from supplier_performance_data_pipeline_spark.operators.risk import (
+    supplier_risk_summary,
+)
+from supplier_performance_data_pipeline_spark.operators.serving import (
+    apply_filters,
+    column_bounds,
+    distinct_values,
+    kpi_tiles,
+    preview,
+    top_k,
+)
+from supplier_performance_data_pipeline_spark.plans.registry import register
+from supplier_performance_data_pipeline_spark.plans.tpch_domain import (
+    DOMAIN_CTES,
+    domain_deliveries,
+    domain_purchase_orders,
+    domain_suppliers,
+)
+from supplier_performance_data_pipeline_spark.session import tune_session
+
+KPI_ROUNDED_SQL = """
+SELECT
+    supplier_id, supplier_name, category, country, financial_risk_score,
+    ROUND(on_time_delivery_rate, 6) AS on_time_delivery_rate,
+    ROUND(avg_delivery_delay_days, 6) AS avg_delivery_delay_days,
+    ROUND(fill_rate, 6) AS fill_rate,
+    ROUND(quality_issue_rate, 6) AS quality_issue_rate,
+    n_pos
+FROM supplier_kpis
+""".strip()
+
+RISK_CTES = (
+    DOMAIN_CTES
+    + """,
+bounds AS (
+    SELECT
+        MIN(on_time_delivery_rate) AS min_on_time, MAX(on_time_delivery_rate) AS max_on_time,
+        MIN(avg_delivery_delay_days) AS min_delay, MAX(avg_delivery_delay_days) AS max_delay,
+        MIN(fill_rate) AS min_fill, MAX(fill_rate) AS max_fill,
+        MIN(quality_issue_rate) AS min_q, MAX(quality_issue_rate) AS max_q
+    FROM supplier_kpis
+),
+norm AS (
+    SELECT
+        k.*,
+        CASE WHEN b.max_on_time = b.min_on_time THEN 1.0
+             ELSE (k.on_time_delivery_rate - b.min_on_time) / (b.max_on_time - b.min_on_time)
+        END AS norm_on_time,
+        CASE WHEN b.max_delay = b.min_delay THEN 1.0
+             ELSE 1.0 - ((k.avg_delivery_delay_days - b.min_delay) / (b.max_delay - b.min_delay))
+        END AS norm_delay,
+        CASE WHEN b.max_fill = b.min_fill THEN 1.0
+             ELSE (k.fill_rate - b.min_fill) / (b.max_fill - b.min_fill)
+        END AS norm_fill,
+        CASE WHEN b.max_q = b.min_q THEN 1.0
+             ELSE 1.0 - ((k.quality_issue_rate - b.min_q) / (b.max_q - b.min_q))
+        END AS norm_quality
+    FROM supplier_kpis k CROSS JOIN bounds b
+),
+risk AS (
+    SELECT
+        supplier_id, supplier_name, category, country, financial_risk_score,
+        ROUND(on_time_delivery_rate, 6) AS on_time_delivery_rate,
+        ROUND(avg_delivery_delay_days, 6) AS avg_delivery_delay_days,
+        ROUND(fill_rate, 6) AS fill_rate,
+        ROUND(quality_issue_rate, 6) AS quality_issue_rate,
+        n_pos,
+        ROUND(norm_on_time, 6) AS norm_on_time,
+        ROUND(norm_delay, 6) AS norm_delay,
+        ROUND(norm_fill, 6) AS norm_fill,
+        ROUND(norm_quality, 6) AS norm_quality,
+        ROUND((norm_on_time + norm_delay + norm_fill + norm_quality) / 4.0, 6) AS performance_score,
+        ROUND(0.7 * (1.0 - ((norm_on_time + norm_delay + norm_fill + norm_quality) / 4.0))
+              + 0.3 * (financial_risk_score / 100.0), 6) AS risk_score
+    FROM norm
+)
+"""
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _domain_tables(spark: SparkSession, sf_dir: str):
+    tune_session(spark)
+    sup = domain_suppliers(_t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"))
+    po = domain_purchase_orders(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+    dl = domain_deliveries(_t(spark, sf_dir, "lineitem"))
+    return sup, po, dl
+
+
+def _kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup, po, dl = _domain_tables(spark, sf_dir)
+    return compute_supplier_kpis(sup, po, dl)
+
+
+def _risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_risk_summary(_kpis(spark, sf_dir))
+
+
+# --- S2/S5, P1-P6, J1, A1: the reference's flagship KPI query --------------
+
+
+@register(
+    "supplier_kpis",
+    oracle=f"WITH {DOMAIN_CTES}\n{KPI_ROUNDED_SQL}",
+)
+def q_supplier_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + derived columns + groupBy agg
+    (reference: src/compute_kpis.py:24-74)."""
+    return round_doubles(_kpis(spark, sf_dir))
+
+
+# --- A2, J4, P4, P7: risk scoring ------------------------------------------
+
+
+@register("supplier_risk_summary", oracle=f"WITH {RISK_CTES}\nSELECT * FROM risk")
+def q_supplier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max bounds + broadcast cross join + guarded min-max
+    normalization + weighted composite (reference: src/compute_risk.py:36-113)."""
+    return round_doubles(_risk(spark, sf_dir))
+
+
+# --- J2/J3, P11, A3: referential-integrity orphan checks -------------------
+
+
+@register(
+    "orphan_checks",
+    oracle="""
+SELECT
+    (SELECT COUNT(*) FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+     WHERE l.l_orderkey IS NULL) AS orders_without_lineitems,
+    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+     WHERE o.o_orderkey IS NULL) AS lineitems_without_orders
+""".strip(),
+)
+def q_orphan_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional anti-join orphan counts
+    (reference: src/load_duckdb.py:107-128). Spark plans left_anti
+    directly instead of outer-join + IS NULL."""
+    tune_session(spark)
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return orphan_counts_df(
+        orders,
+        lineitem,
+        "o_orderkey",
+        "l_orderkey",
+        "orders_without_lineitems",
+        "lineitems_without_orders",
+    )
+
+
+# --- T2: top-k by risk ------------------------------------------------------
+
+
+@register(
+    "top10_risk_suppliers",
+    oracle=f"WITH {RISK_CTES}\n"
+    "SELECT supplier_id, supplier_name, risk_score, performance_score,\n"
+    "       financial_risk_score, n_pos\n"
+    "FROM risk ORDER BY risk_score DESC, supplier_id LIMIT 10",
+)
+def q_top10_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY risk DESC LIMIT 10 → TakeOrderedAndProject
+    (reference: src/compute_risk.py:117-133). Sorts on the ROUNDED score
+    with supplier_id tiebreak so the selected set is deterministic."""
+    risk = round_doubles(_risk(spark, sf_dir))
+    return top_k(
+        risk.select(
+            "supplier_id",
+            "supplier_name",
+            "risk_score",
+            "performance_score",
+            "financial_risk_score",
+            "n_pos",
+        ),
+        [F.desc("risk_score"), F.asc("supplier_id")],
+        10,
+    )
+
+
+# --- T2: bottom-k on-time (the reference's sanity query) -------------------
+
+
+@register(
+    "bottom5_on_time",
+    oracle=f"WITH {DOMAIN_CTES}\n"
+    "SELECT supplier_id, supplier_name,\n"
+    "       ROUND(on_time_delivery_rate, 6) AS on_time_delivery_rate, n_pos\n"
+    "FROM supplier_kpis ORDER BY on_time_delivery_rate ASC, supplier_id LIMIT 5",
+)
+def q_bottom5_on_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-5 on-time rates (reference: src/compute_kpis.py:80-89)."""
+    kpis = round_doubles(_kpis(spark, sf_dir))
+    return top_k(
+        kpis.select("supplier_id", "supplier_name", "on_time_delivery_rate", "n_pos"),
+        [F.asc("on_time_delivery_rate"), F.asc("supplier_id")],
+        5,
+    )
+
+
+# --- P9/P10, A4: filtered KPI tiles ----------------------------------------
+
+
+@register(
+    "kpi_tiles_filtered",
+    oracle=f"WITH {RISK_CTES}\n"
+    "SELECT ROUND(AVG(risk_score), 6) AS avg_risk_score,\n"
+    "       ROUND(AVG(on_time_delivery_rate), 6) AS avg_on_time_delivery_rate,\n"
+    "       ROUND(AVG(fill_rate), 6) AS avg_fill_rate\n"
+    "FROM risk WHERE category = 'Logistics' AND n_pos BETWEEN 1 AND 1000000",
+)
+def q_kpi_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality + between filters, then tile means
+    (reference: dashboard/app.py:99-111)."""
+    risk = round_doubles(_risk(spark, sf_dir))
+    filtered = apply_filters(
+        risk,
+        equals={"category": "Logistics"},
+        between={"n_pos": (1, 1_000_000)},
+    )
+    return round_doubles(
+        kpi_tiles(filtered, ["risk_score", "on_time_delivery_rate", "fill_rate"])
+    )
+
+
+# --- P12: distinct filter-widget values ------------------------------------
+
+
+@register(
+    "distinct_countries",
+    oracle="SELECT DISTINCT n_name AS country FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey WHERE n_name IS NOT NULL",
+)
+def q_distinct_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct non-null values for a filter widget
+    (reference: dashboard/app.py:86-87)."""
+    sup = domain_suppliers(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    )
+    return distinct_values(sup, "country")
+
+
+# --- A5: slider bounds ------------------------------------------------------
+
+
+@register(
+    "npos_bounds",
+    oracle=f"WITH {DOMAIN_CTES}\n"
+    "SELECT MIN(n_pos) AS min_n_pos, MAX(n_pos) AS max_n_pos FROM supplier_kpis",
+)
+def q_npos_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column min/max for slider widgets (reference: dashboard/app.py:92-93)."""
+    return column_bounds(_kpis(spark, sf_dir), "n_pos")
+
+
+# --- T4/T5: deterministic preview ------------------------------------------
+
+
+@register(
+    "preview_suppliers",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier "
+    "ORDER BY s_suppkey LIMIT 20",
+)
+def q_preview_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table preview LIMIT n, made deterministic by ordering on the key
+    (reference: dashboard/app.py:204)."""
+    return preview(_t(spark, sf_dir, "supplier"), "s_suppkey", 20)

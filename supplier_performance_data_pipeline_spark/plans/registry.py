@@ -1,0 +1,44 @@
+"""Registry of driver-facing queries: Spark builder + DuckDB oracle SQL.
+
+Each entry is one operator/query from SURVEY.md §2 (or an extension
+operator). ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin
+views over this registry. Oracle SQL is ANSI SQL DuckDB can run on the
+same parquet tables; entries with ``oracle=None`` get the driver's weaker
+rows-only check (reserved for genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, build=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: fills REGISTRY)."""
+    from supplier_performance_data_pipeline_spark.plans import (  # noqa: F401
+        queries_core,
+    )
+
+    return REGISTRY

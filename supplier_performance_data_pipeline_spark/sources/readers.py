@@ -1,0 +1,53 @@
+"""Sources: schema-checked CSV and Parquet readers.
+
+Parity with the reference's loader (reference: src/load_duckdb.py:74-95 —
+CSV read into pre-declared typed tables) plus the Parquet path the driver
+testdata uses. Column pruning and predicate pushdown are free because we
+hand Spark a declarative scan; ``.explain`` on downstream queries shows
+``PushedFilters`` / pruned ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from supplier_performance_data_pipeline_spark.schemas import TESTDATA_TABLES
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV source with explicit schema — never inferSchema.
+
+    Reference parity: src/load_duckdb.py:76-95 (read_csv_auto into
+    pre-declared typed tables; the explicit DDL is the contract).
+    """
+    if not _exists(spark, path):
+        raise FileNotFoundError(f"input not found: {path}")
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (vectorized reader, pushdown-capable)."""
+    if not _exists(spark, path):
+        raise FileNotFoundError(f"input not found: {path}")
+    return spark.read.parquet(path)
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver testdata tables present under ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    # Local paths only in this deployment; existence guardrail mirrors the
+    # reference's fail-fast checks (src/load_duckdb.py:24-27).
+    return os.path.exists(path)

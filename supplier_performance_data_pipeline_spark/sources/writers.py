@@ -1,0 +1,46 @@
+"""Sinks: idempotent Parquet / catalog-table writers.
+
+The reference's DROP-and-recreate idempotency (src/load_duckdb.py:33-36,
+src/compute_kpis.py:20, src/compute_risk.py:26) maps to
+``mode("overwrite")`` writes: every derived table is rebuildable from its
+inputs, so a rerun is always clean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    coalesce: int | None = None,
+) -> None:
+    """Overwrite-mode Parquet sink; optional hive-style partitioning.
+
+    ``partition_by`` on a date/low-cardinality column is what makes
+    partition pruning work at 100 TB — the reference has no notion of
+    this (single DuckDB file), so it's engine value-add.
+    """
+    if coalesce:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_table(df: DataFrame, name: str, bucket_by: tuple[int, str] | None = None) -> None:
+    """Materialize into the session catalog (CTAS parity:
+    src/compute_kpis.py:27, src/compute_risk.py:38).
+
+    ``bucket_by=(n, col)`` pre-shuffles once at write so later joins/aggs
+    on ``col`` are co-located (no shuffle) — the scale path for repeatedly
+    joined fact tables.
+    """
+    writer = df.write.mode("overwrite")
+    if bucket_by:
+        n, col = bucket_by
+        writer = writer.bucketBy(n, col).sortBy(col)
+    writer.saveAsTable(name)
