@@ -37,9 +37,17 @@ def kpi_bounds(kpis: DataFrame) -> DataFrame:
     return kpis.agg(*aggs)
 
 
-def supplier_risk_summary(kpis: DataFrame) -> DataFrame:
+def supplier_risk_summary(kpis: DataFrame, cache: bool = True) -> DataFrame:
     """Normalize KPIs, average into performance_score, blend with
-    financial risk into risk_score (reference: src/compute_risk.py:54-111)."""
+    financial risk into risk_score (reference: src/compute_risk.py:54-111).
+
+    The KPI subplan appears twice in this plan (bounds agg + the row
+    side of the cross join). ``cache=True`` persists the KPI table —
+    one row per supplier, KB-scale even at 100 TB input — so the raw
+    fact scan happens once instead of twice.
+    """
+    if cache:
+        kpis = kpis.persist()
     norm_cols = {
         "on_time_delivery_rate": "norm_on_time",
         "avg_delivery_delay_days": "norm_delay",

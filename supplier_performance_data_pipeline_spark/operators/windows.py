@@ -1,0 +1,68 @@
+"""Event-time analytics over the ``events`` table (batch path).
+
+The reference is pure batch with no streaming operators (SURVEY.md §2.8);
+these are the engine's extension operators for event data, built so the
+same logical shapes run under Structured Streaming (streaming/events.py).
+
+Scale notes: the tumbling rollup is a single hash aggregation keyed by
+(bucket, type) — fully parallel. Sessionization partitions by user_id,
+so state is bounded per user and skew-safe under AQE; there is no
+global window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour rollup per event type: count / sum / avg of value."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_minutes``. Classic lag + cumulative-sum pattern
+    (guide: 'Sessionization'); per-user windows keep state bounded.
+
+    Deterministic ordering: (ts, event_id) so runs and engines agree.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + gap), 1
+    ).otherwise(0)
+    with_sessions = events.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def top_n_per_group(
+    df: DataFrame, group: list[str], order: list, n: int, rank_col: str = "rank"
+) -> DataFrame:
+    """Top-N per group via row_number — the standard OLAP ranking shape."""
+    w = Window.partitionBy(*group).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )

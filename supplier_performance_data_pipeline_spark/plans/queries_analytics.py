@@ -1,0 +1,237 @@
+"""General OLAP coverage queries: big aggregations, per-group top-N,
+set operations, and the scalar-function surface (SURVEY.md §2.4-§2.7).
+
+Determinism note: large-magnitude SUMs are computed in DECIMAL on both
+engines — decimal addition is exact, so the result is independent of
+reduction order (then cast to double). Small-magnitude aggregates use
+double + ROUND(6).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.functions.scalar import round_doubles
+from supplier_performance_data_pipeline_spark.operators.windows import top_n_per_group
+from supplier_performance_data_pipeline_spark.plans.registry import register
+from supplier_performance_data_pipeline_spark.session import tune_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- A1 at fact scale: TPC-H-Q1-style pricing summary ----------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1.0 - l_discount AS DECIMAL(4,2))
+             * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""".strip(),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic 2-key groupBy + 8 mixed aggregates with a pushed-down
+    date filter. DECIMAL sums → order-independent exact arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    tax1 = (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    out = (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc1).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc1 * tax1).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out
+
+
+# --- top-N per group (window ranking) --------------------------------------
+
+
+@register(
+    "top3_suppliers_per_nation",
+    oracle="""
+WITH revenue AS (
+    SELECT
+        l_suppkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS supplier_revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+),
+ranked AS (
+    SELECT
+        n_name AS nation,
+        s_suppkey AS supplier_id,
+        s_name AS supplier_name,
+        ROUND(supplier_revenue, 2) AS supplier_revenue,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY n_name
+            ORDER BY ROUND(supplier_revenue, 2) DESC, s_suppkey
+        ) AS INTEGER) AS rank
+    FROM revenue
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT * FROM ranked WHERE rank <= 3
+""".strip(),
+)
+def q_top3_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N: partial agg on the fact table first (shrinks to
+    one row per supplier), THEN the window rank over the small result —
+    never a window over raw facts."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(price * disc1).cast("double").alias("supplier_revenue")
+    )
+    joined = (
+        revenue.join(F.broadcast(sup), revenue.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("s_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            F.round("supplier_revenue", 2).alias("supplier_revenue"),
+        )
+    )
+    return top_n_per_group(
+        joined,
+        ["nation"],
+        [F.desc("supplier_revenue"), F.asc("supplier_id")],
+        3,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- §2.6 set operations ----------------------------------------------------
+
+
+@register(
+    "nation_set_ops",
+    oracle="""
+WITH c AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+SELECT 'both' AS op, COUNT(*) AS n_nations
+    FROM (SELECT k FROM c INTERSECT SELECT k FROM s) t
+UNION ALL
+SELECT 'customers_only' AS op, COUNT(*) AS n_nations
+    FROM (SELECT k FROM c EXCEPT SELECT k FROM s) t
+UNION ALL
+SELECT 'suppliers_only' AS op, COUNT(*) AS n_nations
+    FROM (SELECT k FROM s EXCEPT SELECT k FROM c) t
+UNION ALL
+SELECT 'either' AS op, COUNT(*) AS n_nations
+    FROM (SELECT k FROM c UNION SELECT k FROM s) t
+""".strip(),
+)
+def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT coverage (absent from the reference —
+    SURVEY.md §2.6 — but part of the engine surface)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    ).distinct()
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    ).distinct()
+
+    def count_as(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_nations")).select(
+            F.lit(op).alias("op"), F.col("n_nations")
+        )
+
+    return (
+        count_as(cust.intersect(sup), "both")
+        .unionAll(count_as(cust.subtract(sup), "customers_only"))
+        .unionAll(count_as(sup.subtract(cust), "suppliers_only"))
+        .unionAll(count_as(cust.union(sup).distinct(), "either"))
+    )
+
+
+# --- §2.7 scalar-function surface ------------------------------------------
+
+
+@register(
+    "scalar_function_surface",
+    oracle="""
+SELECT
+    l_orderkey * 10 + l_linenumber AS line_id,
+    printf('PO%07d', l_orderkey) AS po_label,
+    substr(printf('PO%07d', l_orderkey), 1, 4) AS po_prefix,
+    CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+        AS days_since_epoch_start,
+    CAST(l_shipdate AS DATE) + 30 AS promised_date,
+    LEAST(GREATEST(l_quantity, 10.0), 40.0) AS qty_clamped,
+    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+         * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DOUBLE) AS net_price,
+    CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS return_status,
+    CONCAT(l_returnflag, '-', l_linestatus) AS flag_status
+FROM lineitem
+""".strip(),
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar surface in one projection: date arithmetic, format
+    strings, clamp via least/greatest, CASE, concat, round
+    (SURVEY.md §2.7). Pure codegen — no shuffle, no Python."""
+    li = _t(spark, sf_dir, "lineitem")
+    label = F.format_string("PO%07d", F.col("l_orderkey"))
+    ship = F.col("l_shipdate").cast("date")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+        label.alias("po_label"),
+        label.substr(1, 4).alias("po_prefix"),
+        F.datediff(ship, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_add(ship, 30).alias("promised_date"),
+        F.least(F.greatest(F.col("l_quantity"), F.lit(10.0)), F.lit(40.0)).alias(
+            "qty_clamped"
+        ),
+        # Exact decimal product (no ROUND: double-ROUND half-way semantics
+        # differ across engines; decimal arithmetic is exact on both).
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+        )
+        .cast("double")
+        .alias("net_price"),
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .otherwise("kept")
+        .alias("return_status"),
+        F.concat(F.col("l_returnflag"), F.lit("-"), F.col("l_linestatus")).alias(
+            "flag_status"
+        ),
+    )

@@ -1,0 +1,112 @@
+"""Event-time queries over the ``events`` table (engine extension;
+reference has no streaming/event operators — SURVEY.md §2.8).
+
+Batch forms here; the same shapes run under Structured Streaming in
+streaming/events.py. Timestamps are naive (UTC-pinned session) so the
+DuckDB oracle agrees.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.functions.scalar import round_doubles
+from supplier_performance_data_pipeline_spark.operators.windows import (
+    hourly_rollup,
+    sessionize,
+)
+from supplier_performance_data_pipeline_spark.plans.registry import register
+from supplier_performance_data_pipeline_spark.session import tune_session
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events. The driver parquet stores TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; we read nanos as long and convert
+    to microsecond timestamps. The oracle SQL applies the same µs
+    truncation via CAST(ts AS TIMESTAMP) so both engines agree."""
+    tune_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # Integer division — double division loses µs precision at 1e18 ns.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+SELECT
+    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+    event_type,
+    COUNT(*) AS n_events,
+    ROUND(SUM(value), 6) AS sum_value,
+    ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+""".strip(),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup — single hash agg keyed by (hour, type)."""
+    return round_doubles(hourly_rollup(_events(spark, sf_dir)))
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH base AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+ordered AS (
+    SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS is_new
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+        CAST(SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM ordered
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sess
+GROUP BY user_id, session_id
+""".strip(),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap): lag + cumulative sum
+    per user — bounded per-user state, no global window."""
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT
+    event_type,
+    COUNT(*) AS n_events,
+    ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k
+FROM events
+GROUP BY event_type
+""".strip(),
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: JSON property extraction inside the agg —
+    stays JVM-side via get_json_object (no Python)."""
+    ev = _events(spark, sf_dir)
+    return round_doubles(
+        ev.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.avg(
+                F.get_json_object(F.col("props"), "$.k").cast("int")
+            ).alias("avg_k"),
+        )
+    )

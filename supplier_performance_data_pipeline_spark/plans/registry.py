@@ -38,7 +38,9 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from supplier_performance_data_pipeline_spark.plans import (  # noqa: F401
+        queries_analytics,
         queries_core,
+        queries_events,
     )
 
     return REGISTRY
