@@ -1,0 +1,183 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline extension surface (BASELINE.json north star).
+Design constraints:
+- portable hashing: md5 (identical in every engine) instead of
+  engine-private hash functions, so the DuckDB oracle can reproduce
+  signatures bit-for-bit;
+- scale: candidate generation is always a bucket equi-join (LSH bands),
+  never an all-pairs cross join. The all-pairs form only appears in the
+  oracle SQL, where the 500-doc testdata makes it cheap.
+
+MinHash background: public MinHash/LSH literature (Broder '97); banding
+per Mining of Massive Datasets ch.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.operators.textops import tokens
+
+MINHASH_K = 8  # signature length
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+SHINGLE_N = 3
+
+
+def shingles(text: Column, n: int = SHINGLE_N) -> Column:
+    """n-token shingles; documents shorter than n tokens fall back to a
+    single whole-document shingle."""
+    toks = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def minhash_col(text: Column, seed: int) -> Column:
+    """One MinHash component: lexicographic min of seeded md5 over the
+    shingle set. Hex strings order like the underlying 128-bit ints, so
+    string-min == numeric-min and every engine agrees byte-for-byte."""
+    return F.array_min(
+        F.transform(
+            shingles(text), lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + mh0..mh{K-1} columns. Pure projection — no shuffle."""
+    cols = {f"mh{j}": minhash_col(F.col(text_col), j) for j in range(MINHASH_K)}
+    return docs.select("doc_id", *[cols[f"mh{j}"].alias(f"mh{j}") for j in range(MINHASH_K)])
+
+
+def _band_cols(prefix: str = "mh") -> list[Column]:
+    per_band = MINHASH_K // LSH_BANDS
+    out = []
+    for b in range(LSH_BANDS):
+        parts = [F.col(f"{prefix}{b * per_band + j}") for j in range(per_band)]
+        out.append(F.md5(F.concat_ws("|", *parts)))
+    return out
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs via banded LSH: explode band hashes, equi-join on
+    (band index, band hash), dedupe. This is the scale path — the join
+    key is the band bucket, so only same-bucket docs ever meet."""
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*_band_cols())).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with estimated Jaccard =
+    fraction of matching signature components."""
+    sigs = minhash_signatures(docs, text_col)
+    pairs = lsh_candidate_pairs(sigs)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(MINHASH_K)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
+        for j in range(MINHASH_K)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(MINHASH_K)), 6).alias("jaccard_est"),
+        )
+    )
+
+
+def exact_dedup_groups(
+    docs: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy on a content key: one row per group
+    with the canonical (min-id) survivor and the duplicate count."""
+    return docs.groupBy(key.alias("content_key")).agg(
+        F.min(id_col).alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over the token multiset (Charikar '02 shape).
+
+    Per token: h = first 8 md5 hex digits as int. Per bit b: sum +1/-1
+    by bit value over all tokens; signature bit = 1 iff sum > 0.
+    Integer-only arithmetic → bit-identical across engines.
+
+    Plan shape: explode tokens → single hash agg per doc with 32
+    conditional sums (map-side partial agg applies; no window, no UDF).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tok = tok.select("doc_id", h.alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"bit{b}")
+        for b in range(32)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    sig = sum(
+        F.when(F.col(f"bit{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(32)
+    )
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def ngram_jaccard(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (doc_a, doc_b) candidate pairs:
+    |A ∩ B| / |A ∪ B| over distinct shingle sets."""
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.nullif(union, F.lit(0.0)), 6).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Text analysis operators for large-scale document pipelines.
+
+Extension surface (BASELINE.json north star): language ID, quality
+scoring, token counting, fingerprinting — all as native Column
+expressions (JVM-side, codegen'd; no Python in the hot path). Each has
+an exact DuckDB-oracle counterpart in plans/queries_text.py.
+
+Scale: every operator is a pure per-row projection — embarrassingly
+parallel, no shuffle, survives any scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RX = "[^a-z0-9]+"
+PUNCT_CHARS = ".,!?;:"
+
+# Per-language stopword lists for the n-gram/stopword language heuristic.
+# Deterministic tie-break: first language in this order wins.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "los", "de", "que", "y", "es"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "les", "et", "est", "une", "dans"],
+}
+
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alnum tokens, empty fragments dropped."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RX), lambda x: x != F.lit("")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_count(text: Column) -> Column:
+    """Occurrences of common punctuation via the translate trick
+    (portable: identical semantics in every SQL engine)."""
+    return F.length(text) - F.length(F.translate(text, PUNCT_CHARS, ""))
+
+
+def stopword_count(text: Column, words: list[str]) -> Column:
+    toks = tokens(text)
+    wl = [F.lit(w) for w in words]
+    return F.size(F.filter(toks, lambda x: x.isin(*wl)))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1]: length, stopword density,
+    punctuation density. The exact formula is mirrored in the oracle —
+    the semantics are the engine's own (reference has no text ops)."""
+    n_tok = token_count(text).cast("double")
+    stop_ratio = stopword_count(text, QUALITY_STOPWORDS).cast("double") / F.nullif(
+        n_tok, F.lit(0.0)
+    )
+    punct_ratio = punct_count(text).cast("double") / F.nullif(
+        F.length(text).cast("double"), F.lit(0.0)
+    )
+    score = (
+        0.4 * F.least(n_tok / 200.0, F.lit(1.0))
+        + 0.4 * F.least(F.coalesce(stop_ratio, F.lit(0.0)) * 5.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(F.coalesce(punct_ratio, F.lit(0.0)) * 10.0, F.lit(1.0)))
+    )
+    return score
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio."""
+    n_tok = token_count(text).cast("double")
+    return {
+        lang: stopword_count(text, words).cast("double")
+        / F.nullif(n_tok, F.lit(0.0))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language as a cascaded CASE with deterministic tie-break
+    (declaration order wins ties); 'und' when no stopwords hit."""
+    scores = {
+        lang: F.coalesce(s, F.lit(0.0)) for lang, s in lang_scores(text).items()
+    }
+    langs = list(LANG_STOPWORDS)
+    expr = F.lit("und")
+    # Build the CASE bottom-up: last language first.
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = scores[lang] > 0.0
+        for later in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[later])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Whitespace/case-insensitive document fingerprint: md5 of the
+    normalized token stream."""
+    return F.md5(F.concat_ws(" ", tokens(text)))

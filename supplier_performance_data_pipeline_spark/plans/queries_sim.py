@@ -1,0 +1,137 @@
+"""Similarity-search queries over ``embeddings`` (array<float>, 64-dim).
+
+Oracle SQL shares the exact arithmetic (element-wise double products,
+left-to-right sums, md5-derived hyperplanes inlined as literals from the
+same Python generator) so buckets and scores agree across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.operators.similarity import (
+    N_PLANES,
+    brute_force_topk,
+    hyperplane,
+    label_centroids,
+    lsh_topk,
+)
+from supplier_performance_data_pipeline_spark.plans.registry import register
+from supplier_performance_data_pipeline_spark.session import tune_session
+
+DIM = 64
+TOP_K = 10
+
+_DOT_E_Q = (
+    "list_sum(list_transform(range(0, len(e.embedding)), "
+    "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)))"
+)
+_NORM_E = (
+    "sqrt(list_sum(list_transform(range(0, len(e.embedding)), "
+    "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))"
+)
+_NORM_Q = (
+    "sqrt(list_sum(list_transform(range(0, len(q.qv)), "
+    "i -> CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))))"
+)
+
+_PLANES_VALUES = ", ".join(
+    f"({p}, {hyperplane(p, DIM)})" for p in range(N_PLANES)
+)
+_PLANES_CTE = f"planes AS (SELECT * FROM (VALUES {_PLANES_VALUES}) t(p, hp))"
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id,
+           ROUND({_DOT_E_Q} / ({_NORM_E} * {_NORM_Q}), 6) AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+)
+SELECT * FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT {TOP_K}
+""".strip(),
+)
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (brute force) against vec_id=0's embedding —
+    the ANN correctness baseline. One scan + TakeOrderedAndProject."""
+    emb = _embeddings(spark, sf_dir)
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), TOP_K)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH {_PLANES_CTE},
+proj AS (
+    SELECT e.vec_id, e.embedding, pl.p,
+           list_sum(list_transform(range(0, len(e.embedding)),
+               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(pl.hp[i+1] AS DOUBLE))) AS d
+    FROM embeddings e CROSS JOIN planes pl
+),
+buckets AS (
+    SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+),
+q AS (
+    SELECT e.embedding AS qv, b.bucket AS qbucket
+    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+    WHERE e.vec_id = 0
+),
+scored AS (
+    SELECT e.vec_id, b.bucket,
+           ROUND({_DOT_E_Q} / ({_NORM_E} * {_NORM_Q}), 6) AS cosine_sim
+    FROM embeddings e
+    JOIN buckets b ON e.vec_id = b.vec_id
+    CROSS JOIN q
+    WHERE b.bucket = q.qbucket
+)
+SELECT * FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT {TOP_K}
+""".strip(),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: only the query's random-hyperplane
+    bucket is scored — the 100 TB path (bucket column precomputed at
+    ingest, table bucketed by it → pruned scan)."""
+    emb = _embeddings(spark, sf_dir)
+    return lsh_topk(emb, _query_vec(spark, sf_dir), TOP_K, DIM)
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+WITH exploded AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+)
+SELECT label, dim, ROUND(AVG(v), 6) AS centroid, COUNT(*) AS n_vectors
+FROM exploded GROUP BY label, dim
+""".strip(),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid in long format — posexplode +
+    (label, dim)-keyed hash agg; the building block for IVF-style
+    partitioned ANN."""
+    return label_centroids(_embeddings(spark, sf_dir))

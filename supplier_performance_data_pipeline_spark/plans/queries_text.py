@@ -1,0 +1,282 @@
+"""Text-analysis and dedup queries over ``documents``.
+
+Oracle SQL is GENERATED from the same constants the Spark operators use
+(stopword lists, shingle size, signature length) so the two dialects
+can't drift. Hashing is md5 everywhere — portable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.operators.dedup import (
+    LSH_BANDS,
+    MINHASH_K,
+    SHINGLE_N,
+    exact_dedup_groups,
+    minhash_signatures,
+    near_dup_pairs,
+    ngram_jaccard,
+    simhash32,
+)
+from supplier_performance_data_pipeline_spark.operators.textops import (
+    LANG_STOPWORDS,
+    PUNCT_CHARS,
+    QUALITY_STOPWORDS,
+    TOKEN_SPLIT_RX,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from supplier_performance_data_pipeline_spark.plans.registry import register
+from supplier_performance_data_pipeline_spark.session import tune_session
+
+# --- DuckDB dialect fragments (mirror textops/dedup exactly) ---------------
+
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), "
+    f"'{TOKEN_SPLIT_RX}'), x -> x <> '')"
+)
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _stop_count(words: list[str]) -> str:
+    return f"len(list_filter(toks, x -> x IN ({_in_list(words)})))"
+
+
+_SHINGLES = (
+    f"CASE WHEN len(toks) >= {SHINGLE_N} THEN "
+    f"list_transform(range(0, len(toks) - {SHINGLE_N - 1}), i -> "
+    "concat_ws(' ', "
+    + ", ".join(f"toks[i + {j + 1}]" for j in range(SHINGLE_N))
+    + ")) ELSE [array_to_string(toks, ' ')] END"
+)
+
+_TOKS_CTE = f"toks_cte AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)"
+_SHINGLES_CTE = (
+    f"sh_cte AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks_cte)"
+)
+
+_MH_COLS_SQL = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5(concat('{j}|', s)))) AS mh{j}"
+    for j in range(MINHASH_K)
+)
+_SIGS_CTE = (
+    f"sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh_cte)"
+)
+
+_PER_BAND = MINHASH_K // LSH_BANDS
+_BAND_COLS_SQL = ", ".join(
+    "md5(concat_ws('|', "
+    + ", ".join(f"mh{b * _PER_BAND + j}" for j in range(_PER_BAND))
+    + f")) AS band{b}"
+    for b in range(LSH_BANDS)
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# --- text profile: token count, quality, language, fingerprint -------------
+
+
+@register(
+    "text_profile",
+    oracle=f"""
+WITH {_TOKS_CTE},
+scored AS (
+    SELECT
+        doc_id,
+        len(toks) AS n_tokens,
+        CAST(len(toks) AS DOUBLE) AS n_tok_d,
+        CAST({_stop_count(QUALITY_STOPWORDS)} AS DOUBLE)
+            / NULLIF(CAST(len(toks) AS DOUBLE), 0.0) AS stop_ratio,
+        CAST(length(text) - length(translate(text, '{PUNCT_CHARS}', '')) AS DOUBLE)
+            / NULLIF(CAST(length(text) AS DOUBLE), 0.0) AS punct_ratio,
+        {", ".join(
+            f"CAST({_stop_count(w)} AS DOUBLE) / NULLIF(CAST(len(toks) AS DOUBLE), 0.0) AS s_{lang}"
+            for lang, w in LANG_STOPWORDS.items()
+        )},
+        md5(array_to_string(toks, ' ')) AS fingerprint
+    FROM toks_cte
+)
+SELECT
+    doc_id,
+    n_tokens,
+    ROUND(0.4 * LEAST(n_tok_d / 200.0, 1.0)
+        + 0.4 * LEAST(COALESCE(stop_ratio, 0.0) * 5.0, 1.0)
+        + 0.2 * (1.0 - LEAST(COALESCE(punct_ratio, 0.0) * 10.0, 1.0)), 6)
+        AS quality_score,
+    CASE
+        WHEN COALESCE(s_en, 0.0) > 0 AND COALESCE(s_en, 0.0) >= COALESCE(s_es, 0.0)
+             AND COALESCE(s_en, 0.0) >= COALESCE(s_de, 0.0)
+             AND COALESCE(s_en, 0.0) >= COALESCE(s_fr, 0.0) THEN 'en'
+        WHEN COALESCE(s_es, 0.0) > 0 AND COALESCE(s_es, 0.0) >= COALESCE(s_de, 0.0)
+             AND COALESCE(s_es, 0.0) >= COALESCE(s_fr, 0.0) THEN 'es'
+        WHEN COALESCE(s_de, 0.0) > 0 AND COALESCE(s_de, 0.0) >= COALESCE(s_fr, 0.0) THEN 'de'
+        WHEN COALESCE(s_fr, 0.0) > 0 THEN 'fr'
+        ELSE 'und'
+    END AS lang_pred,
+    fingerprint
+FROM scored
+""".strip(),
+)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + quality score + token count + fingerprint in one
+    pure projection (no shuffle, codegen'd end to end)."""
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        F.round(quality_score(text), 6).alias("quality_score"),
+        lang_id(text).alias("lang_pred"),
+        fingerprint(text).alias("fingerprint"),
+    )
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_key, MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""".strip(),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash; min-id survivor."""
+    return exact_dedup_groups(_docs(spark, sf_dir), F.md5(F.col("text")))
+
+
+@register(
+    "dedup_normalized",
+    oracle=f"""
+WITH {_TOKS_CTE}
+SELECT md5(array_to_string(toks, ' ')) AS content_key,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM toks_cte GROUP BY md5(array_to_string(toks, ' '))
+""".strip(),
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case/punctuation-insensitive dedup on the token-stream
+    fingerprint."""
+    return exact_dedup_groups(_docs(spark, sf_dir), fingerprint(F.col("text")))
+
+
+# --- MinHash signatures + LSH near-dup pairs -------------------------------
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+{_SIGS_CTE}
+SELECT * FROM sigs
+""".strip(),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature via seeded md5 over 3-token shingles —
+    bit-identical across engines."""
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+@register(
+    "lsh_near_dup_pairs",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+{_SIGS_CTE},
+bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(({" + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K))})
+             / {float(MINHASH_K)}, 6) AS jaccard_est
+FROM bands a JOIN bands b
+  ON a.doc_id < b.doc_id
+ AND ({" OR ".join(f"a.band{b} = b.band{b}" for b in range(LSH_BANDS))})
+""".strip(),
+)
+def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs + estimated Jaccard. Spark plans a
+    bucket equi-join (explode bands → join on band hash); the oracle's
+    all-pairs OR-join is only viable at oracle scale."""
+    return near_dup_pairs(_docs(spark, sf_dir))
+
+
+# --- SimHash ----------------------------------------------------------------
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{b}"
+    for b in range(32)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN bit{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for b in range(32)
+)
+
+
+@register(
+    "simhash_signatures",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tok AS (
+    SELECT doc_id, CAST(concat('0x', substr(md5(unnest.tok), 1, 8)) AS BIGINT) AS h
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM toks_cte) unnest
+),
+bits AS (
+    SELECT doc_id, {_SIMHASH_BITSUMS}
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits
+""".strip(),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — integer-only arithmetic, exact
+    parity with the oracle."""
+    return simhash32(_docs(spark, sf_dir))
+
+
+# --- n-gram Jaccard on deterministic candidate pairs -----------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+sh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh_cte)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / NULLIF(CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 0.0), 6)
+           AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+""".strip(),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over consecutive-id candidate pairs —
+    exercises the set-similarity kernel on definitely-nonempty input."""
+    docs = _docs(spark, sf_dir)
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            F.col("b.doc_id") == F.col("a.doc_id") + 1,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    return ngram_jaccard(pairs, docs)

@@ -41,6 +41,8 @@ def load_all() -> dict[str, QuerySpec]:
         queries_analytics,
         queries_core,
         queries_events,
+        queries_sim,
+        queries_text,
     )
 
     return REGISTRY
