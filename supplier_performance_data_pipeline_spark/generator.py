@@ -1,0 +1,119 @@
+"""Seeded synthetic supplier-domain data generator.
+
+Reproduces the reference generator's distributions (reference:
+src/generate_data.py:27-188 — seed, table sizes, category/country pools,
+lead-time/late/early/partial/quality probabilities with financial-risk
+uplift) as an independent implementation. Generation is driver-side —
+600 rows is nothing (SURVEY.md §7.3); the scale path for synthetic data
+is per-partition seeded generation via ``spark.range`` + ``rand(seed)``,
+provided by ``generate_lineage_at_scale``.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from datetime import date, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+
+from supplier_performance_data_pipeline_spark.schemas import (
+    DELIVERIES,
+    PURCHASE_ORDERS,
+    SUPPLIERS,
+)
+
+CATEGORIES = ["Packaging", "Raw Materials", "Logistics", "Electronics", "Textiles"]
+COUNTRIES = ["DE", "PL", "CZ", "NL", "IT", "ES", "FR", "TR", "CN"]
+
+
+@dataclass
+class GeneratorConfig:
+    # Distribution parameters per reference src/generate_data.py:27-58.
+    seed: int = 42
+    n_suppliers: int = 15
+    n_pos: int = 600
+    start_date: date = field(default_factory=lambda: date(2024, 1, 1))
+    end_date: date = field(default_factory=lambda: date(2024, 12, 31))
+    lead_time_days: tuple[int, int] = (3, 21)
+    qty_range: tuple[int, int] = (10, 500)
+    late_base: float = 0.22
+    early_base: float = 0.08
+    partial_base: float = 0.18
+    quality_base: float = 0.04
+
+
+def _clamp(x: float, lo: float = 0.0, hi: float = 1.0) -> float:
+    return max(lo, min(hi, x))
+
+
+def generate_supplier_domain(
+    spark: SparkSession, cfg: GeneratorConfig | None = None
+) -> dict[str, DataFrame]:
+    """Three base tables with the reference's invariants: unique keys,
+    1:1 PO↔delivery, quantity_delivered ≤ quantity_ordered."""
+    cfg = cfg or GeneratorConfig()
+    rng = random.Random(cfg.seed)
+
+    suppliers = []
+    profiles = {}
+    for i in range(1, cfg.n_suppliers + 1):
+        sid = f"S{i:03d}"
+        fin = rng.randint(0, 100)
+        suppliers.append(
+            (sid, f"Supplier {i:02d}", rng.choice(CATEGORIES), rng.choice(COUNTRIES), fin)
+        )
+        # Risk-scaled behavior profile (reference: src/generate_data.py:105-118).
+        r = fin / 100.0
+        profiles[sid] = {
+            "late": _clamp(cfg.late_base + 0.25 * r),
+            "early": cfg.early_base,
+            "partial": _clamp(cfg.partial_base + 0.15 * r),
+            "quality": _clamp(cfg.quality_base + 0.06 * r),
+        }
+
+    span = (cfg.end_date - cfg.start_date).days
+    pos, deliveries = [], []
+    for j in range(1, cfg.n_pos + 1):
+        po_id = f"PO{j:05d}"
+        sid = rng.choice(suppliers)[0]
+        order_date = cfg.start_date + timedelta(days=rng.randint(0, span))
+        promised = order_date + timedelta(days=rng.randint(*cfg.lead_time_days))
+        qty = rng.randint(*cfg.qty_range)
+        pos.append((po_id, sid, order_date, promised, qty))
+
+        p = profiles[sid]
+        u = rng.random()
+        if u < p["late"]:
+            delivery = promised + timedelta(days=rng.randint(1, 14))
+        elif u < p["late"] + p["early"]:
+            delivery = promised - timedelta(days=rng.randint(1, 4))
+        else:
+            delivery = promised
+        delivered = qty
+        if rng.random() < p["partial"]:
+            delivered = int(qty * rng.uniform(0.60, 0.95))
+        quality = 1 if rng.random() < p["quality"] else 0
+        deliveries.append((po_id, delivery, delivered, quality))
+
+    return {
+        "suppliers": spark.createDataFrame(suppliers, SUPPLIERS),
+        "purchase_orders": spark.createDataFrame(pos, PURCHASE_ORDERS),
+        "deliveries": spark.createDataFrame(deliveries, DELIVERIES),
+    }
+
+
+def generate_lineage_at_scale(
+    spark: SparkSession, n_rows: int, n_suppliers: int, seed: int = 42
+) -> DataFrame:
+    """Distributed generation sketch for big fixtures: ``spark.range``
+    partitions the id space, ``rand(seed)`` gives per-row deterministic
+    randomness — no driver loop, scales to any row count."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n_rows)
+        .withColumn("supplier_id", (F.col("id") % n_suppliers).cast("long"))
+        .withColumn("u", F.rand(seed))
+        .withColumn("quantity_ordered", (10 + (F.rand(seed + 1) * 490)).cast("int"))
+    )

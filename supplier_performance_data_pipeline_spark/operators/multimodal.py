@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Extension surface (BASELINE.json north star). Images/audio/video are
+``binary`` columns with a typed metadata struct; decode / feature
+extraction run as Arrow-batched functions over ``mapInPandas`` so the
+payload never round-trips through Python row-by-row.
+
+The actual codec step is STUBBED (image/audio libraries are not in this
+container): ``decode_stub=True`` produces deterministic fake features
+from the payload bytes so the Spark-side plumbing — schema, batch
+iteration, partitioning — is real and tested; ``decode_stub=False``
+raises NotImplementedError where a codec (Pillow/ffmpeg) would plug in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, mime string, n_bytes long, checksum string, "
+    "feat_mean double, feat_max double"
+)
+
+
+def _fake_features(payload: bytes) -> tuple[float, float]:
+    """Deterministic stand-in for a real decode: byte-level statistics."""
+    if not payload:
+        return 0.0, 0.0
+    vals = list(payload[:4096])
+    return sum(vals) / len(vals), float(max(vals))
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Per-payload feature extraction via mapInPandas (Arrow batches).
+
+    Partitioning note: payloads are large — repartition upstream by
+    media_id so batches stay balanced and one huge file can't skew a
+    task; the batch iterator keeps peak memory at one Arrow batch.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real codec path requires image/audio libraries "
+                    "(Pillow/ffmpeg) not present in this container"
+                )
+            import hashlib
+
+            feats = pdf["payload"].map(
+                lambda p: _fake_features(bytes(p) if p is not None else b"")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "checksum": pdf["payload"].map(
+                        lambda p: hashlib.md5(
+                            bytes(p) if p is not None else b""
+                        ).hexdigest()
+                    ),
+                    "feat_mean": feats.map(lambda t: t[0]),
+                    "feat_max": feats.map(lambda t: t[1]),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Deterministic sampling of media rows (every_n-th id) — the cheap
+    pre-filter before expensive decode at scale; pure JVM-side filter."""
+    return media.filter(F.col("media_id") % every_n == 0)

@@ -1,0 +1,109 @@
+"""Structured Streaming ingestion of the events stream.
+
+The reference is batch-only (SURVEY.md §2.8); this is the engine's
+streaming path. The logical shapes mirror operators/windows.py so batch
+and streaming agree — the batch oracle doubles as the streaming oracle
+(verified in tests/test_streaming.py via a memory sink).
+
+Scale notes: watermarking bounds state; tumbling/session windows key
+state by (window, type) / (user, session) — no global state. At real
+scale the source is Kafka/files-on-object-store; here the same parquet
+files drive the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Events schema as stored (ts is TIMESTAMP(NANOS) in the driver parquet;
+# we read it as long and convert — same as the batch path).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, directory: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """File-source stream: watches ``directory`` for files matching
+    ``glob`` (Spark file streams require a directory, not a file)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", glob)
+        .load(directory)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_hourly_rollup(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling 1-hour rollup — streaming twin of
+    operators/windows.hourly_rollup (same keys, same aggregates)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based) — streaming counterpart of
+    operators/windows.sessionize, using session_window so state expires
+    with the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{int(gap_minutes)} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id", "n_events", "session_start", "session_end"
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a bounded file-backed stream to completion synchronously
+    (memory sink + processAllAvailable) — the local smoke path."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,108 @@
+"""Unit tests of the reference semantics on tiny in-memory fixtures —
+the edge cases FIXTURES.md calls out (degenerate normalization range,
+zero ordered quantity, negative delay)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from supplier_performance_data_pipeline_spark.operators.kpis import (
+    compute_supplier_kpis,
+)
+from supplier_performance_data_pipeline_spark.operators.risk import (
+    supplier_risk_summary,
+)
+from supplier_performance_data_pipeline_spark.schemas import (
+    DELIVERIES,
+    PURCHASE_ORDERS,
+    SUPPLIERS,
+)
+
+
+def _mk(spark, suppliers, pos, deliveries):
+    return compute_supplier_kpis(
+        spark.createDataFrame(suppliers, SUPPLIERS),
+        spark.createDataFrame(pos, PURCHASE_ORDERS),
+        spark.createDataFrame(deliveries, DELIVERIES),
+    )
+
+
+def test_kpis_negative_delay_and_rates(spark):
+    kpis = _mk(
+        spark,
+        [("S1", "One", "Cat", "DE", 50)],
+        [
+            ("P1", "S1", date(2024, 1, 1), date(2024, 1, 10), 100),
+            ("P2", "S1", date(2024, 2, 1), date(2024, 2, 10), 100),
+        ],
+        [
+            ("P1", date(2024, 1, 8), 100, 0),   # early → delay -2, on time
+            ("P2", date(2024, 2, 15), 50, 1),   # late → delay +5, partial
+        ],
+    ).collect()[0]
+    assert kpis.on_time_delivery_rate == 0.5
+    assert kpis.avg_delivery_delay_days == pytest.approx((-2 + 5) / 2)
+    assert kpis.fill_rate == pytest.approx(150 / 200)
+    assert kpis.quality_issue_rate == 0.5
+    assert kpis.n_pos == 2
+
+
+def test_fill_rate_null_when_zero_ordered(spark):
+    # NULLIF guard (reference: src/compute_kpis.py:64).
+    row = _mk(
+        spark,
+        [("S1", "One", "Cat", "DE", 50)],
+        [("P1", "S1", date(2024, 1, 1), date(2024, 1, 10), 0)],
+        [("P1", date(2024, 1, 10), 0, 0)],
+    ).collect()[0]
+    assert row.fill_rate is None
+
+
+def test_risk_degenerate_range_guard(spark):
+    # Two identical suppliers → max == min for every KPI → all norms 1.0,
+    # performance 1.0, risk purely financial (reference: src/compute_risk.py:58-80).
+    kpis = _mk(
+        spark,
+        [("S1", "One", "Cat", "DE", 40), ("S2", "Two", "Cat", "PL", 80)],
+        [
+            ("P1", "S1", date(2024, 1, 1), date(2024, 1, 10), 100),
+            ("P2", "S2", date(2024, 1, 1), date(2024, 1, 10), 100),
+        ],
+        [
+            ("P1", date(2024, 1, 10), 100, 0),
+            ("P2", date(2024, 1, 10), 100, 0),
+        ],
+    )
+    risk = {r.supplier_id: r for r in supplier_risk_summary(kpis).collect()}
+    for r in risk.values():
+        assert r.norm_on_time == 1.0
+        assert r.norm_delay == 1.0
+        assert r.norm_fill == 1.0
+        assert r.norm_quality == 1.0
+        assert r.performance_score == 1.0
+    assert risk["S1"].risk_score == pytest.approx(0.3 * 0.40)
+    assert risk["S2"].risk_score == pytest.approx(0.3 * 0.80)
+
+
+def test_risk_formula_hand_computed(spark):
+    # Non-degenerate two-supplier case: S1 strictly better on every KPI.
+    kpis = _mk(
+        spark,
+        [("S1", "One", "Cat", "DE", 0), ("S2", "Two", "Cat", "PL", 100)],
+        [
+            ("P1", "S1", date(2024, 1, 1), date(2024, 1, 10), 100),
+            ("P2", "S2", date(2024, 1, 1), date(2024, 1, 10), 100),
+        ],
+        [
+            ("P1", date(2024, 1, 10), 100, 0),   # on time, full, clean
+            ("P2", date(2024, 1, 15), 60, 1),    # late, partial, issue
+        ],
+    )
+    risk = {r.supplier_id: r for r in supplier_risk_summary(kpis).collect()}
+    # S1 is max for on_time/fill (norm 1) and min for delay/quality (inverted → 1).
+    assert risk["S1"].performance_score == pytest.approx(1.0)
+    assert risk["S1"].risk_score == pytest.approx(0.7 * 0.0 + 0.3 * 0.0)
+    assert risk["S2"].performance_score == pytest.approx(0.0)
+    assert risk["S2"].risk_score == pytest.approx(0.7 * 1.0 + 0.3 * 1.0)

@@ -1,0 +1,47 @@
+"""Streaming/batch agreement: the streaming hourly rollup over the
+events parquet must equal the batch operator's result."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from supplier_performance_data_pipeline_spark.operators.windows import hourly_rollup
+from supplier_performance_data_pipeline_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory_sink,
+    streaming_hourly_rollup,
+    streaming_sessionize,
+)
+from tests.conftest import SF_SMOKE
+
+EVENTS_PATH = f"{SF_SMOKE}/events.parquet"
+EVENTS_DIR = SF_SMOKE
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_streaming_hourly_equals_batch(spark):
+    stream = read_event_stream(spark, EVENTS_DIR)
+    run_to_memory_sink(streaming_hourly_rollup(stream), "hourly_out")
+    got = _canon(spark.sql("SELECT * FROM hourly_out").toPandas())
+
+    batch_events = spark.read.parquet(EVENTS_PATH)
+    from pyspark.sql import functions as F
+
+    batch_events = batch_events.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = _canon(hourly_rollup(batch_events).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_sessionize_runs(spark):
+    stream = read_event_stream(spark, EVENTS_DIR)
+    run_to_memory_sink(streaming_sessionize(stream), "sessions_out")
+    got = spark.sql("SELECT * FROM sessions_out").toPandas()
+    assert len(got) > 0
+    assert (got.n_events >= 1).all()
+    assert (got.session_end >= got.session_start).all()
