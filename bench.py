@@ -26,6 +26,16 @@ HEADLINE = [
     "orphan_checks",
     "top10_risk_suppliers",
     "kpi_tiles_filtered",
+    "pricing_summary",
+    "top3_suppliers_per_nation",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "text_profile",
+    "dedup_exact",
+    "lsh_near_dup_pairs",
+    "simhash_signatures",
+    "ann_cosine_topk",
+    "embedding_label_centroids",
 ]
 
 

@@ -92,8 +92,14 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 def near_dup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """MinHash-LSH near-duplicate pairs with estimated Jaccard =
-    fraction of matching signature components."""
-    sigs = minhash_signatures(docs, text_col)
+    fraction of matching signature components.
+
+    The signature table appears three times in this plan (band explode +
+    both sides of the pair join); persisting it means the expensive
+    tokenize→shingle→hash projection runs once. Signatures are
+    ~(K+1)·16 bytes/doc — safely cacheable even at billions of docs
+    spilled to disk."""
+    sigs = minhash_signatures(docs, text_col).persist()
     pairs = lsh_candidate_pairs(sigs)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),

@@ -15,10 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from supplier_performance_data_pipeline_spark.functions.scalar import round_doubles
-from supplier_performance_data_pipeline_spark.operators.kpis import (
-    compute_supplier_kpis,
-    per_po_dataset,
-)
+from supplier_performance_data_pipeline_spark.operators.kpis import supplier_kpis
 from supplier_performance_data_pipeline_spark.operators.quality import (
     orphan_counts_df,
 )
@@ -36,8 +33,7 @@ from supplier_performance_data_pipeline_spark.operators.serving import (
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.plans.tpch_domain import (
     DOMAIN_CTES,
-    domain_deliveries,
-    domain_purchase_orders,
+    domain_per_po_fused,
     domain_suppliers,
 )
 from supplier_performance_data_pipeline_spark.session import tune_session
@@ -106,19 +102,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _domain_tables(spark: SparkSession, sf_dir: str):
-    tune_session(spark)
-    sup = domain_suppliers(_t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"))
-    po = domain_purchase_orders(
-        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
-    )
-    dl = domain_deliveries(_t(spark, sf_dir, "lineitem"))
-    return sup, po, dl
-
-
 def _kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sup, po, dl = _domain_tables(spark, sf_dir)
-    return compute_supplier_kpis(sup, po, dl)
+    """KPI table via the fused adapter (identity self-join eliminated;
+    see domain_per_po_fused) — row-identical to the 3-table form."""
+    tune_session(spark)
+    per_po = domain_per_po_fused(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+    )
+    return supplier_kpis(per_po)
 
 
 def _risk(spark: SparkSession, sf_dir: str) -> DataFrame:
