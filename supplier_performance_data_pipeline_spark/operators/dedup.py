@@ -23,38 +23,66 @@ from supplier_performance_data_pipeline_spark.operators.textops import tokens
 MINHASH_K = 8  # signature length
 LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
 SHINGLE_N = 3
+P61 = (1 << 61) - 1  # Mersenne prime modulus for the hash family
 
 
-def shingles(text: Column, n: int = SHINGLE_N) -> Column:
-    """n-token shingles; documents shorter than n tokens fall back to a
-    single whole-document shingle."""
-    toks = tokens(text)
+def shingle_sets(
+    docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
+    """(doc_id, shingles): n-token shingles; documents shorter than n
+    tokens fall back to a single whole-document shingle.
+
+    Layered projections on purpose: every lambda only references a
+    materialized column attribute. Referencing the token-split
+    *expression* inside a higher-order-function lambda re-evaluates the
+    full regexp split per array element (interpreted HOF eval has no
+    subexpression cache), which is quadratic in document length.
+    """
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    t = F.col("toks")
     make = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    sh = F.when(F.size(t) >= n, make).otherwise(F.array(F.array_join(t, " ")))
+    return toks.select("doc_id", sh.alias("shingles"))
+
+
+def shingle_hash_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
+    """(doc_id, hp): per-shingle 56-bit hash pairs (h1, h2) from ONE md5
+    per shingle — the K MinHash components are derived arithmetically,
+    so signature cost is one digest per shingle instead of K."""
+    ms = shingle_sets(docs, text_col, n).select(
+        "doc_id", F.transform(F.col("shingles"), F.md5).alias("ms")
+    )
+    hp = F.transform(
+        F.col("ms"),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 14), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 15, 14), 16, 10).cast("long").alias("h2"),
         ),
     )
-    return F.when(F.size(toks) >= n, make).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
-
-
-def minhash_col(text: Column, seed: int) -> Column:
-    """One MinHash component: lexicographic min of seeded md5 over the
-    shingle set. Hex strings order like the underlying 128-bit ints, so
-    string-min == numeric-min and every engine agrees byte-for-byte."""
-    return F.array_min(
-        F.transform(
-            shingles(text), lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
-        )
-    )
+    return ms.select("doc_id", hp.alias("hp"))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + mh0..mh{K-1} columns. Pure projection — no shuffle."""
-    cols = {f"mh{j}": minhash_col(F.col(text_col), j) for j in range(MINHASH_K)}
-    return docs.select("doc_id", *[cols[f"mh{j}"].alias(f"mh{j}") for j in range(MINHASH_K)])
+    """doc_id + mh0..mh{K-1} (bigint). Pure projection — no shuffle.
+
+    Component j = min over shingles of (h1 + j*h2) mod (2^61 - 1), the
+    standard two-hash combined family (Kirsch-Mitzenmacher); h1, h2 are
+    the two md5 halves, so every engine reproduces the values exactly.
+    h1 + 7*h2 < 2^56 + 7*2^56 < 2^63: no overflow."""
+    hp_df = shingle_hash_pairs(docs, text_col)
+    h = F.col("hp")
+    cols = [
+        F.array_min(
+            F.transform(h, lambda x: (x["h1"] + j * x["h2"]) % F.lit(P61))
+        ).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]
+    return hp_df.select("doc_id", *cols)
 
 
 def _band_cols(prefix: str = "mh") -> list[Column]:
@@ -97,8 +125,8 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     The signature table appears three times in this plan (band explode +
     both sides of the pair join); persisting it means the expensive
     tokenize→shingle→hash projection runs once. Signatures are
-    ~(K+1)·16 bytes/doc — safely cacheable even at billions of docs
-    spilled to disk."""
+    K longs + id ≈ 72 bytes/doc — safely cacheable even at billions of
+    docs spilled to disk."""
     sigs = minhash_signatures(docs, text_col).persist()
     pairs = lsh_candidate_pairs(sigs)
     a = sigs.select(
@@ -171,8 +199,8 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (doc_a, doc_b) candidate pairs:
     |A ∩ B| / |A ∪ B| over distinct shingle sets."""
-    sh = docs.select(
-        "doc_id", F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
+    sh = shingle_sets(docs, text_col, n).select(
+        "doc_id", F.array_distinct(F.col("shingles")).alias("sh")
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

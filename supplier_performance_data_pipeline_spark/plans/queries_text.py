@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from supplier_performance_data_pipeline_spark.operators.dedup import (
     LSH_BANDS,
     MINHASH_K,
+    P61,
     SHINGLE_N,
     exact_dedup_groups,
     minhash_signatures,
@@ -64,13 +65,20 @@ _SHINGLES_CTE = (
     f"sh_cte AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks_cte)"
 )
 
+# One md5 per shingle; component j = min (h1 + j*h2) mod 2^61-1 where
+# h1/h2 are the two 14-hex-digit (56-bit) md5 halves — mirrors
+# operators/dedup.py exactly.
+_MS_CTE = (
+    "ms_cte AS (SELECT doc_id, "
+    "list_transform(shingles, s -> md5(s)) AS ms FROM sh_cte)"
+)
+_H1 = "CAST(concat('0x', substr(m, 1, 14)) AS BIGINT)"
+_H2 = "CAST(concat('0x', substr(m, 15, 14)) AS BIGINT)"
 _MH_COLS_SQL = ", ".join(
-    f"list_min(list_transform(shingles, s -> md5(concat('{j}|', s)))) AS mh{j}"
+    f"list_min(list_transform(ms, m -> ({_H1} + {j} * {_H2}) % {P61})) AS mh{j}"
     for j in range(MINHASH_K)
 )
-_SIGS_CTE = (
-    f"sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh_cte)"
-)
+_SIGS_CTE = f"sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM ms_cte)"
 
 _PER_BAND = MINHASH_K // LSH_BANDS
 _BAND_COLS_SQL = ", ".join(
@@ -183,6 +191,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_TOKS_CTE},
 {_SHINGLES_CTE},
+{_MS_CTE},
 {_SIGS_CTE}
 SELECT * FROM sigs
 """.strip(),
@@ -198,6 +207,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_TOKS_CTE},
 {_SHINGLES_CTE},
+{_MS_CTE},
 {_SIGS_CTE},
 bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
