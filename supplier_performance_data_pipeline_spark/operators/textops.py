@@ -30,7 +30,12 @@ QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 
 
 def tokens(text: Column) -> Column:
-    """Lowercased alnum tokens, empty fragments dropped."""
+    """Lowercased alnum tokens, empty fragments dropped.
+
+    Callers computing several token-derived features per row should
+    materialize this ONCE as a column and use the ``*_t`` variants
+    below — each text-based wrapper builds its own regexp-split tree,
+    and Catalyst does not share subexpressions across projections."""
     return F.filter(
         F.split(F.lower(text), TOKEN_SPLIT_RX), lambda x: x != F.lit("")
     )
@@ -38,6 +43,56 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+def stopword_count_t(toks: Column, words: list[str]) -> Column:
+    """Stopword hits over a materialized token-array column."""
+    wl = [F.lit(w) for w in words]
+    return F.size(F.filter(toks, lambda x: x.isin(*wl)))
+
+
+def quality_score_t(text: Column, toks: Column) -> Column:
+    """quality_score over a materialized token-array column."""
+    n_tok = F.size(toks).cast("double")
+    stop_ratio = stopword_count_t(toks, QUALITY_STOPWORDS).cast(
+        "double"
+    ) / F.nullif(n_tok, F.lit(0.0))
+    punct_ratio = punct_count(text).cast("double") / F.nullif(
+        F.length(text).cast("double"), F.lit(0.0)
+    )
+    return (
+        0.4 * F.least(n_tok / 200.0, F.lit(1.0))
+        + 0.4 * F.least(F.coalesce(stop_ratio, F.lit(0.0)) * 5.0, F.lit(1.0))
+        + 0.2
+        * (1.0 - F.least(F.coalesce(punct_ratio, F.lit(0.0)) * 10.0, F.lit(1.0)))
+    )
+
+
+def lang_id_t(toks: Column) -> Column:
+    """lang_id over a materialized token-array column."""
+    n_tok = F.size(toks).cast("double")
+    scores = {
+        lang: F.coalesce(
+            stopword_count_t(toks, words).cast("double")
+            / F.nullif(n_tok, F.lit(0.0)),
+            F.lit(0.0),
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    expr = F.lit("und")
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = scores[lang] > 0.0
+        for later in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[later])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_t(toks: Column) -> Column:
+    """fingerprint over a materialized token-array column."""
+    return F.md5(F.concat_ws(" ", toks))
 
 
 def punct_count(text: Column) -> Column:

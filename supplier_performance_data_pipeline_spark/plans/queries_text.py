@@ -29,9 +29,10 @@ from supplier_performance_data_pipeline_spark.operators.textops import (
     QUALITY_STOPWORDS,
     TOKEN_SPLIT_RX,
     fingerprint,
-    lang_id,
-    quality_score,
-    token_count,
+    fingerprint_t,
+    lang_id_t,
+    quality_score_t,
+    tokens,
 )
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.session import tune_session
@@ -139,16 +140,20 @@ FROM scored
 """.strip(),
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID + quality score + token count + fingerprint in one
-    pure projection (no shuffle, codegen'd end to end)."""
+    """Language ID + quality score + token count + fingerprint, all off
+    ONE materialized tokenization (a single regexp split per row; the
+    per-text wrappers would each rebuild it). No shuffle."""
     docs = _docs(spark, sf_dir)
-    text = F.col("text")
-    return docs.select(
+    toks_df = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    t = F.col("toks")
+    return toks_df.select(
         "doc_id",
-        token_count(text).alias("n_tokens"),
-        F.round(quality_score(text), 6).alias("quality_score"),
-        lang_id(text).alias("lang_pred"),
-        fingerprint(text).alias("fingerprint"),
+        F.size(t).alias("n_tokens"),
+        F.round(quality_score_t(F.col("text"), t), 6).alias("quality_score"),
+        lang_id_t(t).alias("lang_pred"),
+        fingerprint_t(t).alias("fingerprint"),
     )
 
 
