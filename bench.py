@@ -36,6 +36,8 @@ HEADLINE = [
     "simhash_signatures",
     "ann_cosine_topk",
     "embedding_label_centroids",
+    "embedding_near_dup_pairs",
+    "multimodal_features",
 ]
 
 

@@ -105,6 +105,51 @@ def lsh_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates via shared
+    random-hyperplane LSH bucket (equi-join, never all-pairs), verified
+    with the exact cosine and filtered at ``threshold``.
+
+    The norm is materialized once per row before the self-join so pair
+    scoring is one dot product. At 100 TB the bucket stage is the
+    shuffle key — same-bucket rows co-locate, and candidate volume per
+    bucket is data-bounded by the plane count."""
+    v = _as_double(F.col(vec_col))
+    base = embeddings.select(F.col(id_col).alias("vid"), v.alias("v")).select(
+        "vid",
+        "v",
+        lsh_bucket(F.col("v"), dim).alias("bucket"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"),
+        F.col("v").alias("va"),
+        "bucket",
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"),
+        F.col("v").alias("vb"),
+        "bucket",
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

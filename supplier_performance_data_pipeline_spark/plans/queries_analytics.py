@@ -181,6 +181,70 @@ def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hierarchical aggregation: ROLLUP subtotals ----------------------------
+
+
+@register(
+    "orders_priority_rollup",
+    oracle="""
+SELECT
+    COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+    COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+    COUNT(*) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""".strip(),
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (priority → status → grand total) in ONE pass —
+    Spark expands grouping sets inside a single hash aggregate instead
+    of unioning three scans. DECIMAL sums keep subtotals exact."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --- DISTINCT aggregates ----------------------------------------------------
+
+
+@register(
+    "priority_distinct_customers",
+    oracle="""
+SELECT
+    o_orderpriority AS orderpriority,
+    COUNT(DISTINCT o_custkey) AS n_customers,
+    COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""".strip(),
+)
+def q_priority_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT aggregate next to a plain COUNT: Spark plans the
+    two-phase expand + partial-agg shape; at scale swap in
+    approx_count_distinct where a ±2% answer is acceptable."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.col("o_orderpriority").alias("orderpriority")
+    ).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 # --- §2.7 scalar-function surface ------------------------------------------
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from supplier_performance_data_pipeline_spark.operators.similarity import (
     N_PLANES,
     brute_force_topk,
+    embedding_near_dup_pairs,
     hyperplane,
     label_centroids,
     lsh_topk,
@@ -115,6 +116,49 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest, table bucketed by it → pruned scan)."""
     emb = _embeddings(spark, sf_dir)
     return lsh_topk(emb, _query_vec(spark, sf_dir), TOP_K, DIM)
+
+
+NEAR_DUP_THRESHOLD = 0.3  # synthetic embeddings are near-orthogonal;
+# real corpora would use ~0.95+
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH {_PLANES_CTE},
+proj AS (
+    SELECT e.vec_id, e.embedding, pl.p,
+           list_sum(list_transform(range(0, len(e.embedding)),
+               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(pl.hp[i+1] AS DOUBLE))) AS d
+    FROM embeddings e CROSS JOIN planes pl
+),
+buckets AS (
+    SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+),
+base AS (
+    SELECT e.vec_id, e.embedding, b.bucket,
+           sqrt(list_sum(list_transform(range(0, len(e.embedding)),
+               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) AS nrm
+    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_sum(list_transform(range(0, len(a.embedding)),
+             i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+           / (a.nrm * b.nrm), 6) AS cosine_sim
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_sum(list_transform(range(0, len(a.embedding)),
+          i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+        / (a.nrm * b.nrm), 6) >= {NEAR_DUP_THRESHOLD}
+""".strip(),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket candidates (equi-join,
+    never all-pairs) verified with the exact cosine."""
+    return embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), DIM, NEAR_DUP_THRESHOLD
+    )
 
 
 @register(

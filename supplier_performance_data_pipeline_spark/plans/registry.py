@@ -41,6 +41,7 @@ def load_all() -> dict[str, QuerySpec]:
         queries_analytics,
         queries_core,
         queries_events,
+        queries_multimodal,
         queries_sim,
         queries_text,
     )
