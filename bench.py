@@ -30,6 +30,8 @@ HEADLINE = [
     "top3_suppliers_per_nation",
     "events_hourly_rollup",
     "events_sessionize",
+    "events_asof_purchase_view",
+    "quantity_percentiles_by_flag",
     "text_profile",
     "dedup_exact",
     "lsh_near_dup_pairs",

@@ -218,6 +218,45 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ordered-statistic aggregates: exact percentiles -----------------------
+
+
+@register(
+    "quantity_percentiles_by_flag",
+    oracle="""
+SELECT
+    l_returnflag,
+    ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+    ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+    ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+    ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95,
+    COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""".strip(),
+)
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based ordered-set
+    aggregate). At 100 TB swap to approx_percentile — same call shape,
+    t-digest sketch, no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_quantity, array(0.25D, 0.50D, 0.75D, 0.95D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("pcts"), F.count("*").alias("n_rows"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 6).alias("p25"),
+            F.round(F.col("pcts")[1], 6).alias("p50"),
+            F.round(F.col("pcts")[2], 6).alias("p75"),
+            F.round(F.col("pcts")[3], 6).alias("p95"),
+            "n_rows",
+        )
+    )
+
+
 # --- DISTINCT aggregates ----------------------------------------------------
 
 

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from supplier_performance_data_pipeline_spark.functions.scalar import round_doubles
+from supplier_performance_data_pipeline_spark.operators.asof import asof_join
+from supplier_performance_data_pipeline_spark.operators.skew import salted_distinct_count
 from supplier_performance_data_pipeline_spark.operators.windows import (
     hourly_rollup,
     sessionize,
@@ -109,4 +111,64 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.get_json_object(F.col("props"), "$.k").cast("int")
             ).alias("avg_k"),
         )
+    )
+
+
+@register(
+    "events_asof_purchase_view",
+    oracle="""
+WITH base AS (
+    SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+),
+purchases AS (SELECT user_id, ts, event_id, value FROM base WHERE event_type = 'purchase'),
+views AS (SELECT user_id, ts, value FROM base WHERE event_type = 'view')
+SELECT p.user_id, p.ts, p.event_id, p.value,
+       v.ts AS prior_ts, v.value AS prior_value,
+       CASE WHEN v.ts IS NULL THEN NULL
+            ELSE CAST(DATE_DIFF('second', v.ts, p.ts) AS BIGINT) END AS seconds_since_view
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""".strip(),
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    'view' event (inclusive backward). Union-trick implementation — one
+    shuffle on user_id, no range explosion (operators/asof.py); the
+    oracle uses DuckDB's native ASOF JOIN, so two independent
+    implementations must agree."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, on="user_id", ts_col="ts",
+                    value_cols=["value"], prefix="prior_")
+    return out.select(
+        "user_id", "ts", "event_id", "value",
+        F.col("prior_ts"),
+        F.col("prior_value"),
+        F.when(
+            F.col("prior_ts").isNotNull(),
+            (F.unix_timestamp("ts") - F.unix_timestamp("prior_ts")).cast("long"),
+        ).alias("seconds_since_view"),
+    )
+
+
+@register(
+    "distinct_users_per_type_salted",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+FROM events GROUP BY event_type
+""".strip(),
+)
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct count: salt = hash(user_id) % 16 splits
+    each event_type's user space into disjoint buckets, per-bucket
+    countDistinct sums to the exact answer (operators/skew.py). The
+    oracle is the plain COUNT(DISTINCT) — two shapes, one result."""
+    return salted_distinct_count(
+        _events(spark, sf_dir), key="event_type", col="user_id"
     )

@@ -1,0 +1,56 @@
+"""Unit tests for the as-of (backward inclusive) join operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from supplier_performance_data_pipeline_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_null(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "p1"),  # exact-ts match (inclusive)
+            (1, _ts("2024-01-01T12:30:00"), "p2"),  # latest prior = 12:00
+            (2, _ts("2024-01-01T09:00:00"), "p3"),  # no prior right row
+        ],
+        "user_id int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 10.0),
+            (1, _ts("2024-01-01T12:00:00"), 12.0),
+            (1, _ts("2024-01-01T13:00:00"), 13.0),  # after p2 — ignored
+            (2, _ts("2024-01-01T09:30:00"), 9.5),  # after p3 — ignored
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    out = {
+        r["tag"]: r
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts", value_cols=["value"],
+            prefix="prior_",
+        ).collect()
+    }
+    assert out["p1"]["prior_value"] == 10.0  # equal ts matches
+    assert out["p2"]["prior_value"] == 12.0  # latest prior, not later
+    assert out["p3"]["prior_value"] is None  # nothing precedes
+    assert out["p3"]["prior_ts"] is None
+
+
+def test_asof_keeps_all_left_rows(spark):
+    left = spark.range(5).selectExpr(
+        "id as user_id", "timestamp('2024-06-01 00:00:00') as ts"
+    )
+    right = spark.createDataFrame(
+        [(0, _ts("2024-05-31T00:00:00"), 1.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = asof_join(left, right, on="user_id", ts_col="ts", value_cols=["value"])
+    assert out.count() == 5
+    matched = out.filter("r_value is not null").collect()
+    assert len(matched) == 1 and matched[0]["user_id"] == 0
