@@ -51,15 +51,25 @@ def main() -> None:
     names = [n for n in HEADLINE if n in specs]
 
     # Warm the JVM/codegen once with the cheapest query so per-query times
-    # measure the plan, not session startup.
+    # measure the plan, not session startup; spin up the Python workers
+    # too (reused afterwards) so Arrow-path queries measure the plan,
+    # not daemon fork + pandas import.
     specs[names[0]].build(spark, sf_dir).limit(1).collect()
+    spark.range(64, numPartitions=32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).collect()
 
+    # Best-of-2: a single sample is hostage to transient host load;
+    # the min of two runs is the standard steady-state estimator.
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        rows = specs[name].build(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 4)
-        assert rows is not None
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = specs[name].build(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+            assert rows is not None
+        times[name] = round(best, 4)
     total = round(sum(times.values()), 4)
     print(
         json.dumps(

@@ -1,0 +1,58 @@
+"""IO layer: CSV round-trip with explicit schema, partitioned Parquet,
+overwrite idempotency (SURVEY.md §2.1 S1-S6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from supplier_performance_data_pipeline_spark.sources.readers import read_csv
+from supplier_performance_data_pipeline_spark.sources.writers import write_parquet
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("x", T.DoubleType()),
+    ]
+)
+
+ROWS = [
+    (1, "a", dt.date(2024, 1, 1), 1.5),
+    (2, "b", dt.date(2024, 6, 2), -2.25),
+    (3, None, None, None),
+]
+
+
+def test_csv_round_trip_schema(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "t.csv")
+    df.write.option("header", True).mode("overwrite").csv(path)
+    back = read_csv(spark, path, SCHEMA)
+    assert back.schema == SCHEMA  # declared, never inferred
+    assert sorted(map(tuple, back.collect())) == sorted(ROWS)
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA).withColumn(
+        "part", F.coalesce(F.col("id") % 2, F.lit(0))
+    )
+    path = str(tmp_path / "p")
+    write_parquet(df, path, partition_by=["part"])
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("part") == 1)
+    assert pruned.count() == len([r for r in ROWS if r[0] % 2 == 1])
+    # Partition filter must reach the scan, not a post-filter.
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_overwrite_idempotent(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "o")
+    write_parquet(df, path)
+    write_parquet(df, path)  # rerun must not duplicate or fail
+    assert spark.read.parquet(path).count() == len(ROWS)
