@@ -31,12 +31,14 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_sessionize",
     "events_asof_purchase_view",
+    "errors_recent_purchase_count",
     "quantity_percentiles_by_flag",
     "text_profile",
     "dedup_exact",
     "lsh_near_dup_pairs",
     "simhash_signatures",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embedding_label_centroids",
     "embedding_near_dup_pairs",
     "multimodal_features",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from supplier_performance_data_pipeline_spark.functions.scalar import round_doubles
 from supplier_performance_data_pipeline_spark.operators.asof import asof_join
+from supplier_performance_data_pipeline_spark.operators.rangejoin import point_in_interval_join
 from supplier_performance_data_pipeline_spark.operators.skew import salted_distinct_count
 from supplier_performance_data_pipeline_spark.operators.windows import (
     hourly_rollup,
@@ -171,4 +172,53 @@ def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the plain COUNT(DISTINCT) — two shapes, one result."""
     return salted_distinct_count(
         _events(spark, sf_dir), key="event_type", col="user_id"
+    )
+
+
+@register(
+    "errors_recent_purchase_count",
+    oracle="""
+WITH e AS (
+    SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+err AS (SELECT event_id, ts FROM e WHERE event_type = 'error'),
+p AS (SELECT ts FROM e WHERE event_type = 'purchase')
+SELECT err.event_id, err.ts, COUNT(p.ts) AS n_recent_purchases
+FROM err LEFT JOIN p
+  ON p.ts BETWEEN err.ts - INTERVAL 10 MINUTE AND err.ts
+GROUP BY err.event_id, err.ts
+""".strip(),
+)
+def q_errors_recent_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases inside each error's trailing 10-minute
+    window, counted per error. Spark side bucketizes time so the range
+    join is an equi-join on the bucket (operators/rangejoin.py); the
+    oracle is DuckDB's plain BETWEEN join — two strategies, one result."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id"),
+        F.col("ts"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts")
+    )
+    pairs = point_in_interval_join(
+        purchases, errors, point_ts="p_ts",
+        start_ts="w_start", end_ts="w_end", bucket_seconds=600,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_recent_purchases")
+    )
+    return (
+        errors.select("event_id", "ts")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "ts",
+            F.coalesce("n_recent_purchases", F.lit(0)).alias(
+                "n_recent_purchases"
+            ),
+        )
     )

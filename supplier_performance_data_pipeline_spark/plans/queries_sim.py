@@ -161,6 +161,95 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2  # IVF probes: search the 2 nearest centroid partitions
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+cagg AS (SELECT label, dim, AVG(v) AS c FROM cent GROUP BY label, dim),
+cvec AS (
+    SELECT label, list(c ORDER BY dim) AS cv FROM cagg GROUP BY label
+),
+nearest AS (
+    SELECT cv.label
+    FROM cvec cv CROSS JOIN q
+    ORDER BY
+        list_sum(list_transform(range(0, len(cv.cv)),
+            i -> cv.cv[i+1] * CAST(q.qv[i+1] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(0, len(cv.cv)), i -> cv.cv[i+1] * cv.cv[i+1])))
+           * {_NORM_Q}) DESC,
+        cv.label
+    LIMIT {N_PROBE}
+),
+scored AS (
+    SELECT e.vec_id, e.label,
+           ROUND({_DOT_E_Q} / ({_NORM_E} * {_NORM_Q}), 6) AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label IN (SELECT label FROM nearest)
+)
+SELECT vec_id, label, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id LIMIT {TOP_K}
+""".strip(),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroids act as the coarse quantizer;
+    only the N_PROBE nearest partitions are scanned exactly. The probe
+    decision is a driver-side plan choice over ~|labels| rows (like
+    AQE's runtime decisions); the candidate scan is a pruned
+    partition-filtered read at scale."""
+    emb = _embeddings(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        cosine,
+    )
+
+    # Raw (unrounded) centroids — label_centroids rounds for display;
+    # the quantizer must mirror the oracle's plain AVG.
+    cent_long = (
+        emb.select(
+            "label",
+            F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+    )
+    cvec = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    nearest = [
+        r["label"]
+        for r in cvec.select(
+            "label", cosine(F.col("cv"), qcol).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("label"))
+        .limit(N_PROBE)
+        .collect()
+    ]
+    cands = emb.filter(F.col("label").isin(nearest))
+    scored = cands.select(
+        "vec_id",
+        "label",
+        F.round(cosine(_as_double(F.col("embedding")), qcol), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(TOP_K)
+
+
 @register(
     "embedding_label_centroids",
     oracle="""
