@@ -104,16 +104,66 @@ def generate_supplier_domain(
 
 
 def generate_lineage_at_scale(
-    spark: SparkSession, n_rows: int, n_suppliers: int, seed: int = 42
+    spark: SparkSession,
+    n_rows: int,
+    n_suppliers: int,
+    seed: int = 42,
+    cfg: GeneratorConfig | None = None,
 ) -> DataFrame:
-    """Distributed generation sketch for big fixtures: ``spark.range``
-    partitions the id space, ``rand(seed)`` gives per-row deterministic
-    randomness — no driver loop, scales to any row count."""
+    """Distributed fused PO+delivery fact generator — the 100 TB path.
+
+    The driver-side generator (above) reproduces the reference's Python
+    RNG stream exactly but serializes through one process. This one
+    generates any row count distributedly: ``spark.range`` partitions
+    the id space, each row's randomness comes from ``rand(seed+k)``
+    (deterministic given seed and id-space partitioning) and per-entity
+    attributes from hashes of the entity id — so supplier behavior is
+    consistent across the fact without a join. Same distribution family
+    as the reference (late/early/partial/quality with financial-risk
+    uplift, reference: src/generate_data.py:105-188), pure Column
+    expressions end to end — no Python in the row path, no shuffle.
+    """
     from pyspark.sql import functions as F
 
-    return (
-        spark.range(n_rows)
-        .withColumn("supplier_id", (F.col("id") % n_suppliers).cast("long"))
-        .withColumn("u", F.rand(seed))
-        .withColumn("quantity_ordered", (10 + (F.rand(seed + 1) * 490)).cast("int"))
+    cfg = cfg or GeneratorConfig()
+    span = (cfg.end_date - cfg.start_date).days
+    lo_lead, hi_lead = cfg.lead_time_days
+    lo_q, hi_q = cfg.qty_range
+
+    df = spark.range(n_rows).select(
+        (F.col("id") + 1).alias("po_seq"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(n_suppliers)).alias(
+            "sup_idx"
+        ),
+        *[F.rand(seed + k).alias(f"u{k}") for k in range(1, 8)],
+    )
+    fin = F.pmod(F.xxhash64(F.col("sup_idx"), F.lit(seed + 99)), F.lit(101))
+    r = fin / 100.0
+    p_late = F.least(F.lit(cfg.late_base) + 0.25 * r, F.lit(1.0))
+    p_partial = F.least(F.lit(cfg.partial_base) + 0.15 * r, F.lit(1.0))
+    p_quality = F.least(F.lit(cfg.quality_base) + 0.06 * r, F.lit(1.0))
+
+    order_date = F.date_add(F.lit(cfg.start_date), (F.col("u1") * span).cast("int"))
+    lead = (F.lit(lo_lead) + F.col("u2") * (hi_lead - lo_lead)).cast("int")
+    promised = F.date_add(order_date, lead)
+    # Outcome draw: late wins p_late, else early p_early, else on time.
+    delay = (
+        F.when(F.col("u3") < p_late, (1 + F.col("u4") * 14).cast("int"))
+        .when(F.col("u3") < p_late + cfg.early_base, -(1 + F.col("u4") * 3).cast("int"))
+        .otherwise(F.lit(0))
+    )
+    qty = (F.lit(lo_q) + F.col("u5") * (hi_q - lo_q)).cast("int")
+    ratio = F.when(F.col("u6") < p_partial, 0.6 + F.col("u7") * 0.35).otherwise(
+        F.lit(1.0)
+    )
+    return df.select(
+        F.format_string("PO%09d", F.col("po_seq")).alias("po_id"),
+        F.format_string("S%05d", F.col("sup_idx") + 1).alias("supplier_id"),
+        fin.cast("int").alias("financial_risk_score"),
+        order_date.alias("order_date"),
+        promised.alias("promised_date"),
+        qty.alias("quantity_ordered"),
+        F.date_add(promised, delay).alias("delivery_date"),
+        (qty * ratio).cast("int").alias("quantity_delivered"),
+        F.when(F.col("u7") < p_quality, 1).otherwise(0).alias("quality_issues"),
     )
