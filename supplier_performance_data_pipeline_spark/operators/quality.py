@@ -30,16 +30,39 @@ def orphan_counts_df(
     right_name: str = "right_orphans",
 ) -> DataFrame:
     """Both-direction orphan counts as a 1-row DataFrame (lazy; used by
-    the correctness harness)."""
-    lo = (
-        left.join(right, left[left_key] == right[right_key], "left_anti")
-        .agg(F.count("*").alias(left_name))
+    the correctness harness).
+
+    One pass, one shuffle: tag-and-union the two key columns, count both
+    sides per key (map-side partial agg collapses the fact rows before
+    the exchange), then sum each side's rows over keys absent from the
+    other side. Two anti-joins would shuffle both tables twice; this
+    shuffles the union of key columns once — the shape that holds at
+    100 TB. NULL keys never equi-match, so they count as orphans on
+    their own side (same semantics as LEFT JOIN ... IS NULL).
+    """
+    tagged = left.select(
+        F.col(left_key).alias("k"),
+        F.lit(1).cast("long").alias("n_left"),
+        F.lit(0).cast("long").alias("n_right"),
+    ).unionAll(
+        right.select(
+            F.col(right_key).alias("k"),
+            F.lit(0).cast("long").alias("n_left"),
+            F.lit(1).cast("long").alias("n_right"),
+        )
     )
-    ro = (
-        right.join(left, right[right_key] == left[left_key], "left_anti")
-        .agg(F.count("*").alias(right_name))
+    per_key = tagged.groupBy("k").agg(
+        F.sum("n_left").alias("n_left"), F.sum("n_right").alias("n_right")
     )
-    return lo.crossJoin(ro)
+    null_or = lambda other: F.col("k").isNull() | (F.col(other) == 0)  # noqa: E731
+    return per_key.agg(
+        F.coalesce(
+            F.sum(F.when(null_or("n_right"), F.col("n_left"))), F.lit(0)
+        ).alias(left_name),
+        F.coalesce(
+            F.sum(F.when(null_or("n_left"), F.col("n_right"))), F.lit(0)
+        ).alias(right_name),
+    )
 
 
 def assert_unique_key(df: DataFrame, key: str) -> None:
