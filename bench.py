@@ -28,6 +28,9 @@ HEADLINE = [
     "kpi_tiles_filtered",
     "pricing_summary",
     "top3_suppliers_per_nation",
+    "shipping_priority",
+    "nation_revenue_share",
+    "brand_revenue_share",
     "events_hourly_rollup",
     "events_sessionize",
     "events_asof_purchase_view",

@@ -338,3 +338,273 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_status"
         ),
     )
+
+
+# --- multi-way shuffle join + top-k (TPC-H Q3 shape) ------------------------
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+SELECT
+    l_orderkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    CAST(o_orderdate AS DATE) AS order_date,
+    o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""".strip(),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority (TPC-H Q3 shape): selective dim filter broadcast
+    into the orders⋈lineitem shuffle join, agg per order, top-10. Both
+    date filters push to the parquet scans; at 100 TB the customer side
+    broadcasts after its filter and AQE picks the fact-join strategy."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-06-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-06-01").cast("date")
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(price * disc1).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- 6-way join with region filter (TPC-H Q5 shape) -------------------------
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+SELECT
+    n_name AS nation,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+""".strip(),
+)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): 6-way join where the
+    supplier join carries a second equi-condition (customer and supplier
+    share a nation). Dims broadcast; the only shuffles are the two fact
+    joins — the canonical 100 TB plan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(price * disc1).cast("double").alias("revenue")
+    )
+
+
+# --- CUBE: all grouping-set combinations in one pass ------------------------
+
+
+@register(
+    "orders_status_priority_cube",
+    oracle="""
+SELECT
+    COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+    COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+    COUNT(*) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""".strip(),
+)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one expand +
+    hash-aggregate pass (vs 4 unioned scans). DECIMAL keeps every
+    subtotal exact across reduction orders."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --- window frames: running total + sliding average --------------------------
+
+
+@register(
+    "customer_running_totals",
+    oracle="""
+SELECT
+    o_custkey,
+    o_orderkey,
+    CAST(o_orderdate AS DATE) AS order_date,
+    CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS cum_spend,
+    ROUND(AVG(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg_3
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""".strip(),
+)
+def q_customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window aggregates: per-customer running DECIMAL total
+    and a 3-row moving average, one shuffle on the partition key. The
+    (o_orderdate, o_orderkey) sort key is unique per customer, so every
+    frame — and thus every output row — is deterministic."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(cum)
+        .cast("double")
+        .alias("cum_spend"),
+        F.round(F.avg("o_totalprice").over(mov), 6).alias("mov_avg_3"),
+    )
+
+
+# --- approximate distinct count, verified against exact ----------------------
+
+
+@register(
+    "events_user_count_approx",
+    oracle="""
+SELECT
+    event_type,
+    COUNT(DISTINCT user_id) AS exact_users,
+    TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+""".strip(),
+)
+def q_events_user_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count (the 100 TB path — sketch merge, no
+    expand) computed NEXT TO the exact count, returning a checkable
+    within-5% flag. The oracle asserts the flag is TRUE, so the sketch's
+    accuracy is hash-verified, not just eyeballed."""
+    from supplier_performance_data_pipeline_spark.plans.queries_events import (
+        _events,
+    )
+
+    ev = _events(spark, sf_dir)
+    exact = F.count_distinct(F.col("user_id"))
+    approx = F.approx_count_distinct(F.col("user_id"), 0.02)
+    return ev.groupBy("event_type").agg(
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
+    )
+
+
+# --- conditional-share aggregation over a broadcast dim (Q14 shape) ----------
+
+
+@register(
+    "brand_revenue_share",
+    oracle="""
+WITH per_brand AS (
+    SELECT
+        p_brand,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS brand_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+)
+SELECT
+    p_brand,
+    CAST(brand_revenue AS DOUBLE) AS brand_revenue,
+    ROUND(100.0 * CAST(brand_revenue AS DOUBLE)
+          / CAST(SUM(brand_revenue) OVER () AS DOUBLE), 6) AS revenue_share_pct
+FROM per_brand
+""".strip(),
+)
+def q_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share per brand: fact⋈broadcast(part) → per-brand DECIMAL
+    agg → global total attached via broadcast cross join (NOT an empty
+    window, which would single-partition the rows — here it's 25 brands
+    so either works, but the crossJoin shape is the one that scales)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    per_brand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(price * disc1).alias("brand_revenue_dec"))
+    )
+    total = per_brand.agg(
+        F.sum("brand_revenue_dec").alias("total_revenue_dec")
+    )
+    return per_brand.crossJoin(F.broadcast(total)).select(
+        "p_brand",
+        F.col("brand_revenue_dec").cast("double").alias("brand_revenue"),
+        F.round(
+            100.0
+            * F.col("brand_revenue_dec").cast("double")
+            / F.col("total_revenue_dec").cast("double"),
+            6,
+        ).alias("revenue_share_pct"),
+    )

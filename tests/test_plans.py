@@ -1,0 +1,119 @@
+"""Physical-plan regression tests — the scale contract, asserted.
+
+Correctness tests prove the values; these prove the SHAPE of the plan
+is the one that survives 100 TB: dimensions broadcast, facts shuffle at
+most once per join/agg, scans prune columns and push filters, and
+nothing degenerates into a cartesian product. A change that keeps
+values right but regresses the plan (e.g. un-broadcasts a dim, adds a
+shuffle) fails here.
+
+Plan strings come from ``queryExecution().executedPlan()`` before
+execution — with AQE this is the initial plan (isFinalPlan=false),
+which is exactly what we want to pin: the statically-declared shape,
+independent of runtime re-planning.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from supplier_performance_data_pipeline_spark.plans.registry import load_all
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+@pytest.fixture(autouse=True)
+def fresh_cache(spark):
+    # Other tests persist subplans (e.g. the KPI table inside risk
+    # scoring); the cache manager would then swap InMemoryTableScan into
+    # these plans and hide the join/shuffle structure we're asserting.
+    spark.catalog.clearCache()
+    yield
+
+
+def plan_of(spark, specs, name: str, sf_dir: str = SF_SMOKE) -> str:
+    df = specs[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def shuffles(plan: str) -> int:
+    """Count shuffle exchanges only (not broadcast exchanges)."""
+    return len(re.findall(r"\bExchange (hashpartitioning|SinglePartition|rangepartitioning|RoundRobinPartitioning)", plan))
+
+
+def test_kpis_broadcasts_both_dims_one_shuffle(spark, specs):
+    plan = plan_of(spark, specs, "supplier_kpis")
+    assert plan.count("BroadcastHashJoin") >= 2  # orders + supplier dims
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffles(plan) == 1  # the groupBy — nothing else may shuffle
+
+
+def test_kpis_scan_prunes_columns(spark, specs):
+    plan = plan_of(spark, specs, "supplier_kpis")
+    # Columns never referenced must not reach any scan.
+    assert "l_partkey" not in plan
+    assert "l_tax" not in plan
+    assert "o_totalprice" not in plan
+
+
+def test_orphan_checks_is_join_free(spark, specs):
+    plan = plan_of(spark, specs, "orphan_checks")
+    assert "Join" not in plan  # one-pass union-agg, not two anti-joins
+    assert shuffles(plan) <= 2  # key groupBy + final 1-row agg
+
+
+def test_pricing_summary_pushdown_and_single_shuffle(spark, specs):
+    plan = plan_of(spark, specs, "pricing_summary")
+    assert shuffles(plan) == 1
+    assert "l_orderkey" not in plan  # untouched columns pruned from scan
+    # The shipdate predicate reaches the parquet source.
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan) or re.search(
+        r"DataFilters: \[[^\]]*l_shipdate", plan
+    )
+
+
+def test_scalar_surface_is_narrow(spark, specs):
+    plan = plan_of(spark, specs, "scalar_function_surface")
+    assert shuffles(plan) == 0  # pure projection — shuffle-free
+    assert "Join" not in plan
+
+
+def test_risk_no_cartesian(spark, specs):
+    # The bounds crossJoin must be a broadcast nested loop over ONE row,
+    # never a CartesianProduct shuffle.
+    plan = plan_of(spark, specs, "supplier_risk_summary")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_shipping_priority_topk_and_broadcast(spark, specs):
+    plan = plan_of(spark, specs, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # ORDER BY+LIMIT never global-sorts
+    assert "BroadcastHashJoin" in plan  # filtered customer dim broadcasts
+    assert "CartesianProduct" not in plan
+
+
+def test_nation_revenue_share_dims_broadcast(spark, specs):
+    plan = plan_of(spark, specs, "nation_revenue_share")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_cube_single_aggregate_pass(spark, specs):
+    for name in ["orders_priority_rollup", "orders_status_priority_cube"]:
+        plan = plan_of(spark, specs, name)
+        assert plan.count("Expand") == 1  # grouping sets in one expand
+        assert shuffles(plan) == 1
+
+
+def test_running_totals_single_shuffle(spark, specs):
+    plan = plan_of(spark, specs, "customer_running_totals")
+    assert shuffles(plan) == 1  # one partition-by-customer exchange
+    assert plan.count("Window") >= 1
