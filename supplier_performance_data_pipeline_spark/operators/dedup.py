@@ -75,22 +75,23 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the two md5 halves, so every engine reproduces the values exactly.
     h1 + 7*h2 < 2^56 + 7*2^56 < 2^63: no overflow."""
     hp_df = shingle_hash_pairs(docs, text_col)
-    h = F.col("hp")
+    # expr strings, not Column-API loops: K components × a lambda each
+    # would cost hundreds of py4j round trips at plan-build time.
     cols = [
-        F.array_min(
-            F.transform(h, lambda x: (x["h1"] + j * x["h2"]) % F.lit(P61))
-        ).alias(f"mh{j}")
+        f"array_min(transform(hp, x -> (x.h1 + {j} * x.h2) % {P61})) AS mh{j}"
         for j in range(MINHASH_K)
     ]
-    return hp_df.select("doc_id", *cols)
+    return hp_df.selectExpr("doc_id", *cols)
 
 
-def _band_cols(prefix: str = "mh") -> list[Column]:
+def _band_exprs(prefix: str = "mh") -> list[str]:
     per_band = MINHASH_K // LSH_BANDS
     out = []
     for b in range(LSH_BANDS):
-        parts = [F.col(f"{prefix}{b * per_band + j}") for j in range(per_band)]
-        out.append(F.md5(F.concat_ws("|", *parts)))
+        parts = ", ".join(
+            f"{prefix}{b * per_band + j}" for j in range(per_band)
+        )
+        out.append(f"md5(concat_ws('|', {parts}))")
     return out
 
 
@@ -98,9 +99,9 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Candidate pairs via banded LSH: explode band hashes, equi-join on
     (band index, band hash), dedupe. This is the scale path — the join
     key is the band bucket, so only same-bucket docs ever meet."""
-    banded = sigs.select(
+    banded = sigs.selectExpr(
         "doc_id",
-        F.posexplode(F.array(*_band_cols())).alias("band", "band_hash"),
+        f"posexplode(array({', '.join(_band_exprs())})) AS (band, band_hash)",
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -129,25 +130,22 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     docs spilled to disk."""
     sigs = minhash_signatures(docs, text_col).persist()
     pairs = lsh_candidate_pairs(sigs)
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(MINHASH_K)],
+    a = sigs.selectExpr(
+        "doc_id AS doc_a", *[f"mh{j} AS a_mh{j}" for j in range(MINHASH_K)]
     )
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(MINHASH_K)],
+    b = sigs.selectExpr(
+        "doc_id AS doc_b", *[f"mh{j} AS b_mh{j}" for j in range(MINHASH_K)]
     )
-    matches = sum(
-        F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
-        for j in range(MINHASH_K)
+    matches = " + ".join(
+        f"if(a_mh{j} = b_mh{j}, 1, 0)" for j in range(MINHASH_K)
     )
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.round(matches / F.lit(float(MINHASH_K)), 6).alias("jaccard_est"),
+            f"round(({matches}) / {float(MINHASH_K)}, 6) AS jaccard_est",
         )
     )
 
@@ -178,20 +176,15 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     tok = tok.select("doc_id", h.alias("h"))
+    # expr strings: 32 conditional sums + the 32-term signature fold as
+    # Column-API loops cost ~350 py4j round trips per plan build.
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"bit{b}")
+        F.expr(f"sum(if((shiftright(h, {b}) & 1) = 1, 1, -1)) AS bit{b}")
         for b in range(32)
     ]
     per_doc = tok.groupBy("doc_id").agg(*aggs)
-    sig = sum(
-        F.when(F.col(f"bit{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        for b in range(32)
-    )
-    return per_doc.select("doc_id", sig.alias("simhash"))
+    sig = " + ".join(f"if(bit{b} > 0, {2**b}L, 0L)" for b in range(32))
+    return per_doc.selectExpr("doc_id", f"({sig}) AS simhash")
 
 
 def ngram_jaccard(

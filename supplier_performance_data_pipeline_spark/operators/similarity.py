@@ -50,15 +50,46 @@ def hyperplane(plane: int, dim: int) -> list[int]:
     return out
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
-    """Sign-bit bucket id from ``n_planes`` hyperplane projections."""
-    bucket = F.lit(0).cast("long")
+def array_lit(values: list[float]) -> Column:
+    """Literal double array as ONE expr — element-wise ``F.lit`` loops
+    cost one py4j round trip per element (a 64-dim vector = 65 calls)."""
+    return F.expr(f"array({', '.join(f'{float(v)}D' for v in values)})")
+
+
+def dot_expr(a_sql: str, b_sql: str) -> str:
+    """``dot`` as a SQL string (same left-to-right reduction)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def lsh_bucket_expr(vec_sql: str, dim: int, n_planes: int = N_PLANES) -> str:
+    """Sign-bit bucket id from ``n_planes`` hyperplane projections, as a
+    single SQL string — the Column-API form costs ~(n_planes × dim)
+    py4j round trips at plan-build time."""
+    terms = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in hyperplane(p, dim)])
-        bit = F.when(dot(vec, plane) > 0, F.lit(2**p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        plane = (
+            "array("
+            + ", ".join(f"{float(v)}D" for v in hyperplane(p, dim))
+            + ")"
         )
-        bucket = bucket + bit
+        terms.append(f"if({dot_expr(vec_sql, plane)} > 0, {2**p}L, 0L)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def py_lsh_bucket(vec: list[float], dim: int, n_planes: int = N_PLANES) -> int:
+    """Driver-side bucket for a literal query vector. Left-to-right
+    double accumulation — bit-identical to the SQL ``aggregate`` fold,
+    so the scalar compares equal to the column on every engine."""
+    bucket = 0
+    for p in range(n_planes):
+        acc = 0.0
+        for x, y in zip(vec, hyperplane(p, dim)):
+            acc += float(x) * float(y)
+        if acc > 0:
+            bucket += 1 << p
     return bucket
 
 
@@ -70,7 +101,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = array_lit(query_vec)
     scored = embeddings.select(
         id_col,
         F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine_sim"),
@@ -92,11 +123,16 @@ def lsh_topk(
     is partitioned/bucketed by it, turning ANN into a pruned scan.
     """
     vec_d = _as_double(F.col(vec_col))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    with_bucket = embeddings.withColumn("bucket", lsh_bucket(vec_d, dim))
-    # The query's bucket is a plain scalar computed the same way.
-    qdf_bucket = lsh_bucket(q, dim)
-    candidates = with_bucket.filter(F.col("bucket") == qdf_bucket)
+    q = array_lit(query_vec)
+    bucket = F.expr(
+        lsh_bucket_expr(f"transform({vec_col}, x -> double(x))", dim)
+    )
+    with_bucket = embeddings.withColumn("bucket", bucket)
+    # The query's bucket is a plain scalar computed the same way
+    # (left-to-right fold — bit-identical to the SQL aggregate).
+    candidates = with_bucket.filter(
+        F.col("bucket") == F.lit(py_lsh_bucket(query_vec, dim))
+    )
     scored = candidates.select(
         id_col,
         "bucket",
@@ -124,7 +160,7 @@ def embedding_near_dup_pairs(
     base = embeddings.select(F.col(id_col).alias("vid"), v.alias("v")).select(
         "vid",
         "v",
-        lsh_bucket(F.col("v"), dim).alias("bucket"),
+        F.expr(lsh_bucket_expr("v", dim)).alias("bucket"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
     )
     a = base.select(

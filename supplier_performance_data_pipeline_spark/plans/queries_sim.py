@@ -8,6 +8,7 @@ same Python generator) so buckets and scores agree across engines.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,14 +51,23 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = (
-        _embeddings(spark, sf_dir)
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .collect()[0]
+@lru_cache(maxsize=8)
+def _query_vec_cached(sf_dir: str) -> tuple[float, ...]:
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
     )
-    return [float(x) for x in row[0]]
+    return tuple(float(x) for x in table.column("embedding")[0].as_py())
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The literal query vector (vec_id=0) — a query PARAMETER, read
+    driver-side via pyarrow instead of a Spark job: inlining it as a
+    literal is the plan choice; paying a scan+collect per build is not."""
+    return list(_query_vec_cached(sf_dir))
 
 
 @register(
@@ -207,12 +217,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-filtered read at scale."""
     emb = _embeddings(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
-    qcol = F.array(*[F.lit(float(x)) for x in q])
-
     from supplier_performance_data_pipeline_spark.operators.similarity import (
         _as_double,
+        array_lit,
         cosine,
     )
+
+    qcol = array_lit(q)
 
     # Raw (unrounded) centroids — label_centroids rounds for display;
     # the quantizer must mirror the oracle's plain AVG.
