@@ -66,12 +66,15 @@ def main() -> None:
 
     # Best-of-2: a single sample is hostage to transient host load;
     # the min of two runs is the standard steady-state estimator.
+    # Results land via toPandas() — full execution + Arrow transfer of
+    # every row (the engine's presentation edge); plain collect() would
+    # time py4j row deserialization, not the query.
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            rows = specs[name].build(spark, sf_dir).collect()
+            rows = specs[name].build(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
             assert rows is not None
         times[name] = round(best, 4)
