@@ -158,3 +158,39 @@ def fingerprint(text: Column) -> Column:
     """Whitespace/case-insensitive document fingerprint: md5 of the
     normalized token stream."""
     return F.md5(F.concat_ws(" ", tokens(text)))
+
+
+# Rabin-Karp rolling fingerprint parameters. P = 2^31-1 keeps the fold
+# overflow-free in 64-bit: acc*B + h < 2^31 * 257 + 2^31 < 2^40.
+ROLL_B = 257
+ROLL_P = (1 << 31) - 1
+
+
+def rolling_fingerprint_expr(toks_sql: str) -> str:
+    """Polynomial rolling hash over the token stream as a SQL string:
+    acc = (acc * B + h(tok)) mod P, h = 56-bit md5 half mod P. A
+    sequential fold per row — still a pure projection across rows, so
+    it parallelizes like every other text op. Empty docs hash to 0."""
+    h = (
+        "pmod(cast(conv(substring(md5(x), 1, 14), 16, 10) as bigint), "
+        f"{ROLL_P})"
+    )
+    return (
+        f"if(size({toks_sql}) = 0, 0L, "
+        f"aggregate({toks_sql}, 0L, "
+        f"(acc, x) -> pmod(acc * {ROLL_B} + {h}, {ROLL_P})))"
+    )
+
+
+# GPT-2-style pre-tokenizer shape, ASCII-simplified so the Java and RE2
+# regex engines agree: contraction suffixes, optionally-space-prefixed
+# letter runs, digit runs, and punctuation runs.
+BPE_TOKEN_RX = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish pre-tokenization — the
+    training-cost estimator (whitespace counts undercount code/punct
+    heavy text). No alternative can match pure whitespace, so the match
+    count IS the token count."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RX), F.lit(0)))

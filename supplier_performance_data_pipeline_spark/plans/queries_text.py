@@ -295,3 +295,54 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ngram_jaccard(pairs, docs)
+
+
+# --- rolling-hash fingerprint + BPE-ish token counting ----------------------
+
+from supplier_performance_data_pipeline_spark.operators.textops import (  # noqa: E402
+    BPE_TOKEN_RX,
+    ROLL_B,
+    ROLL_P,
+    bpe_token_count,
+    rolling_fingerprint_expr,
+)
+
+# DuckDB string literals are standard-conforming (backslash is a plain
+# character), so only quotes need doubling — \s must reach RE2 intact.
+_BPE_RX_SQL = BPE_TOKEN_RX.replace("'", "''")
+# DuckDB list_reduce seeds the fold with the first element, which equals
+# Spark's 0-seeded aggregate here (0*B + h1 = h1) — same recurrence.
+_ROLL_SQL = (
+    "CASE WHEN len(toks) = 0 THEN 0 ELSE list_reduce("
+    "list_transform(toks, x -> "
+    f"CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT) % {ROLL_P}), "
+    f"(acc, x) -> (acc * {ROLL_B} + x) % {ROLL_P}) END"
+)
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       {_ROLL_SQL} AS rolling_fp,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RX_SQL}')) AS BIGINT)
+           AS n_bpe_tokens
+FROM toks_cte
+""".strip(),
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling fingerprint (incremental-update capable, vs
+    the monolithic md5 fingerprint) + BPE-ish pre-tokenizer counts —
+    the training-cost estimator. Pure projections, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    with_toks = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    return with_toks.select(
+        "doc_id",
+        F.expr(rolling_fingerprint_expr("toks")).alias("rolling_fp"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
