@@ -42,6 +42,7 @@ HEADLINE = [
     "simhash_signatures",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "kmeans_cluster_sizes",
     "embedding_label_centroids",
     "embedding_near_dup_pairs",
     "multimodal_features",

@@ -279,3 +279,61 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, dim)-keyed hash agg; the building block for IVF-style
     partitioned ANN."""
     return label_centroids(_embeddings(spark, sf_dir))
+
+
+# --- distributed k-means (Lloyd's, fixed iterations, exact oracle) ----------
+
+from supplier_performance_data_pipeline_spark.operators.clustering import (  # noqa: E402
+    ITERS_DEFAULT,
+    K_DEFAULT,
+    kmeans_cluster_profile,
+)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """The same Lloyd iterations unrolled as a CTE chain. DECIMAL sums
+    make every iteration reduction-order-free, so both engines walk
+    through identical centroids and assignments."""
+    ctes = [
+        f"e AS (SELECT vec_id, r.dim AS dim, CAST(embedding[r.dim + 1] AS DOUBLE) AS v "
+        f"FROM embeddings CROSS JOIN range({DIM}) r(dim))",
+        f"cent_0 AS (SELECT vec_id AS cluster, dim, v AS c FROM e WHERE vec_id < {k})",
+    ]
+    for n in range(iters + 1):
+        ctes.append(
+            f"dist_{n} AS (SELECT e.vec_id, c.cluster, "
+            "SUM(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(24,12))) AS d "
+            f"FROM e JOIN cent_{n} c ON e.dim = c.dim "
+            "GROUP BY e.vec_id, c.cluster)"
+        )
+        ctes.append(
+            f"assign_{n} AS (SELECT vec_id, cluster, d FROM ("
+            "SELECT vec_id, cluster, d, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY d, cluster) AS rn "
+            f"FROM dist_{n}) t WHERE rn = 1)"
+        )
+        if n < iters:
+            ctes.append(
+                f"cent_{n + 1} AS (SELECT a.cluster, e.dim, "
+                "CAST(SUM(CAST(e.v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c "
+                f"FROM e JOIN assign_{n} a ON e.vec_id = a.vec_id "
+                "GROUP BY a.cluster, e.dim)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT cluster, COUNT(*) AS n_vectors, "
+        "ROUND(CAST(SUM(d) AS DOUBLE), 6) AS inertia "
+        f"FROM assign_{iters} GROUP BY cluster"
+    )
+
+
+@register(
+    "kmeans_cluster_sizes",
+    oracle=_kmeans_oracle(K_DEFAULT, ITERS_DEFAULT),
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means as ONE lazy DataFrame plan (no driver-side data,
+    no UDF): per iteration a broadcast join against the K x dim centroid
+    table, a DECIMAL distance agg, a window argmin, and a DECIMAL
+    centroid update. The SemDedup-style clustering primitive."""
+    return kmeans_cluster_profile(_embeddings(spark, sf_dir))
