@@ -37,6 +37,7 @@ HEADLINE = [
     "errors_recent_purchase_count",
     "quantity_percentiles_by_flag",
     "text_profile",
+    "corpus_curation_stats",
     "dedup_exact",
     "lsh_near_dup_pairs",
     "simhash_signatures",

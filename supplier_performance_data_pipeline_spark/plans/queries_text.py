@@ -346,3 +346,70 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").cast("long").alias("n_tokens"),
         bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
     )
+
+
+# --- corpus curation: dedup -> quality/language gate -> token budget --------
+
+_PROFILE_ORACLE = None  # filled below from the registered text_profile
+
+
+@register(
+    "corpus_curation_stats",
+    oracle=None,  # assigned right after registration (reuses text_profile SQL)
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed as an actual curation pipeline: profile
+    (one tokenization) -> exact dedup on the normalized fingerprint
+    (keep lowest doc_id) -> quality >= 0.4 gate -> per-language doc and
+    token budget. Every stage is one of the already-verified operators;
+    this query proves they compose into the end-to-end shape a training
+    corpus build runs."""
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    t = F.col("toks")
+    profile = toks_df.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(quality_score_t(F.col("text"), t), 6).alias("quality_score"),
+        lang_id_t(t).alias("lang_pred"),
+        fingerprint_t(t).alias("fingerprint"),
+    )
+    kept = profile.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    dedup = profile.join(kept.select("doc_id"), "doc_id")
+    return (
+        dedup.filter(F.col("quality_score") >= 0.4)
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+    )
+
+
+from supplier_performance_data_pipeline_spark.plans.registry import (  # noqa: E402
+    REGISTRY,
+    QuerySpec,
+)
+
+_PROFILE_ORACLE = REGISTRY["text_profile"].oracle
+REGISTRY["corpus_curation_stats"] = QuerySpec(
+    name="corpus_curation_stats",
+    build=REGISTRY["corpus_curation_stats"].build,
+    oracle=f"""
+WITH profile AS (
+{_PROFILE_ORACLE}
+),
+kept AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM profile GROUP BY fingerprint),
+dedup AS (SELECT p.* FROM profile p JOIN kept k ON p.doc_id = k.doc_id)
+SELECT lang_pred,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality_score), 6) AS avg_quality
+FROM dedup
+WHERE quality_score >= 0.4
+GROUP BY lang_pred
+""".strip(),
+)
