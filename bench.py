@@ -66,15 +66,16 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).collect()
 
-    # Best-of-2: a single sample is hostage to transient host load;
-    # the min of two runs is the standard steady-state estimator.
+    # Best-of-3: a single sample is hostage to transient host load (we
+    # see 1.5x swings between identical runs); the min of three is the
+    # standard steady-state estimator.
     # Results land via toPandas() — full execution + Arrow transfer of
     # every row (the engine's presentation edge); plain collect() would
     # time py4j row deserialization, not the query.
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             rows = specs[name].build(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
