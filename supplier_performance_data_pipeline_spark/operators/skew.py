@@ -31,3 +31,29 @@ def salted_distinct_count(
     return partial.groupBy(key).agg(
         F.sum("_partial").alias(f"n_distinct_{col}")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe inner equi-join: salt the fact's key with a random
+    bucket and replicate the (small) dim once per bucket, so one hot
+    key's rows spread across ``n_salts`` tasks instead of one straggler.
+
+    AQE's skew-join split handles most cases at runtime; explicit
+    salting is the deterministic fallback when a key is so hot that
+    even split sub-partitions overflow, or when AQE is unavailable
+    (e.g. inside a cached subplan). The replicated side must be small —
+    its shuffle volume multiplies by ``n_salts``.
+    """
+    salts = F.expr(
+        f"explode(sequence(0, {n_salts - 1}))"
+    )
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    dim_s = dim.withColumn("_salt", salts)
+    return fact_s.join(dim_s, [key, "_salt"]).drop("_salt")

@@ -608,3 +608,31 @@ def q_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share_pct"),
     )
+
+
+# --- approximate percentile (t-digest), verified within bound ---------------
+
+
+@register(
+    "quantity_percentiles_approx",
+    oracle="""
+SELECT
+    l_returnflag,
+    ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50_exact,
+    TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""".strip(),
+)
+def q_quantity_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (the 100 TB path — bounded-memory sketch, no
+    global sort) computed NEXT TO the exact interpolated percentile; the
+    oracle hash-verifies the within-5% flag, same pattern as the HLL
+    distinct count."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact = F.expr("percentile(l_quantity, 0.50D)")
+    approx = F.expr("approx_percentile(l_quantity, 0.50D, 10000)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(exact, 6).alias("p50_exact"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
+    )
