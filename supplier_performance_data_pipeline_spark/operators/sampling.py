@@ -1,0 +1,51 @@
+"""Deterministic sampling for reproducible corpus construction.
+
+Training-data pipelines need samples that are STABLE across reruns,
+engines, and partitionings — "give me the same 20% tomorrow". RNG-based
+``sample``/``sampleBy`` depends on partition layout and the engine's
+generator; content-hash sampling decides per row from a hash of the
+key, so membership is a pure function of (seed, key):
+
+  keep  iff  md5(seed | key)[:56 bits] mod 10_000 < pct * 10_000
+
+Portable md5 arithmetic means the DuckDB oracle reproduces the exact
+sampled set — the sample is hash-VERIFIED, not statistically eyeballed.
+Used with a per-stratum rate map this is stratified sampling with the
+same guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GRAIN = 10_000  # rate resolution: 0.01%
+
+
+def hash_bucket(key: Column, seed: int) -> Column:
+    """Deterministic bucket in [0, GRAIN) from md5(seed | key)."""
+    digest = F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string")))
+    h56 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
+    return F.pmod(h56, F.lit(GRAIN))
+
+
+def hash_sample(
+    df: DataFrame, key: str, pct: float, seed: int = 42
+) -> DataFrame:
+    """Keep ~pct of rows, membership a pure function of (seed, key)."""
+    return df.filter(hash_bucket(F.col(key), seed) < int(pct * GRAIN))
+
+
+def stratified_hash_sample(
+    df: DataFrame, key: str, strata_col: str, rates: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample 'und' docs to 5%
+    but keep 50% of 'en'). Strata absent from ``rates`` are dropped."""
+    threshold = F.lit(-1)
+    for stratum, pct in rates.items():
+        threshold = (
+            F.when(F.col(strata_col) == stratum, int(pct * GRAIN)).otherwise(
+                threshold
+            )
+        )
+    return df.filter(hash_bucket(F.col(key), seed) < threshold)

@@ -413,3 +413,35 @@ WHERE quality_score >= 0.4
 GROUP BY lang_pred
 """.strip(),
 )
+
+
+# --- deterministic hash sampling (reproducible corpus subsets) --------------
+
+from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    GRAIN,
+    hash_sample,
+)
+
+_SAMPLE_PCT = 0.2
+_SAMPLE_SEED = 42
+_BUCKET_SQL = (
+    f"CAST(concat('0x', substr(md5(concat('{_SAMPLE_SEED}|', "
+    f"CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % {GRAIN}"
+)
+
+
+@register(
+    "documents_hash_sample",
+    oracle=f"""
+SELECT doc_id
+FROM documents
+WHERE {_BUCKET_SQL} < {int(_SAMPLE_PCT * GRAIN)}
+""".strip(),
+)
+def q_documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash 20% sample: membership is a pure function of
+    (seed, doc_id), so the oracle reproduces the EXACT sampled set —
+    reproducible across engines, partitionings, and reruns, which
+    RNG-based sample() is not."""
+    return hash_sample(_docs(spark, sf_dir), "doc_id", _SAMPLE_PCT,
+                       _SAMPLE_SEED).select("doc_id")

@@ -35,6 +35,19 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines source with explicit schema — document corpora
+    commonly arrive as JSONL; schema-on-read (never infer, which would
+    scan the data twice and guess types). Malformed lines surface in
+    ``_corrupt_record``-free PERMISSIVE nulls rather than failing the
+    job — at 100 TB a single bad line must not kill the read."""
+    if not _exists(spark, path):
+        raise FileNotFoundError(f"input not found: {path}")
+    return spark.read.schema(schema).json(path)
+
+
 def load_testdata(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:

@@ -31,6 +31,16 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_jsonl(
+    df: DataFrame, path: str, coalesce: int | None = None
+) -> None:
+    """Overwrite-mode JSON-lines sink (interchange format for document
+    corpora; one JSON object per line, splittable for re-reading)."""
+    if coalesce:
+        df = df.coalesce(coalesce)
+    df.write.mode("overwrite").json(path)
+
+
 def write_table(df: DataFrame, name: str, bucket_by: tuple[int, str] | None = None) -> None:
     """Materialize into the session catalog (CTAS parity:
     src/compute_kpis.py:27, src/compute_risk.py:38).

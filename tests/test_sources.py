@@ -80,3 +80,21 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_jsonl_round_trip_schema(spark, tmp_path):
+    from supplier_performance_data_pipeline_spark.sources.readers import (
+        read_jsonl,
+    )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "docs.jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, SCHEMA)
+    assert back.schema == SCHEMA
+    assert sorted(map(tuple, back.collect()), key=str) == sorted(
+        map(tuple, ROWS), key=str
+    )
