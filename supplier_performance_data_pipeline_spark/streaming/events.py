@@ -92,6 +92,50 @@ def streaming_sessionize(
     )
 
 
+def interval_join(
+    purchases: DataFrame,
+    errors: DataFrame,
+    minutes: int = 10,
+) -> DataFrame:
+    """Per-user interval join: each purchase pairs with that user's
+    error events in the ``minutes`` before it. Works identically on
+    batch and streaming inputs; under streaming, BOTH sides must be
+    watermarked and the time-range predicate is what lets Spark expire
+    join state (without it, stream-stream join state grows forever)."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    er = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    return p.join(
+        er,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {int(minutes)} MINUTES"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+    ).select("p_user", "purchase_id", "p_ts", "error_id", "e_ts")
+
+
+def streaming_interval_join(
+    purchases: DataFrame,
+    errors: DataFrame,
+    minutes: int = 10,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream twin of ``interval_join``: watermark both sides,
+    then the same equi + time-range condition. State per side is bounded
+    by watermark + interval, keyed by user."""
+    return interval_join(
+        purchases.withWatermark("ts", watermark),
+        errors.withWatermark("ts", watermark),
+        minutes,
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -66,3 +66,37 @@ def test_streaming_dedup_bounded_state(spark):
         spark.read.parquet(EVENTS_PATH).select("event_id").distinct().count()
     )
     assert got.n == got.d == batch_ids
+
+
+def test_streaming_interval_join_equals_batch(spark):
+    """Stream-stream watermarked interval join must produce exactly the
+    batch interval join's pairs on a bounded input."""
+    from pyspark.sql import functions as F
+
+    from supplier_performance_data_pipeline_spark.streaming.events import (
+        interval_join,
+        streaming_interval_join,
+    )
+
+    stream = read_event_stream(spark, EVENTS_DIR)
+    run_to_memory_sink(
+        streaming_interval_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "error"),
+        ),
+        "sj_out",
+        output_mode="append",
+    )
+    got = _canon(spark.sql("SELECT * FROM sj_out").toPandas())
+
+    batch = spark.read.parquet(EVENTS_PATH).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = _canon(
+        interval_join(
+            batch.filter(F.col("event_type") == "purchase"),
+            batch.filter(F.col("event_type") == "error"),
+        ).toPandas()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
