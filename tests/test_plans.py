@@ -117,3 +117,24 @@ def test_running_totals_single_shuffle(spark, specs):
     plan = plan_of(spark, specs, "customer_running_totals")
     assert shuffles(plan) == 1  # one partition-by-customer exchange
     assert plan.count("Window") >= 1
+
+
+def test_kmeans_broadcasts_centroids(spark, specs):
+    plan = plan_of(spark, specs, "kmeans_cluster_sizes")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # one per iteration
+
+
+def test_corpus_curation_single_dedup_shuffle(spark, specs):
+    plan = plan_of(spark, specs, "corpus_curation_stats")
+    assert "CartesianProduct" not in plan
+    # profile is a projection; shuffles: dedup groupBy + kept join +
+    # final lang groupBy — never more.
+    assert shuffles(plan) <= 4
+
+
+def test_hash_sample_is_scan_plus_filter(spark, specs):
+    plan = plan_of(spark, specs, "documents_hash_sample")
+    assert shuffles(plan) == 0
+    assert "Join" not in plan
