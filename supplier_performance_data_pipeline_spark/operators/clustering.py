@@ -24,7 +24,7 @@ whole thing lazy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 K_DEFAULT = 4
