@@ -89,3 +89,49 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Deterministic sampling of media rows (every_n-th id) — the cheap
     pre-filter before expensive decode at scale; pure JVM-side filter."""
     return media.filter(F.col("media_id") % every_n == 0)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, mime string, width int, height int, payload binary"
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int, target_h: int, decode_stub: bool = True
+) -> DataFrame:
+    """Binary-in → binary-out resize through Arrow batches: the shape a
+    real decode-resize-reencode pipeline has (payload never crosses into
+    Python per row, metadata updated alongside the bytes).
+
+    Stubbed codec: the fake 'resized' payload is a deterministic
+    size-proportional prefix of the original (target pixels / source
+    pixels of the bytes), so output sizes scale the way a real resize
+    would and tests can assert on them; ``decode_stub=False`` raises
+    where Pillow/ffmpeg would plug in.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires image/audio libraries "
+                    "(Pillow/ffmpeg) not present in this container"
+                )
+
+            def fake_resize(row):
+                p = bytes(row["payload"]) if row["payload"] is not None else b""
+                src_px = max((row["width"] or 1) * (row["height"] or 1), 1)
+                keep = max(1, int(len(p) * min(1.0, (target_w * target_h) / src_px)))
+                return p[:keep]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": pdf.apply(fake_resize, axis=1),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

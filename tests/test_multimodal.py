@@ -43,3 +43,18 @@ def test_real_codec_path_is_stubbed(media):
 def test_frame_sample(media):
     ids = sorted(r.media_id for r in frame_sample(media, 10).collect())
     assert ids == [0, 10]
+
+
+def test_resize_scales_payload_and_metadata(media):
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    out = {r.media_id: r for r in resize_media(media, 5, 5).collect()}
+    # Metadata updated on every row; payload shrinks proportionally to
+    # the pixel ratio (10x10 -> 5x5 keeps 1/4 of 400 bytes).
+    assert all(r.width == 5 and r.height == 5 for r in out.values())
+    assert len(out[0].payload) == 100
+    assert bytes(out[0].payload) == (b"\x00\x01\x02\x03" * 100)[:100]
+    assert len(out[10].payload) == 3  # upscale never pads past source
+    assert len(out[2].payload) == 0  # NULL payload stays empty
