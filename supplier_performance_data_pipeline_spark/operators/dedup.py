@@ -20,10 +20,18 @@ from pyspark.sql import functions as F
 
 from supplier_performance_data_pipeline_spark.operators.textops import tokens
 
-MINHASH_K = 8  # signature length
-LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+MINHASH_K = 8  # signature length (default; every op takes k= explicitly)
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each (default)
 SHINGLE_N = 3
 P61 = (1 << 61) - 1  # Mersenne prime modulus for the hash family
+
+# Scale note (100 TB): K and bands are DEMO-scale defaults. Collision
+# probability for a band of r = k/bands rows is j^r (j = true Jaccard),
+# so the expected candidate volume per band bucket shrinks geometrically
+# in r; at N documents pick r ~ log(N) (and bands = k/r for the desired
+# s-curve threshold t ~ (1/bands)^(1/r), per MMDS ch.3) so that bucket
+# sizes — and therefore the per-bucket self-join — stay bounded as N
+# grows. All operators below take k/bands parameters for exactly this.
 
 
 def shingle_sets(
@@ -67,27 +75,33 @@ def shingle_hash_pairs(
     return ms.select("doc_id", hp.alias("hp"))
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + mh0..mh{K-1} (bigint). Pure projection — no shuffle.
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    """doc_id + mh0..mh{k-1} (bigint). Pure projection — no shuffle.
 
     Component j = min over shingles of (h1 + j*h2) mod (2^61 - 1), the
     standard two-hash combined family (Kirsch-Mitzenmacher); h1, h2 are
     the two md5 halves, so every engine reproduces the values exactly.
-    h1 + 7*h2 < 2^56 + 7*2^56 < 2^63: no overflow."""
+    h1 + (k-1)*h2 < 2^56 * k stays under 2^63 for k ≤ 127: no overflow."""
+    assert 1 <= k <= 127, f"minhash k={k} would overflow the long hash"
     hp_df = shingle_hash_pairs(docs, text_col)
     # expr strings, not Column-API loops: K components × a lambda each
     # would cost hundreds of py4j round trips at plan-build time.
     cols = [
         f"array_min(transform(hp, x -> (x.h1 + {j} * x.h2) % {P61})) AS mh{j}"
-        for j in range(MINHASH_K)
+        for j in range(k)
     ]
     return hp_df.selectExpr("doc_id", *cols)
 
 
-def _band_exprs(prefix: str = "mh") -> list[str]:
-    per_band = MINHASH_K // LSH_BANDS
+def _band_exprs(
+    prefix: str = "mh", k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> list[str]:
+    assert k % bands == 0, f"bands={bands} must divide k={k}"
+    per_band = k // bands
     out = []
-    for b in range(LSH_BANDS):
+    for b in range(bands):
         parts = ", ".join(
             f"{prefix}{b * per_band + j}" for j in range(per_band)
         )
@@ -95,13 +109,16 @@ def _band_exprs(prefix: str = "mh") -> list[str]:
     return out
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
     """Candidate pairs via banded LSH: explode band hashes, equi-join on
     (band index, band hash), dedupe. This is the scale path — the join
     key is the band bucket, so only same-bucket docs ever meet."""
     banded = sigs.selectExpr(
         "doc_id",
-        f"posexplode(array({', '.join(_band_exprs())})) AS (band, band_hash)",
+        f"posexplode(array({', '.join(_band_exprs(k=k, bands=bands))}))"
+        " AS (band, band_hash)",
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -119,35 +136,58 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """MinHash-LSH near-duplicate pairs with estimated Jaccard =
-    fraction of matching signature components.
+def near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs. Emits the INTEGER count of
+    matching signature components (``n_matching_components``, 0..k) as
+    the primary similarity column plus the derived double ratio
+    ``jaccard_est`` = n/k; cross-engine comparisons should key on the
+    integer — it is exact in every engine and hash-canonicalization,
+    while a double ratio invites representation-level drift.
 
     The signature table appears three times in this plan (band explode +
     both sides of the pair join); persisting it means the expensive
     tokenize→shingle→hash projection runs once. Signatures are
-    K longs + id ≈ 72 bytes/doc — safely cacheable even at billions of
-    docs spilled to disk."""
-    sigs = minhash_signatures(docs, text_col).persist()
-    pairs = lsh_candidate_pairs(sigs)
+    k longs + id ≈ 72 bytes/doc — safely cacheable even at billions of
+    docs spilled to disk. Callers that consume the result in the same
+    session should ``.unpersist()`` the handle returned by
+    ``near_dup_pairs_cached`` once the action completes."""
+    pairs_df, _ = near_dup_pairs_cached(docs, text_col, k, bands)
+    return pairs_df
+
+
+def near_dup_pairs_cached(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """``near_dup_pairs`` plus the persisted signature handle so callers
+    can manage the cache lifetime (unpersist after their action)."""
+    sigs = minhash_signatures(docs, text_col, k).persist()
+    pairs = lsh_candidate_pairs(sigs, k, bands)
     a = sigs.selectExpr(
-        "doc_id AS doc_a", *[f"mh{j} AS a_mh{j}" for j in range(MINHASH_K)]
+        "doc_id AS doc_a", *[f"mh{j} AS a_mh{j}" for j in range(k)]
     )
     b = sigs.selectExpr(
-        "doc_id AS doc_b", *[f"mh{j} AS b_mh{j}" for j in range(MINHASH_K)]
+        "doc_id AS doc_b", *[f"mh{j} AS b_mh{j}" for j in range(k)]
     )
-    matches = " + ".join(
-        f"if(a_mh{j} = b_mh{j}, 1, 0)" for j in range(MINHASH_K)
-    )
-    return (
+    matches = " + ".join(f"if(a_mh{j} = b_mh{j}, 1, 0)" for j in range(k))
+    result = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .selectExpr(
             "doc_a",
             "doc_b",
-            f"round(({matches}) / {float(MINHASH_K)}, 6) AS jaccard_est",
+            f"cast(({matches}) AS int) AS n_matching_components",
+            f"round(({matches}) / {float(k)}, 6) AS jaccard_est",
         )
     )
+    return result, sigs
 
 
 def exact_dedup_groups(

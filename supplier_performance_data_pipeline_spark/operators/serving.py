@@ -54,6 +54,29 @@ def column_bounds(df: DataFrame, col: str) -> DataFrame:
     return df.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
 
 
+def display_projection(df: DataFrame) -> DataFrame:
+    """Dashboard display columns (reference: dashboard/app.py:63-69):
+    ``*_pct`` percent renderings of the rate columns (×100, 1 decimal)
+    next to the raw values, delay rounded to 2, scores to 3. A pure
+    projection — runs at the serving edge, never a shuffle."""
+    return df.withColumns(
+        {
+            "on_time_delivery_rate_pct": F.round(
+                F.col("on_time_delivery_rate") * 100, 1
+            ),
+            "fill_rate_pct": F.round(F.col("fill_rate") * 100, 1),
+            "quality_issue_rate_pct": F.round(
+                F.col("quality_issue_rate") * 100, 1
+            ),
+            "avg_delivery_delay_days": F.round(
+                F.col("avg_delivery_delay_days"), 2
+            ),
+            "performance_score": F.round(F.col("performance_score"), 3),
+            "risk_score": F.round(F.col("risk_score"), 3),
+        }
+    )
+
+
 def preview(df: DataFrame, key: str, n: int) -> DataFrame:
     """Deterministic table preview: the reference's ``SELECT * LIMIT n``
     (dashboard/app.py:204) ordered by key so the returned set is stable."""

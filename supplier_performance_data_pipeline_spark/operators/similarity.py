@@ -20,6 +20,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 N_PLANES = 8
+# Scale note (100 TB): 8 planes ⇒ 2^8 = 256 buckets — fine at demo SF,
+# quadratic-in-bucket at N rows (expected candidate pairs ~ N²/2^planes).
+# Pick planes ~ log2(N) so the expected bucket size (N/2^planes) stays
+# O(1): e.g. N = 10^9 docs ⇒ ~30 planes. Every operator below takes an
+# n_planes parameter; tests/test_dedup_sim_params.py exercises 16.
 
 
 def _as_double(vec: Column) -> Column:
@@ -116,6 +121,7 @@ def lsh_topk(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket.
 
@@ -125,13 +131,13 @@ def lsh_topk(
     vec_d = _as_double(F.col(vec_col))
     q = array_lit(query_vec)
     bucket = F.expr(
-        lsh_bucket_expr(f"transform({vec_col}, x -> double(x))", dim)
+        lsh_bucket_expr(f"transform({vec_col}, x -> double(x))", dim, n_planes)
     )
     with_bucket = embeddings.withColumn("bucket", bucket)
     # The query's bucket is a plain scalar computed the same way
     # (left-to-right fold — bit-identical to the SQL aggregate).
     candidates = with_bucket.filter(
-        F.col("bucket") == F.lit(py_lsh_bucket(query_vec, dim))
+        F.col("bucket") == F.lit(py_lsh_bucket(query_vec, dim, n_planes))
     )
     scored = candidates.select(
         id_col,
@@ -147,6 +153,7 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates via shared
     random-hyperplane LSH bucket (equi-join, never all-pairs), verified
@@ -154,13 +161,14 @@ def embedding_near_dup_pairs(
 
     The norm is materialized once per row before the self-join so pair
     scoring is one dot product. At 100 TB the bucket stage is the
-    shuffle key — same-bucket rows co-locate, and candidate volume per
-    bucket is data-bounded by the plane count."""
+    shuffle key — same-bucket rows co-locate; size ``n_planes`` ~
+    log2(N) (module docstring) so per-bucket candidate volume stays
+    bounded as N grows."""
     v = _as_double(F.col(vec_col))
     base = embeddings.select(F.col(id_col).alias("vid"), v.alias("v")).select(
         "vid",
         "v",
-        F.expr(lsh_bucket_expr("v", dim)).alias("bucket"),
+        F.expr(lsh_bucket_expr("v", dim, n_planes)).alias("bucket"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
     )
     a = base.select(

@@ -20,11 +20,13 @@ from supplier_performance_data_pipeline_spark.operators.quality import (
     orphan_counts_df,
 )
 from supplier_performance_data_pipeline_spark.operators.risk import (
+    risk_band,
     supplier_risk_summary,
 )
 from supplier_performance_data_pipeline_spark.operators.serving import (
     apply_filters,
     column_bounds,
+    display_projection,
     distinct_values,
     kpi_tiles,
     preview,
@@ -140,6 +142,82 @@ def q_supplier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global min/max bounds + broadcast cross join + guarded min-max
     normalization + weighted composite (reference: src/compute_risk.py:36-113)."""
     return round_doubles(_risk(spark, sf_dir))
+
+
+# --- risk bands: README band table + dashboard color-coding ----------------
+
+_BAND_CASE_SQL = (
+    "CASE WHEN risk_score < 0.2 THEN 'low' "
+    "WHEN risk_score < 0.5 THEN 'medium' "
+    "WHEN risk_score < 0.8 THEN 'high' "
+    "ELSE 'critical' END"
+)
+
+
+@register(
+    "risk_band_summary",
+    oracle=f"WITH {RISK_CTES}\n"
+    f"SELECT {_BAND_CASE_SQL} AS risk_band,\n"
+    "       COUNT(*) AS n_suppliers,\n"
+    "       ROUND(CAST(SUM(CAST(risk_score AS DECIMAL(18,6))) AS DOUBLE)\n"
+    "             / COUNT(*), 6) AS avg_risk_score\n"
+    "FROM risk GROUP BY 1",
+)
+def q_risk_band_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band distribution per the reference's README risk bands
+    (README.md:162-167; dashboard/app.py band color-coding):
+    0–.2 low / .2–.5 medium / .5–.8 high / .8–1 critical. Banding is on
+    the 6-dp ROUNDED score (identical doubles in both engines) and the
+    mean is a DECIMAL sum / count — reduction-order-free."""
+    risk = round_doubles(_risk(spark, sf_dir))
+    return (
+        risk.groupBy(risk_band(F.col("risk_score")).alias("risk_band"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("risk_score").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_risk_score"),
+        )
+    )
+
+
+# --- dashboard display projection (reference: dashboard/app.py:63-69) -------
+
+
+@register(
+    "supplier_risk_display",
+    oracle=f"WITH {RISK_CTES}\n"
+    "SELECT supplier_id, supplier_name, category, country,\n"
+    "       ROUND(on_time_delivery_rate * 100, 1) AS on_time_delivery_rate_pct,\n"
+    "       ROUND(fill_rate * 100, 1) AS fill_rate_pct,\n"
+    "       ROUND(quality_issue_rate * 100, 1) AS quality_issue_rate_pct,\n"
+    "       ROUND(avg_delivery_delay_days, 2) AS avg_delivery_delay_days,\n"
+    "       ROUND(performance_score, 3) AS performance_score,\n"
+    "       ROUND(risk_score, 3) AS risk_score,\n"
+    "       n_pos\n"
+    "FROM risk",
+)
+def q_supplier_risk_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's pretty-formatting step (dashboard/app.py:63-69) as
+    a serving-edge projection: percent renderings + display rounding,
+    computed from the 6-dp-rounded summary so both engines project the
+    same doubles."""
+    risk = round_doubles(_risk(spark, sf_dir))
+    return display_projection(risk).select(
+        "supplier_id",
+        "supplier_name",
+        "category",
+        "country",
+        "on_time_delivery_rate_pct",
+        "fill_rate_pct",
+        "quality_issue_rate_pct",
+        "avg_delivery_delay_days",
+        "performance_score",
+        "risk_score",
+        "n_pos",
+    )
 
 
 # --- J2/J3, P11, A3: referential-integrity orphan checks -------------------

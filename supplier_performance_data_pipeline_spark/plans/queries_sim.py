@@ -172,6 +172,34 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_PROBE = 2  # IVF probes: search the 2 nearest centroid partitions
+MAX_PROBE_LABELS = 10_000  # driver-side probe list hard bound (see below)
+
+
+def _ivf_probe_labels(cvec: DataFrame, qcol, n_probe: int) -> list:
+    """Pick the ``n_probe`` nearest coarse-quantizer partitions.
+
+    This is the ONE deliberate driver-side decision in the IVF path — an
+    AQE-style plan choice, like a broadcast-threshold check. The collect
+    is bounded by ``n_probe`` rows (the limit runs distributed as
+    TakeOrdered over |labels| rows), NOT by |labels| or data size; the
+    guard makes that bound explicit so a caller wiring in a
+    high-cardinality label column fails loudly instead of inheriting an
+    unbounded driver materialization."""
+    from supplier_performance_data_pipeline_spark.operators.similarity import cosine
+
+    if n_probe > MAX_PROBE_LABELS:
+        raise ValueError(
+            f"n_probe={n_probe} exceeds MAX_PROBE_LABELS={MAX_PROBE_LABELS}; "
+            "a probe list this large should be a broadcast semi-join on a "
+            "nearest-labels DataFrame, not a driver-side isin()"
+        )
+    return [
+        r["label"]
+        for r in cvec.select("label", cosine(F.col("cv"), qcol).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("label"))
+        .limit(n_probe)
+        .collect()
+    ]
 
 
 @register(
@@ -241,15 +269,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["c"],
         ).alias("cv")
     )
-    nearest = [
-        r["label"]
-        for r in cvec.select(
-            "label", cosine(F.col("cv"), qcol).alias("sim")
-        )
-        .orderBy(F.desc("sim"), F.asc("label"))
-        .limit(N_PROBE)
-        .collect()
-    ]
+    nearest = _ivf_probe_labels(cvec, qcol, N_PROBE)
     cands = emb.filter(F.col("label").isin(nearest))
     scored = cands.select(
         "vec_id",
@@ -259,6 +279,59 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(TOP_K)
+
+
+from supplier_performance_data_pipeline_spark.plans.registry import REGISTRY  # noqa: E402
+
+
+@register(
+    "ann_recall_at_10",
+    oracle=f"""
+WITH exact AS (
+    SELECT * FROM ({{exact}}) t_exact
+),
+approx AS (
+    SELECT * FROM ({{approx}}) t_approx
+)
+SELECT CAST({TOP_K} AS BIGINT) AS k_requested,
+       (SELECT COUNT(*) FROM approx) AS n_lsh_results,
+       (SELECT COUNT(*) FROM exact e JOIN approx a ON e.vec_id = a.vec_id)
+           AS n_overlap
+""".strip(),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN against the exact brute-force top-k —
+    the ANN accuracy metric as a VERIFIED query (integer overlap counts;
+    recall = n_overlap / k_requested), same verified-flag pattern as
+    events_user_count_approx. Both rankings are deterministic (6-dp
+    rounded cosine, vec_id tiebreak), so the overlap is exact in both
+    engines."""
+    emb = _embeddings(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    exact = brute_force_topk(emb, q, TOP_K).select("vec_id")
+    approx = lsh_topk(emb, q, TOP_K, DIM).select("vec_id")
+    overlap = exact.join(approx, "vec_id")
+    return (
+        approx.agg(F.count("*").alias("n_lsh_results"))
+        .crossJoin(overlap.agg(F.count("*").alias("n_overlap")))
+        .select(
+            F.lit(TOP_K).cast("long").alias("k_requested"),
+            "n_lsh_results",
+            "n_overlap",
+        )
+    )
+
+
+# The recall oracle composes the two already-registered oracles verbatim
+# so the three queries can never drift apart.
+REGISTRY["ann_recall_at_10"] = REGISTRY["ann_recall_at_10"].__class__(
+    name="ann_recall_at_10",
+    build=REGISTRY["ann_recall_at_10"].build,
+    oracle=REGISTRY["ann_recall_at_10"].oracle.format(
+        exact=REGISTRY["ann_cosine_topk"].oracle,
+        approx=REGISTRY["ann_lsh_topk"].oracle,
+    ),
+)
 
 
 @register(

@@ -216,18 +216,27 @@ WITH {_TOKS_CTE},
 {_SIGS_CTE},
 bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(({" + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K))})
-             / {float(MINHASH_K)}, 6) AS jaccard_est
+       CAST(({" + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K))})
+            AS INTEGER) AS n_matching_components
 FROM bands a JOIN bands b
   ON a.doc_id < b.doc_id
  AND ({" OR ".join(f"a.band{b} = b.band{b}" for b in range(LSH_BANDS))})
 """.strip(),
 )
 def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH candidate pairs + estimated Jaccard. Spark plans a
-    bucket equi-join (explode bands → join on band hash); the oracle's
-    all-pairs OR-join is only viable at oracle scale."""
-    return near_dup_pairs(_docs(spark, sf_dir))
+    """Banded-LSH candidate pairs + INTEGER matching-component count.
+    Spark plans a bucket equi-join (explode bands → join on band hash);
+    the oracle's all-pairs OR-join is only viable at oracle scale.
+
+    The driver-checked output is the integer count, not the double
+    ratio jaccard_est = n/k: the values agree bit-for-bit across
+    engines (round-1 manual diff), but doubles can diverge at the
+    hash-canonicalization boundary, so the verified surface is kept
+    integer-exact. ``jaccard_est`` remains on the operator's API for
+    in-engine consumers (checked in tests/test_dedup_sim_params.py)."""
+    return near_dup_pairs(_docs(spark, sf_dir)).select(
+        "doc_a", "doc_b", "n_matching_components"
+    )
 
 
 # --- SimHash ----------------------------------------------------------------
