@@ -10,8 +10,10 @@ aggregates down to KB-scale output, as analytics queries should).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -81,19 +83,61 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             assert rows is not None
         times[name] = round(best, 4)
+        # Operators that persist intermediates (minhash signatures, the
+        # exploded k-means fact, the risk KPI subplan) would otherwise
+        # accumulate cache entries across 26 queries × 3 runs until LRU
+        # eviction; each query owns its cache only while it's measured.
+        spark.catalog.clearCache()
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    prev = _previous_round_bench()
+    if prev is not None:
+        prev_times = prev.get("queries", {})
+        out["vs_prev_round"] = {
+            "round_file": prev["__file__"],
+            "total_delta_sec": round(total - prev.get("value", 0.0), 4),
+            "per_query_delta_sec": {
+                n: round(t - prev_times[n], 4)
+                for n, t in times.items()
+                if n in prev_times
+            },
+            "new_queries": sorted(set(times) - set(prev_times)),
+        }
+    print(json.dumps(out))
     spark.stop()
+
+
+def _previous_round_bench() -> dict | None:
+    """Latest BENCH_r{N}.json next to this file, so every round's output
+    carries per-query regressions vs the round before it."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return None
+    _, latest = max(rounds)
+    try:
+        with open(latest) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # The round driver wraps the bench line: {n, rc, sf, tail, parsed}.
+    # Unwrap to the inner {"queries": ...} record wherever it lives.
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    if "queries" not in data:
+        return None
+    data["__file__"] = os.path.basename(latest)
+    return data
 
 
 if __name__ == "__main__":

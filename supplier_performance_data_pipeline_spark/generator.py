@@ -43,7 +43,7 @@ class GeneratorConfig:
     quality_base: float = 0.04
 
 
-def _clamp(x: float, lo: float = 0.0, hi: float = 1.0) -> float:
+def _clamp(x: float, lo: float, hi: float) -> float:
     return max(lo, min(hi, x))
 
 
@@ -63,13 +63,14 @@ def generate_supplier_domain(
         suppliers.append(
             (sid, f"Supplier {i:02d}", rng.choice(CATEGORIES), rng.choice(COUNTRIES), fin)
         )
-        # Risk-scaled behavior profile (reference: src/generate_data.py:105-118).
+        # Risk-scaled behavior profile with the reference's exact
+        # per-probability clamp bounds (reference: src/generate_data.py:111-113).
         r = fin / 100.0
         profiles[sid] = {
-            "late": _clamp(cfg.late_base + 0.25 * r),
+            "late": _clamp(cfg.late_base + 0.25 * r, 0.05, 0.65),
             "early": cfg.early_base,
-            "partial": _clamp(cfg.partial_base + 0.15 * r),
-            "quality": _clamp(cfg.quality_base + 0.06 * r),
+            "partial": _clamp(cfg.partial_base + 0.15 * r, 0.05, 0.55),
+            "quality": _clamp(cfg.quality_base + 0.06 * r, 0.01, 0.20),
         }
 
     span = (cfg.end_date - cfg.start_date).days
@@ -92,7 +93,8 @@ def generate_supplier_domain(
             delivery = promised
         delivered = qty
         if rng.random() < p["partial"]:
-            delivered = int(qty * rng.uniform(0.60, 0.95))
+            # max(0, int(round(...))) mirrors src/generate_data.py:174.
+            delivered = max(0, int(round(qty * rng.uniform(0.60, 0.95))))
         quality = 1 if rng.random() < p["quality"] else 0
         deliveries.append((po_id, delivery, delivered, quality))
 
@@ -135,13 +137,21 @@ def generate_lineage_at_scale(
         F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(n_suppliers)).alias(
             "sup_idx"
         ),
-        *[F.rand(seed + k).alias(f"u{k}") for k in range(1, 8)],
+        *[F.rand(seed + k).alias(f"u{k}") for k in range(1, 9)],
     )
     fin = F.pmod(F.xxhash64(F.col("sup_idx"), F.lit(seed + 99)), F.lit(101))
     r = fin / 100.0
-    p_late = F.least(F.lit(cfg.late_base) + 0.25 * r, F.lit(1.0))
-    p_partial = F.least(F.lit(cfg.partial_base) + 0.15 * r, F.lit(1.0))
-    p_quality = F.least(F.lit(cfg.quality_base) + 0.06 * r, F.lit(1.0))
+    # Same per-probability clamp bounds as the reference profile
+    # (src/generate_data.py:111-113).
+    p_late = F.greatest(
+        F.least(F.lit(cfg.late_base) + 0.25 * r, F.lit(0.65)), F.lit(0.05)
+    )
+    p_partial = F.greatest(
+        F.least(F.lit(cfg.partial_base) + 0.15 * r, F.lit(0.55)), F.lit(0.05)
+    )
+    p_quality = F.greatest(
+        F.least(F.lit(cfg.quality_base) + 0.06 * r, F.lit(0.20)), F.lit(0.01)
+    )
 
     order_date = F.date_add(F.lit(cfg.start_date), (F.col("u1") * span).cast("int"))
     lead = (F.lit(lo_lead) + F.col("u2") * (hi_lead - lo_lead)).cast("int")
@@ -156,6 +166,10 @@ def generate_lineage_at_scale(
     ratio = F.when(F.col("u6") < p_partial, 0.6 + F.col("u7") * 0.35).otherwise(
         F.lit(1.0)
     )
+    # round() mirrors the reference's int(round(ordered * ratio)); the
+    # quality draw uses its OWN uniform (u8) — sharing u7 with the
+    # partial ratio would correlate quality issues with low-ratio rows,
+    # a joint dependence the reference's independent draws don't have.
     return df.select(
         F.format_string("PO%09d", F.col("po_seq")).alias("po_id"),
         F.format_string("S%05d", F.col("sup_idx") + 1).alias("supplier_id"),
@@ -164,6 +178,8 @@ def generate_lineage_at_scale(
         promised.alias("promised_date"),
         qty.alias("quantity_ordered"),
         F.date_add(promised, delay).alias("delivery_date"),
-        (qty * ratio).cast("int").alias("quantity_delivered"),
-        F.when(F.col("u7") < p_quality, 1).otherwise(0).alias("quality_issues"),
+        F.greatest(F.round(qty * ratio).cast("int"), F.lit(0)).alias(
+            "quantity_delivered"
+        ),
+        F.when(F.col("u8") < p_quality, 1).otherwise(0).alias("quality_issues"),
     )

@@ -29,11 +29,19 @@ def hash_bucket(key: Column, seed: int) -> Column:
     return F.pmod(h56, F.lit(GRAIN))
 
 
+def sample_threshold(pct: float) -> int:
+    """Bucket threshold for a requested rate: round, don't truncate —
+    int(0.07 * GRAIN) is 699 (float error), silently one grain under
+    the requested rate. Shared with the oracle-side constant so both
+    engines use the identical integer."""
+    return round(pct * GRAIN)
+
+
 def hash_sample(
     df: DataFrame, key: str, pct: float, seed: int = 42
 ) -> DataFrame:
     """Keep ~pct of rows, membership a pure function of (seed, key)."""
-    return df.filter(hash_bucket(F.col(key), seed) < int(pct * GRAIN))
+    return df.filter(hash_bucket(F.col(key), seed) < sample_threshold(pct))
 
 
 def stratified_hash_sample(
@@ -44,8 +52,8 @@ def stratified_hash_sample(
     threshold = F.lit(-1)
     for stratum, pct in rates.items():
         threshold = (
-            F.when(F.col(strata_col) == stratum, int(pct * GRAIN)).otherwise(
-                threshold
-            )
+            F.when(
+                F.col(strata_col) == stratum, sample_threshold(pct)
+            ).otherwise(threshold)
         )
     return df.filter(hash_bucket(F.col(key), seed) < threshold)

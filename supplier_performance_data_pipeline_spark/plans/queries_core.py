@@ -354,6 +354,38 @@ def q_npos_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_bounds(_kpis(spark, sf_dir), "n_pos")
 
 
+# --- S1+S2: CSV sink → schema-checked CSV source round trip -----------------
+
+
+@register(
+    "supplier_csv_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def q_supplier_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (CSV sink) + S2 (CSV source with explicit schema) as one
+    driver-verified identity: write the supplier dim to CSV, read it
+    back through the SAME explicit schema (taken from the parquet
+    source's metadata — never inferSchema), compare to the original.
+    Quoted strings and shortest-repr doubles make the trip lossless;
+    the overwrite-mode sink keeps the query idempotent (S4)."""
+    import tempfile
+
+    from supplier_performance_data_pipeline_spark.sources.readers import (
+        read_csv,
+    )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_csv,
+    )
+
+    tune_session(spark)
+    sup = _t(spark, sf_dir, "supplier")
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_supplier_csv_roundtrip"
+    )
+    write_csv(sup, path)
+    return read_csv(spark, path, sup.schema)
+
+
 # --- T4/T5: deterministic preview ------------------------------------------
 
 

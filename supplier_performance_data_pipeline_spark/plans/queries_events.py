@@ -123,7 +123,10 @@ WITH base AS (
     FROM events
 ),
 purchases AS (SELECT user_id, ts, event_id, value FROM base WHERE event_type = 'purchase'),
-views AS (SELECT user_id, ts, value FROM base WHERE event_type = 'view')
+views AS (
+    SELECT user_id, ts, MAX(value) AS value
+    FROM base WHERE event_type = 'view' GROUP BY user_id, ts
+)
 SELECT p.user_id, p.ts, p.event_id, p.value,
        v.ts AS prior_ts, v.value AS prior_value,
        CASE WHEN v.ts IS NULL THEN NULL
@@ -142,8 +145,14 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type", "value"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "value"
+    # asof_join requires (key, ts) unique on the right; duplicate view
+    # timestamps (possible after ns→µs truncation) would make the match
+    # unspecified in BOTH engines. Pre-aggregate to a deterministic
+    # winner (max value) and mirror it in the oracle.
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     out = asof_join(purchases, views, on="user_id", ts_col="ts",
                     value_cols=["value"], prefix="prior_")

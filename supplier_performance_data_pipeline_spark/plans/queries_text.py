@@ -429,6 +429,7 @@ GROUP BY lang_pred
 from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
     GRAIN,
     hash_sample,
+    sample_threshold,
 )
 
 _SAMPLE_PCT = 0.2
@@ -444,7 +445,7 @@ _BUCKET_SQL = (
     oracle=f"""
 SELECT doc_id
 FROM documents
-WHERE {_BUCKET_SQL} < {int(_SAMPLE_PCT * GRAIN)}
+WHERE {_BUCKET_SQL} < {sample_threshold(_SAMPLE_PCT)}
 """.strip(),
 )
 def q_documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,19 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_csv(
+    df: DataFrame, path: str, coalesce: int | None = None
+) -> None:
+    """Overwrite-mode CSV sink with header (reference parity: the
+    generator's to_csv outputs, src/generate_data.py:190-196). Doubles
+    round-trip exactly (shortest-representation formatting on write,
+    exact parse on read); strings are quoted, so embedded delimiters
+    survive."""
+    if coalesce:
+        df = df.coalesce(coalesce)
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
 def write_jsonl(
     df: DataFrame, path: str, coalesce: int | None = None
 ) -> None:

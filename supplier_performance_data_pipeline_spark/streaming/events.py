@@ -32,17 +32,26 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, directory: str, glob: str = "events.parquet"
+    spark: SparkSession,
+    directory: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream: watches ``directory`` for files matching
-    ``glob`` (Spark file streams require a directory, not a file)."""
+    ``glob`` (Spark file streams require a directory, not a file).
+
+    ``max_files_per_trigger=1`` makes each file its own microbatch in
+    modification-time order — how the late/out-of-order tests replay an
+    arrival sequence deterministically."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
+    reader = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", glob)
-        .load(directory)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(directory)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
