@@ -1,0 +1,132 @@
+"""Corpus-curation operators: repetition metrics, PII redaction,
+sequence-packing stats.
+
+Training-data extension surface. Public background: repetition-based
+quality filtering per the Gopher filters (Rae et al. '21, "Scaling
+Language Models", App. A1.1) and C4's heuristics (Raffel et al. '20);
+packing-efficiency accounting is standard LM-training bookkeeping.
+
+Design constraints (same as operators/dedup.py):
+- no Python in the row path — built-in functions only;
+- integer or integer-derived outputs wherever results cross the
+  cross-engine hash boundary;
+- per-doc metrics are projections or (doc_id,·)-keyed aggs with
+  map-side partial aggregation — no global state, no windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.operators.textops import tokens
+
+REP_NGRAM = 2  # repetition metric n-gram size
+
+# PII patterns — deliberately the portable subset of regex (character
+# classes, bounded counts, \b): identical semantics in Java regex
+# (Spark) and RE2 (DuckDB). Case-insensitivity is explicit ([a-zA-Z])
+# rather than flag-based so the two engines can't diverge on flags.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+}
+PII_TOKEN = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def ngram_repetition_metrics(
+    docs: DataFrame, text_col: str = "text", n: int = REP_NGRAM
+) -> DataFrame:
+    """Per-doc n-gram repetition profile (Gopher-style filters):
+
+    - ``n_ngrams``: total n-grams;
+    - ``n_distinct_ngrams``: distinct n-grams;
+    - ``top_ngram_count``: occurrences of the most frequent n-gram;
+    - ``dup_ngram_count``: occurrences belonging to n-grams seen ≥2×.
+
+    The filter ratios (top-n-gram share, duplicate fraction) are
+    integer quotients downstream — the integers ARE the verified
+    surface. Plan: explode n-grams → (doc_id, ngram) count → doc_id
+    re-agg; both aggs combine map-side, shuffle keys carry no text
+    beyond the n-gram itself.
+    """
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        shingle_sets,
+    )
+
+    grams = shingle_sets(docs, text_col, n).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_ngrams"),
+        F.count("*").cast("long").alias("n_distinct_ngrams"),
+        F.max("c").cast("long").alias("top_ngram_count"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("dup_ngram_count"),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace each PII pattern with its typed token. Order is the
+    fixed dict order so both engines apply the same rewrite chain."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, PII_TOKEN[kind])
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (size of regexp_extract_all — portable;
+    regexp_count is newer and not in every engine)."""
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_phone, clean_fingerprint): counts per
+    PII kind plus the md5 of the redacted text — the redaction itself
+    stays in-engine; only integers and a hash cross the boundary.
+    Pure projection, no shuffle."""
+    counts = pii_counts(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.md5(redact_pii(F.col(text_col))).alias("clean_fingerprint"),
+    )
+
+
+def packing_stats(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    budget: int = 2048,
+) -> DataFrame:
+    """Per-group sequence-packing accounting for a fixed token budget:
+    ``n_sequences = ceil(total_tokens / budget)`` (the concat-and-chunk
+    packing used by LM training pipelines — documents are concatenated
+    with separators and sliced into budget-sized sequences, so waste is
+    only the final partial sequence per group) plus the padding waste
+    that budget implies. One hash agg on the group key."""
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    agg = docs.select(F.col(group_col).alias("grp"), n_tok.alias("n")).groupBy(
+        "grp"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )
+    n_seq = F.ceil(F.col("total_tokens") / F.lit(budget)).cast("long")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "total_tokens",
+        n_seq.alias("n_sequences"),
+        (n_seq * budget - F.col("total_tokens")).cast("long").alias(
+            "padding_tokens"
+        ),
+    )

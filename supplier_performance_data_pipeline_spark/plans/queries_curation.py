@@ -1,0 +1,164 @@
+"""Corpus-curation queries: repetition filters, PII scrubbing, packing
+stats, stratified sampling — the quality/budget layer of a training-data
+pipeline, each with a DuckDB oracle generated from the same constants.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.operators.curation import (
+    PII_PATTERNS,
+    PII_TOKEN,
+    REP_NGRAM,
+    ngram_repetition_metrics,
+    packing_stats,
+    pii_scrub,
+)
+from supplier_performance_data_pipeline_spark.operators.sampling import (
+    sample_threshold,
+    stratified_hash_sample,
+)
+from supplier_performance_data_pipeline_spark.operators.textops import TOKEN_SPLIT_RX
+from supplier_performance_data_pipeline_spark.plans.registry import register
+from supplier_performance_data_pipeline_spark.session import tune_session
+
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), "
+    f"'{TOKEN_SPLIT_RX}'), x -> x <> '')"
+)
+_TOKS_CTE = f"toks_cte AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)"
+
+
+def _shingles_sql(n: int) -> str:
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(0, len(toks) - {n - 1}), i -> "
+        "concat_ws(' ', "
+        + ", ".join(f"toks[i + {j + 1}]" for j in range(n))
+        + ")) ELSE [array_to_string(toks, ' ')] END"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# --- Gopher-style n-gram repetition metrics ---------------------------------
+
+
+@register(
+    "repetition_metrics",
+    oracle=f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id, {_shingles_sql(REP_NGRAM)} AS shingles FROM toks_cte),
+g AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+pg AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+       CAST(MAX(c) AS BIGINT) AS top_ngram_count,
+       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS dup_ngram_count
+FROM pg GROUP BY doc_id
+""".strip(),
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 2-gram repetition profile — the integers behind the
+    Gopher repetition filters (top-n-gram share, duplicate-n-gram
+    fraction; Rae et al. '21 App. A1.1). Two map-side-combining aggs,
+    no text wider than one n-gram on the shuffle."""
+    return ngram_repetition_metrics(_docs(spark, sf_dir))
+
+
+# --- PII redaction -----------------------------------------------------------
+
+_PII_EXTRACT_SQL = ", ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+    for kind, pat in PII_PATTERNS.items()
+)
+_REDACT_SQL = "text"
+for _kind, _pat in PII_PATTERNS.items():
+    _REDACT_SQL = (
+        f"regexp_replace({_REDACT_SQL}, '{_pat}', '{PII_TOKEN[_kind]}', 'g')"
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+SELECT doc_id, {_PII_EXTRACT_SQL},
+       md5({_REDACT_SQL}) AS clean_fingerprint
+FROM documents
+""".strip(),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: per-kind match counts and the hash of
+    the redacted text. Patterns use the Java-regex ∩ RE2 portable
+    subset so both engines see identical matches. Pure projection —
+    the redaction runs where the data lives; synthetic documents carry
+    no PII (counts 0), which the fixture test in
+    tests/test_curation.py complements with planted PII."""
+    return pii_scrub(_docs(spark, sf_dir))
+
+
+# --- sequence-packing accounting --------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "packing_stats",
+    oracle=f"""
+WITH {_TOKS_CTE},
+agg AS (
+    SELECT lang, COUNT(*) AS n_docs, SUM(len(toks)) AS total_tokens
+    FROM toks_cte GROUP BY lang
+)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(CEIL(total_tokens / {_PACK_BUDGET}.0) AS BIGINT) AS n_sequences,
+       CAST(CAST(CEIL(total_tokens / {_PACK_BUDGET}.0) AS BIGINT)
+            * {_PACK_BUDGET} - total_tokens AS BIGINT) AS padding_tokens
+FROM agg
+""".strip(),
+)
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token totals → concat-and-chunk sequence counts and
+    padding waste for a {budget}-token training budget. One group-key
+    hash agg; the budget math is integer-exact in both engines."""
+    return packing_stats(_docs(spark, sf_dir), budget=_PACK_BUDGET)
+
+
+# --- stratified deterministic sampling --------------------------------------
+
+_STRAT_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+_STRAT_SEED = 7
+
+
+@register(
+    "documents_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(concat('0x', substr(md5(concat('{_STRAT_SEED}|',
+          CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 10000
+      < CASE {" ".join(
+          f"WHEN lang = '{s}' THEN {sample_threshold(p)}"
+          for s, p in _STRAT_RATES.items()
+      )} ELSE -1 END
+""".strip(),
+)
+def q_documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic rates (rebalance a corpus: keep 50%
+    en, 25% de, 10% zh, drop the rest). Membership is a pure function
+    of (seed, doc_id), so the oracle reproduces the EXACT set — the
+    stratified twin of documents_hash_sample."""
+    return stratified_hash_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", _STRAT_RATES, _STRAT_SEED
+    ).select("doc_id", "lang")

@@ -363,10 +363,12 @@ from supplier_performance_data_pipeline_spark.operators.clustering import (  # n
 )
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
-    """The same Lloyd iterations unrolled as a CTE chain. DECIMAL sums
-    make every iteration reduction-order-free, so both engines walk
-    through identical centroids and assignments."""
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    """Lloyd iterations unrolled as a CTE chain ending in
+    ``assign_{iters}``. DECIMAL sums make every iteration
+    reduction-order-free, so both engines walk through identical
+    centroids and assignments. Shared by the k-means profile oracle and
+    the SemDedup oracle below."""
     ctes = [
         f"e AS (SELECT vec_id, r.dim AS dim, CAST(embedding[r.dim + 1] AS DOUBLE) AS v "
         f"FROM embeddings CROSS JOIN range({DIM}) r(dim))",
@@ -392,8 +394,12 @@ def _kmeans_oracle(k: int, iters: int) -> str:
                 f"FROM e JOIN assign_{n} a ON e.vec_id = a.vec_id "
                 "GROUP BY a.cluster, e.dim)"
             )
+    return ctes
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
     return (
-        "WITH " + ",\n".join(ctes) + "\n"
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters)) + "\n"
         "SELECT cluster, COUNT(*) AS n_vectors, "
         "ROUND(CAST(SUM(d) AS DOUBLE), 6) AS inertia "
         f"FROM assign_{iters} GROUP BY cluster"
@@ -410,3 +416,103 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, a DECIMAL distance agg, a window argmin, and a DECIMAL
     centroid update. The SemDedup-style clustering primitive."""
     return kmeans_cluster_profile(_embeddings(spark, sf_dir))
+
+
+# --- SemDedup-style semantic pruning ----------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.3  # near-orthogonal synthetic corpus; real ~0.95+
+
+_NRM_SQL = (
+    "sqrt(list_sum(list_transform(range(0, len(embedding)), "
+    "i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))))"
+)
+_PAIR_DOT_SQL = (
+    "list_sum(list_transform(range(0, len(a.embedding)), "
+    "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))"
+)
+
+
+@register(
+    "semdedup_cluster_prune",
+    oracle="WITH "
+    + ",\n".join(_kmeans_ctes(K_DEFAULT, ITERS_DEFAULT))
+    + f""",
+nrm AS (
+    SELECT e2.vec_id, a.cluster, e2.embedding, {_NRM_SQL} AS nrm
+    FROM embeddings e2 JOIN assign_{ITERS_DEFAULT} a ON e2.vec_id = a.vec_id
+),
+pairs AS (
+    SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb
+    FROM nrm a JOIN nrm b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE ROUND({_PAIR_DOT_SQL} / (a.nrm * b.nrm), 6) >= {SEMDEDUP_THRESHOLD}
+),
+sizes AS (
+    SELECT cluster, COUNT(*) AS n_vectors
+    FROM assign_{ITERS_DEFAULT} GROUP BY cluster
+)
+SELECT s.cluster,
+       CAST(s.n_vectors AS BIGINT) AS n_vectors,
+       CAST(COALESCE(p.np, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(p.nd, 0) AS BIGINT) AS n_pruned
+FROM sizes s LEFT JOIN (
+    SELECT cluster, COUNT(*) AS np, COUNT(DISTINCT vb) AS nd
+    FROM pairs GROUP BY cluster
+) p ON s.cluster = p.cluster
+""".strip(),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic pruning (Abbas et al. '23 shape): k-means
+    partitions the embedding space, then near-duplicate detection runs
+    ONLY within clusters — the cluster id plays the LSH bucket's role,
+    so the pair join is an equi-join on cluster, never all-pairs.
+    Reports, per cluster, the vector count, the count of within-cluster
+    pairs above the cosine threshold, and how many vectors pruning
+    (keep-lowest-id) would remove. Integer outputs cross the hash
+    boundary; at 100 TB k scales with N (target cluster size O(1k)
+    vectors) so per-cluster pair volume stays bounded."""
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        dot,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    assign = kmeans_assignments(emb).select("vec_id", "cluster")
+    base = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .join(assign, "vec_id")
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
+    a = base.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("xa"),
+        "cluster", F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vb"), F.col("v").alias("xb"),
+        "cluster", F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("va") < F.col("vb"))
+        .select("cluster", "va", "vb", cos.alias("cos"))
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+    )
+    sizes = assign.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    pair_agg = pairs.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_dup_pairs"),
+        F.count_distinct("vb").cast("long").alias("n_pruned"),
+    )
+    return sizes.join(pair_agg, "cluster", "left").select(
+        "cluster",
+        "n_vectors",
+        F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+        F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+    )

@@ -40,6 +40,7 @@ def load_all() -> dict[str, QuerySpec]:
     from supplier_performance_data_pipeline_spark.plans import (  # noqa: F401
         queries_analytics,
         queries_core,
+        queries_curation,
         queries_events,
         queries_multimodal,
         queries_sim,

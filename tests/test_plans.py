@@ -138,3 +138,43 @@ def test_hash_sample_is_scan_plus_filter(spark, specs):
     plan = plan_of(spark, specs, "documents_hash_sample")
     assert shuffles(plan) == 0
     assert "Join" not in plan
+
+
+def test_repetition_metrics_two_combining_aggs(spark, specs):
+    plan = plan_of(spark, specs, "repetition_metrics")
+    assert "Join" not in plan
+    # (doc_id, ngram) agg + doc_id re-agg — two shuffles, both with
+    # map-side partial aggregation.
+    assert shuffles(plan) <= 2
+    assert plan.count("HashAggregate") >= 4  # partial+final per agg
+
+
+def test_pii_scrub_is_pure_projection(spark, specs):
+    plan = plan_of(spark, specs, "pii_scrub")
+    assert shuffles(plan) == 0
+    assert "Join" not in plan
+
+
+def test_packing_stats_single_shuffle(spark, specs):
+    plan = plan_of(spark, specs, "packing_stats")
+    assert shuffles(plan) == 1  # the lang groupBy
+    assert "Join" not in plan
+
+
+def test_stratified_sample_is_scan_plus_filter(spark, specs):
+    plan = plan_of(spark, specs, "documents_stratified_sample")
+    assert shuffles(plan) == 0
+    assert "Join" not in plan
+
+
+def test_semdedup_pairs_join_is_bucketed(spark, specs):
+    # The within-cluster pair join must be an equi-join on cluster —
+    # never a cartesian explosion across clusters.
+    plan = plan_of(spark, specs, "semdedup_cluster_prune")
+    assert "CartesianProduct" not in plan
+
+
+def test_risk_band_reuses_risk_shape(spark, specs):
+    plan = plan_of(spark, specs, "risk_band_summary")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
