@@ -3,23 +3,36 @@
 Training-data pipelines cluster embeddings for curation (SemDedup-style
 pruning, stratified sampling, IVF coarse quantizers). This is Lloyd's
 algorithm expressed as pure DataFrame ops — no UDF, no driver-side
-data, one lazy plan for a fixed iteration count:
+data, one lazy plan for a fixed iteration count — in ARRAY form:
 
-  explode vectors to (vec_id, dim, v) →
-  per iteration: distance agg (vec × cluster) → argmin assignment
-  (window) → centroid update (cluster × dim agg) →
-  final: assignment under the last centroids + per-cluster profile.
+  per iteration:
+    assignment = a PROJECTION: every row scores all K centroids from a
+      broadcast 1-row centroid table (the risk-bounds crossJoin shape)
+      and takes array_min over (distance, cluster) structs — argmin
+      with the tie-break for free, zero shuffle;
+    update     = ONE hash agg keyed by cluster: 64 per-dimension
+      DECIMAL sums + a count, rebuilt into centroid arrays.
+
+  Total shuffles for I iterations: I updates + the final profile agg —
+  each over K-keyed partial-aggregated rows. The earlier long-format
+  design (explode to (vec_id, dim, v), join per iteration) moved N×64
+  rows through ~3 exchanges per iteration; this one moves N rows
+  through none and K rows through one.
 
 Determinism contract (the DuckDB oracle reproduces every iteration
-bit-for-bit): all cross-row sums run in DECIMAL (exact, order-free) —
-per-element arithmetic stays double (deterministic per element).
+bit-for-bit):
+- per-row distance is a left-to-right DOUBLE fold over dimensions
+  (zip_with + aggregate) — the same fold the ANN/cosine oracles rely
+  on, bit-identical to DuckDB's list_sum(list_transform(...));
+- every CROSS-ROW sum is DECIMAL (exact, order-free): the per-dim
+  centroid sums and the inertia sum of row distances.
 Initial centroids are the first K vectors (vec_id < K).
 
-Scale: the exploded fact shuffles on (vec_id, cluster) / (cluster, dim)
-per iteration; the centroid side is K×dim rows — always broadcast. For
-many iterations at 100 TB you'd checkpoint the assignment between
-iterations to cut lineage; the fixed-iteration plan here keeps the
-whole thing lazy.
+Scale: N rows stream through whole-stage-codegen projections; the only
+shuffled data is K×(64+1) aggregate cells per iteration. Centroid
+tables are one broadcast row. For many iterations at 100 TB you'd
+checkpoint the assignment between iterations to cut lineage; the
+fixed-iteration plan here keeps the whole thing lazy.
 """
 
 from __future__ import annotations
@@ -29,55 +42,62 @@ from pyspark.sql import functions as F
 
 K_DEFAULT = 4
 ITERS_DEFAULT = 2
-# (v-c)^2 summed over 64 dims of unit-scale floats: DECIMAL(24,12) holds
-# it exactly; vector components themselves round to DECIMAL(20,10).
+DIM_DEFAULT = 64
+# Row distance (≤ dim × O(1) squares) cast to DECIMAL(24,12) before the
+# cross-row inertia sum; per-dim components round to DECIMAL(20,10)
+# before the centroid sums.
 DIST_DEC = "decimal(24,12)"
 COMP_DEC = "decimal(20,10)"
 
-
-def explode_vectors(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """(vec_id, dim, v): long-format double components."""
-    return emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
-            "dim", "v"
-        ),
-    )
+# Left-to-right double fold — mirrors the oracle's list_sum exactly.
+_DIST_SQL = (
+    "aggregate(zip_with(v, {cv}, (x, y) -> (x - y) * (x - y)), "
+    "0.0D, (acc, x) -> acc + x)"
+)
 
 
-def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: (vec_id, cluster, d).
+def _assign(base: DataFrame, cents_1row: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a projection: (vec_id, v, cluster, d).
 
-    Distance in DECIMAL so the sum is reduction-order-free; ties break
-    to the lowest cluster id via the window sort.
+    ``cents_1row`` is a single row holding array<struct<cluster, cv>>;
+    broadcast-crossJoined onto every vector row (never a cartesian —
+    the same 1-row broadcast shape as the risk bounds). argmin is
+    array_min over (d, cluster) structs: lexicographic struct ordering
+    gives the lowest-cluster tie-break for free.
     """
-    sq = (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
-    dist = (
-        e.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "cluster")
-        .agg(F.sum(sq.cast(DIST_DEC)).alias("d"))
+    with_c = base.crossJoin(F.broadcast(cents_1row))
+    m = F.expr(
+        "array_min(transform(cents, s -> struct("
+        + _DIST_SQL.format(cv="s.cv")
+        + " AS d, s.cluster AS cluster)))"
     )
-    # Argmin as min(struct(d, cluster)): lexicographic struct ordering
-    # gives the tie-break for free, and a hash agg (partial+final, no
-    # sort) beats a row_number window for a per-key top-1.
-    return dist.groupBy("vec_id").agg(
-        F.min(F.struct("d", "cluster")).alias("m")
-    ).select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("d"))
+    return with_c.select(
+        "vec_id", "v", m["cluster"].alias("cluster"), m["d"].alias("d")
+    )
 
 
-def _update(e: DataFrame, assign: DataFrame) -> DataFrame:
-    """Centroid update: exact DECIMAL mean per (cluster, dim)."""
-    return (
-        e.join(assign.select("vec_id", "cluster"), "vec_id")
-        .groupBy("cluster", "dim")
-        .agg(
-            (
-                F.sum(F.col("v").cast(COMP_DEC)).cast("double")
-                / F.count("*")
-            ).alias("c")
-        )
+def _update(assigned: DataFrame, dim: int) -> DataFrame:
+    """Centroid update: ONE cluster-keyed agg of 64 exact DECIMAL sums
+    (order-free) + count, divided back into a double centroid array.
+    expr strings, not Column loops — 64 aggregates as Column-API calls
+    cost a py4j round trip each at plan-build time."""
+    upd = assigned.groupBy("cluster").agg(
+        F.expr("count(*) AS cnt"),
+        *[
+            F.expr(f"sum(cast(v[{i}] AS {COMP_DEC})) AS s{i}")
+            for i in range(dim)
+        ],
+    )
+    cv = "array(" + ", ".join(f"double(s{i}) / cnt" for i in range(dim)) + ")"
+    return upd.select("cluster", F.expr(cv).alias("cv"))
+
+
+def _to_1row(cent: DataFrame) -> DataFrame:
+    """Collapse the K-row centroid table to one broadcastable row.
+    collect_list order is nondeterministic and irrelevant: array_min
+    in the assignment is commutative over the struct array."""
+    return cent.groupBy().agg(
+        F.collect_list(F.struct("cluster", "cv")).alias("cents")
     )
 
 
@@ -87,19 +107,24 @@ def kmeans_assignments(
     iters: int = ITERS_DEFAULT,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DIM_DEFAULT,
 ) -> DataFrame:
-    """Final (vec_id, cluster, d) after ``iters`` Lloyd iterations."""
-    # The exploded fact feeds every iteration (6+ plan references for
-    # iters=2): persist it so each stage reads the in-memory columnar
-    # form instead of re-scanning + re-exploding the parquet.
-    e = explode_vectors(emb, id_col, vec_col).persist()
-    cent = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cluster"), "dim", F.col("v").alias("c")
+    """Final (vec_id, cluster, d) after ``iters`` Lloyd iterations;
+    ``d`` is the double squared distance to the winning centroid."""
+    # The vector table feeds the assignment of every iteration; persist
+    # the decoded double arrays so each pass reads the in-memory
+    # columnar form instead of re-decoding parquet.
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
+    ).persist()
+    cent = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
     )
-    assign = _assign(e, cent)
+    assign = _assign(base, _to_1row(cent))
     for _ in range(iters):
-        cent = _update(e, assign)
-        assign = _assign(e, cent)
+        cent = _update(assign, dim)
+        assign = _assign(base, _to_1row(cent))
     return assign
 
 
@@ -109,11 +134,15 @@ def kmeans_cluster_profile(
     iters: int = ITERS_DEFAULT,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DIM_DEFAULT,
 ) -> DataFrame:
-    """(cluster, n_vectors, inertia): cluster sizes and exact-decimal
-    within-cluster sum of squared distances, rounded for display."""
-    assign = kmeans_assignments(emb, k, iters, id_col, vec_col)
+    """(cluster, n_vectors, inertia): cluster sizes and within-cluster
+    sum of squared distances — row distances cast to DECIMAL before the
+    cross-row sum so the reduction is order-free, rounded for display."""
+    assign = kmeans_assignments(emb, k, iters, id_col, vec_col, dim)
     return assign.groupBy("cluster").agg(
         F.count("*").alias("n_vectors"),
-        F.round(F.sum(F.col("d")).cast("double"), 6).alias("inertia"),
+        F.round(
+            F.sum(F.col("d").cast(DIST_DEC)).cast("double"), 6
+        ).alias("inertia"),
     )

@@ -365,21 +365,29 @@ from supplier_performance_data_pipeline_spark.operators.clustering import (  # n
 
 def _kmeans_ctes(k: int, iters: int) -> list[str]:
     """Lloyd iterations unrolled as a CTE chain ending in
-    ``assign_{iters}``. DECIMAL sums make every iteration
-    reduction-order-free, so both engines walk through identical
-    centroids and assignments. Shared by the k-means profile oracle and
-    the SemDedup oracle below."""
+    ``assign_{iters}``, in the same ARRAY form as the operator
+    (operators/clustering.py): per-row distance is the left-to-right
+    double fold over dimensions (list_sum ≡ Spark's aggregate fold —
+    the bit-parity every ANN oracle already relies on); every cross-row
+    sum (per-dim centroid sums, inertia) is DECIMAL, order-free. Shared
+    by the k-means profile oracle and the SemDedup oracle below."""
+    dist = (
+        "list_sum(list_transform(range(0, {dim}), "
+        "i -> (b.v[i+1] - c.cv[i+1]) * (b.v[i+1] - c.cv[i+1])))"
+    ).format(dim=DIM)
+    cv_exprs = ", ".join(
+        f"CAST(SUM(CAST(b.v[{i + 1}] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*)"
+        for i in range(DIM)
+    )
     ctes = [
-        f"e AS (SELECT vec_id, r.dim AS dim, CAST(embedding[r.dim + 1] AS DOUBLE) AS v "
-        f"FROM embeddings CROSS JOIN range({DIM}) r(dim))",
-        f"cent_0 AS (SELECT vec_id AS cluster, dim, v AS c FROM e WHERE vec_id < {k})",
+        "b AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"cent_0 AS (SELECT vec_id AS cluster, v AS cv FROM b WHERE vec_id < {k})",
     ]
     for n in range(iters + 1):
         ctes.append(
-            f"dist_{n} AS (SELECT e.vec_id, c.cluster, "
-            "SUM(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(24,12))) AS d "
-            f"FROM e JOIN cent_{n} c ON e.dim = c.dim "
-            "GROUP BY e.vec_id, c.cluster)"
+            f"dist_{n} AS (SELECT b.vec_id, c.cluster, {dist} AS d "
+            f"FROM b CROSS JOIN cent_{n} c)"
         )
         ctes.append(
             f"assign_{n} AS (SELECT vec_id, cluster, d FROM ("
@@ -389,10 +397,9 @@ def _kmeans_ctes(k: int, iters: int) -> list[str]:
         )
         if n < iters:
             ctes.append(
-                f"cent_{n + 1} AS (SELECT a.cluster, e.dim, "
-                "CAST(SUM(CAST(e.v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c "
-                f"FROM e JOIN assign_{n} a ON e.vec_id = a.vec_id "
-                "GROUP BY a.cluster, e.dim)"
+                f"cent_{n + 1} AS (SELECT a.cluster, [{cv_exprs}] AS cv "
+                f"FROM b JOIN assign_{n} a ON b.vec_id = a.vec_id "
+                "GROUP BY a.cluster)"
             )
     return ctes
 
@@ -401,7 +408,7 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     return (
         "WITH " + ",\n".join(_kmeans_ctes(k, iters)) + "\n"
         "SELECT cluster, COUNT(*) AS n_vectors, "
-        "ROUND(CAST(SUM(d) AS DOUBLE), 6) AS inertia "
+        "ROUND(CAST(SUM(CAST(d AS DECIMAL(24,12))) AS DOUBLE), 6) AS inertia "
         f"FROM assign_{iters} GROUP BY cluster"
     )
 
@@ -412,9 +419,10 @@ def _kmeans_oracle(k: int, iters: int) -> str:
 )
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means as ONE lazy DataFrame plan (no driver-side data,
-    no UDF): per iteration a broadcast join against the K x dim centroid
-    table, a DECIMAL distance agg, a window argmin, and a DECIMAL
-    centroid update. The SemDedup-style clustering primitive."""
+    no UDF), array form: assignment is a shuffle-free projection against
+    a broadcast 1-row centroid array (argmin via array_min over
+    (d, cluster) structs); each update is one cluster-keyed agg of
+    per-dim DECIMAL sums. The SemDedup-style clustering primitive."""
     return kmeans_cluster_profile(_embeddings(spark, sf_dir))
 
 

@@ -119,11 +119,16 @@ def test_running_totals_single_shuffle(spark, specs):
     assert plan.count("Window") >= 1
 
 
-def test_kmeans_broadcasts_centroids(spark, specs):
+def test_kmeans_array_form_shape(spark, specs):
     plan = plan_of(spark, specs, "kmeans_cluster_sizes")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3  # one per iteration
+    # Assignments attach centroids via a broadcast 1-row nested loop —
+    # one per assignment pass (iters + 1).
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
+    # No vec_id-keyed shuffle anywhere: the only hash exchanges are the
+    # K-keyed update/profile aggs and 1-row collect_list collapses.
+    assert "hashpartitioning(vec_id" not in plan
 
 
 def test_corpus_curation_single_dedup_shuffle(spark, specs):
