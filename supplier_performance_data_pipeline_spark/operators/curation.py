@@ -101,6 +101,63 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_ngrams: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    n-gram with a held-out eval set (the GPT-3 App. C / Dodge et al. '21
+    C4-contamination procedure, expressed as a join).
+
+    ``eval_ngrams`` is a 1-column (``sh``) DISTINCT n-gram set. Output:
+    (doc_id, n_ngrams, n_hit_ngrams) for contaminated docs only — both
+    counts over the doc's DISTINCT n-grams, integer-exact.
+
+    Scale: eval/benchmark sets are small by construction (≤ millions of
+    n-grams), so the hit test is a BROADCAST left join against them —
+    the 100-TB train side never shuffles; the only exchange is the
+    (doc_id)-keyed count agg, which combines map-side. For an eval set
+    too big to broadcast, swap in a shuffle join or a Bloom-filter
+    prefilter; the call shape is unchanged.
+    """
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        shingle_sets,
+    )
+
+    tr = shingle_sets(train, text_col, n).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("sh")
+    )
+    hits = tr.join(
+        F.broadcast(eval_ngrams.withColumn("hit", F.lit(1))), "sh", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.count("hit").cast("long").alias("n_hit_ngrams"),
+        )
+        .filter(F.col("n_hit_ngrams") > 0)
+    )
+
+
+def eval_ngram_set(
+    eval_docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """DISTINCT n-gram set (column ``sh``) of an eval split — the
+    broadcast side of ``contamination_report``."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        shingle_sets,
+    )
+
+    return (
+        shingle_sets(eval_docs, text_col, n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+
+
 def packing_stats(
     docs: DataFrame,
     group_col: str = "lang",

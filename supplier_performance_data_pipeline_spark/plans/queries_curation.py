@@ -14,11 +14,14 @@ from supplier_performance_data_pipeline_spark.operators.curation import (
     PII_PATTERNS,
     PII_TOKEN,
     REP_NGRAM,
+    contamination_report,
+    eval_ngram_set,
     ngram_repetition_metrics,
     packing_stats,
     pii_scrub,
 )
 from supplier_performance_data_pipeline_spark.operators.sampling import (
+    hash_bucket,
     sample_threshold,
     stratified_hash_sample,
 )
@@ -133,6 +136,57 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding waste for a {budget}-token training budget. One group-key
     hash agg; the budget math is integer-exact in both engines."""
     return packing_stats(_docs(spark, sf_dir), budget=_PACK_BUDGET)
+
+
+# --- eval-set decontamination ------------------------------------------------
+
+_DECON_PCT = 0.1
+_DECON_SEED = 11
+_DECON_N = 3
+_DECON_BUCKET_SQL = (
+    f"CAST(concat('0x', substr(md5(concat('{_DECON_SEED}|', "
+    "CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 10000"
+)
+
+
+@register(
+    "decontamination_report",
+    oracle=f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id, {_shingles_sql(_DECON_N)} AS shingles FROM toks_cte),
+b AS (SELECT doc_id, {_DECON_BUCKET_SQL} AS bkt FROM documents),
+ev_sh AS (
+    SELECT DISTINCT unnest(sh.shingles) AS sh
+    FROM sh JOIN b USING (doc_id)
+    WHERE b.bkt < {sample_threshold(_DECON_PCT)}
+),
+tr_sh AS (
+    SELECT doc_id, unnest(list_distinct(sh.shingles)) AS sh
+    FROM sh JOIN b USING (doc_id)
+    WHERE b.bkt >= {sample_threshold(_DECON_PCT)}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(e.sh) AS BIGINT) AS n_hit_ngrams
+FROM tr_sh t LEFT JOIN ev_sh e ON t.sh = e.sh
+GROUP BY t.doc_id
+HAVING COUNT(e.sh) > 0
+""".strip(),
+)
+def q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap scan (GPT-3 App. C / Dodge et al. '21 shape):
+    a deterministic 10% hash split is the "eval set"; training docs
+    sharing any 3-gram with it are reported with integer overlap
+    counts. The eval n-gram set is BROADCAST — the train side never
+    shuffles except for its own (doc_id)-keyed count agg."""
+    docs = _docs(spark, sf_dir)
+    bkt = hash_bucket(F.col("doc_id"), _DECON_SEED)
+    thr = sample_threshold(_DECON_PCT)
+    ev = docs.filter(bkt < thr)
+    tr = docs.filter(bkt >= thr)
+    return contamination_report(
+        tr, eval_ngram_set(ev, n=_DECON_N), n=_DECON_N
+    )
 
 
 # --- stratified deterministic sampling --------------------------------------

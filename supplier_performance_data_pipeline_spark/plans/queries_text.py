@@ -424,6 +424,85 @@ GROUP BY lang_pred
 )
 
 
+# --- connected components: near-dup pairs -> dedup clusters -----------------
+
+from supplier_performance_data_pipeline_spark.operators.graph import (  # noqa: E402
+    CC_ITERS,
+    connected_components,
+)
+
+# Keep pairs with at least half the signature components equal
+# (jaccard_est >= 0.5) so clusters are near-dup groups, not every LSH
+# candidate collision.
+CC_MIN_MATCH = MINHASH_K // 2
+
+_CC_MATCHES = " + ".join(
+    f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+)
+_CC_PAIRS_SQL = (
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
+    "ON a.doc_id < b.doc_id AND ("
+    + " OR ".join(f"a.band{b} = b.band{b}" for b in range(LSH_BANDS))
+    + f") WHERE ({_CC_MATCHES}) >= {CC_MIN_MATCH}"
+)
+
+
+def _cc_ctes(iters: int) -> list[str]:
+    """Min-label propagation with pointer jumping, unrolled — the exact
+    rounds operators/graph.py runs, all-integer so any iteration count
+    matches bit-for-bit."""
+    ctes = [
+        f"pairs0 AS ({_CC_PAIRS_SQL})",
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs0 "
+        "UNION SELECT doc_b, doc_a FROM pairs0 "
+        "UNION SELECT doc_a, doc_a FROM pairs0 "
+        "UNION SELECT doc_b, doc_b FROM pairs0)",
+        "lab_0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"half_{i} AS (SELECT e.src AS id, MIN(l.label) AS label "
+            f"FROM edges e JOIN lab_{i} l ON e.dst = l.id GROUP BY e.src)"
+        )
+        ctes.append(
+            f"lab_{i + 1} AS (SELECT a.id, b.label FROM half_{i} a "
+            f"JOIN half_{i} b ON a.label = b.id)"
+        )
+    return ctes
+
+
+_CC_CTES_SQL = ",\n".join(_cc_ctes(CC_ITERS))
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+{_MS_CTE},
+{_SIGS_CTE},
+bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs),
+{_CC_CTES_SQL}
+SELECT id AS doc_id, label AS component FROM lab_{CC_ITERS}
+""".strip(),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: LSH pairs (jaccard_est >= 0.5) →
+    connected components via min-label propagation + pointer jumping
+    (operators/graph.py). Each doc's ``component`` is the min doc_id of
+    its cluster — the canonical survivor a retention pass keeps. The
+    all-integer rounds are unrolled identically in the oracle, so the
+    result is hash-verified even independent of convergence (a fixed
+    point by CC_ITERS is separately asserted in tests/test_graph.py)."""
+    # Checkpoint the pair list before edge symmetrization references it
+    # four times — one LSH computation, not four.
+    pairs = near_dup_pairs(_docs(spark, sf_dir)).filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    cc = connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "component")
+
+
 # --- deterministic hash sampling (reproducible corpus subsets) --------------
 
 from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402

@@ -1,0 +1,58 @@
+"""Connected components over pair graphs (operators/graph.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.operators.dedup import (
+    near_dup_pairs,
+)
+from supplier_performance_data_pipeline_spark.operators.graph import (
+    CC_ITERS,
+    connected_components,
+    dedup_clusters,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def test_chain_and_island(spark):
+    # 1-2-3-4 chain (diameter 3) + separate pair {10, 11}.
+    cc = connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    )
+    got = {r["id"]: r["component"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_within_iters(spark):
+    # Pointer jumping: a 12-vertex path (diameter 11) must converge in
+    # CC_ITERS = 4 rounds, which plain propagation could not.
+    edges = [(i, i + 1) for i in range(12)]
+    cc = connected_components(_pairs(spark, edges))
+    labels = {r["component"] for r in cc.collect()}
+    assert labels == {0}
+
+
+def test_cluster_rollup(spark):
+    out = dedup_clusters(_pairs(spark, [(1, 2), (2, 3), (7, 8)]))
+    got = {r["component"]: r["n_members"] for r in out.collect()}
+    assert got == {1: 3, 7: 2}
+
+
+def test_fixed_point_on_real_pairs(spark):
+    """At the driver's oracle scale the LSH pair graph must reach a
+    fixed point by CC_ITERS: one extra round changes nothing."""
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+    pairs = near_dup_pairs(docs).filter(
+        F.col("n_matching_components") >= 4
+    ).select("doc_a", "doc_b").persist()
+    a = connected_components(pairs, iters=CC_ITERS)
+    b = connected_components(pairs, iters=CC_ITERS + 1)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    pairs.unpersist()
