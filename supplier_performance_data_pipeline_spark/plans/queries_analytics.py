@@ -636,3 +636,92 @@ def q_quantity_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(exact, 6).alias("p50_exact"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )
+
+
+# --- semi-join: EXISTS with a compound correlated predicate (Q4 shape) ------
+
+
+@register(
+    "late_orders_by_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90
+)
+GROUP BY o_orderpriority
+""".strip(),
+)
+def q_late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count orders per priority having AT LEAST ONE
+    lineitem shipped >90 days after the order date. The EXISTS becomes a
+    LEFT SEMI join whose condition references both sides (equi key +
+    cross-table date comparison) — the probe side emits each order at
+    most once, so no post-join distinct is needed. At scale this is one
+    orderkey-keyed shuffle; the 90-day predicate can't push below the
+    join (it spans both tables) but the semi short-circuits per key."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 90)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --- per-key aggregate rejoined to the fact (Q17 shape), exact arithmetic ---
+
+
+@register(
+    "small_order_revenue",
+    oracle="""
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN per_part a ON l.l_partkey = a.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * a.cnt < a.sum_qty
+""".strip(),
+)
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of the part's
+    average quantity. The correlated scalar subquery is decorrelated
+    into a per-partkey pre-aggregate joined back on the SAME key the
+    fact shuffles on — co-partitioned, so AQE reuses one exchange; the
+    brand filter is a broadcast dim join pushed to the scan. The
+    ``qty < 0.2 * avg`` comparison is rewritten ``5*qty*cnt < sum`` in
+    exact DECIMAL/integer arithmetic: no double division, so the filter
+    can't flip on last-ulp reduction-order differences between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(qty * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )

@@ -534,3 +534,30 @@ def q_documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG-based sample() is not."""
     return hash_sample(_docs(spark, sf_dir), "doc_id", _SAMPLE_PCT,
                        _SAMPLE_SEED).select("doc_id")
+
+
+# --- corpus vocabulary: term frequency top-k --------------------------------
+
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT unnest(toks) AS term FROM toks_cte),
+counts AS (SELECT term, COUNT(*) AS n FROM tf GROUP BY term)
+SELECT term, CAST(n AS BIGINT) AS n
+FROM counts ORDER BY n DESC, term LIMIT 100
+""".strip(),
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency top-100 (vocabulary building / tokenizer
+    training input). Explode tokens → one term-keyed hash agg — partial
+    counts combine map-side, so the shuffle carries one row per distinct
+    term per partition, not one per token; the final top-k is
+    TakeOrdered over the (small) distinct-term table, never a global
+    sort of the corpus. Ties broken by term so the cut is total-ordered
+    and deterministic in both engines."""
+    docs = _docs(spark, sf_dir)
+    tf = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    counts = tf.groupBy("term").agg(F.count("*").cast("long").alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("term")).limit(100)

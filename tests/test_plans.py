@@ -183,3 +183,32 @@ def test_risk_band_reuses_risk_shape(spark, specs):
     plan = plan_of(spark, specs, "risk_band_summary")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_shape(spark, specs):
+    plan = plan_of(spark, specs, "late_orders_by_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # orderkey shuffle (or broadcast) + priority agg — never more.
+    assert shuffles(plan) <= 3
+
+
+def test_small_order_revenue_broadcasts_brand_dim(spark, specs):
+    plan = plan_of(spark, specs, "small_order_revenue")
+    assert "BroadcastHashJoin" in plan  # brand filter rides a broadcast
+    assert "CartesianProduct" not in plan
+    # p_retailprice is never referenced — the part scan must prune it.
+    assert "p_retailprice" not in plan
+
+
+def test_vocab_topk_takeordered_not_global_sort(spark, specs):
+    plan = plan_of(spark, specs, "vocab_top_terms")
+    assert "TakeOrderedAndProject" in plan
+    assert shuffles(plan) <= 1  # the term-keyed agg only
+
+
+def test_decontamination_broadcasts_eval_ngrams(spark, specs):
+    plan = plan_of(spark, specs, "decontamination_report")
+    assert "BroadcastHashJoin" in plan  # eval n-gram set is broadcast
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
