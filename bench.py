@@ -49,6 +49,13 @@ HEADLINE = [
     "embedding_label_centroids",
     "embedding_near_dup_pairs",
     "multimodal_features",
+    "dedup_components",
+    "decontamination_report",
+    "vocab_top_terms",
+    "late_orders_by_priority",
+    "small_order_revenue",
+    "embedding_quantize_int8",
+    "tfidf_top_terms",
 ]
 
 

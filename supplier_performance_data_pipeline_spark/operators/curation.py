@@ -151,9 +151,18 @@ def eval_ngram_set(
         shingle_sets,
     )
 
+    # explode_OUTER on purpose: with plain explode, the optimizer infers
+    # "array non-empty / element non-null" predicates (generator pruning
+    # + join-key isnotnull), pushes them below the Generate, and
+    # collapses the layered projections — re-evaluating the FULL
+    # tokenization inside the per-element shingle lambda (the O(len^2)
+    # trap shingle_sets layers projections to avoid; measured 8x the
+    # cost of the whole query at sf0.1). Nothing pushes below an outer
+    # generate; the explicit null filter afterwards is equivalent.
     return (
         shingle_sets(eval_docs, text_col, n)
-        .select(F.explode("shingles").alias("sh"))
+        .select(F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
         .distinct()
     )
 

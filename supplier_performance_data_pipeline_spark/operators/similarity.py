@@ -211,3 +211,61 @@ def label_centroids(
         F.round(F.avg("v"), 6).alias("centroid"),
         F.count("*").alias("n_vectors"),
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization — the standard ANN-index
+    compression (4x smaller than float32, SIMD-friendly int dot
+    products): per vector, ``code_i = round(127 * v_i / amax)`` with
+    ``amax = max |v_i|``.
+
+    Output is (vec_id, scale_micro, codes): the per-vector dequant
+    scale ``amax / 127`` in integer micro-units plus the int8 code
+    array. Every result column is integer-exact: amax is an order-free
+    max, each code is one deterministic double divide+round — nothing
+    crosses the engine boundary as a free-form double.
+
+    Plan: two layered projections, zero shuffle. Layering matters:
+    referencing the amax EXPRESSION inside the code lambda would
+    re-evaluate the O(dim) max per element (interpreted HOF eval has no
+    subexpression cache) — O(dim^2) per row.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
+    )
+    with_amax = v.select(
+        "vec_id", "v",
+        F.array_max(F.transform(F.col("v"), F.abs)).alias("amax"),
+    )
+    codes = F.when(
+        F.col("amax") == 0.0,
+        F.expr("transform(v, x -> 0)"),
+    ).otherwise(
+        F.expr("transform(v, x -> cast(round(127.0D * x / amax) AS int))")
+    )
+    return with_amax.select(
+        "vec_id",
+        F.round(F.col("amax") / 127.0 * 1e6).cast("long").alias("scale_micro"),
+        codes.alias("codes"),
+    )
+
+
+def quantization_report(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Driver-checkable integer surface over ``quantize_int8``:
+    (vec_id, scale_micro, code_sum, code_md5) — the md5 commits to every
+    code byte, the sum is a quick integrity aggregate."""
+    q = quantize_int8(emb, id_col, vec_col)
+    code_strs = F.expr("transform(codes, x -> cast(x AS string))")
+    return q.select(
+        "vec_id",
+        "scale_micro",
+        F.expr(
+            "aggregate(codes, cast(0 AS bigint), (acc, x) -> acc + x)"
+        ).alias("code_sum"),
+        F.md5(F.array_join(code_strs, ",")).alias("code_md5"),
+    )

@@ -524,3 +524,44 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
         F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
     )
+
+
+# --- int8 scalar quantization (ANN index compression) -----------------------
+
+from supplier_performance_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    quantization_report,
+)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH b AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM b
+),
+c AS (
+    SELECT vec_id, amax,
+           CASE WHEN amax = 0 THEN list_transform(v, x -> 0)
+                ELSE list_transform(v,
+                     x -> CAST(round(127.0 * x / amax) AS INTEGER)) END AS codes
+    FROM q
+)
+SELECT vec_id,
+       CAST(round(amax / 127.0 * 1000000.0) AS BIGINT) AS scale_micro,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       md5(array_to_string(codes, ',')) AS code_md5
+FROM c
+""".strip(),
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding (the 4x index
+    compression step before ANN serving): per-vector max-abs scale in
+    integer micro-units, plus an md5 commitment to the full code array
+    and an integer code sum. Pure projection, zero shuffle; every
+    checked column is integer or hash — no free-form double crosses the
+    engine boundary."""
+    return quantization_report(_embeddings(spark, sf_dir))

@@ -561,3 +561,114 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
     counts = tf.groupBy("term").agg(F.count("*").cast("long").alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("term")).limit(100)
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+_TFIDF_TOP = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, unnest(toks) AS term FROM toks_cte),
+tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tfc JOIN dfc USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rnk <= {_TFIDF_TOP}
+""".strip(),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-{top} TF-IDF keywords. Plan: (doc, term) count agg →
+    term-keyed doc-frequency agg (bounded by vocabulary size, so it
+    BROADCASTS back onto the tf table) → corpus size attached as a
+    broadcast 1-row cross join (the risk-bounds shape, never an empty
+    window) → per-doc window rank over the few distinct terms each doc
+    has — the window partitions by doc_id, so no global sort. Ranking
+    keys on the ROUNDED score with a term tie-break: deterministic
+    total order in both engines."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+# --- document length histogram ----------------------------------------------
+
+_HIST_WIDTH = 10
+_HIST_MAX_BUCKET = 20
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+WITH {_TOKS_CTE},
+b AS (
+    SELECT LEAST(CAST(floor(len(toks) / {_HIST_WIDTH}.0) AS INTEGER),
+                 {_HIST_MAX_BUCKET}) AS bucket
+    FROM toks_cte
+)
+SELECT bucket,
+       bucket * {_HIST_WIDTH} AS lo_tokens,
+       COUNT(*) AS n_docs
+FROM b GROUP BY bucket
+""".strip(),
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram ({_HIST_WIDTH}-token buckets, clamped at
+    bucket {_HIST_MAX_BUCKET}) — the length-distribution scan that
+    precedes truncation/packing decisions. One integer-keyed hash agg;
+    all columns integer."""
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(tokens(F.col("text")))
+    bucket = F.least(
+        F.floor(n_tok / float(_HIST_WIDTH)).cast("int"),
+        F.lit(_HIST_MAX_BUCKET),
+    )
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_WIDTH).alias("lo_tokens"),
+            "n_docs",
+        )
+    )
