@@ -56,6 +56,8 @@ HEADLINE = [
     "small_order_revenue",
     "embedding_quantize_int8",
     "tfidf_top_terms",
+    "events_resample_ffill",
+    "window_function_surface",
 ]
 
 

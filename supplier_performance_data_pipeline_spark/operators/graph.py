@@ -6,31 +6,35 @@ is a connected component of the pair graph; each document's cluster id
 is the minimum doc_id reachable from it, which doubles as the canonical
 survivor (the same min-id convention as ``exact_dedup_groups``).
 
-Algorithm: iterative min-label propagation with pointer jumping —
-  half(v)  = min label over v's neighborhood (self-loops make the
-             neighborhood include v, so this is ONE inner-join + agg);
-  label(v) = half(half(v))   (the jump: adopt your label's label).
-Propagation alone needs O(diameter) rounds; the jump shortcuts chains so
-O(log diameter) rounds suffice. Near-dup clusters are shallow (a few
-hops), so CC_ITERS = 4 covers diameters well past 2^4; tests assert the
-fixed point. Production alternatives at extreme scale are
-large-star/small-star (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC '14) — same join-per-round skeleton.
+Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC '14) — the edge
+set itself is rewritten each round until every component is a star
+centered on its minimum vertex:
+
+  large-star(u): connect every neighbor v > u to min(N(u) ∪ {u});
+  small-star(u): connect every neighbor v <= u (and u) to that min.
+
+Each operation is one vertex-keyed min-agg + one join on the symmetric
+adjacency — exactly the MapReduce shape of the paper. Convergence is
+O(log^2 n) rounds (in practice a handful even at billions of edges),
+independent of component DIAMETER — naive min-label propagation is
+O(diameter) per component and a scrambled 6-vertex path already defeats
+4 rounds of it (hypothesis found one; see tests/test_properties.py).
 
 Determinism: all-integer (mins over bigint vertex ids) — bit-identical
-across engines at ANY iteration count, so the DuckDB oracle unrolls the
+across engines at ANY round count, so the DuckDB oracle unrolls the
 same rounds and matches even independent of convergence.
 
-Scale: each round is one vertex-keyed join+agg (map-side partial min)
-plus one self-join of the per-vertex label table — no data-size joins
-after edge construction. Iterative DataFrame algorithms MUST truncate
-lineage each round: the jump references the round's table twice, so the
-logical plan otherwise branches 2^iters ways back to the (expensive)
-pair-generation plan and Catalyst analysis time explodes before any
-task runs. We eager-``localCheckpoint`` the edge table and each round's
-labels (16 bytes/vertex — executor memory+disk holds billions of
-vertices); on a real cluster prefer reliable ``checkpoint`` to HDFS/S3
-so rounds survive executor loss.
+Scale: per star operation, one groupBy(min) with map-side partial agg
+and one src-keyed join; emitted edges are canonical (big, small) pairs,
+deduplicated. Iterative DataFrame algorithms MUST truncate lineage each
+round — the edge set feeds the next round three ways (two union
+directions + the min table), so the logical plan otherwise branches
+exponentially back to the pair-generation plan and Catalyst analysis
+time explodes before any task runs. We eager-``localCheckpoint`` each
+round's edges (16 bytes/edge, executor memory+disk); on a real cluster
+prefer reliable ``checkpoint`` to HDFS/S3 so rounds survive executor
+loss.
 """
 
 from __future__ import annotations
@@ -38,25 +42,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Alternating (large-star, small-star) round pairs. O(log^2 n)
+# convergence: 4 pairs covers any realistic pair graph; tests assert
+# the fixed point on real LSH pairs and hypothesis cross-checks against
+# union-find on adversarial small graphs.
 CC_ITERS = 4
 
 
-def symmetrized_edges(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
-) -> DataFrame:
-    """(src, dst) with both directions AND self-loops, deduplicated.
+def _star(edges: DataFrame, verts: DataFrame, large: bool) -> DataFrame:
+    """One star operation over the canonical edge set.
 
-    Self-loops fold the "keep your own label" term into the neighborhood
-    min, so each propagation round is a single inner join + agg instead
-    of join + left-join + coalesce."""
-    a, b = F.col(a_col), F.col(b_col)
-    return (
-        pairs.select(a.alias("src"), b.alias("dst"))
-        .union(pairs.select(b.alias("src"), a.alias("dst")))
-        .union(pairs.select(a.alias("src"), a.alias("dst")))
-        .union(pairs.select(b.alias("src"), b.alias("dst")))
+    ``edges`` holds undirected edges as (src, dst) with src > dst;
+    ``verts`` is the full vertex set (self-loops are re-added from it
+    every round so vertices whose edges were rewritten away — and
+    isolated vertices — keep a neighborhood)."""
+    v = F.col("v")
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .union(verts.select(v.alias("src"), v.alias("dst")))
+    )
+    # min(N(u) ∪ {u}) — the self-loop puts u itself into the min.
+    mins = sym.groupBy("src").agg(F.min("dst").alias("m"))
+    cond = (
+        F.col("dst") > F.col("src") if large else F.col("dst") <= F.col("src")
+    )
+    out = (
+        sym.filter(cond)
+        .join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        # Emitted (v, m) always has v > m, so the canonical (big, small)
+        # orientation is preserved for free.
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .distinct()
     )
+    return out.localCheckpoint()
 
 
 def connected_components(
@@ -67,36 +88,36 @@ def connected_components(
 ) -> DataFrame:
     """(``id``, ``component``) for every vertex appearing in ``pairs``.
 
-    Materializes each round eagerly (localCheckpoint) — see module
-    docstring for why iterative plans must cut lineage per round."""
-    edges = symmetrized_edges(pairs, a_col, b_col).localCheckpoint()
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
+    Runs ``iters`` alternating (large-star, small-star) pairs, then
+    reads each vertex's component off the star edges (roots and
+    isolated vertices map to themselves). Materializes each round
+    eagerly — see module docstring for why iterative plans must cut
+    lineage per round."""
+    a, b = F.col(a_col), F.col(b_col)
+    verts = (
+        pairs.select(a.alias("v"))
+        .union(pairs.select(b.alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.select(
+            F.greatest(a, b).alias("src"), F.least(a, b).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
     )
     for _ in range(iters):
-        half = (
-            edges.join(
-                labels.select(F.col("id").alias("dst"), "label"), "dst"
-            )
-            .groupBy("src")
-            .agg(F.min("label").alias("label"))
-            .select(F.col("src").alias("id"), "label")
-        )
-        # Pointer jump: label <- label(label). half's labels are always
-        # vertex ids (inductively: mins over ids), so the inner join is
-        # total. Checkpoint first — the jump references half twice.
-        half = half.localCheckpoint()
-        labels = (
-            half.select("id", F.col("label").alias("mid"))
-            .join(
-                half.select(
-                    F.col("id").alias("mid"), F.col("label").alias("label")
-                ),
-                "mid",
-            )
-            .select("id", "label")
-        )
-    return labels.select("id", F.col("label").alias("component"))
+        edges = _star(edges, verts, large=True)
+        edges = _star(edges, verts, large=False)
+    mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+    return verts.join(
+        mins, verts["v"] == mins["src"], "left"
+    ).select(
+        F.col("v").alias("id"),
+        F.coalesce(F.col("m"), F.col("v")).alias("component"),
+    )
 
 
 def dedup_clusters(

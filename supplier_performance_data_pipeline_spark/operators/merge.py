@@ -1,0 +1,39 @@
+"""Keyed snapshot merge (MERGE INTO semantics, last-writer-wins).
+
+Warehouse maintenance surface: apply a batch of keyed updates/inserts to
+a base snapshot — matched keys take the update row, unmatched update
+keys are inserts, untouched base rows pass through. The reference's
+DROP-and-recreate idempotency (SURVEY.md §2.1 S4) is the degenerate
+whole-table form of this; ``upsert`` is the incremental form.
+
+Plan: tag each side with a precedence, union, keep the top row per key
+— ONE key-keyed shuffle (the window partitions by the merge key), no
+join. At 100 TB the win over full-outer-join MERGE is that the base
+never materializes twice; pair with partitioned output so only
+partitions containing updated keys rewrite (dynamic partition
+overwrite), which is how table formats (Delta/Iceberg MERGE) scope the
+rewrite too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(
+    base: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Last-writer-wins keyed merge. ``updates`` must share the base
+    schema; duplicate keys WITHIN updates are resolved deterministically
+    only if the caller pre-dedupes (assert your own uniqueness — same
+    contract as the as-of join's right side)."""
+    tagged = updates.withColumn("_prio", F.lit(1)).unionByName(
+        base.withColumn("_prio", F.lit(0))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_prio"))
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )

@@ -66,3 +66,57 @@ def top_n_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= n)
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-series resample + gap-fill: per key, a dense ``step``-spaced
+    grid from the key's first to last bucket, actual values aggregated
+    into their bucket (exact DECIMAL sum), gaps forward-filled with the
+    last observation (the hypertable `time_bucket_gapfill` + `locf`
+    shape).
+
+    Output: (key, bucket, filled_value, is_gap) — is_gap = 1 where the
+    bucket had no observation and the value was carried forward.
+
+    Scale: the grid is built per key from a (key)-keyed span agg and
+    explodes to span/step rows per key — bounded by time range, not data
+    volume; the fill is a per-key ordered window (running last-non-null,
+    no global sort); observations reach the join pre-aggregated to one
+    row per (key, bucket). Leading buckets before the first observation
+    keep NULL — nothing to carry yet.
+    """
+    k = F.col(key_col)
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    ag = (
+        df.select(k.alias("key"), bucket.alias("bucket"),
+                  F.col(value_col).cast("decimal(18,6)").alias("v"))
+        .groupBy("key", "bucket")
+        .agg(F.sum("v").cast("double").alias("v"))
+    )
+    span = ag.groupBy("key").agg(
+        F.min("bucket").alias("h0"), F.max("bucket").alias("h1")
+    )
+    grid = span.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr(f"interval {step}"))
+        ).alias("bucket"),
+    )
+    j = grid.join(ag, ["key", "bucket"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_gap"),
+    )

@@ -725,3 +725,148 @@ def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+# --- window-function surface (ranking/offset/frame families) ----------------
+
+
+@register(
+    "window_function_surface",
+    oracle="""
+SELECT
+    o_orderkey,
+    o_custkey,
+    CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+    LAG(o_totalprice) OVER w AS prev_price,
+    LEAD(o_totalprice) OVER w AS next_price,
+    CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+    ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+    ROUND(CUME_DIST() OVER w, 6) AS cume_dist,
+    FIRST_VALUE(o_totalprice) OVER
+        (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+    LAST_VALUE(o_totalprice) OVER
+        (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+""".strip(),
+)
+def q_window_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete window-function families in one projection —
+    ranking (row_number, ntile), relative rank (percent_rank,
+    cume_dist: integer-ratio doubles, deterministic), offset
+    (lag/lead: values MOVE, never recomputed), and explicit-frame
+    first/last. One per-customer window over a unique (date, key)
+    ordering — a single shuffle, no global sort; every function shares
+    the same window definition so Spark evaluates them in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+    )
+
+
+# --- GROUPING SETS with grouping_id -----------------------------------------
+
+
+@register(
+    "orders_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""".strip(),
+)
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent marginals + grand total
+    in ONE expand pass — completes the rollup/cube family) with
+    grouping() flags disambiguating the NULL dimension values. DECIMAL
+    sum, order-free."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+            "n_orders", "total_price",
+        )
+    )
+
+
+# --- keyed snapshot upsert (MERGE semantics) --------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.merge import (  # noqa: E402
+    upsert,
+)
+
+
+@register(
+    "supplier_snapshot_upsert",
+    oracle="""
+WITH updates AS (
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 1000.0 AS s_acctbal
+    FROM supplier WHERE s_suppkey % 10 = 0
+    UNION ALL
+    SELECT s_suppkey + 1000000, concat('NEW#', s_name), s_nationkey,
+           0.0 AS s_acctbal
+    FROM supplier WHERE s_suppkey % 97 = 0
+),
+tagged AS (
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 1 AS _prio FROM updates
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 0 AS _prio FROM supplier
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY s_suppkey ORDER BY _prio DESC) AS _rn
+    FROM tagged
+)
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM r WHERE _rn = 1
+""".strip(),
+)
+def q_supplier_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on the supplier snapshot: a derived update
+    batch (modified balances for every 10th supplier + brand-new rows
+    keyed past the existing range) applied last-writer-wins via
+    operators/merge.py — tag, union, top-1 per key; ONE key shuffle,
+    the base never materializes twice."""
+    sup = _t(spark, sf_dir, "supplier")
+    mods = sup.filter(F.col("s_suppkey") % 10 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 1000.0
+    )
+    inserts = sup.filter(F.col("s_suppkey") % 97 == 0).select(
+        (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+        F.concat(F.lit("NEW#"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+        F.lit(0.0).alias("s_acctbal"),
+    )
+    return upsert(sup, mods.unionByName(inserts), ["s_suppkey"])

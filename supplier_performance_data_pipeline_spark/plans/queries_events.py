@@ -231,3 +231,56 @@ def q_errors_recent_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- time-series resample + forward fill ------------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.windows import (  # noqa: E402
+    resample_ffill,
+)
+
+
+@register(
+    "events_resample_ffill",
+    oracle="""
+WITH pe AS (
+    SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0
+),
+ag AS (
+    SELECT user_id, bucket, CAST(SUM(v) AS DOUBLE) AS v
+    FROM pe GROUP BY user_id, bucket
+),
+span AS (
+    SELECT user_id, MIN(bucket) AS h0, MAX(bucket) AS h1
+    FROM ag GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+    FROM span
+),
+j AS (
+    SELECT g.user_id, g.bucket, a.v
+    FROM grid g LEFT JOIN ag a
+      ON g.user_id = a.user_id AND g.bucket = a.bucket
+)
+SELECT user_id, bucket,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM j
+""".strip(),
+)
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample of purchase values with last-observation
+    forward fill (the hypertable time_bucket_gapfill + locf shape) for
+    a deterministic user subset. Grid size is bounded by time span, not
+    data volume; observations join pre-aggregated; the fill is a
+    per-user running last-non-null — no global sort. Bucket sums are
+    DECIMAL-exact so both engines fill identical values."""
+    ev = _events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 0)
+    )
+    return resample_ffill(ev, "user_id", "ts", "value")

@@ -448,26 +448,41 @@ _CC_PAIRS_SQL = (
 
 
 def _cc_ctes(iters: int) -> list[str]:
-    """Min-label propagation with pointer jumping, unrolled — the exact
-    rounds operators/graph.py runs, all-integer so any iteration count
-    matches bit-for-bit."""
+    """Alternating large-star / small-star rounds, unrolled — the exact
+    edge rewrites operators/graph.py runs, all-integer so any round
+    count matches bit-for-bit."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous edge set three times, so the
+    # expansion would otherwise be 3^rounds copies of the base scan
+    # (observed as "Too many open files") — the same lineage branching
+    # the Spark side cuts with localCheckpoint.
     ctes = [
-        f"pairs0 AS ({_CC_PAIRS_SQL})",
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs0 "
-        "UNION SELECT doc_b, doc_a FROM pairs0 "
-        "UNION SELECT doc_a, doc_a FROM pairs0 "
-        "UNION SELECT doc_b, doc_b FROM pairs0)",
-        "lab_0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)",
+        f"pairs0 AS MATERIALIZED ({_CC_PAIRS_SQL})",
+        "verts AS MATERIALIZED (SELECT doc_a AS v FROM pairs0 "
+        "UNION SELECT doc_b FROM pairs0)",
+        "e_0 AS MATERIALIZED (SELECT DISTINCT GREATEST(doc_a, doc_b) AS src, "
+        "LEAST(doc_a, doc_b) AS dst FROM pairs0 WHERE doc_a <> doc_b)",
     ]
-    for i in range(iters):
+    for t in range(2 * iters):
+        cond = "s.dst > s.src" if t % 2 == 0 else "s.dst <= s.src"
         ctes.append(
-            f"half_{i} AS (SELECT e.src AS id, MIN(l.label) AS label "
-            f"FROM edges e JOIN lab_{i} l ON e.dst = l.id GROUP BY e.src)"
+            f"sym_{t} AS MATERIALIZED (SELECT src, dst FROM e_{t} "
+            f"UNION SELECT dst, src FROM e_{t} "
+            "UNION SELECT v, v FROM verts)"
         )
         ctes.append(
-            f"lab_{i + 1} AS (SELECT a.id, b.label FROM half_{i} a "
-            f"JOIN half_{i} b ON a.label = b.id)"
+            f"mins_{t} AS MATERIALIZED (SELECT src, MIN(dst) AS m "
+            f"FROM sym_{t} GROUP BY src)"
         )
+        ctes.append(
+            f"e_{t + 1} AS MATERIALIZED "
+            f"(SELECT DISTINCT s.dst AS src, mi.m AS dst "
+            f"FROM sym_{t} s JOIN mins_{t} mi ON s.src = mi.src "
+            f"WHERE {cond} AND s.dst <> mi.m)"
+        )
+    ctes.append(
+        f"mn AS (SELECT src, MIN(dst) AS m FROM e_{2 * iters} GROUP BY src)"
+    )
     return ctes
 
 
@@ -483,17 +498,19 @@ WITH {_TOKS_CTE},
 {_SIGS_CTE},
 bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs),
 {_CC_CTES_SQL}
-SELECT id AS doc_id, label AS component FROM lab_{CC_ITERS}
+SELECT verts.v AS doc_id, COALESCE(mn.m, verts.v) AS component
+FROM verts LEFT JOIN mn ON verts.v = mn.src
 """.strip(),
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: LSH pairs (jaccard_est >= 0.5) →
-    connected components via min-label propagation + pointer jumping
-    (operators/graph.py). Each doc's ``component`` is the min doc_id of
-    its cluster — the canonical survivor a retention pass keeps. The
-    all-integer rounds are unrolled identically in the oracle, so the
-    result is hash-verified even independent of convergence (a fixed
-    point by CC_ITERS is separately asserted in tests/test_graph.py)."""
+    connected components via alternating large-star/small-star edge
+    rewrites (operators/graph.py; Kiveris et al. SoCC '14). Each doc's
+    ``component`` is the min doc_id of its cluster — the canonical
+    survivor a retention pass keeps. The all-integer rounds are unrolled
+    identically in the oracle, so the result is hash-verified even
+    independent of convergence (a fixed point by CC_ITERS is separately
+    asserted in tests/test_graph.py)."""
     # Checkpoint the pair list before edge symmetrization references it
     # four times — one LSH computation, not four.
     pairs = near_dup_pairs(_docs(spark, sf_dir)).filter(

@@ -30,10 +30,13 @@ def test_chain_and_island(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
-def test_long_chain_within_iters(spark):
-    # Pointer jumping: a 12-vertex path (diameter 11) must converge in
-    # CC_ITERS = 4 rounds, which plain propagation could not.
-    edges = [(i, i + 1) for i in range(12)]
+def test_long_scrambled_chain_within_iters(spark):
+    # Star rounds converge independent of component DIAMETER: a path
+    # whose vertex ids are scrambled against the path order (the case
+    # that defeats O(diameter) min-label propagation) must still
+    # converge in CC_ITERS rounds.
+    order = [7, 2, 11, 0, 9, 4, 12, 1, 8, 3, 10, 5, 6]
+    edges = list(zip(order, order[1:]))
     cc = connected_components(_pairs(spark, edges))
     labels = {r["component"] for r in cc.collect()}
     assert labels == {0}

@@ -95,3 +95,45 @@ def test_shingles_never_empty_and_sized(spark, words):
     assert len(sh) >= 1
     if n_tok >= SHINGLE_N:
         assert len(sh) == n_tok - SHINGLE_N + 1
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(edges=edges_strategy)
+@SLOW
+def test_connected_components_match_union_find(spark, edges):
+    """Model: classic union-find over the same edges; every vertex's
+    component must be the minimum id reachable from it, regardless of
+    edge order, duplicates, or chain shapes."""
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
