@@ -870,3 +870,54 @@ def q_supplier_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("s_acctbal"),
     )
     return upsert(sup, mods.unionByName(inserts), ["s_suppkey"])
+
+
+# --- mergeable KLL quantile sketches (incremental percentile tables) --------
+
+
+@register(
+    "quantity_kll_sketch_rollup",
+    oracle="""
+SELECT
+    l_returnflag,
+    ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50_exact,
+    TRUE AS sketch_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""".strip(),
+)
+def q_quantity_kll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile twin of the HLL rollup: per-(flag, ship-month) KLL
+    sketches — the partials a monthly job would materialize — merged to
+    the per-flag median estimate without rescanning raw rows.
+    kll_sketch_merge_double is a BINARY scalar (no union aggregate like
+    HLL's), so the partials are collect_list'ed per flag (bounded:
+    one sketch per month) and folded left-to-right. Verified like every
+    approx query: exact interpolated median + a within-5% flag computed
+    next to the merge."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag",
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias("m"),
+    ).agg(F.kll_sketch_agg_double(F.col("l_quantity").cast("double")).alias("sk"))
+    merged = monthly.groupBy("l_returnflag").agg(
+        F.collect_list("sk").alias("sks")
+    ).select(
+        "l_returnflag",
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[0], "
+            "(acc, x) -> kll_sketch_merge_double(acc, x)), 0.5D)"
+        ).alias("p50_est"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.50D)"), 6).alias("p50_exact")
+    )
+    return exact.join(F.broadcast(merged), "l_returnflag").select(
+        "l_returnflag",
+        "p50_exact",
+        (
+            F.abs(F.col("p50_est") - F.col("p50_exact"))
+            <= 0.05 * F.col("p50_exact")
+        ).alias("sketch_within_5pct"),
+    )

@@ -284,3 +284,44 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 0)
     )
     return resample_ffill(ev, "user_id", "ts", "value")
+
+
+# --- mergeable HLL sketch rollup (incremental distinct-count tables) --------
+
+
+@register(
+    "events_user_sketch_rollup",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS sketch_within_5pct
+FROM events GROUP BY event_type
+""".strip(),
+)
+def q_events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-pipeline distinct-count pattern: per-(type, day)
+    HLL sketches (DataSketches binary partials — what a daily job would
+    MATERIALIZE) are re-aggregated with hll_union_agg to the per-type
+    estimate WITHOUT touching raw events again. approx_count_distinct
+    can't do this — its partials are query-internal; sketch columns make
+    the rollup composable across jobs/days. Hash-verified like the other
+    approx queries: the driver checks the exact count plus a
+    within-5%-of-exact flag computed next to the union."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_est") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("sketch_within_5pct"),
+    )

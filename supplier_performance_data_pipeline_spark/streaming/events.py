@@ -175,3 +175,50 @@ def run_to_memory_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def streaming_upsert_sink(
+    stream: DataFrame,
+    snapshot_dir: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+):
+    """foreachBatch MERGE sink: each microbatch upserts into a parquet
+    snapshot via operators/merge.py (matched keys update, new keys
+    insert, untouched rows carry over) — the streaming half of CDC-style
+    table maintenance.
+
+    The merged snapshot is materialized (localCheckpoint) BEFORE the
+    overwrite: Spark reads lazily, so overwriting the directory that the
+    base DataFrame still reads from would corrupt the very files being
+    scanned. On a real deployment the sink is a table format whose
+    MERGE INTO handles snapshot isolation (Delta/Iceberg) — this mirrors
+    those semantics on plain parquet with an atomic-enough swap; batches
+    arrive serially per the foreachBatch contract, so no two merges
+    interleave.
+
+    Within-batch duplicate keys are the caller's contract to resolve
+    (same precondition as ``upsert`` itself and the as-of join's right
+    side).
+    """
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        upsert,
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            base = spark.read.parquet(snapshot_dir)
+            has_base = True
+        except Exception:
+            has_base = False
+        merged = upsert(base, batch, key_cols) if has_base else batch
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(snapshot_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
