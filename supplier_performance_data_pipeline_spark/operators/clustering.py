@@ -111,13 +111,15 @@ def kmeans_assignments(
 ) -> DataFrame:
     """Final (vec_id, cluster, d) after ``iters`` Lloyd iterations;
     ``d`` is the double squared distance to the winning centroid."""
-    # The vector table feeds the assignment of every iteration; persist
-    # the decoded double arrays so each pass reads the in-memory
-    # columnar form instead of re-decoding parquet.
+    # The vector table feeds the assignment of every iteration;
+    # materialize the decoded double arrays once (localCheckpoint, not
+    # persist: same in-memory reuse, but the checkpointed RDD is
+    # GC-cleaned when the plan is dropped instead of occupying the cache
+    # manager until someone remembers to unpersist).
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
-    ).persist()
+    ).localCheckpoint()
     cent = base.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
     )

@@ -921,3 +921,57 @@ def q_quantity_kll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("p50_exact")
         ).alias("sketch_within_5pct"),
     )
+
+
+# --- disjunctive multi-clause predicate over a join (Q19 shape) -------------
+
+
+@register(
+    "brand_size_quantity_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""".strip(),
+)
+def q_brand_size_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of per-brand conjunctive clauses spanning
+    BOTH join sides, so the disjunction itself can only be evaluated
+    post-join — but Catalyst extracts the single-side implications
+    (brand IN-list onto the part scan, the quantity envelope onto the
+    lineitem scan) as pushed-down prefilters, and the part side stays a
+    broadcast. The classic test that complex predicates don't silently
+    turn into scan-everything plans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    return j.filter(clause).agg(
+        F.sum(price * disc1).cast("double").alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )

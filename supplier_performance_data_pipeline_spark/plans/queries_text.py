@@ -689,3 +689,139 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+# --- full curation pipeline composite ---------------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.curation import (  # noqa: E402
+    contamination_report,
+    eval_ngram_set,
+)
+from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    hash_bucket,
+)
+from supplier_performance_data_pipeline_spark.plans.queries_curation import (  # noqa: E402
+    _DECON_BUCKET_SQL,
+    _DECON_N,
+    _DECON_PCT,
+    _DECON_SEED,
+)
+
+_FULL_THR = sample_threshold(_DECON_PCT)
+
+_FULL_CURATION_ORACLE = f"""
+WITH profile AS (
+{{profile}}
+),
+{_TOKS_CTE},
+{_SHINGLES_CTE},
+{_MS_CTE},
+{_SIGS_CTE},
+bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs),
+{{cc}},
+cc_drop AS (
+    SELECT verts.v AS doc_id FROM verts
+    JOIN mn ON verts.v = mn.src WHERE mn.m <> verts.v
+),
+b AS (SELECT doc_id, {_DECON_BUCKET_SQL} AS bkt FROM documents),
+ev_sh AS (
+    SELECT DISTINCT unnest(sh_cte.shingles) AS sh
+    FROM sh_cte JOIN b USING (doc_id) WHERE b.bkt < {_FULL_THR}
+),
+contaminated AS (
+    SELECT DISTINCT s.doc_id
+    FROM (SELECT doc_id, unnest(list_distinct(sh_cte.shingles)) AS sh
+          FROM sh_cte JOIN b USING (doc_id)
+          WHERE b.bkt >= {_FULL_THR}) s
+    JOIN ev_sh e ON s.sh = e.sh
+),
+kept AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM profile
+         GROUP BY fingerprint),
+final AS (
+    SELECT p.* FROM profile p
+    JOIN kept k ON p.doc_id = k.doc_id
+    JOIN b ON p.doc_id = b.doc_id
+    WHERE b.bkt >= {_FULL_THR}
+      AND p.doc_id NOT IN (SELECT doc_id FROM cc_drop)
+      AND p.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND p.quality_score >= 0.4
+)
+SELECT lang_pred,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality_score), 6) AS avg_quality
+FROM final GROUP BY lang_pred
+""".strip()
+
+
+@register("corpus_full_curation", oracle=None)  # assigned right below
+def q_corpus_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pipeline as one plan — what a training
+    corpus build actually runs, every stage an already-verified
+    operator:
+
+      profile (one tokenization) ->
+      exact dedup  (normalized fingerprint, min-id survivor) ->
+      near-dup dedup (MinHash-LSH pairs -> large/small-star components,
+                      only each cluster's min-id survives) ->
+      train split  (deterministic hash split; eval docs excluded) ->
+      decontamination (drop train docs sharing any 3-gram with eval) ->
+      quality gate (score >= 0.4) ->
+      per-language doc/token budget.
+
+    Gates are computed corpus-wide and intersected, so they parallelize
+    independently; the only driver-side step is the CC rounds'
+    localCheckpoint materialization."""
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    t = F.col("toks")
+    # Materialize the scored profile ONCE: it feeds the dedup-survivor
+    # agg, the join back, and two downstream filters — without the
+    # checkpoint, predicate pushdown + projection collapse re-inline the
+    # heavy HOF scoring expressions into every branch (measured 48s ->
+    # 6s at sf0.01). Same lineage discipline as the CC rounds.
+    profile = toks_df.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(quality_score_t(F.col("text"), t), 6).alias("quality_score"),
+        lang_id_t(t).alias("lang_pred"),
+        fingerprint_t(t).alias("fingerprint"),
+    ).localCheckpoint()
+    kept = profile.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    pairs = near_dup_pairs(docs).filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    nd_drop = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    bkt = hash_bucket(F.col("doc_id"), _DECON_SEED)
+    contaminated = contamination_report(
+        docs.filter(bkt >= _FULL_THR),
+        eval_ngram_set(docs.filter(bkt < _FULL_THR), n=_DECON_N),
+        n=_DECON_N,
+    ).select("doc_id")
+    final = (
+        profile.join(kept.select("doc_id"), "doc_id")
+        .join(nd_drop, "doc_id", "left_anti")
+        .filter(bkt >= _FULL_THR)
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(F.col("quality_score") >= 0.4)
+    )
+    return final.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+REGISTRY["corpus_full_curation"] = QuerySpec(
+    name="corpus_full_curation",
+    build=REGISTRY["corpus_full_curation"].build,
+    oracle=_FULL_CURATION_ORACLE.format(
+        profile=_PROFILE_ORACLE, cc=_CC_CTES_SQL
+    ),
+)

@@ -137,3 +137,26 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+base_rows = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=0, max_value=99),
+    max_size=8,
+)
+
+
+@given(base=base_rows, updates=base_rows)
+@SLOW
+def test_upsert_matches_dict_merge(spark, base, updates):
+    """Model: dict(base) | dict(updates) — updates win on key collision,
+    inserts land, untouched base rows carry over."""
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        upsert,
+    )
+
+    schema = "k long, v long"
+    bdf = spark.createDataFrame(list(base.items()) or [], schema)
+    udf_ = spark.createDataFrame(list(updates.items()) or [], schema)
+    got = {r["k"]: r["v"] for r in upsert(bdf, udf_, ["k"]).collect()}
+    assert got == {**base, **updates}
