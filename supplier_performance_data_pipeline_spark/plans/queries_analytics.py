@@ -975,3 +975,45 @@ def q_brand_size_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(price * disc1).cast("double").alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
+
+
+# --- entity resolution: blocked fuzzy name matching -------------------------
+
+
+@register(
+    "supplier_name_fuzzy_matches",
+    oracle="""
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey
+ AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+""".strip(),
+)
+def q_supplier_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: candidate pairs meet only inside a BLOCK (the
+    nation equi-key — the same bucket-join discipline as LSH dedup:
+    never an all-pairs cross join), then exact edit distance keeps pairs
+    within 2 edits. At scale the block key is what bounds the per-block
+    quadratic cost — pick one with O(1) expected block size (sorted
+    prefix, phonetic key, …); the integer distance is bit-identical in
+    both engines."""
+    sup = _t(spark, sf_dir, "supplier")
+    a = sup.select(
+        F.col("s_suppkey").alias("id_a"),
+        F.col("s_name").alias("name_a"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("id_b"),
+        F.col("s_name").alias("name_b"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 2)
+        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+    )

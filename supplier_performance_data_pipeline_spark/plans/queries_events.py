@@ -325,3 +325,111 @@ def q_events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_users_exact")
         ).alias("sketch_within_5pct"),
     )
+
+
+# --- funnel analysis ---------------------------------------------------------
+
+
+@register(
+    "events_view_purchase_funnel",
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+    SELECT v.user_id,
+           MAX(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS converted
+    FROM v LEFT JOIN (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ) p ON v.user_id = p.user_id AND p.ts >= v.t_view
+    GROUP BY v.user_id
+)
+SELECT COUNT(*) AS n_viewers,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+FROM conv
+""".strip(),
+)
+def q_events_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage funnel: users whose first 'view' is later followed by a
+    'purchase'. First-touch per user is one agg; the conversion test is
+    a user-keyed left join with the time condition IN the join (so
+    non-qualifying purchases never survive to the agg) — both stages
+    co-keyed on user_id, one shuffle chain, no window over raw events.
+    The rate is a ratio of integers: deterministic in both engines."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("t_view")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return conv.agg(
+        F.count("*").alias("n_viewers"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count("*"), 6
+        ).alias("conversion_rate"),
+    )
+
+
+# --- cohort retention --------------------------------------------------------
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH act AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+    FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(a.day - c.cohort_day AS INTEGER) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active_users
+FROM act a JOIN cohort c ON a.user_id = c.user_id
+WHERE a.day - c.cohort_day <= 7
+GROUP BY c.cohort_day, a.day - c.cohort_day
+""".strip(),
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, then
+    distinct-active counts per day offset (first week). Activity is
+    pre-deduplicated to one row per (user, day) BEFORE the cohort join,
+    so the join and both aggs run on the compacted table — at 100 TB
+    that's the difference between joining events and joining user-days.
+    All output integer/date."""
+    ev = _events(spark, sf_dir)
+    act = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offset = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        act.join(cohort, "user_id")
+        .filter(offset <= 7)
+        .groupBy("cohort_day", offset.alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
