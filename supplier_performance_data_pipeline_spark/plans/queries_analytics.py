@@ -1017,3 +1017,90 @@ def q_supplier_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(dist <= 2)
         .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+# --- Q6 shape: pure pushed-filter aggregate ---------------------------------
+
+
+@register(
+    "discount_revenue_forecast",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""".strip(),
+)
+def q_discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: a scan-filter-aggregate with NO join — the purest
+    test that conjunctive predicates (date range, discount band,
+    quantity cap) reach the parquet reader as pushed filters and the
+    scan prunes to exactly four columns. DECIMAL product sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (d >= F.lit("1994-01-01").cast("date"))
+            & (d < F.lit("1995-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# --- Q10 shape: returned-revenue customer ranking ---------------------------
+
+
+@register(
+    "customer_returns_ranking",
+    oracle="""
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           AS lost_revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+""".strip(),
+)
+def q_customer_returns_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    The returnflag filter pushes to the lineitem scan BEFORE the join
+    chain; nation broadcasts; the agg keys on the customer grain and
+    the final top-20 is TakeOrdered over the aggregated table (ties
+    broken by key for a deterministic cut). DECIMAL revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    j = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(price * disc1).cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -212,3 +212,22 @@ def test_decontamination_broadcasts_eval_ngrams(spark, specs):
     assert "BroadcastHashJoin" in plan  # eval n-gram set is broadcast
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark, specs):
+    plan = plan_of(spark, specs, "discount_revenue_forecast")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan or "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # Only 4 columns may reach the scan.
+    assert "l_tax" not in plan
+    assert "l_returnflag" not in plan
+    assert "Join" not in plan
+
+
+def test_q10_returnflag_pushed_below_joins(spark, specs):
+    plan = plan_of(spark, specs, "customer_returns_ranking")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # nation dim
+    assert "TakeOrderedAndProject" in plan
+    # The returnflag filter must reach the lineitem scan.
+    assert "EqualTo(l_returnflag,R)" in plan
