@@ -609,7 +609,10 @@ SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rnk <= {_TFIDF_TOP}
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-{top} TF-IDF keywords. Plan: (doc, term) count agg →
     term-keyed doc-frequency agg (bounded by vocabulary size, so it
-    BROADCASTS back onto the tf table) → corpus size attached as a
+    BROADCASTS back onto the tf table; for a web-scale vocabulary past
+    the broadcast threshold, drop the hint and the same plan becomes a
+    term-keyed shuffle join — the tf table is already partitioned by
+    term from its own agg) → corpus size attached as a
     broadcast 1-row cross join (the risk-bounds shape, never an empty
     window) → per-doc window rank over the few distinct terms each doc
     has — the window partitions by doc_id, so no global sort. Ranking

@@ -1,0 +1,53 @@
+"""Empty/degenerate-input behavior of the round-2 operators: an empty
+source must flow through to an empty (not crashing, not NULL-filled)
+result, because at 100 TB a filter that matches nothing is routine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.operators.curation import (
+    contamination_report,
+    eval_ngram_set,
+)
+from supplier_performance_data_pipeline_spark.operators.merge import upsert
+from supplier_performance_data_pipeline_spark.operators.windows import (
+    resample_ffill,
+)
+
+
+def test_resample_ffill_empty_input(spark):
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+    assert resample_ffill(ev, "user_id", "ts", "value").count() == 0
+
+
+def test_resample_ffill_single_row_is_gapless(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 5.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = resample_ffill(ev, "user_id", "ts", "value").collect()
+    assert len(rows) == 1
+    assert rows[0]["is_gap"] == 0 and rows[0]["filled_value"] == 5.0
+
+
+def test_upsert_empty_updates_is_identity(spark):
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    empty = spark.createDataFrame([], "k long, v long")
+    got = {r["k"]: r["v"] for r in upsert(base, empty, ["k"]).collect()}
+    assert got == {1: 10, 2: 20}
+
+
+def test_contamination_empty_eval_set_reports_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    empty_eval = spark.createDataFrame([], "sh string")
+    assert contamination_report(docs, empty_eval).count() == 0
+
+
+def test_eval_ngram_set_empty_docs(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert eval_ngram_set(docs).count() == 0

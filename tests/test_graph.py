@@ -59,3 +59,10 @@ def test_fixed_point_on_real_pairs(spark):
     b = connected_components(pairs, iters=CC_ITERS + 1)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
     pairs.unpersist()
+
+
+def test_empty_pairs_yield_empty_components(spark):
+    cc = connected_components(
+        _pairs(spark, []).filter("doc_a IS NOT NULL")
+    )
+    assert cc.count() == 0
