@@ -11,6 +11,10 @@ this file is a thin view over its query registry.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +22,43 @@ from pyspark.sql import DataFrame, SparkSession
 from supplier_performance_data_pipeline_spark.plans.registry import load_all
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _last_checked_round() -> dict[str, int]:
+    """Map query name -> latest round with a CORRECTNESS_r{N}.json row.
+
+    Queries absent from every round file have never been driver-checked.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _rotation_order(names: list[str]) -> list[str]:
+    """Least-recently-driver-checked first (never-checked lead, then by
+    ascending last-checked round, alphabetical within a tier).
+
+    The driver samples a bounded number of queries per round in
+    ``queries()`` iteration order; this rotation guarantees every query
+    gets a CORRECTNESS row within a couple of rounds instead of leaving
+    a fixed tail permanently unsampled.
+    """
+    last = _last_checked_round()
+    return sorted(names, key=lambda n: (last.get(n, -1), n))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,14 +73,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.build for name, spec in load_all().items()}
+    """One entry per implemented operator from SURVEY.md §2,
+    least-recently-driver-checked first (see ``_rotation_order``)."""
+    specs = load_all()
+    return {name: specs[name].build for name in _rotation_order(list(specs))}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted → rows-only)."""
+    """DuckDB-runnable ANSI SQL oracle per query (omitted → rows-only),
+    in the same rotation order as ``queries()``."""
+    specs = load_all()
     return {
-        name: spec.oracle
-        for name, spec in load_all().items()
-        if spec.oracle is not None
+        name: specs[name].oracle
+        for name in _rotation_order(list(specs))
+        if specs[name].oracle is not None
     }

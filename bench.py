@@ -58,6 +58,13 @@ HEADLINE = [
     "tfidf_top_terms",
     "events_resample_ffill",
     "window_function_surface",
+    "brand_size_quantity_revenue",
+    "customer_returns_ranking",
+    "discount_revenue_forecast",
+    "supplier_name_fuzzy_matches",
+    "events_view_purchase_funnel",
+    "events_cohort_retention",
+    "corpus_full_curation",
 ]
 
 

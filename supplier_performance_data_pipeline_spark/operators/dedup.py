@@ -150,14 +150,17 @@ def near_dup_pairs(
     while a double ratio invites representation-level drift.
 
     The signature table appears three times in this plan (band explode +
-    both sides of the pair join); persisting it means the expensive
-    tokenize→shingle→hash projection runs once. Signatures are
-    k longs + id ≈ 72 bytes/doc — safely cacheable even at billions of
-    docs spilled to disk. Callers that consume the result in the same
-    session should ``.unpersist()`` the handle returned by
-    ``near_dup_pairs_cached`` once the action completes."""
-    pairs_df, _ = near_dup_pairs_cached(docs, text_col, k, bands)
-    return pairs_df
+    both sides of the pair join), so it must be materialized once, not
+    recomputed thrice. This handle-free variant uses an eager
+    ``localCheckpoint`` (k longs + id ≈ 72 bytes/doc, executor
+    memory+disk): the blocks are reclaimed by the ContextCleaner when
+    the result goes out of scope, so repeated invocations — registered
+    queries build it per run — cannot accumulate CacheManager entries
+    the way an unowned ``persist`` does. Callers that want a
+    deterministic lifetime (unpersist immediately after their action)
+    should use ``near_dup_pairs_cached`` instead."""
+    sigs = minhash_signatures(docs, text_col, k).localCheckpoint()
+    return _pairs_from_sigs(sigs, k, bands)
 
 
 def near_dup_pairs_cached(
@@ -169,6 +172,13 @@ def near_dup_pairs_cached(
     """``near_dup_pairs`` plus the persisted signature handle so callers
     can manage the cache lifetime (unpersist after their action)."""
     sigs = minhash_signatures(docs, text_col, k).persist()
+    return _pairs_from_sigs(sigs, k, bands), sigs
+
+
+def _pairs_from_sigs(
+    sigs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Pair join over a materialized signature table (see callers)."""
     pairs = lsh_candidate_pairs(sigs, k, bands)
     a = sigs.selectExpr(
         "doc_id AS doc_a", *[f"mh{j} AS a_mh{j}" for j in range(k)]
@@ -177,7 +187,7 @@ def near_dup_pairs_cached(
         "doc_id AS doc_b", *[f"mh{j} AS b_mh{j}" for j in range(k)]
     )
     matches = " + ".join(f"if(a_mh{j} = b_mh{j}, 1, 0)" for j in range(k))
-    result = (
+    return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .selectExpr(
@@ -187,7 +197,6 @@ def near_dup_pairs_cached(
             f"round(({matches}) / {float(k)}, 6) AS jaccard_est",
         )
     )
-    return result, sigs
 
 
 def exact_dedup_groups(

@@ -47,6 +47,11 @@ from pyspark.sql import functions as F
 # the fixed point on real LSH pairs and hypothesis cross-checks against
 # union-find on adversarial small graphs.
 CC_ITERS = 4
+# Hard cap for until_converged mode. O(log^2 n) rounds means 16 pairs
+# covers graphs far past any real corpus (2^(4^2) vertices); a graph
+# still moving after 16 pairs indicates a bug, and the loop raises
+# rather than silently returning unconverged components.
+CC_MAX_ITERS = 16
 
 
 def _star(edges: DataFrame, verts: DataFrame, large: bool) -> DataFrame:
@@ -80,19 +85,45 @@ def _star(edges: DataFrame, verts: DataFrame, large: bool) -> DataFrame:
     return out.localCheckpoint()
 
 
+def _same_edge_set(a: DataFrame, b: DataFrame) -> bool:
+    """Exact set equality of two canonical (src, dst) edge tables.
+
+    Both sides are distinct and localCheckpointed, so the two probe
+    jobs (count + one-sided except) scan materialized blocks, not
+    recomputed lineage — cheap relative to a star round."""
+    if a.count() != b.count():
+        return False
+    return a.exceptAll(b).isEmpty()
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     iters: int = CC_ITERS,
+    until_converged: bool = True,
+    max_iters: int = CC_MAX_ITERS,
 ) -> DataFrame:
     """(``id``, ``component``) for every vertex appearing in ``pairs``.
 
-    Runs ``iters`` alternating (large-star, small-star) pairs, then
-    reads each vertex's component off the star edges (roots and
-    isolated vertices map to themselves). Materializes each round
-    eagerly — see module docstring for why iterative plans must cut
-    lineage per round."""
+    Runs alternating (large-star, small-star) pairs until the edge set
+    reaches its fixed point — a star partition centered on component
+    minima (Kiveris et al. §3: the fixed points of the iteration are
+    exactly the min-rooted star forests) — then reads each vertex's
+    component off the star edges (roots and isolated vertices map to
+    themselves). Materializes each round eagerly — see module docstring
+    for why iterative plans must cut lineage per round.
+
+    Convergence contract: the fixed point is CHECKED every round
+    (edge-set equality on the materialized rounds), which both
+    early-exits graphs that settle before ``iters`` pairs and — with
+    ``until_converged=True`` (default) — keeps iterating past ``iters``
+    up to ``max_iters`` rather than silently returning unconverged
+    components; a graph still moving at ``max_iters`` raises. Results
+    at the fixed point are independent of the round count, so the
+    oracle's fixed ``CC_ITERS``-round unroll still matches exactly.
+    ``until_converged=False`` restores the fixed ``iters``-round unroll
+    (still with early exit, which cannot change the result)."""
     a, b = F.col(a_col), F.col(b_col)
     verts = (
         pairs.select(a.alias("v"))
@@ -108,9 +139,19 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(iters):
-        edges = _star(edges, verts, large=True)
-        edges = _star(edges, verts, large=False)
+    rounds = max_iters if until_converged else iters
+    converged = False
+    for _ in range(rounds):
+        new_edges = _star(_star(edges, verts, large=True), verts, large=False)
+        if _same_edge_set(edges, new_edges):
+            converged = True
+            break
+        edges = new_edges
+    if until_converged and not converged:
+        raise RuntimeError(
+            f"connected_components did not reach a fixed point within "
+            f"{max_iters} large/small-star round pairs"
+        )
     mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
     return verts.join(
         mins, verts["v"] == mins["src"], "left"

@@ -12,8 +12,36 @@ global window anywhere.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_STEP_RX = re.compile(
+    r"^\s*(\d+)\s+(second|minute|hour|day|week)s?\s*$", re.IGNORECASE
+)
+_STEP_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def step_seconds(step: str) -> int:
+    """Parse a fixed-length interval like ``'15 minutes'`` to seconds.
+
+    Restricted to units of constant length (≤ weeks): months/years vary
+    per calendar and cannot drive epoch-aligned bucketing — reject them
+    loudly instead of mis-bucketing."""
+    m = _STEP_RX.match(step)
+    if not m:
+        raise ValueError(
+            f"unsupported resample step {step!r}: expected "
+            "'<n> second|minute|hour|day|week(s)'"
+        )
+    return int(m.group(1)) * _STEP_UNIT_SECONDS[m.group(2).lower()]
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
@@ -90,9 +118,20 @@ def resample_ffill(
     no global sort); observations reach the join pre-aggregated to one
     row per (key, bucket). Leading buckets before the first observation
     keep NULL — nothing to carry yet.
+
+    Observation bucketing floors the epoch to ``step`` (tumbling,
+    epoch-aligned — identical to date_trunc for whole hours/days under
+    the engine's pinned UTC session timezone), so ANY fixed-length step
+    produces buckets that land exactly on the grid the ``sequence``
+    below generates from the same aligned origin; a truncation unit
+    hardcoded independently of ``step`` would silently drop every
+    observation into never-joined buckets for non-default steps.
     """
+    secs = step_seconds(step)
     k = F.col(key_col)
-    bucket = F.date_trunc("hour", F.col(ts_col))
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs
+    )
     ag = (
         df.select(k.alias("key"), bucket.alias("bucket"),
                   F.col(value_col).cast("decimal(18,6)").alias("v"))

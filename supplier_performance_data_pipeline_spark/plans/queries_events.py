@@ -433,3 +433,68 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", offset.alias("day_offset"))
         .agg(F.count_distinct("user_id").alias("n_active_users"))
     )
+
+
+# --- streaming/batch equivalence (driver-checkable watermark semantics) ------
+
+# Memory-sink query names must be unique per build: the sink registers a
+# temp view under the query name, and bench/test sessions build the same
+# query repeatedly.
+_STREAM_EQ_SEQ = iter(range(1_000_000))
+
+
+@register(
+    "streaming_batch_equivalence",
+    oracle="""
+WITH r AS (
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(0 AS BIGINT) AS n_mismatched,
+       TRUE AS streaming_equals_batch
+FROM r
+""".strip(),
+)
+def q_streaming_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantics on the driver's board: replay the events
+    parquet through the Structured Streaming hourly rollup
+    (streaming/events.py — watermarked tumbling window, memory sink,
+    availableNow-style synchronous drain), then full-outer-join the
+    result against the batch twin (operators/windows.hourly_rollup) and
+    report (n_groups, n_mismatched, streaming_equals_batch). The oracle
+    computes the batch group count and asserts zero mismatches / TRUE —
+    so any divergence between the streaming and batch planners (window
+    boundary, late-row handling, count or sum drift) flips the booleans
+    and hash-fails the driver row. Counts compare exactly; the float
+    sum compares to 1e-6 (streaming and batch sum in different orders).
+    """
+    from supplier_performance_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_hourly_rollup,
+    )
+
+    tune_session(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    name = f"stream_eq_{app}_{next(_STREAM_EQ_SEQ)}"
+    stream = read_event_stream(spark, sf_dir)
+    run_to_memory_sink(streaming_hourly_rollup(stream), name, "complete")
+    streamed = spark.table(name)
+    batch = hourly_rollup(_events(spark, sf_dir))
+    j = batch.alias("b").join(
+        streamed.alias("s"), ["hour", "event_type"], "full_outer"
+    )
+    mism = (
+        F.col("b.n_events").isNull()
+        | F.col("s.n_events").isNull()
+        | (F.col("b.n_events") != F.col("s.n_events"))
+        | (F.abs(F.col("b.sum_value") - F.col("s.sum_value")) > 1e-6)
+    )
+    n_mism = F.sum(F.when(mism, 1).otherwise(0)).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        n_mism.alias("n_mismatched"),
+        (n_mism == 0).alias("streaming_equals_batch"),
+    )

@@ -20,6 +20,7 @@ from supplier_performance_data_pipeline_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_signatures,
     near_dup_pairs,
+    near_dup_pairs_cached,
     ngram_jaccard,
     simhash32,
 )
@@ -512,10 +513,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of convergence (a fixed point by CC_ITERS is separately
     asserted in tests/test_graph.py)."""
     # Checkpoint the pair list before edge symmetrization references it
-    # four times — one LSH computation, not four.
-    pairs = near_dup_pairs(_docs(spark, sf_dir)).filter(
+    # four times — one LSH computation, not four. The signature persist
+    # is scoped: the eager checkpoint materializes the pairs, after
+    # which the signatures are dead weight and are unpersisted here
+    # rather than leaking into the session cache.
+    pairs_df, sigs = near_dup_pairs_cached(_docs(spark, sf_dir))
+    pairs = pairs_df.filter(
         F.col("n_matching_components") >= CC_MIN_MATCH
     ).localCheckpoint()
+    sigs.unpersist()
     cc = connected_components(pairs)
     return cc.select(F.col("id").alias("doc_id"), "component")
 
@@ -793,9 +799,13 @@ def q_corpus_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_t(t).alias("fingerprint"),
     ).localCheckpoint()
     kept = profile.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    pairs = near_dup_pairs(docs).filter(
+    # Scoped signature cache: the eager pair checkpoint is the only
+    # consumer, so the persist is released immediately after it.
+    pairs_df, sigs = near_dup_pairs_cached(docs)
+    pairs = pairs_df.filter(
         F.col("n_matching_components") >= CC_MIN_MATCH
     ).localCheckpoint()
+    sigs.unpersist()
     nd_drop = (
         connected_components(pairs)
         .filter(F.col("id") != F.col("component"))

@@ -206,11 +206,19 @@ def streaming_upsert_sink(
     )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         try:
             base = spark.read.parquet(snapshot_dir)
             has_base = True
-        except Exception:
+        except AnalysisException:
+            # Missing snapshot (first batch) only. Any other read
+            # failure — corrupt footer, permissions, transient FS error
+            # — must FAIL the batch so the checkpoint retries it;
+            # treating those as "no base yet" would overwrite the
+            # snapshot with just this microbatch and silently discard
+            # every previously merged key.
             has_base = False
         merged = upsert(base, batch, key_cols) if has_base else batch
         merged = merged.localCheckpoint()

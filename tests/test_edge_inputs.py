@@ -33,6 +33,64 @@ def test_resample_ffill_single_row_is_gapless(spark):
     assert rows[0]["is_gap"] == 0 and rows[0]["filled_value"] == 5.0
 
 
+def test_resample_ffill_non_default_step(spark):
+    """Observation bucketing must follow the step, not a hardcoded
+    hour: with a 15-minute step, values at :05 / :20 / :50 land in the
+    :00 / :15 / :45 grid buckets and the :30 bucket gap-fills."""
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:05:00", 1.0),
+            (1, "2024-01-01 10:20:00", 2.0),
+            (1, "2024-01-01 10:50:00", 4.0),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {
+        r["bucket"].strftime("%H:%M"): (r["filled_value"], r["is_gap"])
+        for r in resample_ffill(
+            ev, "user_id", "ts", "value", step="15 minutes"
+        ).collect()
+    }
+    assert rows == {
+        "10:00": (1.0, 0),
+        "10:15": (2.0, 0),
+        "10:30": (2.0, 1),
+        "10:45": (4.0, 0),
+    }
+
+
+def test_resample_ffill_daily_step(spark):
+    """'1 day' buckets align to UTC midnights and gap-fill missing days."""
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 3.0),
+            (1, "2024-01-03 23:59:59", 7.0),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {
+        r["bucket"].strftime("%m-%d"): (r["filled_value"], r["is_gap"])
+        for r in resample_ffill(
+            ev, "user_id", "ts", "value", step="1 day"
+        ).collect()
+    }
+    assert rows == {
+        "01-01": (3.0, 0),
+        "01-02": (3.0, 1),
+        "01-03": (7.0, 0),
+    }
+
+
+def test_resample_ffill_rejects_calendar_steps(spark):
+    import pytest
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="unsupported resample step"):
+        resample_ffill(ev, "user_id", "ts", "value", step="1 month")
+
+
 def test_upsert_empty_updates_is_identity(spark):
     base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
     empty = spark.createDataFrame([], "k long, v long")

@@ -61,6 +61,25 @@ def test_fixed_point_on_real_pairs(spark):
     pairs.unpersist()
 
 
+def test_until_converged_extends_past_iters(spark):
+    """The convergence guard: a scrambled long path that one
+    large/small-star round pair cannot collapse is still fully solved
+    with until_converged=True starting from the same iters=1 budget,
+    while the fixed-round unroll (until_converged=False) returns the
+    not-yet-converged labeling — the silent-at-scale case the guard
+    exists to prevent."""
+    rng_order = [
+        29, 4, 41, 16, 33, 8, 45, 0, 21, 37, 12, 25, 2, 46, 18, 40,
+        6, 31, 13, 44, 9, 27, 1, 35, 20, 47, 11, 38, 5, 23, 15, 42,
+        7, 30, 3, 36, 19, 43, 10, 26, 14, 39, 22, 34, 17, 28, 24, 32,
+    ]
+    pairs = _pairs(spark, list(zip(rng_order, rng_order[1:])))
+    partial = connected_components(pairs, iters=1, until_converged=False)
+    assert {r["component"] for r in partial.collect()} != {0}
+    full = connected_components(pairs, iters=1, until_converged=True)
+    assert {r["component"] for r in full.collect()} == {0}
+
+
 def test_empty_pairs_yield_empty_components(spark):
     cc = connected_components(
         _pairs(spark, []).filter("doc_a IS NOT NULL")

@@ -19,8 +19,24 @@ SPECS = load_all()
 def test_query_matches_oracle(spark, name):
     spec = SPECS[name]
     actual = spec.build(spark, SF_SMOKE).toPandas()
+    _assert_no_cache_residue(spark, name)
     if spec.oracle is None:
         assert len(actual) >= 0  # rows-only check, mirrors the driver
         return
     expected = run_oracle(SF_SMOKE, spec.oracle)
     assert_frames_match(actual, expected, name)
+
+
+def _assert_no_cache_residue(spark, name: str) -> None:
+    """Cache hygiene as a pinned invariant: no registered query may
+    leave an entry in the session CacheManager after its action — an
+    unowned ``persist`` accumulates across a 77-query × multi-run
+    session until eviction (the round-2 bench drift). Materialization
+    inside queries must be either a scoped persist (unpersisted before
+    the build returns) or a localCheckpoint, whose blocks the
+    ContextCleaner reclaims by liveness instead of leaking by default.
+    """
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), (
+        f"{name} left persisted plans in the CacheManager after its action"
+    )
