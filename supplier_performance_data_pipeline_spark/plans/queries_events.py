@@ -498,3 +498,63 @@ def q_streaming_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
         n_mism.alias("n_mismatched"),
         (n_mism == 0).alias("streaming_equals_batch"),
     )
+
+
+# --- rolling engagement: DAU + trailing-7-day WAU per day -------------------
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+WITH act AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+    FROM events
+),
+days AS (SELECT DISTINCT day FROM act),
+ex AS (
+    SELECT a.user_id, a.day + CAST(i.i AS INTEGER) AS target_day
+    FROM act a CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i
+),
+wau AS (
+    SELECT d.day, COUNT(DISTINCT e.user_id) AS wau
+    FROM ex e JOIN days d ON e.target_day = d.day
+    GROUP BY d.day
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY day)
+SELECT d.day, d.dau, w.wau
+FROM dau d JOIN wau w ON d.day = w.day
+""".strip(),
+)
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users plus EXACT trailing-7-day weekly active users
+    per day. A rolling COUNT(DISTINCT) cannot be windowed from daily
+    counts (users overlap across days), so each (user, day) activity
+    row is exploded to the 7 window-end days it contributes to and
+    distinct-counted per end day — the standard exact-WAU expansion.
+
+    Scale: activity is compacted to one row per (user, day) FIRST, so
+    the x7 explode multiplies the compacted table, not raw events; the
+    distinct counts are two-phase hash aggs keyed by day; the grid join
+    keeps only observed days (no partial-window phantom days past the
+    data's edge)."""
+    ev = _events(spark, sf_dir)
+    act = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).distinct()
+    days = act.select("day").distinct()
+    ex = act.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select(
+        "user_id", F.date_add(F.col("day"), F.col("i")).alias("target_day")
+    )
+    wau = (
+        ex.join(days, ex["target_day"] == days["day"])
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = act.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return dau.join(wau, "day")

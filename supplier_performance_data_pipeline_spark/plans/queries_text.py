@@ -838,3 +838,166 @@ REGISTRY["corpus_full_curation"] = QuerySpec(
         profile=_PROFILE_ORACLE, cc=_CC_CTES_SQL
     ),
 )
+
+
+# --- cross-source near-dup contamination matrix -----------------------------
+
+from supplier_performance_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    shingle_sets,
+)
+
+
+@register(
+    "near_dup_source_matrix",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+{_MS_CTE},
+{_SIGS_CTE},
+bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs),
+pairs AS ({_CC_PAIRS_SQL}),
+lab AS (
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs
+FROM lab GROUP BY source_a, source_b
+""".strip(),
+)
+def q_near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the near-duplicates come from: LSH near-dup pairs labeled
+    with each side's ``source`` and rolled up per unordered source pair.
+    The on-diagonal cells are within-source duplication (crawl overlap);
+    off-diagonal cells are cross-source contamination — the number a
+    corpus builder checks before deciding which source to drop copies
+    from. Same bucketed pair generation as ``lsh_near_dup_pairs`` (never
+    all-pairs); the (doc->source) side is a pure projection of the docs
+    table joined twice on doc_id."""
+    docs = _docs(spark, sf_dir)
+    pairs_df, sigs = near_dup_pairs_cached(docs)
+    pairs = pairs_df.filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    sigs.unpersist()
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --- n-gram novelty: df-1 share per document --------------------------------
+
+
+@register(
+    "ngram_novelty_scores",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+ex AS (
+    SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM sh_cte
+),
+dfreq AS (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_ratio
+FROM ex e JOIN dfreq d ON e.sh = d.sh
+GROUP BY e.doc_id
+""".strip(),
+)
+def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    3-gram shingles that appear NOWHERE else in the corpus (document
+    frequency 1). Low novelty = boilerplate/templated text; a standard
+    pre-training quality signal that needs corpus-global state.
+
+    Plan: explode distinct shingles -> shingle-keyed df agg (map-side
+    partial combine) -> join back on the shingle key -> per-doc agg.
+    Two shingle-keyed shuffles and one doc-keyed shuffle; the exploded
+    shingle stream is recomputed rather than materialized — at 100 TB
+    the exploded table is ~sequence-length x corpus and recompute from
+    the column store is cheaper than caching it."""
+    sh = shingle_sets(_docs(spark, sf_dir)).select(
+        "doc_id", F.array_distinct(F.col("shingles")).alias("sh")
+    )
+    ex = sh.select("doc_id", F.explode(F.col("sh")).alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        ex.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+# --- quality-weighted deterministic sampling --------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    hash_bucket,
+)
+
+_QW_SEED = 7
+_QW_BASE = 0.5  # acceptance rate at quality 1.0; scales linearly down
+_QW_BUCKET_SQL = (
+    f"CAST(concat('0x', substr(md5(concat('{_QW_SEED}|', "
+    f"CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % {GRAIN}"
+)
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+WITH profile AS (
+{_PROFILE_ORACLE}
+)
+SELECT doc_id, quality_score
+FROM profile
+WHERE {_QW_BUCKET_SQL}
+      < CAST({GRAIN * _QW_BASE} * quality_score AS BIGINT)
+""".strip(),
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: each document's acceptance
+    rate is ``_QW_BASE * quality_score`` — high-quality documents are
+    kept proportionally more often — and membership is a pure function
+    of (seed, doc_id, quality), so the EXACT sampled set reproduces
+    across engines, partitionings, and reruns (the oracle materializes
+    the identical set). The per-doc threshold is the truncated integer
+    of an identical double product on both engines (6-dp-rounded
+    quality x constant), compared against the md5 bucket — integer
+    compare, no float boundary in the decision.
+
+    Plan: pure projection + filter, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    scored = toks_df.select(
+        "doc_id",
+        F.round(
+            quality_score_t(F.col("text"), F.col("toks")), 6
+        ).alias("quality_score"),
+    )
+    thr = (
+        F.lit(float(GRAIN) * _QW_BASE) * F.col("quality_score")
+    ).cast("long")
+    return scored.filter(hash_bucket(F.col("doc_id"), _QW_SEED) < thr)
