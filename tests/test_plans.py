@@ -231,3 +231,42 @@ def test_q10_returnflag_pushed_below_joins(spark, specs):
     assert "TakeOrderedAndProject" in plan
     # The returnflag filter must reach the lineitem scan.
     assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_quality_weighted_sample_is_shuffle_free(spark, specs):
+    plan = plan_of(spark, specs, "quality_weighted_sample")
+    assert shuffles(plan) == 0  # projection + filter only
+    assert "Join" not in plan
+
+
+def test_ngram_novelty_three_shuffles_no_cartesian(spark, specs):
+    plan = plan_of(spark, specs, "ngram_novelty_scores")
+    # df agg on shingle + shingle join (one side reuses the agg
+    # exchange) + per-doc agg: at most 3 shuffle exchanges.
+    assert shuffles(plan) <= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_matrix_joins_are_equi(spark, specs):
+    plan = plan_of(spark, specs, "near_dup_source_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_wau_no_cartesian_expansion(spark, specs):
+    # The x7 window-end expansion must be a generator (explode), never a
+    # join against a 7-row table.
+    plan = plan_of(spark, specs, "events_rolling_wau")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_layout_scan_pushes_date_filter(spark, specs):
+    # Zone-map skipping only works if the date predicate reaches the
+    # parquet source of the REWRITTEN layout (Catalyst simplifies the
+    # cast-to-date comparison into timestamp bounds).
+    plan = plan_of(spark, specs, "lineitem_range_layout_scan")
+    assert re.search(r"(PushedFilters|DataFilters): \[[^\]]*l_shipdate", plan)
+    assert shuffles(plan) == 1  # the returnflag agg
