@@ -37,9 +37,10 @@ def create_views(
     view names. Views are lazy — registering costs nothing; Catalyst
     prunes/pushes down per query."""
     tune_session(spark)
-    # The events table stores TIMESTAMP(NANOS), which the vectorized
-    # reader rejects — read nanos as long and expose µs timestamps
-    # (same convention as plans/queries_events.py).
+    # The events table stores ts as TIMESTAMP(NANOS) in some driver
+    # generations (vectorized reader rejects it — read nanos as long)
+    # and plain µs TIMESTAMP in others; normalize to µs timestamps
+    # either way (same convention as plans/queries_events.py).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     registered = []
     for name in TESTDATA_TABLES:
@@ -48,9 +49,11 @@ def create_views(
             continue
         df = spark.read.parquet(path)
         if name == "events":
-            from pyspark.sql import functions as F
+            from supplier_performance_data_pipeline_spark.streaming.events import (
+                normalize_event_ts,
+            )
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = normalize_event_ts(df)
         df.createOrReplaceTempView(name)
         registered.append(name)
     if include_derived:

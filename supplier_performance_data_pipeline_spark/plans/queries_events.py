@@ -23,18 +23,21 @@ from supplier_performance_data_pipeline_spark.operators.windows import (
 )
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.session import tune_session
+from supplier_performance_data_pipeline_spark.streaming.events import (
+    normalize_event_ts,
+)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load events. The driver parquet stores TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; we read nanos as long and convert
-    to microsecond timestamps. The oracle SQL applies the same µs
-    truncation via CAST(ts AS TIMESTAMP) so both engines agree."""
+    """Load events. Driver parquet generations store ``ts`` either as
+    TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so we
+    read nanos as long — or as plain µs TIMESTAMP; normalize_event_ts
+    exposes µs timestamps either way. The oracle SQL applies the same
+    µs truncation via CAST(ts AS TIMESTAMP) so both engines agree."""
     tune_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # Integer division — double division loses µs precision at 1e18 ns.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 @register(

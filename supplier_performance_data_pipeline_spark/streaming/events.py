@@ -17,8 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Events schema as stored (ts is TIMESTAMP(NANOS) in the driver parquet;
-# we read it as long and convert — same as the batch path).
+# Events schema for raw int64-nanos files (the replay fixtures, and the
+# driver parquet generations that store ts as TIMESTAMP(NANOS) — those
+# are read as long via nanosAsLong and converted to µs downstream).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -29,6 +30,20 @@ EVENTS_RAW_SCHEMA = T.StructType(
         T.StructField("props", T.StringType(), True),
     ]
 )
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Expose one ``ts`` contract downstream: µs TimestampType.
+
+    The events source arrives in two physical encodings: int64
+    nanoseconds (TIMESTAMP(NANOS) parquet read via nanosAsLong, and the
+    replay fixtures' raw longs) and plain µs TIMESTAMP (current driver
+    testdata). Integer division for the ns→µs truncation — double
+    division loses µs precision at 1e18 ns; the NTZ→LTZ cast is an
+    identity under the engine's pinned UTC session timezone."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_event_stream(
@@ -42,17 +57,27 @@ def read_event_stream(
 
     ``max_files_per_trigger=1`` makes each file its own microbatch in
     modification-time order — how the late/out-of-order tests replay an
-    arrival sequence deterministically."""
+    arrival sequence deterministically.
+
+    File streams need a fixed schema up front, but the on-disk ``ts``
+    encoding varies by source generation (see ``normalize_event_ts``) —
+    peek at the existing files with a batch read and use whatever they
+    actually store; empty directory falls back to the raw-nanos schema."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = (
+            spark.read.option("pathGlobFilter", glob).parquet(directory).schema
+        )
+    except Exception:  # no matching files yet — replay dirs fill in later
+        schema = EVENTS_RAW_SCHEMA
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", glob)
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(directory)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.load(directory))
 
 
 def streaming_hourly_rollup(

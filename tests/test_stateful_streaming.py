@@ -8,6 +8,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from supplier_performance_data_pipeline_spark.streaming.events import (
+    normalize_event_ts,
     read_event_stream,
     run_to_memory_sink,
 )
@@ -36,7 +37,7 @@ def test_stateful_profiles_equal_batch(spark):
 
     batch = (
         spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_event_ts)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),

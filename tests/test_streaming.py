@@ -7,6 +7,7 @@ import pandas as pd
 
 from supplier_performance_data_pipeline_spark.operators.windows import hourly_rollup
 from supplier_performance_data_pipeline_spark.streaming.events import (
+    normalize_event_ts,
     read_event_stream,
     run_to_memory_sink,
     streaming_hourly_rollup,
@@ -31,9 +32,7 @@ def test_streaming_hourly_equals_batch(spark):
     batch_events = spark.read.parquet(EVENTS_PATH)
     from pyspark.sql import functions as F
 
-    batch_events = batch_events.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch_events = normalize_event_ts(batch_events)
     want = _canon(hourly_rollup(batch_events).toPandas())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
@@ -89,9 +88,7 @@ def test_streaming_interval_join_equals_batch(spark):
     )
     got = _canon(spark.sql("SELECT * FROM sj_out").toPandas())
 
-    batch = spark.read.parquet(EVENTS_PATH).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch = normalize_event_ts(spark.read.parquet(EVENTS_PATH))
     want = _canon(
         interval_join(
             batch.filter(F.col("event_type") == "purchase"),

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from supplier_performance_data_pipeline_spark.streaming.events import (
+    normalize_event_ts,
     read_event_stream,
     run_to_memory_sink,
     streaming_hourly_rollup,
@@ -110,9 +111,7 @@ def test_hourly_rollup_drops_late_event(spark, tmp_path):
         hourly_rollup,
     )
 
-    batch = spark.read.parquet(d).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch = normalize_event_ts(spark.read.parquet(d))
     want = hourly_rollup(batch).toPandas().sort_values("hour")
     assert int(want.iloc[0]["n_events"]) == 3
 
