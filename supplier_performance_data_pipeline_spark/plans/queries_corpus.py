@@ -1,0 +1,222 @@
+"""Corpus-preparation queries over ``documents``: language-model
+surprisal scoring, RAG chunking, and source-mixture planning (engine
+extensions for large-scale training-data pipelines; the reference has
+no text surface).
+
+Shares the tokenizer contract with plans/queries_text.py — oracle SQL
+is generated from the same constants so the dialects can't drift.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.operators.textops import tokens
+from supplier_performance_data_pipeline_spark.plans.queries_text import _TOKS_CTE
+from supplier_performance_data_pipeline_spark.plans.registry import register
+from supplier_performance_data_pipeline_spark.session import tune_session
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# --- unigram LM surprisal (quality / novelty proxy) -------------------------
+
+
+@register(
+    "unigram_surprisal_scores",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM toks_cte),
+tf AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
+n AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM tf),
+scored AS (
+    SELECT doc_id,
+           CAST(ROUND(ln(n_total / tf), 6) AS DECIMAL(18,6)) AS nll
+    FROM tok JOIN tf USING (term) CROSS JOIN n
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+FROM scored GROUP BY doc_id
+""".strip(),
+)
+def q_unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal -ln p(token) under the
+    corpus's own unigram LM — the classic cheap quality/novelty signal
+    (low = repetitive boilerplate, high = rare-token soup; train-data
+    curation gates on both tails). Two passes over the token stream:
+    corpus term frequencies (one term-keyed agg, map-side combined,
+    bounded by vocabulary size → BROADCASTS back onto the token table;
+    past the broadcast threshold the same plan is a term-keyed shuffle
+    join), then a doc-keyed agg. Per-token surprisal is rounded to 6dp
+    and summed as DECIMAL — exact, reduction-order-independent — with
+    ONE double division at the end. Empty docs have no tokens and are
+    absent by construction (inner explode)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    n = tf.agg(F.sum("tf").cast("double").alias("n_total"))
+    scored = (
+        tok.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n_total") / F.col("tf")), 6)
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias(
+            "avg_surprisal"
+        ),
+    )
+
+
+# --- RAG chunking -----------------------------------------------------------
+
+_CHUNK_CHARS = 400
+_CHUNK_STRIDE = 300  # 100-char overlap between consecutive chunks
+
+
+@register(
+    "document_chunks",
+    oracle=f"""
+WITH starts AS (
+    SELECT doc_id, text,
+           unnest(range(0, greatest(n_chars, 1), {_CHUNK_STRIDE})) AS start_char
+    FROM documents
+)
+SELECT doc_id,
+       CAST(start_char / {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(start_char AS INTEGER) AS start_char,
+       CAST(len(substring(text, CAST(start_char AS INTEGER) + 1,
+                          {_CHUNK_CHARS})) AS INTEGER) AS chunk_chars,
+       md5(substring(text, CAST(start_char AS INTEGER) + 1,
+                     {_CHUNK_CHARS})) AS chunk_md5
+FROM starts
+""".strip(),
+)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks ({sz} chars, stride
+    {st}) — the retrieval/RAG indexing primitive. Chunk starts come
+    from sequence() on the row's OWN length (generator expansion, no
+    join, no shuffle — a pure flatMap-shaped projection that scales
+    linearly); each chunk carries its offset, length, and content md5
+    so a downstream index can verify integrity without re-reading the
+    text. Every doc yields at least one chunk (greatest-guard for
+    empty text). Identical 1-based substring semantics on both
+    engines; documents are ASCII so char counts agree."""
+    docs = _docs(spark, sf_dir)
+    starts = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_chars") - 1, F.lit(0)).cast("int"),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start_char"),
+    )
+    chunk = F.substring(
+        F.col("text"), F.col("start_char") + 1, _CHUNK_CHARS
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start_char") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("start_char").cast("int").alias("start_char"),
+        F.length(chunk).cast("int").alias("chunk_chars"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+q_document_chunks.__doc__ = q_document_chunks.__doc__.format(
+    sz=_CHUNK_CHARS, st=_CHUNK_STRIDE
+)
+
+
+# --- source-mixture planning ------------------------------------------------
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+WITH {_TOKS_CTE},
+per_source AS (
+    SELECT d.source,
+           CAST(substring(d.source, 4) AS INTEGER) + 1 AS weight,
+           CAST(SUM(len(t.toks)) AS BIGINT) AS n_tokens
+    FROM documents d JOIN toks_cte t USING (doc_id)
+    GROUP BY d.source
+),
+denom AS (SELECT SUM(weight) AS total_weight FROM per_source),
+ratios AS (
+    SELECT source, weight, n_tokens,
+           CAST(n_tokens AS DOUBLE) * total_weight / weight AS budget_ratio
+    FROM per_source CROSS JOIN denom
+),
+binding AS (SELECT MIN(budget_ratio) AS min_ratio FROM ratios)
+SELECT source,
+       ROUND(CAST(weight AS DOUBLE) / total_weight, 6) AS target_share,
+       n_tokens,
+       ROUND(min_ratio / budget_ratio, 6) AS accept_rate,
+       CAST(floor(min_ratio * weight / total_weight) AS BIGINT)
+           AS budget_tokens
+FROM ratios CROSS JOIN binding CROSS JOIN denom
+""".strip(),
+)
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling plan to hit a target token mixture with
+    maximum data use (the data-mixing step before training): target
+    share of source src{{i}} is (i+1)/Σ(j+1); the binding source — the
+    one that exhausts first at its share — fixes the total budget, and
+    every other source gets acceptance rate budget·share/available ≤ 1.
+    Plan: one doc-keyed projection counts tokens per row (no explode —
+    size() on the token array), one source-keyed agg (tiny domain),
+    then three broadcast 1-row cross joins carry Σweights, the binding
+    ratio, and the budget. The only doubles are single divisions of
+    exact integers — deterministic IEEE on both engines — rounded at
+    the output edge."""
+    docs = _docs(spark, sf_dir)
+    per_source = (
+        docs.select(
+            "source",
+            (F.substring(F.col("source"), 4, 10).cast("int") + 1).alias(
+                "weight"
+            ),
+            F.size(tokens(F.col("text"))).alias("doc_tokens"),
+        )
+        .groupBy("source", "weight")
+        .agg(F.sum("doc_tokens").alias("n_tokens"))
+    )
+    denom = per_source.agg(F.sum("weight").alias("total_weight"))
+    ratios = per_source.crossJoin(F.broadcast(denom)).withColumn(
+        "budget_ratio",
+        F.col("n_tokens").cast("double")
+        * F.col("total_weight")
+        / F.col("weight"),
+    )
+    binding = ratios.agg(F.min("budget_ratio").alias("min_ratio"))
+    return ratios.crossJoin(F.broadcast(binding)).select(
+        "source",
+        F.round(
+            F.col("weight").cast("double") / F.col("total_weight"), 6
+        ).alias("target_share"),
+        "n_tokens",
+        F.round(F.col("min_ratio") / F.col("budget_ratio"), 6).alias(
+            "accept_rate"
+        ),
+        F.floor(
+            F.col("min_ratio") * F.col("weight") / F.col("total_weight")
+        )
+        .cast("long")
+        .alias("budget_tokens"),
+    )

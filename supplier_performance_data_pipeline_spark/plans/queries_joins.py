@@ -1,0 +1,399 @@
+"""Join-heavy analytical shapes (engine extension; TPC-H Q7/Q9/Q13/
+Q15/Q18/Q22 analogs adapted to the driver's testdata schema — no
+partsupp/commitdate/phone columns, so the predicates use what exists).
+
+Determinism contract (same as queries_analytics.py): revenue SUMs run
+in DECIMAL on both engines — exact, reduction-order-independent — and
+are cast to double only at the output edge; comparisons that gate rows
+(max-equality, above-average) happen on the exact DECIMAL value or on
+a single deterministic double division, never on a multi-step float
+reduction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.plans.registry import register
+from supplier_performance_data_pipeline_spark.session import tune_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _revenue_cols():
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    return price * disc1
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* CAST(1.0 - l_discount AS DECIMAL(4,2))"
+)
+
+
+# --- Q13 shape: customer order-count distribution ---------------------------
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer
+    LEFT JOIN (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderpriority <> '1-URGENT'
+    ) o ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+""".strip(),
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count distribution over ALL customers including zero-order
+    ones (TPC-H Q13 shape): the outer join is what distinguishes this
+    from a plain fact agg. Plan: pre-aggregate orders per custkey FIRST
+    (map-side combine, one fact shuffle carrying one row per customer),
+    LEFT join customer onto the compacted counts (custkey shuffle join;
+    never join raw orders to customer), coalesce null→0, then the
+    distribution agg runs over one row per customer and the second
+    groupBy keys on the tiny n_orders domain. All-integer output."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+# --- Q18 shape: large-volume orders -----------------------------------------
+
+_LARGE_ORDER_QTY = 300
+
+
+@register(
+    "large_order_customers",
+    oracle=f"""
+WITH big AS (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {_LARGE_ORDER_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""".strip(),
+)
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds {qty} with their customers,
+    top-20 by order value (TPC-H Q18 shape — the group-HAVING-join-back
+    pattern). Plan: one fact shuffle aggregates quantity per orderkey
+    with map-side combine, the HAVING filter shrinks the key list
+    drastically, and AQE picks the join strategy for the surviving keys
+    against orders/customer (at 100 TB the filtered list can exceed the
+    broadcast threshold, so no hardcoded hint). DECIMAL quantity sum →
+    exact HAVING cut; final order keyed on (o_totalprice, o_orderkey) —
+    a deterministic total order."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > _LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+q_large_order_customers.__doc__ = q_large_order_customers.__doc__.format(
+    qty=_LARGE_ORDER_QTY
+)
+
+
+# --- Q15 shape: top supplier(s) by windowed revenue -------------------------
+
+_TOP_REV_START = "1996-01-01"
+_TOP_REV_END = "1996-04-01"
+
+
+@register(
+    "top_revenue_suppliers",
+    oracle=f"""
+WITH rev AS (
+    SELECT l_suppkey, SUM({_REV_SQL}) AS total_revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '{_TOP_REV_START}'
+      AND CAST(l_shipdate AS DATE) < DATE '{_TOP_REV_END}'
+    GROUP BY l_suppkey
+),
+mx AS (SELECT MAX(total_revenue) AS max_revenue FROM rev)
+SELECT s_suppkey, s_name,
+       CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM rev CROSS JOIN mx
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = max_revenue
+""".strip(),
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum revenue over a 3-month ship window
+    (TPC-H Q15 shape — the view + max-equality join). Plan: pushed date
+    filter → one suppkey-keyed fact agg; the global max attaches as a
+    broadcast 1-row cross join (the risk-bounds shape, never an empty
+    window over all suppliers); the equality gate compares exact
+    DECIMALs, so ties are real ties on both engines, not float luck;
+    the surviving winner rows (usually one) broadcast into the supplier
+    dim join rather than shuffling the dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    ship = F.col("l_shipdate").cast("date")
+    rev = (
+        li.filter(
+            (ship >= F.lit(_TOP_REV_START).cast("date"))
+            & (ship < F.lit(_TOP_REV_END).cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue_cols()).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    winners = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
+    return (
+        sup.join(F.broadcast(winners), sup.s_suppkey == winners.l_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# --- Q7 shape: bilateral trade volume between two nations -------------------
+
+_TRADE_A = "NATION_1"
+_TRADE_B = "NATION_2"
+
+
+@register(
+    "nation_pair_trade_volume",
+    oracle=f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS ship_year,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE (ns.n_name = '{_TRADE_A}' AND nc.n_name = '{_TRADE_B}')
+   OR (ns.n_name = '{_TRADE_B}' AND nc.n_name = '{_TRADE_A}')
+GROUP BY ns.n_name, nc.n_name, year(CAST(l_shipdate AS DATE))
+""".strip(),
+)
+def q_nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between two nations per year and direction
+    (TPC-H Q7 shape). Plan: the nation pair filter is pushed into the
+    supplier and customer SIDES before any fact join — each side
+    shrinks ~2/N_nations, so the fact joins carry only qualifying rows;
+    lineitem joins the filtered suppliers on suppkey, orders joins the
+    filtered customers on custkey, and the two reduced streams meet on
+    orderkey. The residual cross-direction disjunction evaluates on the
+    joined row (both single-side implications already applied). Nation
+    dims broadcast; everything else is AQE's choice."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    pair = [_TRADE_A, _TRADE_B]
+    supp_n = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .filter(F.col("n_name").isin(pair))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .filter(F.col("n_name").isin(pair))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li_s = li.join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+    ord_c = orders.join(cust_n, orders.o_custkey == cust_n.c_custkey)
+    joined = li_s.join(ord_c, li_s.l_orderkey == ord_c.o_orderkey).filter(
+        (
+            (F.col("supp_nation") == _TRADE_A)
+            & (F.col("cust_nation") == _TRADE_B)
+        )
+        | (
+            (F.col("supp_nation") == _TRADE_B)
+            & (F.col("cust_nation") == _TRADE_A)
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).alias("ship_year"),
+        )
+        .agg(F.sum(_revenue_cols()).cast("double").alias("volume"))
+    )
+
+
+# --- Q9 shape: product-type revenue by supplier nation and year -------------
+
+_PROFIT_PTYPE = "PROMO"
+
+
+@register(
+    "product_type_revenue_by_nation",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type = '{_PROFIT_PTYPE}'
+GROUP BY n_name, year(CAST(o_orderdate AS DATE))
+""".strip(),
+)
+def q_product_type_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from one product type by supplier nation and order year
+    (TPC-H Q9 shape, the join-heaviest query in the registry: lineitem
+    meets part, supplier, nation, and orders). Plan: the p_type
+    equality filter pushes into the part scan, so the partkey join
+    only keeps ~1/|types| of the fact; supplier joins on suppkey with
+    nation broadcast onto it; orders joins on orderkey purely to
+    supply the year. Three fact-keyed shuffles is the canonical floor
+    for this shape — each is on a different key, so none can be
+    reused; AQE broadcasts whichever build side collapses below the
+    threshold after filtering."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == _PROFIT_PTYPE
+    ).select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    sup_n = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup_n, li.l_suppkey == sup_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.groupBy(
+            "nation",
+            F.year(F.col("o_orderdate").cast("date")).alias("order_year"),
+        )
+        .agg(F.sum(_revenue_cols()).cast("double").alias("revenue"))
+    )
+
+
+# --- Q22 shape: dormant high-balance customers ------------------------------
+
+_DORMANT_CUTOFF = "1999-01-01"
+
+
+@register(
+    "dormant_high_value_customers",
+    oracle=f"""
+WITH bounds AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0
+),
+dormant AS (
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer CROSS JOIN bounds
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND CAST(o_orderdate AS DATE) >= DATE '{_DORMANT_CUTOFF}'
+      )
+)
+SELECT n_name AS nation,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM dormant JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""".strip(),
+)
+def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and no recent
+    orders, rolled up by nation (TPC-H Q22 shape — scalar subquery +
+    anti-join). Plan: the global average attaches as a broadcast 1-row
+    cross join; its value is DECIMAL-sum / count — ONE double division
+    on exactly-represented operands, so the above-average cut is
+    deterministic across engines and partitionings (a naive double AVG
+    is not). The anti-join runs against orders pre-filtered by the
+    pushed date predicate, keyed on custkey; nation broadcasts onto
+    the small survivor set."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    bounds = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate").cast("date")
+        >= F.lit(_DORMANT_CUTOFF).cast("date")
+    ).select("o_custkey")
+    dormant = (
+        cust.crossJoin(F.broadcast(bounds))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        dormant.join(F.broadcast(nat), dormant.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )

@@ -40,8 +40,10 @@ def load_all() -> dict[str, QuerySpec]:
     from supplier_performance_data_pipeline_spark.plans import (  # noqa: F401
         queries_analytics,
         queries_core,
+        queries_corpus,
         queries_curation,
         queries_events,
+        queries_joins,
         queries_multimodal,
         queries_sim,
         queries_text,
