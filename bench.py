@@ -65,6 +65,15 @@ HEADLINE = [
     "events_view_purchase_funnel",
     "events_cohort_retention",
     "corpus_full_curation",
+    "customer_order_distribution",
+    "large_order_customers",
+    "top_revenue_suppliers",
+    "nation_pair_trade_volume",
+    "product_type_revenue_by_nation",
+    "dormant_high_value_customers",
+    "unigram_surprisal_scores",
+    "document_chunks",
+    "source_mixture_weights",
 ]
 
 

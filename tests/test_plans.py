@@ -270,3 +270,95 @@ def test_range_layout_scan_pushes_date_filter(spark, specs):
     plan = plan_of(spark, specs, "lineitem_range_layout_scan")
     assert re.search(r"(PushedFilters|DataFilters): \[[^\]]*l_shipdate", plan)
     assert shuffles(plan) == 1  # the returnflag agg
+
+
+def test_order_distribution_preaggregates_orders(spark, specs):
+    # Q13 shape: the fact side must compact to one row per customer
+    # BEFORE meeting the customer table — the join carries counts, not
+    # raw orders. Two shuffles: orders-per-custkey agg + the final
+    # distribution agg (the customer join broadcasts the compacted
+    # counts here; at scale AQE picks a custkey shuffle join).
+    plan = plan_of(spark, specs, "customer_order_distribution")
+    assert shuffles(plan) <= 3
+    assert "CartesianProduct" not in plan
+    # Unreferenced customer/order columns never reach the scans.
+    assert "c_acctbal" not in plan
+    assert "o_totalprice" not in plan
+
+
+def test_large_orders_single_fact_shuffle_topk(spark, specs):
+    # Q18 shape: one quantity-per-orderkey agg, HAVING-filtered keys
+    # join back, and the top-20 is TakeOrdered — never a global sort.
+    plan = plan_of(spark, specs, "large_order_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert shuffles(plan) <= 2
+
+
+def test_top_revenue_suppliers_broadcast_max(spark, specs):
+    # Q15 shape: the global max attaches as a broadcast 1-row join;
+    # the winner set broadcasts into the supplier dim join.
+    plan = plan_of(spark, specs, "top_revenue_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # The ship-window predicate reaches the lineitem scan.
+    assert re.search(r"(PushedFilters|DataFilters): \[[^\]]*l_shipdate", plan)
+
+
+def test_trade_volume_filters_dims_before_facts(spark, specs):
+    # Q7 shape: the nation-pair filter must shrink supplier/customer
+    # BEFORE the fact joins — asserted via the pushed n_name isin
+    # filter — and the two reduced streams meet on orderkey without
+    # any cartesian expansion for the cross-direction disjunction.
+    plan = plan_of(spark, specs, "nation_pair_trade_volume")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert re.search(r"(PushedFilters|DataFilters): \[[^\]]*n_name", plan)
+    assert shuffles(plan) <= 4
+
+
+def test_product_type_revenue_pushes_ptype(spark, specs):
+    # Q9 shape: the p_type equality reaches the part scan so the
+    # partkey join only carries qualifying parts.
+    plan = plan_of(spark, specs, "product_type_revenue_by_nation")
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dormant_customers_anti_join_no_cartesian(spark, specs):
+    # Q22 shape: broadcast 1-row bounds + LeftAnti against the
+    # date-filtered orders; the date predicate reaches the orders scan.
+    plan = plan_of(spark, specs, "dormant_high_value_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(PushedFilters|DataFilters): \[[^\]]*o_orderdate", plan)
+
+
+def test_surprisal_vocab_broadcasts_back(spark, specs):
+    # The term-frequency table joins back onto the token stream as a
+    # broadcast (vocabulary-bounded); the per-doc agg is the only
+    # doc-keyed shuffle.
+    plan = plan_of(spark, specs, "unigram_surprisal_scores")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert shuffles(plan) <= 4
+
+
+def test_document_chunks_shuffle_free_generator(spark, specs):
+    # Chunking is a pure generator expansion: no join, no shuffle, and
+    # the scan reads only the three referenced columns.
+    plan = plan_of(spark, specs, "document_chunks")
+    assert shuffles(plan) == 0
+    assert "Join" not in plan
+    assert "Generate" in plan
+    assert "lang" not in plan.split("ReadSchema")[-1]
+
+
+def test_mixture_weights_fact_work_is_one_agg(spark, specs):
+    # Everything after the source-keyed token agg operates on
+    # |sources| rows via broadcast 1-row joins — no fact-scale join,
+    # no cartesian product.
+    plan = plan_of(spark, specs, "source_mixture_weights")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
