@@ -74,6 +74,8 @@ HEADLINE = [
     "unigram_surprisal_scores",
     "document_chunks",
     "source_mixture_weights",
+    "embedding_dim_stats",
+    "tokenizer_fertility_by_lang",
 ]
 
 

@@ -220,3 +220,54 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("budget_tokens"),
     )
+
+
+# --- tokenizer fertility by language ----------------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.textops import (  # noqa: E402
+    BPE_TOKEN_RX,
+    bpe_token_count,
+)
+
+_BPE_RX_SQL = BPE_TOKEN_RX.replace("'", "''")
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+WITH {_TOKS_CTE},
+per_doc AS (
+    SELECT d.lang,
+           len(t.toks) AS n_ws,
+           len(regexp_extract_all(d.text, '{_BPE_RX_SQL}')) AS n_bpe
+    FROM documents d JOIN toks_cte t USING (doc_id)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS fertility
+FROM per_doc GROUP BY lang
+""".strip(),
+)
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokens per whitespace token by language — the fertility
+    ratio that prices a tokenizer's cost per language before committing
+    a token budget (punct/digit-heavy languages inflate it). One pure
+    projection computes both counts per row (no explode — size() on the
+    split arrays), then one lang-keyed agg with map-side combine; the
+    ratio is a single double division of exact integer sums."""
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_ws"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("n_ws_tokens"),
+        F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
+        ).alias("fertility"),
+    )

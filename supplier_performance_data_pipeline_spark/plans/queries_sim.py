@@ -565,3 +565,71 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked column is integer or hash — no free-form double crosses the
     engine boundary."""
     return quantization_report(_embeddings(spark, sf_dir))
+
+
+# --- per-dimension embedding distribution stats -----------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+WITH exploded AS (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+)
+SELECT dim,
+       COUNT(*) AS n_values,
+       min(v) AS min_v,
+       max(v) AS max_v,
+       ROUND(CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(12,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_v,
+       ROUND(quantile_cont(v, 0.50), 6) AS p50,
+       ROUND(quantile_cont(v, 0.99), 6) AS p99
+FROM exploded GROUP BY dim
+""".strip(),
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution health check — the scan that catches
+    dead dimensions, scale drift, and outlier tails before an embedding
+    index or training run trusts the vectors. posexplode to long format
+    (dim is the 0-based position) then ONE dim-keyed hash agg: min/max
+    are order-free, the mean runs over 6dp-quantized DECIMALs (exact,
+    reduction-order-independent — a raw double SUM over thousands of
+    floats is not), and the percentiles are exact order statistics
+    (sort-based here; at 100 TB swap to approx_percentile, same call
+    shape). 64 groups regardless of row count — the shuffle carries
+    map-side partials only."""
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        _as_double,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    exploded = emb.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v")
+    )
+    pct = F.expr("percentile(v, array(0.50D, 0.99D))")
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.round(
+                F.sum(F.round(F.col("v"), 6).cast("decimal(12,6)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_v"),
+            pct.alias("pcts"),
+        )
+        .select(
+            "dim",
+            "n_values",
+            "min_v",
+            "max_v",
+            "mean_v",
+            F.round(F.col("pcts")[0], 6).alias("p50"),
+            F.round(F.col("pcts")[1], 6).alias("p99"),
+        )
+    )

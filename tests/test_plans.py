@@ -362,3 +362,21 @@ def test_mixture_weights_fact_work_is_one_agg(spark, specs):
     plan = plan_of(spark, specs, "source_mixture_weights")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dim_stats_single_agg_after_explode(spark, specs):
+    # posexplode then ONE dim-keyed agg: a single shuffle carrying
+    # map-side partials for 64 groups, no join anywhere.
+    plan = plan_of(spark, specs, "embedding_dim_stats")
+    assert shuffles(plan) == 1
+    assert "Join" not in plan
+    assert "Generate" in plan
+
+
+def test_fertility_single_agg_no_explode(spark, specs):
+    # Both token counts are size() over the split arrays — a pure
+    # projection, no generator — followed by one lang-keyed agg.
+    plan = plan_of(spark, specs, "tokenizer_fertility_by_lang")
+    assert shuffles(plan) == 1
+    assert "Generate" not in plan
+    assert "Join" not in plan
