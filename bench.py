@@ -76,6 +76,8 @@ HEADLINE = [
     "source_mixture_weights",
     "embedding_dim_stats",
     "tokenizer_fertility_by_lang",
+    "monthly_revenue_growth",
+    "knn_join_top5",
 ]
 
 

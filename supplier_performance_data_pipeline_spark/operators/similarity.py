@@ -269,3 +269,62 @@ def quantization_report(
         ).alias("code_sum"),
         F.md5(F.array_join(code_strs, ",")).alias("code_md5"),
     )
+
+
+def knn_join_topk(
+    embeddings: DataFrame,
+    dim: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate k-NN JOIN: for EVERY vector, its top-``k`` nearest
+    same-bucket neighbors by exact cosine — the batch form of ANN that
+    feeds SemDedup-style pruning, kNN graphs, and hard-negative mining
+    (one query vector is ``lsh_topk``; this is all of them at once).
+
+    Candidates meet only inside their random-hyperplane bucket (an
+    equi-join on the bucket id — never the O(N²) cross join), then the
+    per-query top-k is a window rank PARTITIONED BY the query vector
+    over its few candidates, never a global sort. Both directions of
+    each candidate pair are kept (neighbor lists are per-query, unlike
+    the unordered near-dup pairs). Vectors alone in their bucket have
+    no neighbors and are absent — the recall/coverage trade is governed
+    by ``n_planes`` (fewer planes → bigger buckets → better recall,
+    more candidate work; multi-probe or band-OR extends coverage the
+    same way the MinHash LSH bands do). Ranking keys on the ROUNDED
+    cosine with the neighbor id as tie-break: a deterministic total
+    order on every engine."""
+    from pyspark.sql.window import Window
+
+    v = _as_double(F.col(vec_col))
+    base = embeddings.select(F.col(id_col).alias("vid"), v.alias("v")).select(
+        "vid",
+        "v",
+        F.expr(lsh_bucket_expr("v", dim, n_planes)).alias("bucket"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+        "bucket", F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+        "bucket", F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -397,3 +397,57 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("total_balance"),
         )
     )
+
+
+# --- month-over-month revenue growth ----------------------------------------
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle=f"""
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+               AS month_start,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY date_trunc('month', CAST(l_shipdate AS DATE))
+)
+SELECT month_start,
+       revenue,
+       LAG(revenue) OVER (ORDER BY month_start) AS prev_revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY month_start))
+             / LAG(revenue) OVER (ORDER BY month_start) * 100.0, 6)
+           AS growth_pct
+FROM monthly
+""".strip(),
+)
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month shipped-revenue growth — the KPI-trend shape:
+    aggregate FIRST (one fact shuffle down to one row per month), then
+    lag/growth over the tiny result series. The unpartitioned window is
+    deliberate and safe here: it sorts ~|months| rows, never raw facts
+    — the general rule (never an empty-frame window over fact tables)
+    doesn't apply to a post-aggregate series bounded by the calendar.
+    Revenue sums are exact DECIMAL cast to double at the edge; the
+    growth ratio is one double division of those exact values."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias(
+                "month_start"
+            )
+        )
+        .agg(F.sum(_revenue_cols()).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month_start",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100.0, 6).alias(
+            "growth_pct"
+        ),
+    )

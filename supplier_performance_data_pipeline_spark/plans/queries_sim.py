@@ -633,3 +633,74 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pcts")[1], 6).alias("p99"),
         )
     )
+
+
+# --- approximate k-NN join (batch ANN) --------------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    knn_join_topk,
+)
+
+KNN_K = 5
+# Fewer planes than the near-dup query: the kNN join wants BIGGER
+# buckets (recall over precision) — 4 planes = 16 buckets keeps every
+# neighbor list non-trivial at demo SF while the same knob scales to
+# log2(N) planes at corpus size.
+KNN_PLANES = 4
+
+_KNN_PLANES_VALUES = ", ".join(
+    f"({p}, {hyperplane(p, DIM)})" for p in range(KNN_PLANES)
+)
+_KNN_PLANES_CTE = (
+    f"knn_planes AS (SELECT * FROM (VALUES {_KNN_PLANES_VALUES}) t(p, hp))"
+)
+
+
+@register(
+    "knn_join_top5",
+    oracle=f"""
+WITH {_KNN_PLANES_CTE},
+proj AS (
+    SELECT e.vec_id, e.embedding, pl.p,
+           list_sum(list_transform(range(0, len(e.embedding)),
+               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(pl.hp[i+1] AS DOUBLE))) AS d
+    FROM embeddings e CROSS JOIN knn_planes pl
+),
+buckets AS (
+    SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+),
+base AS (
+    SELECT e.vec_id, e.embedding, b.bucket,
+           sqrt(list_sum(list_transform(range(0, len(e.embedding)),
+               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) AS nrm
+    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+),
+scored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(range(0, len(a.embedding)),
+                 i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+               / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY vec_a ORDER BY cosine_sim DESC, vec_b) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT vec_a, vec_b, cosine_sim, rank FROM ranked WHERE rank <= {KNN_K}
+""".strip(),
+)
+def q_knn_join_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: every vector's top-{k} same-bucket neighbors (the kNN
+    join behind SemDedup pruning, kNN-graph construction, and
+    hard-negative mining). Bucket equi-join for candidates — never the
+    O(N²) cross join — then a per-query window rank over each vector's
+    few candidates."""
+    return knn_join_topk(
+        _embeddings(spark, sf_dir), DIM, KNN_K, n_planes=KNN_PLANES
+    )
+
+
+q_knn_join_top5.__doc__ = q_knn_join_top5.__doc__.format(k=KNN_K)

@@ -380,3 +380,24 @@ def test_fertility_single_agg_no_explode(spark, specs):
     assert shuffles(plan) == 1
     assert "Generate" not in plan
     assert "Join" not in plan
+
+
+def test_monthly_growth_aggregates_before_window(spark, specs):
+    # The lag window must run over the post-aggregate month series:
+    # exactly one fact shuffle (the month groupBy) plus the series'
+    # single-partition sort — never a window over raw lineitem.
+    plan = plan_of(spark, specs, "monthly_revenue_growth")
+    assert plan.count("Window") == 1
+    assert shuffles(plan) <= 2
+    assert "Join" not in plan
+
+
+def test_knn_join_bucket_equi_never_cross(spark, specs):
+    # The kNN join's candidate generation must be a bucket equi-join —
+    # any cartesian/nested-loop here is the O(N^2) failure mode — and
+    # the per-query top-k a window rank, never a global sort.
+    plan = plan_of(spark, specs, "knn_join_top5")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" not in plan  # rank is per-vector
