@@ -109,3 +109,51 @@ def test_contamination_empty_eval_set_reports_nothing(spark):
 def test_eval_ngram_set_empty_docs(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert eval_ngram_set(docs).count() == 0
+
+
+def test_knn_join_empty_and_singleton(spark):
+    """Empty input -> empty neighbor lists; a lone vector has no
+    same-bucket neighbor and is absent (not a self-match: the join
+    filters vec_a != vec_b)."""
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        knn_join_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert knn_join_topk(empty, 4, 3).count() == 0
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert knn_join_topk(one, 4, 3).count() == 0
+
+
+def test_knn_join_identical_vectors_rank_deterministically(spark):
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        knn_join_topk,
+    )
+
+    vecs = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(4)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = knn_join_topk(df, 4, 2).collect()
+    # All cosines tie at 1.0 -> rank order must fall back to vec_b asc.
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["vec_a"], []).append((r["rank"], r["vec_b"]))
+    for qa, lst in by_query.items():
+        expect = [v for v in range(4) if v != qa][:2]
+        assert [vb for _, vb in sorted(lst)] == expect
+
+
+def test_quantization_zero_vector(spark):
+    """The all-zero embedding must quantize to zero codes with zero
+    scale, not divide by zero."""
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    row = quantize_int8(df).collect()[0]
+    assert row["scale_micro"] == 0
+    assert list(row["codes"]) == [0, 0, 0]
