@@ -78,6 +78,8 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     "monthly_revenue_growth",
     "knn_join_top5",
+    "order_delay_blame",
+    "events_hourly_anomalies",
 ]
 
 

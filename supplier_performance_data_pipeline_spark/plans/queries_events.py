@@ -561,3 +561,110 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dau = act.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
     return dau.join(wau, "day")
+
+
+# --- rolling z-score anomaly detection over the hourly series ---------------
+
+_ANOM_FRAME = 24  # trailing observed hours in the baseline window
+_ANOM_MIN_N = 12  # don't flag until the baseline has this many hours
+_ANOM_SIGMA = 3.0
+
+
+@register(
+    "events_hourly_anomalies",
+    oracle=f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           COUNT(*) AS n_events
+    FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+),
+stats AS (
+    SELECT hour, n_events,
+           COUNT(*) OVER w AS n,
+           SUM(n_events) OVER w AS s,
+           SUM(n_events * n_events) OVER w AS ss
+    FROM hourly
+    WINDOW w AS (ORDER BY hour ROWS BETWEEN {_ANOM_FRAME} PRECEDING
+                 AND 1 PRECEDING)
+)
+SELECT hour, n_events,
+       ROUND(CAST(s AS DOUBLE) / nullif(n, 0), 6) AS trail_mean,
+       CASE WHEN n >= {_ANOM_MIN_N}
+             AND greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                 * CAST(s AS DOUBLE) / nullif(n, 0)) / nullif(n - 1, 0),
+                 0.0) > 0.0
+            THEN ROUND((n_events - CAST(s AS DOUBLE) / nullif(n, 0))
+                 / nullif(sqrt(greatest((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nullif(n, 0))
+                     / nullif(n - 1, 0), 0.0)), 0.0), 6)
+       END AS z_score,
+       CASE WHEN n >= {_ANOM_MIN_N}
+             AND greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                 * CAST(s AS DOUBLE) / nullif(n, 0)) / nullif(n - 1, 0),
+                 0.0) > 0.0
+             AND abs((n_events - CAST(s AS DOUBLE) / nullif(n, 0))
+                 / nullif(sqrt(greatest((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nullif(n, 0))
+                     / nullif(n - 1, 0), 0.0)), 0.0))
+                 > {_ANOM_SIGMA}
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM stats
+""".strip(),
+)
+def q_events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over the hourly event-count series
+    — the monitoring query every ingest pipeline runs. Aggregate FIRST
+    (one fact shuffle down to one row per hour), then a bounded
+    trailing frame (ROWS {frame} PRECEDING..1 PRECEDING — excludes the
+    current hour so a spike can't mask itself) over the calendar-
+    bounded series; the baseline must have ≥{minn} observed hours
+    before anything is flagged. Mean/variance come from exact integer
+    window sums (counts are small enough that s and ss stay exact in
+    doubles) with a greatest(...,0) guard against catastrophic-
+    cancellation negatives; every double expression is written
+    identically in both engines, so the rounded outputs agree
+    bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.orderBy("hour").rowsBetween(-_ANOM_FRAME, -1)
+    )
+    n = F.count("*").over(w)
+    s = F.sum("n_events").over(w)
+    ss = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    stats = hourly.select("hour", "n_events", n.alias("n"),
+                          s.alias("s"), ss.alias("ss"))
+    # nullif on every divisor, not CASE guards: under ANSI mode a zero
+    # divisor raises even inside an unselected CASE branch (codegen's
+    # subexpression elimination evaluates it unconditionally); dividing
+    # by NULL is well-defined NULL on both engines.
+    nz = F.nullif(F.col("n"), F.lit(0))
+    mean = F.col("s").cast("double") / nz
+    var = F.greatest(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / nz
+        )
+        / F.nullif(F.col("n") - 1, F.lit(0)),
+        F.lit(0.0),
+    )
+    z = (F.col("n_events") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
+    gate = (F.col("n") >= _ANOM_MIN_N) & (var > 0.0)
+    return stats.select(
+        "hour",
+        "n_events",
+        F.round(mean, 6).alias("trail_mean"),
+        F.when(gate, F.round(z, 6)).alias("z_score"),
+        F.when(gate & (F.abs(z) > _ANOM_SIGMA), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_anomaly"),
+    )
+
+
+q_events_hourly_anomalies.__doc__ = q_events_hourly_anomalies.__doc__.format(
+    frame=_ANOM_FRAME, minn=_ANOM_MIN_N
+)

@@ -451,3 +451,75 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_pct"
         ),
     )
+
+
+# --- Q21 shape: suppliers solely to blame for multi-supplier delays ---------
+
+_BLAME_LATE_DAYS = 60
+_BLAME_TOP = 10
+
+
+@register(
+    "order_delay_blame",
+    oracle=f"""
+WITH lo AS (
+    SELECT l_orderkey, l_suppkey,
+           CASE WHEN CAST(l_shipdate AS DATE)
+                     > CAST(o_orderdate AS DATE) + INTERVAL {_BLAME_LATE_DAYS} DAY
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp,
+           MIN(CASE WHEN late = 1 THEN l_suppkey END) AS blamed
+    FROM lo GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON blamed = s_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT {_BLAME_TOP}
+""".strip(),
+)
+def q_order_delay_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers SOLELY responsible for delaying multi-supplier orders
+    (TPC-H Q21 shape — the exists/not-exists pair over co-suppliers).
+    Instead of two correlated subqueries re-scanning lineitem, ONE
+    order-keyed aggregate computes both quantifiers at once: distinct
+    suppliers on the order (exists another supplier), distinct LATE
+    suppliers (not exists another late one ⇔ exactly one), and — since
+    the late supplier is then unique — MIN over the late suppkeys
+    recovers the culprit in the same pass. One orderkey join + one
+    orderkey agg + one tiny suppkey agg; the supplier dim joins the
+    per-order survivors; top-10 is TakeOrdered. All-integer pipeline;
+    the sort keys on (count, name) — a deterministic total order."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), _BLAME_LATE_DAYS),
+        F.col("l_suppkey"),
+    )
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late_supp"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct("late_supp").alias("n_late_supp"),
+            F.min("late_supp").alias("blamed"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(sup), per_order.blamed == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(_BLAME_TOP)
+    )

@@ -401,3 +401,25 @@ def test_knn_join_bucket_equi_never_cross(spark, specs):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
     assert "TakeOrderedAndProject" not in plan  # rank is per-vector
+
+
+def test_delay_blame_one_orderkey_agg(spark, specs):
+    # Q21 shape: both quantifiers (exists co-supplier / sole late
+    # supplier) must come from ONE order-keyed aggregate over the
+    # orderkey join — never two correlated lineitem re-scans — and the
+    # top-10 is TakeOrdered with the supplier dim broadcast.
+    plan = plan_of(spark, specs, "order_delay_blame")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # lineitem appears in exactly one scan branch (no second fact scan).
+    assert plan.count("Location: InMemoryFileIndex") <= 3
+
+
+def test_hourly_anomalies_aggregate_before_window(spark, specs):
+    # One fact shuffle (the hour groupBy); the trailing frame runs over
+    # the calendar-bounded hourly series, not raw events.
+    plan = plan_of(spark, specs, "events_hourly_anomalies")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert shuffles(plan) <= 2
