@@ -97,3 +97,34 @@ def test_streaming_interval_join_equals_batch(spark):
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_static_dim_join_enriches_per_user_rollup(spark):
+    """Stream-static join: a streaming aggregate enriched against a
+    static dimension (the standard streaming-enrichment shape — the
+    static side re-resolves per microbatch, no state). Streaming result
+    must equal the batch twin of the same plan."""
+    from pyspark.sql import functions as F
+
+    stream = read_event_stream(spark, EVENTS_DIR)
+    batch = normalize_event_ts(spark.read.parquet(EVENTS_PATH))
+    # Static dimension derived from the batch data (user -> tier).
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even")
+                    .otherwise("odd"))
+    )
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_events"))
+    )
+    run_to_memory_sink(enriched, "tier_rollup")
+    got = _canon(spark.sql("SELECT * FROM tier_rollup").toPandas())
+    want = _canon(
+        batch.join(dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_events"))
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
