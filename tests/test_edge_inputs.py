@@ -157,3 +157,34 @@ def test_quantization_zero_vector(spark):
     row = quantize_int8(df).collect()[0]
     assert row["scale_micro"] == 0
     assert list(row["codes"]) == [0, 0, 0]
+
+
+def test_mixture_weights_plan_invariants(spark, tmp_path):
+    """The sampling plan must be feasible and maximal: every acceptance
+    rate in (0, 1], the binding source exactly 1, budgets never exceed
+    availability, and target shares sum to 1."""
+    import os
+
+    from supplier_performance_data_pipeline_spark.plans.queries_corpus import (
+        q_source_mixture_weights,
+    )
+
+    rows = []
+    doc_id = 0
+    for i, n_docs in enumerate([2, 5, 1, 8]):
+        for _ in range(n_docs):
+            text = " ".join(f"w{j}" for j in range(10 + 7 * i))
+            rows.append((doc_id, text, "en", f"src{i}", len(text)))
+            doc_id += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = q_source_mixture_weights(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert all(0.0 < r["accept_rate"] <= 1.0 for r in out)
+    assert any(abs(r["accept_rate"] - 1.0) < 1e-9 for r in out)
+    assert all(r["budget_tokens"] <= r["n_tokens"] for r in out)
+    assert abs(sum(r["target_share"] for r in out) - 1.0) < 1e-5

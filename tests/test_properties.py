@@ -160,3 +160,118 @@ def test_upsert_matches_dict_merge(spark, base, updates):
     udf_ = spark.createDataFrame(list(updates.items()) or [], schema)
     got = {r["k"]: r["v"] for r in upsert(bdf, udf_, ["k"]).collect()}
     assert got == {**base, **updates}
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=900,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@SLOW
+def test_document_chunks_reconstruct_text(spark, texts):
+    """Model: chunks at stride S with width C >= S cover the text, and
+    dropping each chunk's leading overlap (C - S chars, except chunk 0)
+    and concatenating in order reproduces the document exactly."""
+    from supplier_performance_data_pipeline_spark.plans.queries_corpus import (
+        _CHUNK_CHARS,
+        _CHUNK_STRIDE,
+        q_document_chunks,
+    )
+
+    rows = [(i, t, len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = q_document_chunks(spark, d).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    overlap = _CHUNK_CHARS - _CHUNK_STRIDE
+    for i, text in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        # Offsets are the stride grid; every char position is covered.
+        assert [c["start_char"] for c in chunks] == [
+            j * _CHUNK_STRIDE
+            for j in range(len(chunks))
+        ]
+        rebuilt = ""
+        for c in chunks:
+            piece = text[c["start_char"]: c["start_char"] + _CHUNK_CHARS]
+            assert c["chunk_chars"] == len(piece)
+            rebuilt += piece if c["chunk_idx"] == 0 else piece[overlap:] \
+                if len(piece) > overlap else ""
+            # note: trailing chunks shorter than the overlap contribute
+            # nothing new — their content is already covered.
+        assert rebuilt == text
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            # magnitude x sign: keeps components away from zero (a zero
+            # vector has no cosine) without rejection filtering
+            st.builds(
+                lambda m, s: m * s,
+                st.floats(min_value=0.125, max_value=1.0, width=32),
+                st.sampled_from([1.0, -1.0]),
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=8,
+    )
+)
+@SLOW
+def test_knn_join_matches_bruteforce_within_buckets(spark, vecs):
+    """Model: restricted to its LSH bucket, each vector's neighbor list
+    must be exactly the bucket's true cosine top-k (numpy reference),
+    ranked by rounded similarity with id tie-break."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        knn_join_topk,
+        py_lsh_bucket,
+    )
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {}
+    for r in knn_join_topk(df, 4, k, n_planes=2).collect():
+        got.setdefault(r["vec_a"], []).append((r["rank"], r["vec_b"]))
+    # numpy model over float32-cast inputs (the operator reads float32)
+    arr = np.array(vecs, dtype=np.float32).astype(np.float64)
+    buckets = [py_lsh_bucket(list(v), 4, n_planes=2) for v in arr]
+    for i in range(len(vecs)):
+        cands = [
+            j for j in range(len(vecs))
+            if j != i and buckets[j] == buckets[i]
+        ]
+        sims = sorted(
+            (
+                (
+                    -round(
+                        float(arr[i] @ arr[j])
+                        / (np.linalg.norm(arr[i]) * np.linalg.norm(arr[j])),
+                        6,
+                    ),
+                    j,
+                )
+                for j in cands
+            ),
+        )[:k]
+        want = [j for _, j in sims]
+        have = [j for _, j in sorted(got.get(i, []))]
+        assert have == want
