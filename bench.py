@@ -80,6 +80,8 @@ HEADLINE = [
     "knn_join_top5",
     "order_delay_blame",
     "events_hourly_anomalies",
+    "order_status_priority_pivot",
+    "supplier_kpis_unpivot",
 ]
 
 

@@ -463,3 +463,97 @@ def q_preview_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table preview LIMIT n, made deterministic by ordering on the key
     (reference: dashboard/app.py:204)."""
     return preview(_t(spark, sf_dir, "supplier"), "s_suppkey", 20)
+
+
+# --- PIVOT / UNPIVOT (wide<->long reshaping operators) ----------------------
+
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "order_status_priority_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+           AS total_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+           AS total_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+           AS total_p
+FROM orders GROUP BY o_orderpriority
+""".strip(),
+)
+def q_order_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts and DECIMAL-exact value per (priority x
+    status) cell as a wide table — the crosstab/reshape operator. The
+    pivot values are EXPLICIT: without the list Spark runs a separate
+    distinct job just to discover the columns — a hidden extra pass
+    over the fact table at 100 TB (and nondeterministic column order).
+    One hash agg keyed by priority, cells combined map-side; empty
+    count cells coalesce to 0 (both engines agg an empty set to NULL
+    for the pivoted count), empty sums stay NULL."""
+    tune_session(spark)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .agg(
+            # count(lit(1)), not count("*"): Pivot rejects the star
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in _PIVOT_STATUSES
+        ],
+        *[
+            F.col(f"{s}_total").alias(f"total_{s.lower()}")
+            for s in _PIVOT_STATUSES
+        ],
+    )
+
+
+_UNPIVOT_METRICS = [
+    "on_time_delivery_rate",
+    "avg_delivery_delay_days",
+    "fill_rate",
+    "quality_issue_rate",
+]
+
+
+@register(
+    "supplier_kpis_unpivot",
+    oracle="WITH "
+    + DOMAIN_CTES
+    + ",\nk AS (\n"
+    + KPI_ROUNDED_SQL
+    + "\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT supplier_id, '{m}' AS metric, {m} AS value FROM k"
+        for m in _UNPIVOT_METRICS
+    ),
+)
+def q_supplier_kpis_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the four KPI metrics reshaped to long
+    (supplier_id, metric, value) — what a generic metrics store or
+    chart layer consumes. Spark's native unpivot is a zero-shuffle
+    projection (each row expands to 4, no join, no union re-scan);
+    the oracle's UNION ALL form re-reads the CTE per metric, which is
+    exactly the rewrite unpivot exists to avoid at scale. Values are
+    the already-rounded KPI doubles, so both engines emit identical
+    bits."""
+    kpis = round_doubles(_kpis(spark, sf_dir))
+    return kpis.unpivot(
+        ["supplier_id"], _UNPIVOT_METRICS, "metric", "value"
+    )

@@ -423,3 +423,27 @@ def test_hourly_anomalies_aggregate_before_window(spark, specs):
     assert "Window" in plan
     assert "Join" not in plan
     assert shuffles(plan) <= 2
+
+
+def test_pivot_two_phase_agg_no_join(spark, specs):
+    # PIVOT with explicit values compiles to the two-phase aggregate
+    # ((priority, status) partials, then priority pivot-first) over ONE
+    # scan — no distinct-discovery job, no join, no Expand.
+    plan = plan_of(spark, specs, "order_status_priority_pivot")
+    assert shuffles(plan) <= 2
+    assert "Join" not in plan
+    assert "Expand" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_unpivot_adds_no_scans_over_kpis(spark, specs):
+    # UNPIVOT is an Expand over the KPI result: same scan set as the
+    # wide supplier_kpis plan (the UNION ALL rewrite would multiply the
+    # scans per metric), no extra shuffle.
+    kpi_plan = plan_of(spark, specs, "supplier_kpis")
+    plan = plan_of(spark, specs, "supplier_kpis_unpivot")
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == kpi_plan.count(
+        "Location: InMemoryFileIndex"
+    )
+    assert shuffles(plan) == shuffles(kpi_plan)
