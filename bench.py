@@ -82,6 +82,7 @@ HEADLINE = [
     "events_hourly_anomalies",
     "order_status_priority_pivot",
     "supplier_kpis_unpivot",
+    "winsorized_price_stats",
 ]
 
 

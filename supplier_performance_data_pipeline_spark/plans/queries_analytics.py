@@ -1104,3 +1104,66 @@ def q_customer_returns_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# --- winsorized (percentile-clipped) robust aggregate -----------------------
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+WITH bounds AS (
+    SELECT CAST(ROUND(quantile_cont(l_extendedprice, 0.01), 2)
+                AS DECIMAL(12,2)) AS p01,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 2)
+                AS DECIMAL(12,2)) AS p99
+    FROM lineitem
+),
+clipped AS (
+    SELECT l_returnflag,
+           LEAST(GREATEST(CAST(l_extendedprice AS DECIMAL(12,2)), p01),
+                 p99) AS v
+    FROM lineitem CROSS JOIN bounds
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(v) AS DOUBLE) AS clipped_sum,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS clipped_mean
+FROM clipped GROUP BY l_returnflag
+""".strip(),
+)
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price statistics: clip at the global [p01, p99] then
+    aggregate — the robust-stats shape that stops a handful of outliers
+    from dominating a mean (feature normalization / reward clipping use
+    the identical plan). The percentile bounds attach as a broadcast
+    1-row cross join (the risk-bounds shape); clipping and summing run
+    entirely in DECIMAL(12,2) — prices are 2dp-quantized, so the
+    double→decimal cast reproduces the exact stored value on both
+    engines (a 6dp cast does NOT: the engines' double→decimal rounding
+    paths diverge in the last µ-digit and the per-row drift survives
+    the exact sum) — with one double division at the edge. Two passes over the fact
+    (bounds + clipped agg) is the price of exact percentiles; at 100 TB
+    the bounds pass switches to approx_percentile, same plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.01D, 0.99D))")
+    bounds = li.agg(
+        F.round(pct[0], 2).cast("decimal(12,2)").alias("p01"),
+        F.round(pct[1], 2).cast("decimal(12,2)").alias("p99"),
+    )
+    clipped = li.crossJoin(F.broadcast(bounds)).select(
+        "l_returnflag",
+        F.least(
+            F.greatest(
+                F.col("l_extendedprice").cast("decimal(12,2)"), F.col("p01")
+            ),
+            F.col("p99"),
+        ).alias("v"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("v").cast("double").alias("clipped_sum"),
+        F.round(F.sum("v").cast("double") / F.count("*"), 6).alias(
+            "clipped_mean"
+        ),
+    )

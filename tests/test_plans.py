@@ -447,3 +447,12 @@ def test_unpivot_adds_no_scans_over_kpis(spark, specs):
         "Location: InMemoryFileIndex"
     )
     assert shuffles(plan) == shuffles(kpi_plan)
+
+
+def test_winsorized_stats_broadcast_bounds(spark, specs):
+    # The percentile bounds attach as a broadcast 1-row join (never a
+    # cartesian shuffle); the clipped agg is one returnflag-keyed pass.
+    plan = plan_of(spark, specs, "winsorized_price_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert shuffles(plan) <= 3
