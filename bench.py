@@ -83,6 +83,12 @@ HEADLINE = [
     "order_status_priority_pivot",
     "supplier_kpis_unpivot",
     "winsorized_price_stats",
+    "part_pair_affinity",
+    "revenue_decile_shares",
+    "simhash_hamming_pairs",
+    "dedup_cluster_size_histogram",
+    "bm25_top_terms",
+    "lsh_estimator_error",
 ]
 
 

@@ -523,3 +523,171 @@ def q_order_delay_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(_BLAME_TOP)
     )
+
+
+# --- market-basket part-pair affinity ---------------------------------------
+
+_AFFINITY_TOP = 20
+
+
+@register(
+    "part_pair_affinity",
+    oracle=f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
+marg AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_together
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, n_together,
+       ROUND(CAST(n_together * n AS DOUBLE)
+             / CAST(ma.n_part * mb.n_part AS DOUBLE), 6) AS lift
+FROM pairs
+CROSS JOIN n_orders
+JOIN marg ma ON ma.l_partkey = part_a
+JOIN marg mb ON mb.l_partkey = part_b
+ORDER BY n_together DESC, part_a, part_b
+LIMIT {_AFFINITY_TOP}
+""".strip(),
+)
+def q_part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-ordered in the same order,
+    ranked by support with lift against independence. The engine-side
+    pattern behind "frequently bought together".
+
+    Scale: the order×part table is deduplicated once (one shuffle) and
+    materialized (localCheckpoint) because four subplans read it — the
+    self-join's two sides, the per-part marginals, and the order count;
+    recomputing the distinct per consumer would quadruple the fact
+    scans. The pair generation is an equi-join on l_orderkey, so the
+    fan-out is bounded by per-order line count (≤7 in TPC-H-shaped
+    data), never all-pairs over parts. Marginals are part-dimension
+    sized and broadcast; the order count attaches as a broadcast 1-row
+    cross join. Support counts and both lift factors are exact BIGINTs;
+    lift itself is ONE double division of exact operands (+ round 6) so
+    ranking and values are engine- and partitioning-independent. The
+    final top-k is a TakeOrderedAndProject with a total-order tie-break
+    (support desc, part_a, part_b), not a global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_orders = op.agg(F.count_distinct("l_orderkey").alias("n"))
+    marg = op.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_together"))
+    )
+    ma = F.broadcast(
+        marg.select(
+            F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+        )
+    )
+    mb = F.broadcast(
+        marg.select(
+            F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+        )
+    )
+    return (
+        pairs.join(ma, "part_a")
+        .join(mb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            F.round(
+                (F.col("n_together") * F.col("n")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_together"), F.asc("part_a"), F.asc("part_b"))
+        .limit(_AFFINITY_TOP)
+    )
+
+
+# --- revenue concentration by customer decile -------------------------------
+
+
+@register(
+    "revenue_decile_shares",
+    oracle="""
+WITH per_cust AS (
+    SELECT o_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT SUM(rev) AS total FROM per_cust),
+deciles AS (
+    SELECT o_custkey, rev,
+           NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+    FROM per_cust
+)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(rev) AS DOUBLE) AS decile_revenue,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(total AS DOUBLE) * 100.0, 6)
+           AS share_pct
+FROM deciles CROSS JOIN tot
+GROUP BY decile, total
+""".strip(),
+)
+def q_revenue_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers bucketed into spend deciles
+    (ntile over the per-customer total), each decile's share of global
+    revenue — the "top 10% of customers drive X% of revenue" curve.
+
+    Scale: the expensive work (per-customer DECIMAL sum) is one
+    fact-table shuffle; the ntile window then runs over the COMPACTED
+    per-customer aggregate — customer-dimension cardinality, not fact
+    cardinality. That window is a global sort by construction (deciles
+    are a total ranking); at extreme customer counts the same cut
+    points come from approx_percentile over the aggregate instead —
+    the decile assignment becomes a broadcast range lookup and nothing
+    global remains. Ties are broken (rev desc, custkey) so NTILE is a
+    total order and both engines bucket identically; sums stay DECIMAL
+    until the output edge, and the share is one double division of
+    exact operands.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tot = per_cust.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    deciles = per_cust.withColumn("decile", F.ntile(10).over(w))
+    return (
+        deciles.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev").alias("rev_sum"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            F.col("rev_sum").cast("double").alias("decile_revenue"),
+            F.round(
+                F.col("rev_sum").cast("double")
+                / F.col("total").cast("double")
+                * 100.0,
+                6,
+            ).alias("share_pct"),
+        )
+    )

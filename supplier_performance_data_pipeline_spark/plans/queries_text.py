@@ -1001,3 +1001,373 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(GRAIN) * _QW_BASE) * F.col("quality_score")
     ).cast("long")
     return scored.filter(hash_bucket(F.col("doc_id"), _QW_SEED) < thr)
+
+
+# --- SimHash banded near-dup pairs ------------------------------------------
+
+# 4 bands x 8 bits over the 32-bit signature: any pair within Hamming
+# distance 3 differs in at most 3 bands, so by pigeonhole it shares at
+# least one full band — candidate recall at <=3 is exactly 1 (Manku,
+# Jain & Sarma, WWW '07 sizing). 8-bit band values keep bucket
+# occupancy ~n/256 per band; a 64-bit signature with 16-bit bands is
+# the same code at larger corpus scale.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 8
+SIMHASH_HAMMING_MAX = 3
+
+_SIM_CTE = f"""tok AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(u.tok), 1, 8)) AS BIGINT) AS h
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM toks_cte) u
+),
+bits AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM tok GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits)"""
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SIM_CTE},
+bands AS (
+    SELECT doc_id,
+           r.range AS band_idx,
+           (simhash >> (8 * CAST(r.range AS INTEGER))) & 255 AS band_val
+    FROM sim CROSS JOIN range({SIMHASH_BANDS}) r
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+FROM cand
+JOIN sim sa ON sa.doc_id = doc_a
+JOIN sim sb ON sb.doc_id = doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAMMING_MAX}
+""".strip(),
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: banded bucketing (4 x 8-bit bands
+    over the 32-bit signature) proposes candidates, exact Hamming
+    distance over the full signature verifies — the Manku/Jain/Sarma
+    WWW '07 web-dedup shape, and the bitwise sibling of the MinHash
+    LSH pipeline (``lsh_near_dup_pairs``).
+
+    Recall is EXACT at the emitted threshold: a pair within Hamming
+    distance 3 differs in at most 3 of the 4 bands,
+    so it must agree on one band and is always proposed (pigeonhole).
+
+    Scale: signatures are one token-explode + hash-agg pass,
+    materialized once (localCheckpoint) because the plan reads them
+    three times (band explode + both verify sides). Candidates come
+    from an equi-join on (band_idx, band_val) — bucket-sized work,
+    never all-pairs — and the verify is a projection (xor + popcount)
+    on integer columns, exact in both engines.
+    """
+    sigs = simhash32(_docs(spark, sf_dir)).localCheckpoint()
+    stack_args = ", ".join(
+        f"{b}, cast(shiftright(simhash, {8 * b}) & 255 AS bigint)"
+        for b in range(SIMHASH_BANDS)
+    )
+    bands = sigs.selectExpr(
+        "doc_id",
+        f"stack({SIMHASH_BANDS}, {stack_args}) AS (band_idx, band_val)",
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "cast(bit_count(sim_a ^ sim_b) AS int) AS hamming",
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )
+
+
+# --- duplicate-cluster size distribution ------------------------------------
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+{_MS_CTE},
+{_SIGS_CTE},
+bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs),
+{_CC_CTES_SQL},
+comp AS (
+    SELECT verts.v AS doc_id, COALESCE(mn.m, verts.v) AS component
+    FROM verts LEFT JOIN mn ON verts.v = mn.src
+),
+sizes AS (
+    SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+""".strip(),
+)
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-duplicate cluster sizes — the curation
+    dashboard's "how duplicated is this corpus" histogram, and the
+    sanity check that catches a degenerate giant component (a too-loose
+    LSH threshold chains everything together; this surfaces it as one
+    huge cluster_size row long before a retention pass eats the corpus).
+
+    Same pair source + connected components as ``dedup_components``
+    (alternating star rounds, per-round lineage truncation); the
+    histogram itself is two cheap hash aggs over the component
+    assignment — component-cardinality work, map-side combinable.
+    """
+    pairs_df, sigs = near_dup_pairs_cached(_docs(spark, sf_dir))
+    pairs = pairs_df.filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    sigs.unpersist()
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
+# --- BM25 keyword extraction ------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 3
+
+
+@register(
+    "bm25_top_terms",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, unnest(toks) AS term FROM toks_cte),
+tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfc GROUP BY doc_id),
+dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs,
+             CAST(CAST(SUM(len(toks)) AS BIGINT) AS DOUBLE)
+                 / COUNT(*) AS avgdl
+      FROM toks_cte),
+scored AS (
+    SELECT tfc.doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           ROUND(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * (dl / avgdl))),
+               6) AS bm25
+    FROM tfc
+    JOIN dfc USING (term)
+    JOIN dl ON dl.doc_id = tfc.doc_id
+    CROSS JOIN n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, bm25 FROM ranked WHERE rnk <= {_BM25_TOP}
+""".strip(),
+)
+def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 BM25-weighted terms (Robertson–Spärck Jones idf,
+    k1=1.2, b=0.75) — the retrieval-grade sibling of ``tfidf_top_terms``
+    with document-length normalization, the scoring behind corpus
+    search / hard-negative mining for retrieval training sets.
+
+    Plan: ONE tokenize+explode → (doc,term) tf agg, MATERIALIZED
+    (localCheckpoint) because three consumers read it — per-doc length,
+    the term df table, and the scoring join; without the checkpoint
+    Spark re-derives each branch and tokenizes the corpus three times
+    (the plan pin asserts one corpus scan). df is vocabulary-sized and
+    broadcasts back; N and avgdl attach as a broadcast 1-row cross
+    join. avgdl is a single double division of exact integers (BIGINT
+    token total — Σtf over the materialized aggregate, identical to
+    Σlen(toks) since token-less docs contribute 0 — over the doc
+    count); every BM25 input is an exact integer, the score expression
+    is structured identically in both engines, and ranking keys on the
+    ROUNDED score with a term tie-break — the same determinism
+    contract as TF-IDF."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = (
+        tf.agg(F.sum("tf").cast("long").alias("tok_total"))
+        .crossJoin(docs.agg(F.count("*").alias("n_docs")))
+        .select(
+            "n_docs",
+            (F.col("tok_total").cast("double") / F.col("n_docs")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(
+                F.log(
+                    (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BM25_TOP)
+        .select("doc_id", "term", "tf", "df", "bm25")
+    )
+
+
+# --- LSH estimator quality vs exact Jaccard ---------------------------------
+
+_EST_CUT = 0.5  # the near-dup decision threshold under audit
+
+
+@register(
+    "lsh_estimator_error",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+{_MS_CTE},
+{_SIGS_CTE},
+bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ({" + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K))})
+               AS n_match
+    FROM bands a JOIN bands b
+      ON a.doc_id < b.doc_id
+     AND ({" OR ".join(f"a.band{b} = b.band{b}" for b in range(LSH_BANDS))})
+),
+sh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh_cte),
+per_pair AS (
+    SELECT n_match,
+           CAST(n_match AS DOUBLE) / {MINHASH_K} AS est,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / NULLIF(CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE),
+                        0.0) AS exact
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b
+)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(est - exact), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE)
+             / COUNT(*), 6) AS mean_abs_err,
+       MAX(ROUND(ABS(est - exact), 6)) AS max_abs_err,
+       CAST(SUM(CASE WHEN est >= {_EST_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_est_pos,
+       CAST(SUM(CASE WHEN exact >= {_EST_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_pos,
+       CAST(SUM(CASE WHEN est >= {_EST_CUT} AND exact >= {_EST_CUT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pos
+FROM per_pair
+""".strip(),
+)
+def q_lsh_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimator audit: on every LSH candidate pair, the
+    signature-based Jaccard estimate vs the EXACT shingle-set Jaccard —
+    mean/max absolute error plus the confusion counts of the 0.5
+    near-dup cut (est-positive, exact-positive, both). The dedup
+    sibling of ``ann_recall_at_10``: it turns "trust the sketch" into a
+    measured, driver-verified number.
+
+    Plan: signatures materialize once (localCheckpoint) and feed the
+    band-bucket equi-join; exact Jaccard joins the distinct-shingle
+    sets onto ONLY the candidate pairs (bucket-sized, never all-pairs).
+    Determinism: per-pair errors are double ops on exact integer
+    operands ROUNDED to 6 before a DECIMAL sum; the mean is one double
+    division at the edge; confusion counts are integers.
+    """
+    docs = _docs(spark, sf_dir)
+    pairs_df, sigs = near_dup_pairs_cached(docs)
+    pairs = pairs_df.localCheckpoint()
+    sigs.unpersist()
+    exact = ngram_jaccard(
+        pairs.select("doc_a", "doc_b"), docs
+    ).withColumnRenamed("jaccard", "exact")
+    per_pair = (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_matching_components").cast("double") / MINHASH_K)
+            .alias("est"),
+        )
+        .join(exact, ["doc_a", "doc_b"])
+        .select(
+            "est",
+            "exact",
+            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("err"),
+        )
+    )
+    cut = _EST_CUT
+    return per_pair.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("err").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_abs_err"),
+        F.max("err").alias("max_abs_err"),
+        F.sum(F.when(F.col("est") >= cut, 1).otherwise(0))
+        .cast("long")
+        .alias("n_est_pos"),
+        F.sum(F.when(F.col("exact") >= cut, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_pos"),
+        F.sum(
+            F.when((F.col("est") >= cut) & (F.col("exact") >= cut), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both_pos"),
+    )

@@ -456,3 +456,70 @@ def test_winsorized_stats_broadcast_bounds(spark, specs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert shuffles(plan) <= 3
+
+
+def test_part_affinity_broadcast_marginals_no_cartesian(spark, specs):
+    # Pair generation is an equi-join on l_orderkey over the
+    # materialized distinct order×part table — bounded per-order
+    # fan-out, never all-pairs over parts. Marginals and the 1-row
+    # order count attach as broadcasts; top-k is TakeOrdered, not a
+    # global sort exchange.
+    plan = plan_of(spark, specs, "part_pair_affinity")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both marginal joins
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decile_shares_window_over_aggregate(spark, specs):
+    # The ntile window must run over the per-customer AGGREGATE (one
+    # fact shuffle first), never over raw orders; untouched fact
+    # columns are pruned from the scan.
+    plan = plan_of(spark, specs, "revenue_decile_shares")
+    assert "CartesianProduct" not in plan
+    assert "o_orderstatus" not in plan
+    assert "o_orderpriority" not in plan
+    w = plan.index("Window")
+    agg = plan.rindex("o_custkey")
+    assert agg > w  # aggregate appears below (after) the window node
+    assert shuffles(plan) <= 4
+
+
+def test_simhash_pairs_banded_equi_join(spark, specs):
+    # Candidates come from an equi-join on (band_idx, band_val) —
+    # bucket-sized work; the Hamming verify is a projection (xor +
+    # popcount), no cartesian or nested-loop anywhere.
+    plan = plan_of(spark, specs, "simhash_hamming_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan
+
+
+def test_cluster_histogram_aggregates_components(spark, specs):
+    # Two cheap hash aggs over the CC assignment; the pair source and
+    # star rounds are materialized (checkpoint scans), so the top-level
+    # plan must not re-run LSH: no md5/explode at this level.
+    plan = plan_of(spark, specs, "dedup_cluster_size_histogram")
+    assert "CartesianProduct" not in plan
+    # final star-round min-agg + its join repartition + the two
+    # histogram aggs; everything earlier is checkpoint-materialized
+    assert shuffles(plan) <= 4
+
+
+def test_bm25_single_corpus_scan_broadcast_df(spark, specs):
+    # dl, df, and the scoring join all read the MATERIALIZED (doc,term)
+    # aggregate — the corpus is tokenized once (the only file scan left
+    # is the 1-column doc count); the df table broadcasts back; the
+    # window partitions by doc_id (no global sort).
+    plan = plan_of(spark, specs, "bm25_top_terms")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 1  # doc-count only
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_estimator_error_candidates_only(spark, specs):
+    # Exact Jaccard joins shingle sets onto the CANDIDATE pairs
+    # (checkpoint-materialized), never all-pairs; the output is one
+    # aggregate row, so the top level ends in a single-partition agg.
+    plan = plan_of(spark, specs, "lsh_estimator_error")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
