@@ -89,6 +89,9 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "bm25_top_terms",
     "lsh_estimator_error",
+    "events_partitioned_write_scan",
+    "embedding_centroid_confusion",
+    "supplier_scd2_history",
 ]
 
 

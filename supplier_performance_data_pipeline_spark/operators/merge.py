@@ -37,3 +37,33 @@ def upsert(
         .filter(F.col("_rn") == 1)
         .drop("_prio", "_rn")
     )
+
+
+def scd2_apply(
+    base: DataFrame,
+    new_versions: DataFrame,
+    key_cols: list[str],
+    valid_from_col: str = "valid_from",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: fold a batch of new attribute
+    versions into a versioned history. ``base`` is the existing history
+    (or the initial snapshot) carrying ``valid_from``; ``new_versions``
+    shares the schema with a later ``valid_from`` and contains only the
+    keys whose attributes actually changed (the standard CDC batch
+    contract — same caller-side precondition as ``upsert``).
+
+    The closing of superseded rows is derived, not joined: union the
+    two sides, then per key ``valid_to = lead(valid_from)`` over the
+    version order — a row is current iff nothing newer exists. ONE
+    key-keyed shuffle total (the window), no join, no second pass over
+    the base — the same reason ``upsert`` beats the full-outer-join
+    MERGE at scale. Re-applying the same batch is idempotent in effect:
+    equal (key, valid_from) pairs would need caller dedup, but a later
+    batch simply extends the chain.
+    """
+    hist = base.unionByName(new_versions)
+    w = Window.partitionBy(*key_cols).orderBy(valid_from_col)
+    valid_to = F.lead(valid_from_col).over(w)
+    return hist.withColumn("valid_to", valid_to).withColumn(
+        "is_current", F.col("valid_to").isNull()
+    )

@@ -872,6 +872,72 @@ def q_supplier_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert(sup, mods.unionByName(inserts), ["s_suppkey"])
 
 
+# --- SCD-2 versioned dimension history --------------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.merge import (  # noqa: E402
+    scd2_apply,
+)
+
+
+@register(
+    "supplier_scd2_history",
+    oracle="""
+WITH base AS (
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           DATE '2024-01-01' AS valid_from
+    FROM supplier
+),
+upd AS (
+    SELECT s_suppkey, s_nationkey, 0.0 AS s_acctbal,
+           DATE '2024-06-01' AS valid_from
+    FROM supplier WHERE s_acctbal < 0.0
+),
+hist AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+SELECT s_suppkey, s_nationkey, s_acctbal, valid_from,
+       COALESCE(LEAD(valid_from) OVER (
+           PARTITION BY s_suppkey ORDER BY valid_from),
+           DATE '9999-12-31') AS valid_to,
+       LEAD(valid_from) OVER (
+           PARTITION BY s_suppkey ORDER BY valid_from) IS NULL AS is_current
+FROM hist
+""".strip(),
+)
+def q_supplier_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 on the supplier snapshot: a CDC
+    batch (negative balances written down to zero, effective June 1)
+    folded into a versioned history — superseded rows close with
+    ``valid_to``, every key's latest row is flagged current. The
+    warehouse-dimension sibling of ``supplier_snapshot_upsert``: upsert
+    keeps only the latest truth, SCD-2 keeps when each truth held.
+
+    operators/merge.py::scd2_apply derives the row closing from a
+    per-key ``lead(valid_from)`` window over the unioned history — ONE
+    key-keyed shuffle, no join, the base never materializes twice."""
+    sup = _t(spark, sf_dir, "supplier")
+    base = sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+    )
+    upd = (
+        sup.filter(F.col("s_acctbal") < 0.0)
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.lit(0.0).alias("s_acctbal"),
+            F.lit("2024-06-01").cast("date").alias("valid_from"),
+        )
+    )
+    hist = scd2_apply(base, upd, ["s_suppkey"])
+    # Open rows carry the standard SCD-2 high-date sentinel instead of
+    # NULL so the cross-engine compare sees a concrete date either way.
+    return hist.withColumn(
+        "valid_to",
+        F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("date")),
+    )
+
+
 # --- mergeable KLL quantile sketches (incremental percentile tables) --------
 
 

@@ -668,3 +668,60 @@ def q_events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_events_hourly_anomalies.__doc__ = q_events_hourly_anomalies.__doc__.format(
     frame=_ANOM_FRAME, minn=_ANOM_MIN_N
 )
+
+
+# --- hive-partitioned layout: write → partition-pruned scan -----------------
+
+
+@register(
+    "events_partitioned_write_scan",
+    oracle="""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY date_trunc('day', CAST(ts AS TIMESTAMP))
+""".strip(),
+)
+def q_events_partitioned_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout as a driver-verified identity: rewrite
+    events partitioned BY event_type (directory-per-value layout), then
+    answer a purchase-only daily rollup FROM THE PARTITIONED COPY. The
+    oracle computes the same rollup from the original table, proving
+    the partitioned write is lossless AND the pruned scan reads a
+    complete partition — while the scan-side benefit (the event_type
+    predicate resolves at the DIRECTORY level, touching 1/5 of the
+    files; plan shows PartitionFilters, not a data filter) is pinned in
+    tests/test_plans.py.
+
+    This is the canonical 100 TB ingest layout: low-cardinality
+    routing keys (type/date/source) become hive partitions so the
+    dominant predicate never scans a byte it discards; per-partition
+    value sums use the DECIMAL-of-rounded trick so both engines agree
+    exactly."""
+    import tempfile
+
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_parquet,
+    )
+
+    ev = _events(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_events_by_type_{spark.sparkContext.applicationId}",
+    )
+    write_parquet(ev, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return (
+        back.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

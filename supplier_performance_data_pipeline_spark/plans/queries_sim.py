@@ -704,3 +704,94 @@ def q_knn_join_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_knn_join_top5.__doc__ = q_knn_join_top5.__doc__.format(k=KNN_K)
+
+
+# --- nearest-centroid label confusion matrix --------------------------------
+
+
+@register(
+    "embedding_centroid_confusion",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+ex AS (
+    SELECT label, generate_subscripts(v, 1) AS dimp, unnest(v) AS x FROM b
+),
+centl AS (
+    SELECT label, dimp,
+           CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+    FROM ex GROUP BY label, dimp
+),
+cents AS (
+    SELECT label AS clabel, array_agg(c ORDER BY dimp) AS cv
+    FROM centl GROUP BY label
+),
+dist AS (
+    SELECT b.vec_id, b.label, c.clabel,
+           list_sum(list_transform(range(0, {DIM}),
+               i -> (b.v[i+1] - c.cv[i+1]) * (b.v[i+1] - c.cv[i+1]))) AS d
+    FROM b CROSS JOIN cents c
+),
+assigned AS (
+    SELECT label, clabel FROM (
+        SELECT label, clabel, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        FROM dist
+    ) t WHERE rn = 1
+)
+SELECT label AS true_label, clabel AS pred_label,
+       COUNT(*) AS n_vectors
+FROM assigned GROUP BY label, clabel
+""".strip(),
+)
+def q_embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix: every vector assigned to the
+    closest per-label centroid, tallied against its own label — the
+    label-quality / cluster-separability audit for an embedding table
+    (off-diagonal mass = mislabeled or entangled classes), and the
+    eval twin of the k-means assignment kernel.
+
+    Plan: the decoded vector table materializes once (localCheckpoint —
+    centroid build + assignment both read it); per-label centroids are
+    one (label, dim)-keyed agg of DECIMAL sums (exact, order-free; one
+    double division per cell) collapsed into a broadcast 1-ROW array of
+    (label, cv) structs; assignment is then a shuffle-free projection —
+    argmin via array_min over (d, label) structs, distance as the
+    left-to-right double fold bit-identical to DuckDB's list_sum. The
+    only data-scale shuffles are the centroid agg and the final
+    K²-cell confusion count."""
+    emb = _embeddings(spark, sf_dir)
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> double(x))").alias("v"),
+    ).localCheckpoint()
+    ex = base.select("label", F.posexplode("v").alias("dim", "x"))
+    centl = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    cents = centl.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("cv")
+    )
+    cents_1row = cents.agg(
+        F.expr("collect_list(struct(label AS lbl, cv AS cv)) AS cents")
+    )
+    m = F.expr(
+        "array_min(transform(cents, s -> struct("
+        "aggregate(zip_with(v, s.cv, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x) AS d, s.lbl AS pred)))"
+    )
+    assigned = base.crossJoin(F.broadcast(cents_1row)).select(
+        "label", m["pred"].alias("pred_label")
+    )
+    return assigned.groupBy(
+        F.col("label").alias("true_label"), "pred_label"
+    ).agg(F.count("*").alias("n_vectors"))

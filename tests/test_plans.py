@@ -523,3 +523,35 @@ def test_lsh_estimator_error_candidates_only(spark, specs):
     plan = plan_of(spark, specs, "lsh_estimator_error")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_scan_prunes_at_directory_level(spark, specs):
+    # The event_type predicate must resolve against the hive partition
+    # layout (PartitionFilters), not as a row-level data filter over
+    # every file.
+    plan = plan_of(spark, specs, "events_partitioned_write_scan")
+    assert re.search(r"PartitionFilters: \[[^\]]*event_type", plan)
+    assert "CartesianProduct" not in plan
+    assert shuffles(plan) == 1  # the day rollup
+
+
+def test_centroid_confusion_assignment_is_projection(spark, specs):
+    # Centroids collapse to a broadcast 1-row array; assignment must be
+    # a shuffle-free projection (argmin via array_min), so the only
+    # hash exchanges are the (label,dim) centroid agg, its per-label
+    # collapse, and the K^2-cell confusion count.
+    plan = plan_of(spark, specs, "embedding_centroid_confusion")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row attach
+    assert "hashpartitioning(vec_id" not in plan  # no vector-keyed shuffle
+    assert shuffles(plan) <= 4
+
+
+def test_scd2_single_key_shuffle_no_join(spark, specs):
+    # Row closing derives from lead() over the unioned history — one
+    # key-keyed window shuffle, never a join against the base.
+    plan = plan_of(spark, specs, "supplier_scd2_history")
+    assert "Join" not in plan
+    assert shuffles(plan) == 1
+    assert "Window" in plan
