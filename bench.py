@@ -92,6 +92,9 @@ HEADLINE = [
     "events_partitioned_write_scan",
     "embedding_centroid_confusion",
     "supplier_scd2_history",
+    "streaming_dedup_equivalence",
+    "chunk_dedup_stats",
+    "orders_lineitem_bucketed_join",
 ]
 
 

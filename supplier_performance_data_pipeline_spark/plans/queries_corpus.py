@@ -271,3 +271,72 @@ def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
         ).alias("fertility"),
     )
+
+
+# --- chunk-level dedup / boilerplate histogram ------------------------------
+
+
+@register(
+    "chunk_dedup_stats",
+    oracle=f"""
+WITH starts AS (
+    SELECT doc_id, text,
+           unnest(range(0, greatest(n_chars, 1), {_CHUNK_STRIDE})) AS start_char
+    FROM documents
+),
+ch AS (
+    SELECT doc_id,
+           md5(substring(text, CAST(start_char AS INTEGER) + 1,
+                         {_CHUNK_CHARS})) AS chunk_md5
+    FROM starts
+),
+per_hash AS (
+    SELECT chunk_md5, COUNT(*) AS n_occ,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM ch GROUP BY chunk_md5
+)
+SELECT n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunk_hashes,
+       CAST(SUM(n_occ) AS BIGINT) AS n_occurrences
+FROM per_hash GROUP BY n_docs
+""".strip(),
+)
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity duplication histogram: how many distinct chunk
+    hashes appear in exactly N distinct documents — the boilerplate
+    detector at the RAG-chunk level (headers, licenses, navigation
+    text duplicate across documents long before whole docs do; doc-level
+    dedup never sees them). Rows with n_docs >= 2 are the cross-document
+    boilerplate mass a chunk-level filter would drop.
+
+    Same generator expansion as ``document_chunks`` (sequence over the
+    row's own length — no join, no shuffle), then two hash aggs: one
+    keyed by chunk hash (map-side combinable; n_occ and the distinct-doc
+    count collapse per hash), one tiny histogram agg. The md5 keys the
+    shuffle, so identical chunks co-locate regardless of source skew."""
+    docs = _docs(spark, sf_dir)
+    starts = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_chars") - 1, F.lit(0)).cast("int"),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start_char"),
+    )
+    ch = starts.select(
+        "doc_id",
+        F.md5(
+            F.substring(F.col("text"), F.col("start_char") + 1, _CHUNK_CHARS)
+        ).alias("chunk_md5"),
+    )
+    per_hash = ch.groupBy("chunk_md5").agg(
+        F.count("*").alias("n_occ"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return per_hash.groupBy("n_docs").agg(
+        F.count("*").alias("n_chunk_hashes"),
+        F.sum("n_occ").alias("n_occurrences"),
+    )

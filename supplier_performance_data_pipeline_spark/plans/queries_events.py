@@ -725,3 +725,59 @@ def q_events_partitioned_write_scan(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("total_value"),
         )
     )
+
+
+# --- streaming dedup / batch equivalence ------------------------------------
+
+
+@register(
+    "streaming_dedup_equivalence",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+       CAST(0 AS BIGINT) AS n_extra_rows,
+       TRUE AS dedup_equals_batch
+FROM events
+""".strip(),
+)
+def q_streaming_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup on the driver's board: the
+    events feed is doubled (every event twice — the at-least-once
+    delivery a real ingest pipeline must absorb), written to a replay
+    directory, and drained through
+    ``streaming/events.py::streaming_dedup``
+    (dropDuplicatesWithinWatermark on event_id, memory sink). The
+    result must collapse to exactly the batch COUNT(DISTINCT
+    event_id) of the original feed; any duplicate the streaming
+    operator leaks (or row it wrongly drops) shows up in
+    ``n_extra_rows`` and flips ``dedup_equals_batch`` — which the
+    oracle pins at (0, TRUE).
+
+    State scale: dedup state is keyed by event_id and reclaimed once
+    the watermark passes an event's hour — bounded by the lateness
+    window × arrival rate, not the stream length."""
+    import tempfile
+
+    from supplier_performance_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_dedup,
+    )
+
+    ev = _events(spark, sf_dir)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    replay = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_dedup_replay_{app}"
+    )
+    ev.unionByName(ev).write.mode("overwrite").parquet(replay)
+    stream = read_event_stream(spark, replay, glob="*.parquet")
+    name = f"stream_dedup_{app}_{next(_STREAM_EQ_SEQ)}"
+    run_to_memory_sink(
+        streaming_dedup(stream, keys=["event_id"]), name, "append"
+    )
+    s = spark.table(name).agg(F.count("*").alias("n_s"))
+    b = ev.agg(F.count_distinct("event_id").alias("n_u"))
+    return b.crossJoin(F.broadcast(s)).select(
+        F.col("n_u").cast("long").alias("n_unique"),
+        (F.col("n_s") - F.col("n_u")).cast("long").alias("n_extra_rows"),
+        (F.col("n_s") == F.col("n_u")).alias("dedup_equals_batch"),
+    )

@@ -555,3 +555,30 @@ def test_scd2_single_key_shuffle_no_join(spark, specs):
     assert "Join" not in plan
     assert shuffles(plan) == 1
     assert "Window" in plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark, specs):
+    # Both sides are bucketed on the order key, so the sort-merge join
+    # must consume the bucketed scans directly — the ONLY shuffle left
+    # is the final status rollup. This is the pay-once-at-write
+    # co-location contract.
+    plan = plan_of(spark, specs, "orders_lineitem_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert shuffles(plan) == 1  # the groupBy only
+    assert "SelectedBucketsCount" in plan  # scans are bucket-aware
+
+
+def test_chunk_dedup_two_combining_aggs_no_join(spark, specs):
+    plan = plan_of(spark, specs, "chunk_dedup_stats")
+    assert "Join" not in plan
+    assert shuffles(plan) <= 3  # hash agg (+distinct expand) + histogram
+    assert "CartesianProduct" not in plan
+
+
+def test_streaming_dedup_equivalence_tiny_aggs(spark, specs):
+    # Both sides collapse to 1-row aggs; the attach is a broadcast over
+    # ONE row, never a cartesian shuffle.
+    plan = plan_of(spark, specs, "streaming_dedup_equivalence")
+    assert "CartesianProduct" not in plan
