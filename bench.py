@@ -95,6 +95,8 @@ HEADLINE = [
     "streaming_dedup_equivalence",
     "chunk_dedup_stats",
     "orders_lineitem_bucketed_join",
+    "supplier_pagerank",
+    "bigram_collocations",
 ]
 
 

@@ -172,3 +172,78 @@ def dedup_clusters(
     per cluster are dropped by a retention pass."""
     cc = connected_components(pairs, a_col, b_col, iters)
     return cc.groupBy("component").agg(F.count("*").alias("n_members"))
+
+
+# --- PageRank ---------------------------------------------------------------
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+# Per-edge contributions round to 12dp before the exact DECIMAL inbound
+# sum; each iteration's rank rounds to 9dp. The rounding is the
+# determinism contract (reduction-order-free across engines AND
+# partitionings), not an approximation knob: at 1e-9 the fixed point of
+# the rounded map is indistinguishable from true PageRank for ranking.
+PR_CONTRIB_SCALE = 12
+PR_RANK_SCALE = 9
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damp: float = PR_DAMP,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (u, v) —
+    (node, rank) after ``iters`` power iterations from the uniform
+    start. Nodes are the SOURCE vertices of ``edges``; feed a
+    symmetric edge list for undirected graphs (then every node has
+    out-degree >= 1 and no dangling-mass correction is needed — the
+    caller contract).
+
+    Determinism (the reason a DuckDB oracle can hash-match a float
+    iteration): per-edge contribution = ROUND(r_u / deg_u, 12) — one
+    double division of exact operands, then an exact DECIMAL(28,12)
+    inbound sum per target (order-free); the damped update
+    ROUND((1-d)/N + d*inbound, 9) is double arithmetic on those exact
+    values, structured identically in both engines.
+
+    Scale: the edge list and the per-source degree table materialize
+    once (localCheckpoint); ranks are NODE-sized, so both per-iteration
+    joins broadcast onto the edge scan — the only data-scale exchange
+    per iteration is the inbound-sum agg keyed by target. Rank tables
+    localCheckpoint each round: same lineage-truncation requirement as
+    the CC rounds above (the plan otherwise re-derives every prior
+    iteration per reference)."""
+    e = edges.select("u", "v").localCheckpoint()
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    edeg = e.join(F.broadcast(deg), "u").localCheckpoint()
+    nodes = e.select(F.col("u").alias("s")).distinct().localCheckpoint()
+    n1 = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "s", (F.lit(1.0) / F.col("n")).alias("r")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = edeg.join(
+            F.broadcast(ranks), edeg.u == ranks.s
+        ).select(
+            "v",
+            F.round(F.col("r") / F.col("deg"), PR_CONTRIB_SCALE).alias("c"),
+        )
+        inbound = contrib.groupBy("v").agg(
+            F.sum(F.col("c").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sm")
+        )
+        ranks = (
+            nodes.join(F.broadcast(inbound), nodes.s == inbound.v, "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "s",
+                F.round(
+                    F.lit(1.0 - damp) / F.col("n")
+                    + F.lit(damp) * F.coalesce(F.col("sm"), F.lit(0.0)),
+                    PR_RANK_SCALE,
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

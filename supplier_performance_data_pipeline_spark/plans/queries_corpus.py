@@ -340,3 +340,107 @@ def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunk_hashes"),
         F.sum("n_occ").alias("n_occurrences"),
     )
+
+
+# --- PMI bigram collocations ------------------------------------------------
+
+_PMI_MIN_SUPPORT = 5
+_PMI_TOP = 50
+
+
+@register(
+    "bigram_collocations",
+    oracle=f"""
+WITH {_TOKS_CTE},
+uni AS (SELECT unnest(toks) AS w FROM toks_cte),
+uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uc),
+bi AS (
+    SELECT unnest(list_transform(range(1, len(toks)),
+        i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+    FROM toks_cte WHERE len(toks) >= 2
+),
+bc AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c_xy FROM bi
+       GROUP BY b.w1, b.w2),
+nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM bc)
+SELECT w1, w2, c_xy,
+       ROUND(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni)
+                / (CAST(n_bi AS DOUBLE) * c1.c * c2.c)), 6) AS pmi
+FROM bc
+JOIN uc c1 ON w1 = c1.w
+JOIN uc c2 ON w2 = c2.w
+CROSS JOIN nu CROSS JOIN nb
+WHERE c_xy >= {_PMI_MIN_SUPPORT}
+ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP}
+""".strip(),
+)
+def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI bigram collocations (min support {sup}) — the corpus
+    phrase detector behind tokenizer merges, stopword-phrase lists, and
+    multi-word-expression mining. PMI = ln(p(xy) / (p(x)p(y))), here as
+    one ln over an integer-ratio expression structured identically in
+    both engines (counts are exact; the products run in double to dodge
+    BIGINT overflow; round 6 at the edge with a word tie-break).
+
+    Plan: the token-array table materializes ONCE (localCheckpoint) and
+    feeds both the unigram and the bigram explode (the BM25 lesson: two
+    lazy branches would tokenize the corpus twice); unigram counts are
+    vocabulary-sized and broadcast onto the bigram table twice (left
+    word, right word); the corpus totals attach as broadcast 1-row
+    cross joins. The only data-scale exchanges are the two count aggs
+    (both map-side combining); the final cut is TakeOrdered, never a
+    global sort."""
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select(tokens(F.col("text")).alias("toks")).localCheckpoint()
+    uc = (
+        toks_df.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    nu = uc.agg(F.sum("c").cast("long").alias("n_uni"))
+    bc = (
+        toks_df.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .localCheckpoint()
+    )
+    nb = bc.agg(F.sum("c_xy").cast("long").alias("n_bi"))
+    c1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bc.filter(F.col("c_xy") >= _PMI_MIN_SUPPORT)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_bi").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(
+        _PMI_TOP
+    )
+
+
+q_bigram_collocations.__doc__ = q_bigram_collocations.__doc__.format(
+    sup=_PMI_MIN_SUPPORT
+)

@@ -691,3 +691,106 @@ def q_revenue_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_pct"),
         )
     )
+
+
+# --- PageRank over the supplier co-supply graph -----------------------------
+
+from supplier_performance_data_pipeline_spark.operators.graph import (  # noqa: E402
+    PR_CONTRIB_SCALE,
+    PR_DAMP,
+    PR_ITERS,
+    PR_RANK_SCALE,
+    pagerank,
+)
+
+_PR_TOP = 20
+
+
+def _pr_ctes(iters: int) -> list[str]:
+    """PageRank iterations unrolled for DuckDB — the same rounded
+    contributions / DECIMAL inbound sums / damped update as
+    operators/graph.py::pagerank, so a float iterative algorithm
+    hash-matches across engines. The damping literals are generated
+    with repr() from the SAME Python constants the operator uses:
+    1.0 - 0.85 is NOT the double 0.15, and a hand-written 0.15 here
+    would diverge in the last ulp. AS MATERIALIZED for every CTE each
+    round references more than once — the same lineage-branching cut
+    the Spark side makes with localCheckpoint."""
+    damp, rest = repr(PR_DAMP), repr(1.0 - PR_DAMP)
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey "
+        "FROM lineitem)",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS u, "
+        "b.l_suppkey AS v FROM op a JOIN op b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey)",
+        "deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM e GROUP BY u)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS s FROM e)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "r_0 AS MATERIALIZED (SELECT s, 1.0 / n AS r "
+        "FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"c_{t} AS MATERIALIZED (SELECT e.v, "
+            f"ROUND(r.r / deg.deg, {PR_CONTRIB_SCALE}) AS c "
+            f"FROM e JOIN r_{t} r ON e.u = r.s JOIN deg ON e.u = deg.u)"
+        )
+        ctes.append(
+            f"s_{t} AS MATERIALIZED (SELECT v, "
+            "CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS sm "
+            f"FROM c_{t} GROUP BY v)"
+        )
+        ctes.append(
+            f"r_{t + 1} AS MATERIALIZED (SELECT nodes.s, "
+            f"ROUND({rest} / nn.n + {damp} * COALESCE(s_{t}.sm, 0.0), "
+            f"{PR_RANK_SCALE}) AS r "
+            f"FROM nodes LEFT JOIN s_{t} ON nodes.s = s_{t}.v "
+            "CROSS JOIN nn)"
+        )
+    return ctes
+
+
+@register(
+    "supplier_pagerank",
+    oracle=(
+        "WITH "
+        + ",\n".join(_pr_ctes(PR_ITERS))
+        + f"""
+SELECT s AS s_suppkey, ROUND(r, 6) AS pagerank
+FROM r_{PR_ITERS} ORDER BY r DESC, s LIMIT {_PR_TOP}
+"""
+    ).strip(),
+)
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the supplier co-supply graph (suppliers
+    sharing an order are linked): the top-20 most structurally central
+    suppliers — the second iterative graph algorithm next to the
+    dedup connected components, and the canonical "does the engine do
+    fixed-point iteration at scale" probe.
+
+    Graph build: the distinct order×supplier table self-joins on the
+    order key — per-order bounded fan-out, never all-pairs over
+    suppliers; the symmetric edge list guarantees out-degree >= 1
+    (pagerank's no-dangling contract). Per iteration the NODE-sized
+    rank/degree tables broadcast onto the edge scan; the only
+    data-scale exchange is the inbound DECIMAL sum keyed by target.
+    The top-k is TakeOrdered on the node table with a key tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_suppkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    ranks = pagerank(edges)
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("s"))
+        .limit(_PR_TOP)
+        .select(
+            F.col("s").alias("s_suppkey"),
+            F.round("r", 6).alias("pagerank"),
+        )
+    )

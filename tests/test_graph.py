@@ -85,3 +85,43 @@ def test_empty_pairs_yield_empty_components(spark):
         _pairs(spark, []).filter("doc_a IS NOT NULL")
     )
     assert cc.count() == 0
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    """operators/graph.py::pagerank vs a pure-Python power iteration
+    with the same rounding contract, on a small asymmetric graph."""
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        PR_CONTRIB_SCALE,
+        PR_DAMP,
+        PR_ITERS,
+        pagerank,
+    )
+
+    # Symmetric edge list (the operator's no-dangling contract) of a
+    # star 1-2,1-3,1-4 plus a 4-5 tail — asymmetric degrees.
+    und = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    edges = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r.s: r.r for r in pagerank(df).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e})
+    deg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    n = len(nodes)
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(PR_ITERS):
+        inbound = {u: [] for u in nodes}
+        for u, v in edges:
+            inbound[v].append(round(r[u] / deg[u], PR_CONTRIB_SCALE))
+        # exact decimal sum == math.fsum here (each term is a 12dp
+        # decimal; sum of 5 such terms is exact in double)
+        r = {
+            v: round((1.0 - PR_DAMP) / n + PR_DAMP * sum(sorted(inbound[v])), 9)
+            for v in nodes
+        }
+    for u in nodes:
+        assert abs(got[u] - r[u]) < 1e-9, (u, got[u], r[u])
+    # hub outranks leaves, tail outranks pure leaves
+    assert got[1] == max(got.values())
+    assert got[4] > got[2] == got[3]

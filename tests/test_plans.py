@@ -582,3 +582,24 @@ def test_streaming_dedup_equivalence_tiny_aggs(spark, specs):
     # ONE row, never a cartesian shuffle.
     plan = plan_of(spark, specs, "streaming_dedup_equivalence")
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_broadcasts_node_tables(spark, specs):
+    # Ranks and degrees are node-sized: both per-iteration joins must
+    # ride broadcasts onto the edge scan; the inbound sum is the only
+    # data-scale exchange per iteration and the top-k is TakeOrdered.
+    plan = plan_of(spark, specs, "supplier_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_collocations_single_tokenization_take_ordered(spark, specs):
+    # The token table materializes once (checkpoint) — the top-level
+    # plan may not re-scan the corpus; unigram counts broadcast twice
+    # and the final cut is TakeOrdered, never a global sort exchange.
+    plan = plan_of(spark, specs, "bigram_collocations")
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2

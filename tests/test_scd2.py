@@ -1,0 +1,76 @@
+"""SCD-2 history semantics (operators/merge.py::scd2_apply).
+
+The registered query covers one batch against a snapshot; these pin the
+operator contract directly: chained batches extend version chains,
+untouched keys stay single-row current, and the closing date of every
+superseded row equals the successor's valid_from.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.operators.merge import (
+    scd2_apply,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, attr string, valid_from date"
+    )
+
+
+def d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+def test_single_batch_closes_superseded_rows(spark):
+    base = _df(spark, [(1, "a", d("2024-01-01")), (2, "b", d("2024-01-01"))])
+    upd = _df(spark, [(1, "a2", d("2024-06-01"))])
+    hist = scd2_apply(base, upd, ["k"]).orderBy("k", "valid_from").collect()
+    assert [(r.k, r.attr, r.valid_to, r.is_current) for r in hist] == [
+        (1, "a", d("2024-06-01"), False),
+        (1, "a2", None, True),
+        (2, "b", None, True),
+    ]
+
+
+def test_chained_batches_extend_the_version_chain(spark):
+    base = _df(spark, [(1, "a", d("2024-01-01"))])
+    b1 = _df(spark, [(1, "a2", d("2024-03-01"))])
+    b2 = _df(spark, [(1, "a3", d("2024-09-01"))])
+    # Re-applying onto prior output: drop the derived cols first (the
+    # operator recomputes them over the full chain).
+    h1 = scd2_apply(base, b1, ["k"]).drop("valid_to", "is_current")
+    h2 = scd2_apply(h1, b2, ["k"]).orderBy("valid_from").collect()
+    assert [(r.attr, r.valid_to, r.is_current) for r in h2] == [
+        ("a", d("2024-03-01"), False),
+        ("a2", d("2024-09-01"), False),
+        ("a3", None, True),
+    ]
+
+
+def test_exactly_one_current_row_per_key(spark):
+    base = _df(
+        spark,
+        [(k, f"v{k}", d("2024-01-01")) for k in range(50)],
+    )
+    upd = _df(
+        spark,
+        [(k, f"w{k}", d("2024-06-01")) for k in range(0, 50, 5)],
+    )
+    hist = scd2_apply(base, upd, ["k"])
+    per_key = (
+        hist.groupBy("k")
+        .agg(
+            F.sum(F.col("is_current").cast("int")).alias("n_current"),
+            F.count("*").alias("n_versions"),
+        )
+        .collect()
+    )
+    for r in per_key:
+        assert r.n_current == 1
+        assert r.n_versions == (2 if r.k % 5 == 0 else 1)
