@@ -97,6 +97,8 @@ HEADLINE = [
     "orders_lineitem_bucketed_join",
     "supplier_pagerank",
     "bigram_collocations",
+    "lineitem_quality_report",
+    "orders_incremental_rollup_merge",
 ]
 
 

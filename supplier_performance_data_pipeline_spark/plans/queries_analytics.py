@@ -1293,3 +1293,122 @@ def q_orders_lineitem_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+# --- data-quality expectation report ----------------------------------------
+
+
+@register(
+    "lineitem_quality_report",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nonpositive_price,
+       CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_discount_oob,
+       CAST(SUM(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tax_oob,
+       CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_quantity_oob,
+       CAST(SUM(CASE WHEN l_returnflag NOT IN ('R', 'A', 'N')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus NOT IN ('O', 'F')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_linestatus,
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_shipdate,
+       CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1992-01-01'
+                       OR CAST(l_shipdate AS DATE) > DATE '1999-12-31'
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_shipdate_oor
+FROM lineitem
+""".strip(),
+)
+def q_lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite data-quality gate over the biggest fact table:
+    every domain rule (positive prices, discount/tax/quantity in their
+    TPC-H ranges, closed enum columns, non-null in-range ship dates)
+    checked in ONE scan as conditional sums — the ingest-time
+    contract check a 100 TB pipeline runs before publishing a
+    partition, shaped like ``orphan_checks``' union-agg (no joins, no
+    second scan per rule; partial aggregation collapses map-side, so
+    the exchange carries one row per partition)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    d = F.col("l_shipdate").cast("date")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        viol(F.col("l_extendedprice") <= 0.0).alias("n_nonpositive_price"),
+        viol(
+            (F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1)
+        ).alias("n_discount_oob"),
+        viol((F.col("l_tax") < 0.0) | (F.col("l_tax") > 0.08)).alias(
+            "n_tax_oob"
+        ),
+        viol(
+            (F.col("l_quantity") < 1.0) | (F.col("l_quantity") > 50.0)
+        ).alias("n_quantity_oob"),
+        viol(~F.col("l_returnflag").isin("R", "A", "N")).alias(
+            "n_bad_returnflag"
+        ),
+        viol(~F.col("l_linestatus").isin("O", "F")).alias(
+            "n_bad_linestatus"
+        ),
+        viol(F.col("l_shipdate").isNull()).alias("n_null_shipdate"),
+        viol(
+            (d < F.lit("1992-01-01").cast("date"))
+            | (d > F.lit("1999-12-31").cast("date"))
+        ).alias("n_shipdate_oor"),
+    )
+
+
+# --- incremental rollup maintenance (exact partial merge) -------------------
+
+_INCR_CUTOFF = "1997-01-01"
+
+
+@register(
+    "orders_incremental_rollup_merge",
+    oracle="""
+SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+           AS month_start,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+FROM orders
+GROUP BY date_trunc('month', CAST(o_orderdate AS DATE))
+""".strip(),
+)
+def q_orders_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance as a driver-verified identity: the
+    monthly order rollup is built INCREMENTALLY — partials over the
+    history before the cutoff and partials over the new arrivals after
+    it, merged by re-aggregating the unioned partials — and must equal
+    the full recompute (the oracle). COUNT and DECIMAL SUM are
+    mergeable aggregates, so merge(partial(A), partial(B)) ==
+    full(A ∪ B) exactly; this is the exact-aggregate sibling of the
+    HLL/KLL sketch rollups, and the reason a daily 100 TB pipeline
+    never rescans history: each day contributes month-keyed partial
+    rows, and publishing is a partial-merge agg over table-of-partials
+    rows, not raw facts."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit(_INCR_CUTOFF).cast("date")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+
+    def partial(df):
+        return df.groupBy(month.alias("month_start")).agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ps"),
+        )
+
+    hist = partial(orders.filter(F.col("o_orderdate").cast("date") < cutoff))
+    incr = partial(orders.filter(F.col("o_orderdate").cast("date") >= cutoff))
+    return (
+        hist.unionByName(incr)
+        .groupBy("month_start")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.sum("ps").cast("double").alias("total_price"),
+        )
+    )

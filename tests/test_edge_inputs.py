@@ -188,3 +188,39 @@ def test_mixture_weights_plan_invariants(spark, tmp_path):
     assert any(abs(r["accept_rate"] - 1.0) < 1e-9 for r in out)
     assert all(r["budget_tokens"] <= r["n_tokens"] for r in out)
     assert abs(sum(r["target_share"] for r in out) - 1.0) < 1e-5
+
+
+def test_pagerank_empty_edges(spark):
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    e = spark.createDataFrame([], "u long, v long")
+    assert pagerank(e).count() == 0
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "u long, v long")
+    rows = {r.s: r.r for r in pagerank(e).collect()}
+    # Symmetric 2-cycle: the uniform vector is the fixed point.
+    assert abs(rows[1] - 0.5) < 1e-9 and abs(rows[2] - 0.5) < 1e-9
+
+
+def test_scd2_empty_update_batch_keeps_all_current(spark):
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", "2024-01-01")], "k int, attr string, valid_from string"
+    ).withColumn("valid_from", F.col("valid_from").cast("date"))
+    upd = spark.createDataFrame(
+        [], "k int, attr string, valid_from date"
+    )
+    rows = scd2_apply(base, upd, ["k"]).collect()
+    assert len(rows) == 1
+    assert rows[0].is_current and rows[0].valid_to is None

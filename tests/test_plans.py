@@ -603,3 +603,21 @@ def test_collocations_single_tokenization_take_ordered(spark, specs):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_quality_report_is_one_scan_union_agg(spark, specs):
+    # Every expectation is a conditional sum in ONE aggregate over ONE
+    # scan — no joins, no per-rule passes.
+    plan = plan_of(spark, specs, "lineitem_quality_report")
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert shuffles(plan) == 1  # partials -> single final row
+
+
+def test_incremental_rollup_pushes_cutoff_both_sides(spark, specs):
+    # Both partial branches must push their date predicate to the scan;
+    # the merge is an agg over month-keyed partial rows, never raw rows.
+    plan = plan_of(spark, specs, "orders_incremental_rollup_merge")
+    assert "Join" not in plan
+    assert re.search(r"(PushedFilters|DataFilters): \[[^\]]*o_orderdate", plan)
+    assert shuffles(plan) <= 3
