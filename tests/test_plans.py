@@ -621,3 +621,14 @@ def test_incremental_rollup_pushes_cutoff_both_sides(spark, specs):
     assert "Join" not in plan
     assert re.search(r"(PushedFilters|DataFilters): \[[^\]]*o_orderdate", plan)
     assert shuffles(plan) <= 3
+
+
+def test_byte_entropy_single_arrow_pass_no_shuffle(spark, specs):
+    # One scan -> one Arrow-batched MapInPandas -> output; the per-byte
+    # expansion never materializes in the plan (no explode/generate,
+    # no exchange).
+    plan = plan_of(spark, specs, "multimodal_byte_entropy")
+    assert "MapInPandas" in plan
+    assert shuffles(plan) == 0
+    assert "Generate" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
