@@ -275,3 +275,71 @@ def test_knn_join_matches_bruteforce_within_buckets(spark, vecs):
         want = [j for _, j in sims]
         have = [j for _, j in sorted(got.get(i, []))]
         assert have == want
+
+
+# --- PageRank: mass conservation + reference parity -------------------------
+
+pr_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+    ).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(und=pr_edges)
+@SLOW
+def test_pagerank_conserves_mass_on_symmetric_graphs(spark, und):
+    """With no dangling nodes (symmetric edges), total PageRank mass is
+    conserved at 1 up to the per-round rounding slack — a wrong degree,
+    a dropped node, or a double-counted edge all break this."""
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        PR_ITERS,
+        pagerank,
+    )
+
+    edges = sorted({(u, v) for u, v in und} | {(v, u) for u, v in und})
+    df = spark.createDataFrame(edges, "u long, v long")
+    ranks = pagerank(df).collect()
+    n = len({x for e in edges for x in e})
+    assert len(ranks) == n
+    total = sum(r.r for r in ranks)
+    # per round: n ranks rounded at 1e-9 + n contributions at 1e-12
+    slack = PR_ITERS * n * (1e-9 + 1e-12) + 1e-9
+    assert abs(total - 1.0) <= slack, (total, slack)
+
+
+# --- byte entropy: bounds + degenerate payloads -----------------------------
+
+payloads = st.lists(
+    st.binary(min_size=0, max_size=64), min_size=1, max_size=6
+)
+
+
+@given(ps=payloads)
+@SLOW
+def test_byte_entropy_bounds(spark, ps):
+    """0 <= H <= ln(256); H == 0 iff the payload uses a single distinct
+    byte (or is empty)."""
+    import math
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        byte_entropy,
+    )
+
+    media = spark.createDataFrame(
+        [(i, p, "application/octet-stream", None, None)
+         for i, p in enumerate(ps)],
+        "media_id long, payload binary, mime string, width int, height int",
+    )
+    rows = {r.media_id: r for r in byte_entropy(media).collect()}
+    for i, p in enumerate(ps):
+        r = rows[i]
+        assert r.n_bytes == len(p)
+        assert -1e-9 <= r.entropy <= math.log(256) + 1e-6
+        if len(set(p)) <= 1:
+            assert r.entropy == 0.0
+        else:
+            assert r.entropy > 0.0
