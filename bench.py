@@ -100,6 +100,7 @@ HEADLINE = [
     "lineitem_quality_report",
     "orders_incremental_rollup_merge",
     "multimodal_byte_entropy",
+    "lineitem_scd2_point_in_time",
 ]
 
 

@@ -1412,3 +1412,100 @@ def q_orders_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataF
             F.sum("ps").cast("double").alias("total_price"),
         )
     )
+
+
+# --- point-in-time join against the SCD-2 dimension -------------------------
+
+_PIT_CHANGE = "1996-01-01"
+
+
+@register(
+    "lineitem_scd2_point_in_time",
+    oracle=f"""
+WITH base AS (
+    SELECT s_suppkey, s_acctbal, DATE '1992-01-01' AS valid_from
+    FROM supplier
+),
+upd AS (
+    SELECT s_suppkey, 0.0 AS s_acctbal, DATE '{_PIT_CHANGE}' AS valid_from
+    FROM supplier WHERE s_acctbal < 0.0
+),
+hist0 AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+hist AS (
+    SELECT s_suppkey, s_acctbal, valid_from,
+           COALESCE(LEAD(valid_from) OVER (
+               PARTITION BY s_suppkey ORDER BY valid_from),
+               DATE '9999-12-31') AS valid_to
+    FROM hist0
+)
+SELECT h.s_acctbal < 0.0 AS neg_balance_at_ship,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN hist h
+  ON l.l_suppkey = h.s_suppkey
+ AND CAST(l.l_shipdate AS DATE) >= h.valid_from
+ AND CAST(l.l_shipdate AS DATE) < h.valid_to
+GROUP BY h.s_acctbal < 0.0
+""".strip(),
+)
+def q_lineitem_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimensional join — the reason SCD-2 history exists:
+    every line item joins the supplier VERSION in effect on its ship
+    date (validity-window membership), not today's row. Suppliers with
+    negative balances are written down to zero effective {chg}, so
+    shipments before the change attribute to the negative-balance
+    version and later ones to the repaired version; joining the
+    current row for both (the classic SCD-1 mistake) would put every
+    line in the repaired bucket and hash-fail the oracle.
+
+    Plan: the history table is dimension-sized (<= 2 versions/key) and
+    BROADCASTS; the validity-window predicates ride the equi hash join
+    on the supplier key as residual conditions — no range-join blowup,
+    no second fact pass; the rollup is one 2-group agg with DECIMAL
+    revenue."""
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    base = sup.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+    )
+    upd = sup.filter(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey",
+        F.lit(0.0).alias("s_acctbal"),
+        F.lit(_PIT_CHANGE).cast("date").alias("valid_from"),
+    )
+    hist = scd2_apply(base, upd, ["s_suppkey"]).withColumn(
+        "valid_to",
+        F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("date")),
+    )
+    ship = F.col("l_shipdate").cast("date")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    )
+    return (
+        li.join(
+            F.broadcast(hist),
+            (li.l_suppkey == hist.s_suppkey)
+            & (ship >= hist.valid_from)
+            & (ship < hist.valid_to),
+        )
+        .groupBy((F.col("s_acctbal") < 0.0).alias("neg_balance_at_ship"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+q_lineitem_scd2_point_in_time.__doc__ = (
+    q_lineitem_scd2_point_in_time.__doc__.format(chg=_PIT_CHANGE)
+)

@@ -632,3 +632,15 @@ def test_byte_entropy_single_arrow_pass_no_shuffle(spark, specs):
     assert shuffles(plan) == 0
     assert "Generate" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_point_in_time_join_broadcasts_history(spark, specs):
+    # The version table broadcasts; validity-window predicates ride the
+    # supplier-key hash join as residual conditions — never a range
+    # nested loop, never a second fact pass.
+    plan = plan_of(spark, specs, "lineitem_scd2_point_in_time")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 3  # li + 2 sup reads
+    assert shuffles(plan) <= 3  # scd2 window + the 2-group agg
