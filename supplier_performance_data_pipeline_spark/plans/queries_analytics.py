@@ -1275,6 +1275,14 @@ def q_orders_lineitem_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFra
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    sweep_stale_artifacts(wh, "li_bkt_")
+    sweep_stale_artifacts(wh, "ord_bkt_")
     app = spark.sparkContext.applicationId.replace("-", "_")
     lt, ot = f"li_bkt_{app}", f"ord_bkt_{app}"
     write_table(li, lt, bucket_by=(_BUCKETS, "l_orderkey"))

@@ -384,6 +384,13 @@ def q_supplier_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of racing overwrite-against-read on a shared one; within
     # a session repeated builds still overwrite the same path, which is
     # exactly the S4 idempotency surface under test.
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+    )
+
+    sweep_stale_artifacts(
+        tempfile.gettempdir(), "spark_graft_supplier_csv_roundtrip_"
+    )
     path = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_supplier_csv_roundtrip_{spark.sparkContext.applicationId}",
@@ -428,6 +435,13 @@ def q_lineitem_range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     li = _t(spark, sf_dir, "lineitem")
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+    )
+
+    sweep_stale_artifacts(
+        tempfile.gettempdir(), "spark_graft_lineitem_range_layout_"
+    )
     path = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_lineitem_range_layout_{spark.sparkContext.applicationId}",

@@ -707,6 +707,11 @@ def q_events_partitioned_write_scan(spark: SparkSession, sf_dir: str) -> DataFra
         write_parquet,
     )
 
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+    )
+
+    sweep_stale_artifacts(tempfile.gettempdir(), "spark_graft_events_by_type_")
     ev = _events(spark, sf_dir)
     path = os.path.join(
         tempfile.gettempdir(),
@@ -765,6 +770,11 @@ def q_streaming_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ev = _events(spark, sf_dir)
     app = spark.sparkContext.applicationId.replace("-", "_")
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+    )
+
+    sweep_stale_artifacts(tempfile.gettempdir(), "spark_graft_dedup_replay_")
     replay = os.path.join(
         tempfile.gettempdir(), f"spark_graft_dedup_replay_{app}"
     )

@@ -89,3 +89,36 @@ def write_parquet_range_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def sweep_stale_artifacts(
+    directory: str, prefix: str, ttl_seconds: int = 3600
+) -> None:
+    """Housekeeping for per-session roundtrip artifacts: remove sibling
+    ``prefix*`` entries not touched for ``ttl_seconds``.
+
+    Write-roundtrip queries key their output by applicationId so
+    concurrent sessions never race each other — but that means every
+    DEAD session leaves a directory behind, and a long-running host
+    (driver rounds + benches + test runs) accumulates them without
+    bound. A live session rewrites its own artifact every build, so
+    its mtime stays fresh; anything an hour stale belongs to a dead
+    session and is safe to reap even with other sessions running."""
+    import os
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(directory)
+    except OSError:
+        return
+    now = time.time()
+    for name in entries:
+        if not name.startswith(prefix):
+            continue
+        path = os.path.join(directory, name)
+        try:
+            if now - os.path.getmtime(path) > ttl_seconds:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
