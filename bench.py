@@ -101,6 +101,7 @@ HEADLINE = [
     "orders_incremental_rollup_merge",
     "multimodal_byte_entropy",
     "lineitem_scd2_point_in_time",
+    "supplier_bfs_reach",
 ]
 
 

@@ -247,3 +247,45 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+# --- single-source BFS ------------------------------------------------------
+
+BFS_ROUNDS = 3
+
+
+def bfs_distances(
+    edges: DataFrame, source: int, rounds: int = BFS_ROUNDS
+) -> DataFrame:
+    """Single-source BFS over a directed edge list (u, v): (node, dist)
+    for every node within ``rounds`` hops of ``source`` (the source
+    itself at dist 0). Feed symmetric edges for undirected graphs.
+
+    Frontier-free formulation: each round unions the known distance
+    table with every neighbor reached one hop further and keeps the
+    per-node MIN — all-integer, so any round count is bit-identical
+    across engines (same contract as the CC star rounds; a frontier
+    optimization changes cost, not results). Per round: one node-keyed
+    min-agg and one join of the node-sized distance table onto the
+    edge scan — the distance table broadcasts, so the only data-scale
+    exchange is the min-agg; lineage truncates per round."""
+    dist = (
+        edges.sparkSession.createDataFrame(
+            [(source, 0)], "node long, dist int"
+        ).localCheckpoint()
+    )
+    for _ in range(rounds):
+        step = (
+            edges.join(F.broadcast(dist), edges.u == dist.node)
+            .select(
+                F.col("v").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -794,3 +794,74 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("r", 6).alias("pagerank"),
         )
     )
+
+
+# --- BFS reach from the hub supplier ----------------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.graph import (  # noqa: E402
+    BFS_ROUNDS,
+    bfs_distances,
+)
+
+_BFS_SOURCE = 1
+
+
+def _bfs_ctes(rounds: int) -> list[str]:
+    """BFS rounds unrolled for DuckDB — the same union + per-node MIN
+    the operator runs; all-integer, so bit-identical at any round
+    count. Edge CTEs shared with the PageRank oracle shape."""
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey "
+        "FROM lineitem)",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS u, "
+        "b.l_suppkey AS v FROM op a JOIN op b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey)",
+        f"d_0 AS MATERIALIZED (SELECT CAST({_BFS_SOURCE} AS BIGINT) AS node, "
+        "0 AS dist)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"d_{t + 1} AS MATERIALIZED (SELECT node, MIN(dist) AS dist "
+            f"FROM (SELECT node, dist FROM d_{t} "
+            f"UNION ALL SELECT e.v, d.dist + 1 FROM e "
+            f"JOIN d_{t} d ON e.u = d.node) x GROUP BY node)"
+        )
+    return ctes
+
+
+@register(
+    "supplier_bfs_reach",
+    oracle=(
+        "WITH "
+        + ",\n".join(_bfs_ctes(BFS_ROUNDS))
+        + f"""
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM d_{BFS_ROUNDS} GROUP BY dist
+"""
+    ).strip(),
+)
+def q_supplier_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS reach: how many suppliers sit at each hop
+    distance from the hub supplier in the co-supply graph — the
+    blast-radius / network-proximity probe, and the third iterative
+    graph algorithm beside connected components and PageRank (frontier
+    expansion instead of edge rewriting or power iteration).
+
+    All-integer rounds (union + per-node MIN), so the oracle unrolls
+    the identical recurrence and matches bit-for-bit at any round
+    count. The distance table is node-sized and broadcasts onto the
+    edge scan each round; the only data-scale exchange per round is
+    the min-agg, and lineage truncates round-by-round."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_suppkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = bfs_distances(edges, _BFS_SOURCE)
+    return dist.groupBy("dist").agg(F.count("*").alias("n_suppliers"))

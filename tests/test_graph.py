@@ -125,3 +125,20 @@ def test_pagerank_matches_reference_iteration(spark):
     # hub outranks leaves, tail outranks pure leaves
     assert got[1] == max(got.values())
     assert got[4] > got[2] == got[3]
+
+
+def test_bfs_distances_on_a_path_graph(spark):
+    """bfs_distances on a 5-node path: exact hop distances within the
+    round budget, absent beyond it."""
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(v, u) for u, v in und], "u long, v long"
+    )
+    got = {r.node: r.dist for r in bfs_distances(edges, 1, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # node 5 is 4 hops: not reached
+    full = {r.node: r.dist for r in bfs_distances(edges, 1, rounds=4).collect()}
+    assert full[5] == 4

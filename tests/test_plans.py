@@ -644,3 +644,11 @@ def test_point_in_time_join_broadcasts_history(spark, specs):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Location: InMemoryFileIndex") <= 3  # li + 2 sup reads
     assert shuffles(plan) <= 3  # scd2 window + the 2-group agg
+
+
+def test_bfs_broadcasts_distance_table(spark, specs):
+    # The node-sized distance table broadcasts onto the edge scan; no
+    # sort-merge join, no cartesian; histogram is one small agg.
+    plan = plan_of(spark, specs, "supplier_bfs_reach")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
