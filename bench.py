@@ -102,6 +102,7 @@ HEADLINE = [
     "multimodal_byte_entropy",
     "lineitem_scd2_point_in_time",
     "supplier_bfs_reach",
+    "weighted_reservoir_sample",
 ]
 
 

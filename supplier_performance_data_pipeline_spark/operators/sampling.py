@@ -57,3 +57,20 @@ def stratified_hash_sample(
             ).otherwise(threshold)
         )
     return df.filter(hash_bucket(F.col(key), seed) < threshold)
+
+
+def weighted_sample_key(key: Column, weight: Column, seed: int) -> Column:
+    """Efraimidis–Spirakis (A-ES) weighted-sampling key: rank rows by
+    u^(1/w) descending and the top-k form a weighted sample WITHOUT
+    replacement with inclusion ∝ weight. We rank by the monotone
+    transform ln(u)/w instead — identical order, and the only float
+    ops are one ln and one division (no pow), so the cross-engine
+    contract stays the usual rounded-value one.
+
+    u is deterministic per (seed, key): the hash bucket shifted off
+    zero, u = (bucket + 0.5) / GRAIN — same hash, same u, same sample
+    tomorrow, on any engine, under any partitioning. The caller rounds
+    the key (6dp) and tie-breaks on the row key so the top-k cut is a
+    total order."""
+    u = (hash_bucket(key, seed) + F.lit(0.5)) / F.lit(float(GRAIN))
+    return F.log(u) / weight

@@ -444,3 +444,66 @@ def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_bigram_collocations.__doc__ = q_bigram_collocations.__doc__.format(
     sup=_PMI_MIN_SUPPORT
 )
+
+
+# --- fixed-size weighted sample (A-ES) --------------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    GRAIN,
+    weighted_sample_key,
+)
+
+_WRS_K = 100
+_WRS_SEED = 7
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(
+               ln((CAST(concat('0x', substr(md5(concat('{_WRS_SEED}|',
+                       CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT)
+                   % {GRAIN} + 0.5) / {float(GRAIN)})
+               / GREATEST(n_chars, 1), 6) AS sample_key
+    FROM documents
+)
+SELECT doc_id, n_chars, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT {_WRS_K}
+""".strip(),
+)
+def q_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE weighted sample: exactly k documents drawn without
+    replacement with inclusion probability ∝ length (Efraimidis–
+    Spirakis top-k keys) — the token-budget counterpart of the
+    rate-based samplers: "give me 100 docs, longer ones more likely,
+    and the SAME 100 tomorrow". Rate-based hash sampling cannot pin an
+    exact output size; A-ES does, in one pass, fully deterministic
+    (hash-derived u, no RNG).
+
+    Plan: a pure projection computes each row's key (one md5 + one ln
+    + one division), then TakeOrdered keeps the top-k — no shuffle
+    beyond the k-row collect, no window, no global sort. The ranking
+    key is rounded to 6dp with a doc_id tie-break so the cut is a
+    total order in both engines."""
+    docs = _docs(spark, sf_dir)
+    key = F.round(
+        weighted_sample_key(
+            F.col("doc_id"),
+            F.greatest(F.col("n_chars"), F.lit(1)),
+            _WRS_SEED,
+        ),
+        6,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(_WRS_K)
+    )

@@ -652,3 +652,13 @@ def test_bfs_broadcasts_distance_table(spark, specs):
     plan = plan_of(spark, specs, "supplier_bfs_reach")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_projection_plus_take_ordered(spark, specs):
+    # One projection (md5 + ln + divide) then TakeOrdered — no window,
+    # no join, no global sort exchange.
+    plan = plan_of(spark, specs, "weighted_reservoir_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert shuffles(plan) == 0
