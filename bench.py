@@ -103,6 +103,7 @@ HEADLINE = [
     "lineitem_scd2_point_in_time",
     "supplier_bfs_reach",
     "weighted_reservoir_sample",
+    "lineitem_table_fingerprint",
 ]
 
 

@@ -1517,3 +1517,56 @@ def q_lineitem_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame
 q_lineitem_scd2_point_in_time.__doc__ = (
     q_lineitem_scd2_point_in_time.__doc__.format(chg=_PIT_CHANGE)
 )
+
+
+# --- order-insensitive table fingerprint ------------------------------------
+
+# Canonical per-row string: every column cast to a fixed textual form
+# shared by both engines (ints/strings as-is, money through DECIMAL so
+# the scale is pinned, dates as ISO). Shared spec => the two dialects
+# cannot drift.
+_FP_COLS = [
+    "CAST(l_orderkey AS STRING)",
+    "CAST(l_linenumber AS STRING)",
+    "CAST(CAST(l_quantity AS DECIMAL(12,2)) AS STRING)",
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS STRING)",
+    "CAST(CAST(l_discount AS DECIMAL(4,2)) AS STRING)",
+    "CAST(CAST(l_tax AS DECIMAL(4,2)) AS STRING)",
+    "l_returnflag",
+    "l_linestatus",
+    "CAST(CAST(l_shipdate AS DATE) AS STRING)",
+]
+_FP_ROW = "concat_ws('|', " + ", ".join(_FP_COLS) + ")"
+
+
+@register(
+    "lineitem_table_fingerprint",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST(concat('0x', substr(md5({_FP_ROW.replace("AS STRING", "AS VARCHAR")}), 1, 14))
+               AS BIGINT)) AS fingerprint
+FROM lineitem
+""".strip(),
+)
+def q_lineitem_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive whole-table fingerprint: XOR of per-row
+    56-bit md5 hashes + the row count — the anti-entropy check two
+    replicas (or two engines, or pre/post-migration copies) compare to
+    prove a 100 TB table identical WITHOUT moving it: one scan each
+    side, 16 bytes exchanged. XOR is commutative/associative, so the
+    fingerprint is independent of partitioning and row order, and any
+    single-row difference flips it; rows are canonicalized through a
+    shared textual spec (pinned DECIMAL scales, ISO dates) so both
+    engines hash identical bytes. Map-side partial XOR collapses each
+    partition to 8 bytes — the exchange carries one row per partition.
+
+    (This very query is the engine's own cross-engine proof: the
+    DuckDB oracle computes the fingerprint from the same parquet and
+    the driver hash-compares the two.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.expr(
+            f"bit_xor(CAST(conv(substring(md5({_FP_ROW}), 1, 14), 16, 10) AS BIGINT))"
+        ).alias("fingerprint"),
+    )

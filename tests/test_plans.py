@@ -662,3 +662,13 @@ def test_weighted_sample_projection_plus_take_ordered(spark, specs):
     assert "Join" not in plan
     assert "Window" not in plan
     assert shuffles(plan) == 0
+
+
+def test_table_fingerprint_one_scan_partial_xor(spark, specs):
+    # One scan, no join; partial XOR collapses map-side so the single
+    # exchange carries one row per partition.
+    plan = plan_of(spark, specs, "lineitem_table_fingerprint")
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert shuffles(plan) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
