@@ -106,3 +106,36 @@ def test_risk_formula_hand_computed(spark):
     assert risk["S1"].risk_score == pytest.approx(0.7 * 0.0 + 0.3 * 0.0)
     assert risk["S2"].performance_score == pytest.approx(0.0)
     assert risk["S2"].risk_score == pytest.approx(0.7 * 1.0 + 0.3 * 1.0)
+
+
+def test_fingerprint_invariant_under_repartitioning(spark):
+    """The table fingerprint's whole contract: identical value no
+    matter how rows are distributed (XOR is order/partition free)."""
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        load_all,
+    )
+    from tests.conftest import SF_SMOKE
+
+    build = load_all()["lineitem_table_fingerprint"].build
+    base = build(spark, SF_SMOKE).collect()[0]
+    # Same computation over a deliberately rescrambled scan.
+    import os
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(SF_SMOKE, "lineitem.parquet"))
+    scrambled = li.repartition(7).sortWithinPartitions("l_quantity")
+    scrambled.createOrReplaceTempView("li_scrambled")
+    from supplier_performance_data_pipeline_spark.plans.queries_analytics import (
+        _FP_ROW,
+    )
+
+    again = scrambled.agg(
+        F.count("*").alias("n_rows"),
+        F.expr(
+            f"bit_xor(CAST(conv(substring(md5({_FP_ROW}), 1, 14), 16, 10)"
+            " AS BIGINT))"
+        ).alias("fingerprint"),
+    ).collect()[0]
+    assert again.fingerprint == base.fingerprint
+    assert again.n_rows == base.n_rows
