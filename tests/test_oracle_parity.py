@@ -2,9 +2,13 @@
 
 This is the same differential check the driver runs at sf0.01 — running
 it in CI-speed form keeps the correctness gate green by construction.
+Set SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.01 to run the whole
+suite at driver scale (the pre-round full sweep; ~10 min).
 """
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -13,17 +17,18 @@ from tests.conftest import SF_SMOKE
 from tests.oracle_utils import assert_frames_match, run_oracle
 
 SPECS = load_all()
+PARITY_SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", SF_SMOKE)
 
 
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(spark, name):
     spec = SPECS[name]
-    actual = spec.build(spark, SF_SMOKE).toPandas()
+    actual = spec.build(spark, PARITY_SF_DIR).toPandas()
     _assert_no_cache_residue(spark, name)
     if spec.oracle is None:
         assert len(actual) >= 0  # rows-only check, mirrors the driver
         return
-    expected = run_oracle(SF_SMOKE, spec.oracle)
+    expected = run_oracle(PARITY_SF_DIR, spec.oracle)
     assert_frames_match(actual, expected, name)
 
 
