@@ -163,14 +163,20 @@ def embedding_near_dup_pairs(
     scoring is one dot product. At 100 TB the bucket stage is the
     shuffle key — same-bucket rows co-locate; size ``n_planes`` ~
     log2(N) (module docstring) so per-bucket candidate volume stays
-    bounded as N grows."""
+    bounded as N grows.
+
+    Zero vectors have no direction, hence no cosine: they are filtered
+    out before the self-join (``nrm > 0``). Without the guard 0/0 = NaN
+    — and Spark orders NaN ABOVE every real number, so a degenerate
+    vector would pass any ``>= threshold`` filter and pair with its
+    whole bucket (same handling as ``quantize_int8``'s amax == 0)."""
     v = _as_double(F.col(vec_col))
     base = embeddings.select(F.col(id_col).alias("vid"), v.alias("v")).select(
         "vid",
         "v",
         F.expr(lsh_bucket_expr("v", dim, n_planes)).alias("bucket"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0.0)
     a = base.select(
         F.col("vid").alias("vec_a"),
         F.col("v").alias("va"),
@@ -293,9 +299,15 @@ def knn_join_topk(
     no neighbors and are absent — the recall/coverage trade is governed
     by ``n_planes`` (fewer planes → bigger buckets → better recall,
     more candidate work; multi-probe or band-OR extends coverage the
-    same way the MinHash LSH bands do). Ranking keys on the ROUNDED
-    cosine with the neighbor id as tie-break: a deterministic total
-    order on every engine."""
+    same way the MinHash LSH bands do — see ``knn_join_topk_banded``).
+    Ranking keys on the ROUNDED cosine with the neighbor id as
+    tie-break: a deterministic total order on every engine.
+
+    Zero vectors are filtered on BOTH sides before the bucket join
+    (``nrm > 0``): cosine against a zero vector is 0/0 = NaN, and
+    Spark's descending sort ranks NaN above every real similarity, so
+    an unguarded degenerate vector would surface as the TOP neighbor
+    of its whole bucket."""
     from pyspark.sql.window import Window
 
     v = _as_double(F.col(vec_col))
@@ -304,7 +316,7 @@ def knn_join_topk(
         "v",
         F.expr(lsh_bucket_expr("v", dim, n_planes)).alias("bucket"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0.0)
     a = base.select(
         F.col("vid").alias("vec_a"), F.col("v").alias("va"),
         "bucket", F.col("nrm").alias("na"),

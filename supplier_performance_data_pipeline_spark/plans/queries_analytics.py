@@ -1281,8 +1281,10 @@ def q_orders_lineitem_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFra
 
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh = wh.removeprefix("file:")
-    sweep_stale_artifacts(wh, "li_bkt_")
-    sweep_stale_artifacts(wh, "ord_bkt_")
+    # spark passed so the catalog entry drops with the directory —
+    # prefix-keyed CTAS tables, not plain files (writers.py contract).
+    sweep_stale_artifacts(wh, "li_bkt_", spark=spark)
+    sweep_stale_artifacts(wh, "ord_bkt_", spark=spark)
     app = spark.sparkContext.applicationId.replace("-", "_")
     lt, ot = f"li_bkt_{app}", f"ord_bkt_{app}"
     write_table(li, lt, bucket_by=(_BUCKETS, "l_orderkey"))
@@ -1544,7 +1546,9 @@ _FP_ROW = "concat_ws('|', " + ", ".join(_FP_COLS) + ")"
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        bit_xor(CAST(concat('0x', substr(md5({_FP_ROW.replace("AS STRING", "AS VARCHAR")}), 1, 14))
-               AS BIGINT)) AS fingerprint
+               AS BIGINT)) AS fingerprint,
+       CAST(CAST(SUM(CAST(concat('0x', substr(md5({_FP_ROW.replace("AS STRING", "AS VARCHAR")}), 1, 14))
+               AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint_sum
 FROM lineitem
 """.strip(),
 )
@@ -1553,20 +1557,35 @@ def q_lineitem_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     56-bit md5 hashes + the row count — the anti-entropy check two
     replicas (or two engines, or pre/post-migration copies) compare to
     prove a 100 TB table identical WITHOUT moving it: one scan each
-    side, 16 bytes exchanged. XOR is commutative/associative, so the
+    side, ~32 bytes exchanged. XOR is commutative/associative, so the
     fingerprint is independent of partitioning and row order, and any
     single-row difference flips it; rows are canonicalized through a
     shared textual spec (pinned DECIMAL scales, ISO dates) so both
-    engines hash identical bytes. Map-side partial XOR collapses each
-    partition to 8 bytes — the exchange carries one row per partition.
+    engines hash identical bytes. Map-side partial agg collapses each
+    partition to one row — the exchange carries one row per partition.
+
+    XOR alone has an even-multiplicity blind spot: hashes cancel in
+    PAIRS, so corruption that swaps an identical row pair {x,x} for a
+    different pair {y,y} (any even-multiplicity substitution) leaves
+    both the XOR and n_rows unchanged. ``fingerprint_sum`` — the
+    order-free arithmetic SUM of the same 56-bit row hashes, exact in
+    DECIMAL(38,0) (max 2^56 per row × 10^15 rows < 10^38, no overflow,
+    no modular wraparound to reconcile across engines; surfaced as its
+    exact STRING digits because client decimal→double conversion would
+    silently round past 2^53) — closes it:
+    the paired substitution shifts the sum by 2·(h(y)−h(x)), so
+    defeating both digests needs a simultaneous hash coincidence.
 
     (This very query is the engine's own cross-engine proof: the
     DuckDB oracle computes the fingerprint from the same parquet and
     the driver hash-compares the two.)"""
     li = _t(spark, sf_dir, "lineitem")
+    row_hash = f"CAST(conv(substring(md5({_FP_ROW}), 1, 14), 16, 10) AS BIGINT)"
     return li.agg(
         F.count("*").alias("n_rows"),
+        F.expr(f"bit_xor({row_hash})").alias("fingerprint"),
         F.expr(
-            f"bit_xor(CAST(conv(substring(md5({_FP_ROW}), 1, 14), 16, 10) AS BIGINT))"
-        ).alias("fingerprint"),
+            f"CAST(CAST(sum(CAST({row_hash} AS DECIMAL(38,0)))"
+            " AS DECIMAL(38,0)) AS STRING)"
+        ).alias("fingerprint_sum"),
     )

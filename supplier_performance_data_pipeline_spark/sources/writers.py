@@ -92,7 +92,7 @@ def write_parquet_range_layout(
 
 
 def sweep_stale_artifacts(
-    directory: str, prefix: str, ttl_seconds: int = 3600
+    directory: str, prefix: str, ttl_seconds: int = 3600, spark=None
 ) -> None:
     """Housekeeping for per-session roundtrip artifacts: remove sibling
     ``prefix*`` entries not touched for ``ttl_seconds``.
@@ -101,9 +101,26 @@ def sweep_stale_artifacts(
     concurrent sessions never race each other — but that means every
     DEAD session leaves a directory behind, and a long-running host
     (driver rounds + benches + test runs) accumulates them without
-    bound. A live session rewrites its own artifact every build, so
-    its mtime stays fresh; anything an hour stale belongs to a dead
-    session and is safe to reap even with other sessions running."""
+    bound.
+
+    Liveness contract (the mtime heuristic, stated so call sites can
+    hold it): every caller REWRITES its own artifact on every build of
+    the query that reads it — artifact mtime therefore tracks the last
+    build, and a read only ever follows its own build within the same
+    query. An entry ``ttl_seconds`` stale can only belong to (a) a dead
+    session or (b) a live session that hasn't built the owning query
+    for a full TTL — and since that session rebuilds before its next
+    read, case (b) loses cached bytes, never correctness. What the
+    contract does NOT cover is a caller that writes once and re-reads
+    across builds for over an hour without rewriting; don't create one.
+
+    Pass ``spark`` when the swept entries are catalog tables (CTAS /
+    bucketed): the directory name doubles as the table name, and
+    dropping the catalog entry alongside the files keeps THIS session's
+    catalog and filesystem in sync (other sessions' in-memory catalogs
+    are unreachable — and die with their session, so no durable desync
+    is possible in local/in-memory-catalog deployments; on a SHARED
+    hive metastore, run the sweep with a session attached to it)."""
     import os
     import shutil
     import time
@@ -119,6 +136,8 @@ def sweep_stale_artifacts(
         path = os.path.join(directory, name)
         try:
             if now - os.path.getmtime(path) > ttl_seconds:
+                if spark is not None:
+                    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             pass

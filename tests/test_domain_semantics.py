@@ -130,12 +130,17 @@ def test_fingerprint_invariant_under_repartitioning(spark):
         _FP_ROW,
     )
 
+    row_hash = (
+        f"CAST(conv(substring(md5({_FP_ROW}), 1, 14), 16, 10) AS BIGINT)"
+    )
     again = scrambled.agg(
         F.count("*").alias("n_rows"),
+        F.expr(f"bit_xor({row_hash})").alias("fingerprint"),
         F.expr(
-            f"bit_xor(CAST(conv(substring(md5({_FP_ROW}), 1, 14), 16, 10)"
-            " AS BIGINT))"
-        ).alias("fingerprint"),
+            f"CAST(CAST(sum(CAST({row_hash} AS DECIMAL(38,0)))"
+            " AS DECIMAL(38,0)) AS STRING)"
+        ).alias("fingerprint_sum"),
     ).collect()[0]
     assert again.fingerprint == base.fingerprint
+    assert again.fingerprint_sum == base.fingerprint_sum
     assert again.n_rows == base.n_rows

@@ -144,6 +144,34 @@ def test_knn_join_identical_vectors_rank_deterministically(spark):
         assert [vb for _, vb in sorted(lst)] == expect
 
 
+def test_knn_join_zero_vector_excluded(spark):
+    """A zero vector has no direction: it must neither receive a
+    neighbor list nor appear in anyone else's. Unguarded, its cosine is
+    0/0 = NaN, which Spark sorts ABOVE all real similarities — the
+    degenerate vector would rank as everyone's top neighbor."""
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        knn_join_topk,
+    )
+
+    vecs = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0, 2.0, 3.0, 4.1]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = knn_join_topk(df, 4, 3).collect()
+    ids_seen = {r["vec_a"] for r in rows} | {r["vec_b"] for r in rows}
+    assert 3 not in ids_seen
+    # 1 and 2 still pair with each other (same bucket, near-identical).
+    assert {r["vec_a"] for r in rows} == {1, 2}
+    for r in rows:
+        assert r["cosine_sim"] == r["cosine_sim"]  # no NaN survives
+    pairs = embedding_near_dup_pairs(df, 4, threshold=0.0).collect()
+    assert all(3 not in (p["vec_a"], p["vec_b"]) for p in pairs)
+    assert {(p["vec_a"], p["vec_b"]) for p in pairs} == {(1, 2)}
+
+
 def test_quantization_zero_vector(spark):
     """The all-zero embedding must quantize to zero codes with zero
     scale, not divide by zero."""
