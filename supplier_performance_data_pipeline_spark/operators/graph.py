@@ -85,15 +85,26 @@ def _star(edges: DataFrame, verts: DataFrame, large: bool) -> DataFrame:
     return out.localCheckpoint()
 
 
-def _same_edge_set(a: DataFrame, b: DataFrame) -> bool:
-    """Exact set equality of two canonical (src, dst) edge tables.
+def _edge_fingerprint(e: DataFrame) -> tuple:
+    """(count, xor, sum) digest of a canonical (src, dst) edge set in
+    ONE job — the per-round convergence probe.
 
-    Both sides are distinct and localCheckpointed, so the two probe
-    jobs (count + one-sided except) scan materialized blocks, not
-    recomputed lineage — cheap relative to a star round."""
-    if a.count() != b.count():
-        return False
-    return a.exceptAll(b).isEmpty()
+    One scan of the materialized (localCheckpointed) edges computes
+    the row count, the order-free XOR of per-edge xxhash64, and the
+    order-free exact DECIMAL sum of the same hashes (the sum closes
+    XOR's paired-cancellation blind spot; edges are distinct, so even
+    that can only matter across DIFFERENT sets). Two different edge
+    sets collide only if their symmetric difference simultaneously
+    XORs to zero, sums to zero, and has equal cardinality — and the
+    loop still confirms the fixed point EXACTLY before exiting (see
+    ``connected_components``), so a collision costs one wasted exact
+    probe, never a wrong result."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+        F.sum(F.expr("CAST(xxhash64(src, dst) AS DECIMAL(38,0))")).alias("s"),
+    ).collect()[0]
+    return (row["n"], row["x"], row["s"])
 
 
 def connected_components(
@@ -114,9 +125,13 @@ def connected_components(
     themselves). Materializes each round eagerly — see module docstring
     for why iterative plans must cut lineage per round.
 
-    Convergence contract: the fixed point is CHECKED every round
-    (edge-set equality on the materialized rounds), which both
-    early-exits graphs that settle before ``iters`` pairs and — with
+    Convergence contract: the fixed point is CHECKED every round —
+    cheaply, via the one-job (count, xor, sum) edge-set digest
+    (``_edge_fingerprint``); only when the digests MATCH does an exact
+    one-sided ``exceptAll`` confirm set equality before exiting, so
+    the contract stays exact while the steady-state probe cost drops
+    from three jobs per round to one. The check both early-exits
+    graphs that settle before ``iters`` pairs and — with
     ``until_converged=True`` (default) — keeps iterating past ``iters``
     up to ``max_iters`` rather than silently returning unconverged
     components; a graph still moving at ``max_iters`` raises. Results
@@ -141,12 +156,17 @@ def connected_components(
     )
     rounds = max_iters if until_converged else iters
     converged = False
+    fp = _edge_fingerprint(edges)
     for _ in range(rounds):
         new_edges = _star(_star(edges, verts, large=True), verts, large=False)
-        if _same_edge_set(edges, new_edges):
+        new_fp = _edge_fingerprint(new_edges)
+        # Digest match → exact confirm (both sides are distinct and
+        # materialized, so equal counts + empty one-sided except is
+        # set equality); digest mismatch → provably still moving.
+        if new_fp == fp and edges.exceptAll(new_edges).isEmpty():
             converged = True
             break
-        edges = new_edges
+        edges, fp = new_edges, new_fp
     if until_converged and not converged:
         raise RuntimeError(
             f"connected_components did not reach a fixed point within "
@@ -187,10 +207,25 @@ PR_CONTRIB_SCALE = 12
 PR_RANK_SCALE = 9
 
 
+def _nodes_side(df: DataFrame, broadcast_nodes: bool) -> DataFrame:
+    """Node-sized join side, broadcast-forced or planner-chosen.
+
+    ``broadcast_nodes=True`` is correct and fastest while the node
+    table is dimension-sized (the co-supply graph: nodes = suppliers),
+    but a FORCED broadcast overrides Spark's own size gate — on a
+    billion-node graph it would OOM the driver building the broadcast
+    relation. Past broadcast scale, pass ``False``: the join falls back
+    to a plain equi-join and AQE picks the strategy from the observed
+    size at runtime (including re-choosing broadcast when the node
+    table turns out small after all)."""
+    return F.broadcast(df) if broadcast_nodes else df
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = PR_ITERS,
     damp: float = PR_DAMP,
+    broadcast_nodes: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (u, v) —
     (node, rank) after ``iters`` power iterations from the uniform
@@ -207,15 +242,19 @@ def pagerank(
     values, structured identically in both engines.
 
     Scale: the edge list and the per-source degree table materialize
-    once (localCheckpoint); ranks are NODE-sized, so both per-iteration
-    joins broadcast onto the edge scan — the only data-scale exchange
-    per iteration is the inbound-sum agg keyed by target. Rank tables
+    once (localCheckpoint); ranks are NODE-sized, so with the default
+    ``broadcast_nodes=True`` both per-iteration joins broadcast onto
+    the edge scan — the only data-scale exchange per iteration is the
+    inbound-sum agg keyed by target. The forced broadcast is bounded by
+    the node-table size (see ``_nodes_side``): past broadcast scale set
+    ``broadcast_nodes=False`` and the joins shuffle on the vertex key
+    under AQE instead — identical results, pinned by test. Rank tables
     localCheckpoint each round: same lineage-truncation requirement as
     the CC rounds above (the plan otherwise re-derives every prior
     iteration per reference)."""
     e = edges.select("u", "v").localCheckpoint()
     deg = e.groupBy("u").agg(F.count("*").alias("deg"))
-    edeg = e.join(F.broadcast(deg), "u").localCheckpoint()
+    edeg = e.join(_nodes_side(deg, broadcast_nodes), "u").localCheckpoint()
     nodes = e.select(F.col("u").alias("s")).distinct().localCheckpoint()
     n1 = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
@@ -223,7 +262,7 @@ def pagerank(
     ).localCheckpoint()
     for _ in range(iters):
         contrib = edeg.join(
-            F.broadcast(ranks), edeg.u == ranks.s
+            _nodes_side(ranks, broadcast_nodes), edeg.u == ranks.s
         ).select(
             "v",
             F.round(F.col("r") / F.col("deg"), PR_CONTRIB_SCALE).alias("c"),
@@ -234,7 +273,11 @@ def pagerank(
             .alias("sm")
         )
         ranks = (
-            nodes.join(F.broadcast(inbound), nodes.s == inbound.v, "left")
+            nodes.join(
+                _nodes_side(inbound, broadcast_nodes),
+                nodes.s == inbound.v,
+                "left",
+            )
             .crossJoin(F.broadcast(n1))
             .select(
                 "s",
@@ -255,7 +298,10 @@ BFS_ROUNDS = 3
 
 
 def bfs_distances(
-    edges: DataFrame, source: int, rounds: int = BFS_ROUNDS
+    edges: DataFrame,
+    source: int,
+    rounds: int = BFS_ROUNDS,
+    broadcast_nodes: bool = True,
 ) -> DataFrame:
     """Single-source BFS over a directed edge list (u, v): (node, dist)
     for every node within ``rounds`` hops of ``source`` (the source
@@ -267,8 +313,10 @@ def bfs_distances(
     across engines (same contract as the CC star rounds; a frontier
     optimization changes cost, not results). Per round: one node-keyed
     min-agg and one join of the node-sized distance table onto the
-    edge scan — the distance table broadcasts, so the only data-scale
-    exchange is the min-agg; lineage truncates per round."""
+    edge scan — the distance table broadcasts by default, with the
+    same size bound and ``broadcast_nodes=False`` AQE fallback as
+    ``pagerank`` (see ``_nodes_side``); the only data-scale exchange
+    is the min-agg; lineage truncates per round."""
     dist = (
         edges.sparkSession.createDataFrame(
             [(source, 0)], "node long, dist int"
@@ -276,7 +324,7 @@ def bfs_distances(
     )
     for _ in range(rounds):
         step = (
-            edges.join(F.broadcast(dist), edges.u == dist.node)
+            edges.join(_nodes_side(dist, broadcast_nodes), edges.u == dist.node)
             .select(
                 F.col("v").alias("node"),
                 (F.col("dist") + 1).alias("dist"),

@@ -142,3 +142,43 @@ def test_bfs_distances_on_a_path_graph(spark):
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # node 5 is 4 hops: not reached
     full = {r.node: r.dist for r in bfs_distances(edges, 1, rounds=4).collect()}
     assert full[5] == 4
+
+
+def test_graph_ops_non_broadcast_path_identical(spark):
+    """broadcast_nodes=False must change only the join STRATEGY, never
+    results: past broadcast scale the node tables shuffle under AQE
+    instead of OOMing the driver with a forced broadcast relation.
+    Results are rounded/deterministic, so equality is exact."""
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        bfs_distances,
+        pagerank,
+    )
+
+    und = [(1, 2), (1, 3), (1, 4), (4, 5), (5, 6), (3, 6)]
+    edges = spark.createDataFrame(
+        und + [(v, u) for u, v in und], "u long, v long"
+    )
+    pr_bc = {r.s: r.r for r in pagerank(edges).collect()}
+    pr_plain = {
+        r.s: r.r for r in pagerank(edges, broadcast_nodes=False).collect()
+    }
+    assert pr_plain == pr_bc
+
+    bfs_bc = {r.node: r.dist for r in bfs_distances(edges, 1).collect()}
+    bfs_plain = {
+        r.node: r.dist
+        for r in bfs_distances(edges, 1, broadcast_nodes=False).collect()
+    }
+    assert bfs_plain == bfs_bc
+
+    # The knob reaches the join: with the hint absent, _nodes_side
+    # returns the frame untouched (no broadcast wrapper in lineage).
+    # (The returned plans are localCheckpointed per round, so the
+    # strategy difference is only observable mid-iteration; results
+    # equality above is the substantive contract.)
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        _nodes_side,
+    )
+
+    assert _nodes_side(edges, False) is edges
+    assert _nodes_side(edges, True) is not edges
