@@ -104,6 +104,7 @@ HEADLINE = [
     "supplier_bfs_reach",
     "weighted_reservoir_sample",
     "lineitem_table_fingerprint",
+    "knn_join_recall",
 ]
 
 

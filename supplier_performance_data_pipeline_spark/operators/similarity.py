@@ -340,3 +340,98 @@ def knn_join_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def banded_buckets_expr(
+    vec_sql: str, dim: int, n_bands: int, planes_per_band: int
+) -> str:
+    """Array of per-band LSH bucket ids as ONE SQL expression.
+
+    Band ``b`` hashes with hyperplanes ``b*planes_per_band ..
+    (b+1)*planes_per_band - 1`` (globally-indexed, so band 0 of a
+    banded scheme IS the single bucket of ``lsh_bucket_expr`` with the
+    same plane count — banded with ``n_bands=1`` degenerates exactly
+    to the single-bucket operator). Bit positions restart per band:
+    bucket ids live in [0, 2^planes_per_band)."""
+    bands = []
+    for b in range(n_bands):
+        terms = []
+        for i in range(planes_per_band):
+            p = b * planes_per_band + i
+            plane = (
+                "array("
+                + ", ".join(f"{float(v)}D" for v in hyperplane(p, dim))
+                + ")"
+            )
+            terms.append(f"if({dot_expr(vec_sql, plane)} > 0, {2**i}L, 0L)")
+        bands.append("(" + " + ".join(terms) + ")")
+    return "array(" + ", ".join(bands) + ")"
+
+
+def knn_join_topk_banded(
+    embeddings: DataFrame,
+    dim: int,
+    k: int,
+    n_bands: int = 2,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Band-OR k-NN join: candidates meet if they share a bucket in ANY
+    of ``n_bands`` independent hyperplane bands — the OR-of-bands
+    coverage extension the MinHash LSH side already has, applied to the
+    embedding k-NN join. A single-bucket join (``knn_join_topk``)
+    leaves every vector that is alone in its bucket with NO neighbors;
+    each extra band re-rolls that vector's bucket with fresh
+    hyperplanes, so coverage (and recall) rises monotonically in
+    ``n_bands`` at the cost of ~n_bands× candidate volume. Tune
+    ``planes_per_band`` ~ log2(N) for O(1) expected bucket size and
+    ``n_bands`` for the recall target — the standard S-curve trade.
+
+    Plan shape: one generator expansion (posexplode of the per-band
+    bucket array — ×n_bands rows, shuffle-free), a (band, bucket)
+    equi-join — never all-pairs — then DISTINCT over the scored pairs
+    (a pair matching in several bands must count once; the cosine is
+    deterministic, so full-row distinct dedups exactly) and the same
+    per-query window rank as the single-bucket join. Zero vectors are
+    excluded on both sides (no direction → no cosine; see
+    ``knn_join_topk``)."""
+    from pyspark.sql.window import Window
+
+    v = _as_double(F.col(vec_col))
+    base = (
+        embeddings.select(F.col(id_col).alias("vid"), v.alias("v"))
+        .select(
+            "vid",
+            "v",
+            F.posexplode(
+                F.expr(banded_buckets_expr("v", dim, n_bands, planes_per_band))
+            ).alias("band", "bucket"),
+            F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0.0)
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+        "band", "bucket", F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+        "band", "bucket", F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    scored = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine_sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -158,6 +158,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
            / (a.nrm * b.nrm), 6) AS cosine_sim
 FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  AND a.nrm > 0 AND b.nrm > 0
 WHERE ROUND(list_sum(list_transform(range(0, len(a.embedding)),
           i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
         / (a.nrm * b.nrm), 6) >= {NEAR_DUP_THRESHOLD}
@@ -683,6 +684,7 @@ scored AS (
                  i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
                / (a.nrm * b.nrm), 6) AS cosine_sim
     FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      AND a.nrm > 0 AND b.nrm > 0
 ),
 ranked AS (
     SELECT *, CAST(ROW_NUMBER() OVER (
@@ -704,6 +706,206 @@ def q_knn_join_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_knn_join_top5.__doc__ = q_knn_join_top5.__doc__.format(k=KNN_K)
+
+
+# --- band-OR kNN join recall vs exact ground truth --------------------------
+
+KNN_BANDS = 2  # OR-of-2-bands: band 0 IS knn_join_top5's bucketing,
+# band 1 re-rolls every bucket with fresh hyperplanes — coverage and
+# recall rise monotonically with n_bands (S-curve trade, same knob as
+# the MinHash LSH bands).
+KNN_RECALL_SAMPLE_MOD = 10  # ground truth over vec_id % 10 == 0 —
+# exact kNN needs one full scan per query, so recall is always
+# evaluated on a SAMPLE of queries (the standard ANN eval protocol;
+# at 100 TB the sample stays fixed-size while the corpus grows).
+
+_KNN_BAND_PLANES_VALUES = ", ".join(
+    f"({b}, {i}, {hyperplane(b * KNN_PLANES + i, DIM)})"
+    for b in range(KNN_BANDS)
+    for i in range(KNN_PLANES)
+)
+_KNN_BAND_PLANES_CTE = (
+    "knn_band_planes AS (SELECT * FROM "
+    f"(VALUES {_KNN_BAND_PLANES_VALUES}) t(band, bit, hp))"
+)
+_EMB_DOT = (
+    "list_sum(list_transform(range(0, len(a.embedding)), "
+    "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))"
+)
+
+
+@register(
+    "knn_join_recall",
+    oracle=f"""
+WITH {_KNN_BAND_PLANES_CTE},
+nbase AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(range(0, len(embedding)),
+               i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+bproj AS (
+    SELECT e.vec_id, pl.band, pl.bit,
+           list_sum(list_transform(range(0, len(e.embedding)),
+               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(pl.hp[i+1] AS DOUBLE))) AS d
+    FROM embeddings e CROSS JOIN knn_band_planes pl
+),
+bbuckets AS (
+    SELECT vec_id, band,
+           CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS bucket
+    FROM bproj GROUP BY vec_id, band
+),
+bbase AS (
+    SELECT n.vec_id, n.embedding, n.nrm, bb.band, bb.bucket
+    FROM nbase n JOIN bbuckets bb ON n.vec_id = bb.vec_id
+    WHERE n.nrm > 0
+),
+bscored AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_EMB_DOT} / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM bbase a JOIN bbase b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+banded AS (
+    SELECT vec_a, vec_b FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_a ORDER BY cosine_sim DESC, vec_b) AS rnk
+        FROM bscored) WHERE rnk <= {KNN_K}
+          AND vec_a % {KNN_RECALL_SAMPLE_MOD} = 0
+),
+single AS (
+    SELECT vec_a, vec_b FROM ({{single}}) s
+    WHERE vec_a % {KNN_RECALL_SAMPLE_MOD} = 0
+),
+escored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_EMB_DOT} / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM nbase a JOIN nbase b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id % {KNN_RECALL_SAMPLE_MOD} = 0
+      AND a.nrm > 0 AND b.nrm > 0
+),
+exact AS (
+    SELECT vec_a, vec_b FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_a ORDER BY cosine_sim DESC, vec_b) AS rnk
+        FROM escored) WHERE rnk <= {KNN_K}
+)
+SELECT CAST({KNN_K} AS BIGINT) AS k_requested,
+       (SELECT COUNT(DISTINCT vec_a) FROM exact) AS n_queries,
+       (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
+       (SELECT COUNT(*) FROM exact e JOIN banded ba
+            ON e.vec_a = ba.vec_a AND e.vec_b = ba.vec_b) AS n_overlap_banded,
+       (SELECT COUNT(*) FROM exact e JOIN single si
+            ON e.vec_a = si.vec_a AND e.vec_b = si.vec_b) AS n_overlap_single
+""".strip(),
+)
+def q_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the band-OR kNN join against EXACT sampled ground
+    truth, side-by-side with the single-bucket join — the accuracy
+    dial for `knn_join_top5`'s documented coverage gap (vectors alone
+    in their bucket get no neighbors; extra bands re-roll their
+    bucket). One row: k, n sampled queries, exact pair count, and the
+    overlap of each approximate method with the exact top-k. Recall =
+    n_overlap / n_exact_pairs; banded >= single by construction (band
+    0 IS the single-bucket scheme, pinned by test).
+
+    Scale shape: ground truth needs one full scan per query, so it is
+    computed for a FIXED SAMPLE of queries (vec_id % {mod} == 0) — the
+    standard ANN evaluation protocol. The sampled query set broadcasts
+    onto one embeddings scan (BroadcastNestedLoopJoin over ~N/{mod}
+    rows x the scan — the deliberate exact-eval harness, NOT a
+    data-scale cartesian: the broadcast side is fixed-size by
+    construction). The approximate sides stay (band, bucket)
+    equi-joins."""
+    from pyspark.sql.window import Window
+
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        dot,
+        knn_join_topk_banded,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    is_q = F.col("vec_id") % KNN_RECALL_SAMPLE_MOD == 0
+
+    banded = knn_join_topk_banded(
+        emb, DIM, KNN_K, n_bands=KNN_BANDS, planes_per_band=KNN_PLANES
+    ).filter(F.col("vec_a") % KNN_RECALL_SAMPLE_MOD == 0)
+    single = knn_join_topk(emb, DIM, KNN_K, n_planes=KNN_PLANES).filter(
+        F.col("vec_a") % KNN_RECALL_SAMPLE_MOD == 0
+    )
+
+    nbase = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("nrm") > 0
+    )
+    queries = nbase.filter(is_q).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    cand = nbase.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    escored = (
+        cand.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine_sim"), F.asc("vec_b"))
+    exact = (
+        escored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("vec_a", "vec_b")
+    )
+
+    n_queries = exact.agg(
+        F.countDistinct("vec_a").alias("n_queries"),
+        F.count("*").alias("n_exact_pairs"),
+    )
+    ov_banded = exact.join(banded, ["vec_a", "vec_b"]).agg(
+        F.count("*").alias("n_overlap_banded")
+    )
+    ov_single = exact.join(single, ["vec_a", "vec_b"]).agg(
+        F.count("*").alias("n_overlap_single")
+    )
+    return (
+        n_queries.crossJoin(ov_banded)
+        .crossJoin(ov_single)
+        .select(
+            F.lit(KNN_K).cast("long").alias("k_requested"),
+            "n_queries",
+            "n_exact_pairs",
+            "n_overlap_banded",
+            "n_overlap_single",
+        )
+    )
+
+
+q_knn_join_recall.__doc__ = q_knn_join_recall.__doc__.format(
+    mod=KNN_RECALL_SAMPLE_MOD
+)
+
+# The single-bucket arm composes the already-registered knn_join_top5
+# oracle verbatim so the two queries can never drift apart (same
+# pattern as ann_recall_at_10).
+REGISTRY["knn_join_recall"] = REGISTRY["knn_join_recall"].__class__(
+    name="knn_join_recall",
+    build=REGISTRY["knn_join_recall"].build,
+    oracle=REGISTRY["knn_join_recall"].oracle.format(
+        single=REGISTRY["knn_join_top5"].oracle
+    ),
+)
 
 
 # --- nearest-centroid label confusion matrix --------------------------------

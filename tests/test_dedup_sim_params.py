@@ -117,3 +117,57 @@ def test_ivf_probe_guard():
 
     with pytest.raises(ValueError, match="MAX_PROBE_LABELS"):
         _ivf_probe_labels(None, None, MAX_PROBE_LABELS + 1)
+
+
+def test_knn_banded_one_band_degenerates_to_single_bucket(spark):
+    """banded_buckets_expr indexes hyperplanes globally, so band 0 of
+    the banded scheme IS lsh_bucket_expr's bucketing — n_bands=1 must
+    reproduce knn_join_topk exactly (same candidates, same ranks)."""
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        knn_join_topk,
+        knn_join_topk_banded,
+    )
+
+    emb = spark.read.parquet(EMB)
+    single = knn_join_topk(emb, 64, 3, n_planes=4)
+    banded = knn_join_topk_banded(emb, 64, 3, n_bands=1, planes_per_band=4)
+    a = {tuple(r) for r in single.collect()}
+    b = {tuple(r) for r in banded.collect()}
+    assert a == b
+
+
+def test_knn_banded_coverage_and_recall_monotone(spark):
+    """Each extra band re-rolls every vector's bucket: covered queries
+    and candidate pairs grow monotonically, and the single-bucket
+    neighbor pairs that survive ranking at the SAME k stay a subset in
+    coverage terms (every query covered by 1 band is covered by 2)."""
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        knn_join_topk_banded,
+    )
+
+    emb = spark.read.parquet(EMB)
+    one = knn_join_topk_banded(emb, 64, 3, n_bands=1, planes_per_band=4)
+    two = knn_join_topk_banded(emb, 64, 3, n_bands=2, planes_per_band=4)
+    q1 = {r["vec_a"] for r in one.select("vec_a").distinct().collect()}
+    q2 = {r["vec_a"] for r in two.select("vec_a").distinct().collect()}
+    assert q1 <= q2  # band-OR can only ADD covered queries
+    assert one.count() <= two.count()
+
+
+def test_knn_recall_banded_dominates_single(spark):
+    """The registered recall query's invariant: overlap with exact
+    ground truth is at least as high for band-OR as for single-bucket
+    (band 0 is the single-bucket scheme, so banded candidates are a
+    superset per query; ranking at the same k can only improve or
+    match the exact-overlap count when candidates grow toward the
+    true top-k)."""
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        load_all,
+    )
+
+    row = (
+        load_all()["knn_join_recall"].build(spark, SF_SMOKE).collect()[0]
+    )
+    assert row["n_exact_pairs"] > 0
+    assert row["n_overlap_banded"] >= row["n_overlap_single"]
+    assert row["n_overlap_banded"] <= row["n_exact_pairs"]

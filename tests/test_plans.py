@@ -403,6 +403,18 @@ def test_knn_join_bucket_equi_never_cross(spark, specs):
     assert "TakeOrderedAndProject" not in plan  # rank is per-vector
 
 
+def test_knn_recall_exact_arm_broadcasts_sampled_queries(spark, specs):
+    # The recall harness's ONLY non-equi join is the exact ground-truth
+    # arm: the fixed-size sampled query set must ride a BROADCAST
+    # nested loop onto one embeddings scan — never a data-scale
+    # CartesianProduct shuffle — while both approximate arms stay
+    # (band, bucket) equi-joins (hash joins in the plan).
+    plan = plan_of(spark, specs, "knn_join_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" in plan
+
+
 def test_delay_blame_one_orderkey_agg(spark, specs):
     # Q21 shape: both quantifiers (exists co-supplier / sole late
     # supplier) must come from ONE order-keyed aggregate over the
