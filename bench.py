@@ -105,6 +105,14 @@ HEADLINE = [
     "weighted_reservoir_sample",
     "lineitem_table_fingerprint",
     "knn_join_recall",
+    "supplier_triangle_count",
+    "part_cheapest_supplier",
+    "promo_revenue_share",
+    "suppliers_of_heavy_parts",
+    "nation_supplier_hhi",
+    "discount_quantity_correlation",
+    "lineitem_column_profile",
+    "orders_month_fingerprints",
 ]
 
 

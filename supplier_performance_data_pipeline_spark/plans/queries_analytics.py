@@ -1589,3 +1589,306 @@ def q_lineitem_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,0)) AS STRING)"
         ).alias("fingerprint_sum"),
     )
+
+
+# --- per-partition Merkle fingerprints (anti-entropy drill-down) ------------
+
+_OFP_COLS = [
+    "CAST(o_orderkey AS STRING)",
+    "CAST(o_custkey AS STRING)",
+    "o_orderstatus",
+    "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING)",
+    "CAST(CAST(o_orderdate AS DATE) AS STRING)",
+    "o_orderpriority",
+]
+_OFP_ROW = "concat_ws('|', " + ", ".join(_OFP_COLS) + ")"
+_OFP_ROW_DUCK = _OFP_ROW.replace("AS STRING", "AS VARCHAR")
+
+
+@register(
+    "orders_month_fingerprints",
+    oracle=f"""
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST(concat('0x', substr(md5({_OFP_ROW_DUCK}), 1, 14))
+               AS BIGINT)) AS fingerprint,
+       CAST(CAST(SUM(CAST(concat('0x', substr(md5({_OFP_ROW_DUCK}), 1, 14))
+               AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint_sum
+FROM orders
+GROUP BY 1
+""".strip(),
+)
+def q_orders_month_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month table fingerprints — the Merkle drill-down step of the
+    anti-entropy protocol: when the whole-table digest
+    (``lineitem_table_fingerprint``) says two replicas diverge, the
+    partition-level digests LOCATE the divergence, so reconciliation
+    re-ships one partition instead of 100 TB. Same digest pair per
+    group as the whole-table check (order-free XOR of 56-bit row
+    hashes + their exact DECIMAL sum as string digits, identical
+    canonical row spec both engines); grouping by the table's natural
+    time-partition key means each output row prices out one
+    partition-directory comparison.
+
+    Plan: one scan, one month-keyed hash agg with map-side partials —
+    the exchange carries (months × partitions) digest rows, bytes not
+    data."""
+    o = _t(spark, sf_dir, "orders")
+    row_hash = (
+        f"CAST(conv(substring(md5({_OFP_ROW}), 1, 14), 16, 10) AS BIGINT)"
+    )
+    return (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.expr(f"bit_xor({row_hash})").alias("fingerprint"),
+            F.expr(
+                f"CAST(CAST(sum(CAST({row_hash} AS DECIMAL(38,0)))"
+                " AS DECIMAL(38,0)) AS STRING)"
+            ).alias("fingerprint_sum"),
+        )
+    )
+
+
+# --- market concentration: per-nation supplier HHI --------------------------
+
+
+@register(
+    "nation_supplier_hhi",
+    oracle="""
+WITH rev AS (
+    SELECT s.s_nationkey, l.l_suppkey,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1.0 - l_discount AS DECIMAL(4,2))) * 100
+               AS DECIMAL(19,0)) AS BIGINT) AS cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey, l.l_suppkey
+)
+SELECT n.n_name AS nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100 AS total_revenue,
+       ROUND(
+         CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(19,0))
+                * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(19,0)) AS DOUBLE),
+         6) AS hhi
+FROM rev JOIN nation n ON rev.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""".strip(),
+)
+def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation — the market-structure rollup behind "is this nation's
+    supply chain one bankruptcy away from collapse". HHI = Σ share_i²
+    = Σ rev_i² / (Σ rev_i)², computed WITHOUT per-supplier division:
+    revenues reduce to exact integer CENTS (DECIMAL sum × 100), the
+    squares and their sums stay in DECIMAL (exact, order-free — a
+    float Σ share² would be reduction-order-dependent), and the single
+    double division happens once per nation at the output edge.
+
+    Plan: fact-keyed agg to (nation, supplier) grain, then a
+    dimension-sized second agg; the nation dim broadcasts. Bound:
+    cents fit BIGINT to ~9e16 dollars per supplier; cents² in
+    DECIMAL(38,0) to ~1e12 dollars — document, don't guess, at 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * CAST(1.0 - l_discount AS DECIMAL(4,2))) * 100"
+                " AS DECIMAL(19,0)) AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    sq = "CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))"
+    tot = "CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(19,0))"
+    return (
+        rev.join(F.broadcast(nat), rev.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.expr(
+                "CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100"
+            ).alias("total_revenue"),
+            F.expr(
+                f"ROUND(CAST(SUM({sq}) AS DOUBLE)"
+                f" / CAST({tot} * {tot} AS DOUBLE), 6)"
+            ).alias("hhi"),
+        )
+    )
+
+
+# --- exact-moments correlation per brand ------------------------------------
+
+
+@register(
+    "discount_quantity_correlation",
+    oracle="""
+WITH m AS (
+    SELECT p.p_brand,
+           COUNT(*) AS n,
+           SUM(CAST(l_discount AS DECIMAL(4,2))) AS sx,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sy,
+           SUM(CAST(l_discount AS DECIMAL(4,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS sxy,
+           SUM(CAST(l_discount AS DECIMAL(4,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS sxx,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS syy
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_lines,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0),
+         6) AS corr_disc_qty,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (n - 1)), 6) AS covar_disc_qty
+FROM m
+""".strip(),
+)
+def q_discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of discount vs quantity
+    per brand — the statistical-aggregate surface, built from EXACT
+    DECIMAL moments instead of the engines' native corr()/covar_samp()
+    (whose accumulation schemes — Welford vs naive, different
+    reduction orders — cannot hash-match across engines). The five
+    moment sums are exact and order-free; the correlation is then ONE
+    fixed double expression over them, structured identically in both
+    engines. This is also the right 100 TB shape: moments merge
+    associatively (map-side partials), so the correlation of a
+    quadrillion rows still exchanges five numbers per group.
+
+    NULL when a brand's discount or quantity is constant (zero
+    variance → NULLIF guard)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    m = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("SUM(CAST(l_discount AS DECIMAL(4,2)))").alias("sx"),
+            F.expr("SUM(CAST(l_quantity AS DECIMAL(12,2)))").alias("sy"),
+            F.expr(
+                "SUM(CAST(l_discount AS DECIMAL(4,2))"
+                " * CAST(l_quantity AS DECIMAL(12,2)))"
+            ).alias("sxy"),
+            F.expr(
+                "SUM(CAST(l_discount AS DECIMAL(4,2))"
+                " * CAST(l_discount AS DECIMAL(4,2)))"
+            ).alias("sxx"),
+            F.expr(
+                "SUM(CAST(l_quantity AS DECIMAL(12,2))"
+                " * CAST(l_quantity AS DECIMAL(12,2)))"
+            ).alias("syy"),
+        )
+    )
+    num = (
+        "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr(
+            f"ROUND({num} / NULLIF("
+            "sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+            ", 0), 6)"
+        ).alias("corr_disc_qty"),
+        F.expr(
+            f"ROUND({num} / (CAST(n AS DOUBLE) * (n - 1)), 6)"
+        ).alias("covar_disc_qty"),
+    )
+
+
+# --- one-scan multi-column profile ------------------------------------------
+
+
+@register(
+    "lineitem_column_profile",
+    oracle="""
+WITH a AS (
+    SELECT COUNT(*) AS n_rows,
+           COUNT(l_returnflag) AS c_rf, COUNT(DISTINCT l_returnflag) AS d_rf,
+           MIN(l_returnflag) AS mn_rf, MAX(l_returnflag) AS mx_rf,
+           COUNT(l_linestatus) AS c_ls, COUNT(DISTINCT l_linestatus) AS d_ls,
+           MIN(l_linestatus) AS mn_ls, MAX(l_linestatus) AS mx_ls,
+           COUNT(l_shipdate) AS c_sd, COUNT(DISTINCT l_shipdate) AS d_sd,
+           CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS mn_sd,
+           CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS mx_sd,
+           COUNT(l_quantity) AS c_q, COUNT(DISTINCT l_quantity) AS d_q,
+           CAST(CAST(MIN(l_quantity) AS DECIMAL(12,2)) AS VARCHAR) AS mn_q,
+           CAST(CAST(MAX(l_quantity) AS DECIMAL(12,2)) AS VARCHAR) AS mx_q,
+           COUNT(l_discount) AS c_d, COUNT(DISTINCT l_discount) AS d_d,
+           CAST(CAST(MIN(l_discount) AS DECIMAL(4,2)) AS VARCHAR) AS mn_d,
+           CAST(CAST(MAX(l_discount) AS DECIMAL(4,2)) AS VARCHAR) AS mx_d
+    FROM lineitem
+)
+SELECT 'l_returnflag' AS column_name, CAST(n_rows - c_rf AS BIGINT) AS n_nulls,
+       CAST(d_rf AS BIGINT) AS n_distinct, mn_rf AS min_value, mx_rf AS max_value FROM a
+UNION ALL
+SELECT 'l_linestatus', CAST(n_rows - c_ls AS BIGINT), CAST(d_ls AS BIGINT), mn_ls, mx_ls FROM a
+UNION ALL
+SELECT 'l_shipdate', CAST(n_rows - c_sd AS BIGINT), CAST(d_sd AS BIGINT), mn_sd, mx_sd FROM a
+UNION ALL
+SELECT 'l_quantity', CAST(n_rows - c_q AS BIGINT), CAST(d_q AS BIGINT), mn_q, mx_q FROM a
+UNION ALL
+SELECT 'l_discount', CAST(n_rows - c_d AS BIGINT), CAST(d_d AS BIGINT), mn_d, mx_d FROM a
+""".strip(),
+)
+def q_lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile (nulls, exact distinct cardinality,
+    canonical min/max) for five lineitem columns in ONE scan — the
+    ingest-time profiling pass every pipeline runs before trusting a
+    new 100 TB drop. The five COUNT(DISTINCT)s compile to a single
+    Expand-based aggregate (one scan, one shuffle of ×5 expanded
+    partials), not five passes; min/max canonicalize through pinned
+    types (DATE / DECIMAL scales) so both engines render identical
+    strings. The wide one-row aggregate then unpivots to the long
+    (column, stats) form with a zero-cost stack projection. At 100 TB
+    swap exact distinct for approx_count_distinct per column —
+    same plan shape, documented trade."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_returnflag").alias("c_rf"),
+        F.countDistinct("l_returnflag").alias("d_rf"),
+        F.min("l_returnflag").alias("mn_rf"),
+        F.max("l_returnflag").alias("mx_rf"),
+        F.count("l_linestatus").alias("c_ls"),
+        F.countDistinct("l_linestatus").alias("d_ls"),
+        F.min("l_linestatus").alias("mn_ls"),
+        F.max("l_linestatus").alias("mx_ls"),
+        F.count("l_shipdate").alias("c_sd"),
+        F.countDistinct("l_shipdate").alias("d_sd"),
+        F.expr("CAST(CAST(MIN(l_shipdate) AS DATE) AS STRING)").alias("mn_sd"),
+        F.expr("CAST(CAST(MAX(l_shipdate) AS DATE) AS STRING)").alias("mx_sd"),
+        F.count("l_quantity").alias("c_q"),
+        F.countDistinct("l_quantity").alias("d_q"),
+        F.expr("CAST(CAST(MIN(l_quantity) AS DECIMAL(12,2)) AS STRING)").alias("mn_q"),
+        F.expr("CAST(CAST(MAX(l_quantity) AS DECIMAL(12,2)) AS STRING)").alias("mx_q"),
+        F.count("l_discount").alias("c_d"),
+        F.countDistinct("l_discount").alias("d_d"),
+        F.expr("CAST(CAST(MIN(l_discount) AS DECIMAL(4,2)) AS STRING)").alias("mn_d"),
+        F.expr("CAST(CAST(MAX(l_discount) AS DECIMAL(4,2)) AS STRING)").alias("mx_d"),
+    )
+    return a.select(
+        F.expr(
+            "stack(5,"
+            " 'l_returnflag', n_rows - c_rf, d_rf, mn_rf, mx_rf,"
+            " 'l_linestatus', n_rows - c_ls, d_ls, mn_ls, mx_ls,"
+            " 'l_shipdate',   n_rows - c_sd, d_sd, mn_sd, mx_sd,"
+            " 'l_quantity',   n_rows - c_q,  d_q,  mn_q,  mx_q,"
+            " 'l_discount',   n_rows - c_d,  d_d,  mn_d,  mx_d)"
+            " AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

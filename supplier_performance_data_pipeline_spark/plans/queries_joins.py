@@ -865,3 +865,287 @@ def q_supplier_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = bfs_distances(edges, _BFS_SOURCE)
     return dist.groupBy("dist").agg(F.count("*").alias("n_suppliers"))
+
+
+# --- triangle counting over the co-supply graph -----------------------------
+
+
+@register(
+    "supplier_triangle_count",
+    oracle="""
+WITH op AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+ce AS MATERIALIZED (
+    SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+deg AS MATERIALIZED (
+    SELECT k, COUNT(*) AS d FROM (
+        SELECT x AS k FROM ce UNION ALL SELECT y AS k FROM ce
+    ) GROUP BY k
+),
+oriented AS MATERIALIZED (
+    SELECT CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND ce.x < ce.y)
+                THEN ce.x ELSE ce.y END AS u,
+           CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND ce.x < ce.y)
+                THEN ce.y ELSE ce.x END AS v
+    FROM ce JOIN deg dx ON ce.x = dx.k JOIN deg dy ON ce.y = dy.k
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ce) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM oriented e1
+        JOIN oriented e2 ON e1.v = e2.u
+        JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+""".strip(),
+)
+def q_supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-supply graph — the graph-density /
+    clustering probe beside the three iterative algorithms (CC,
+    PageRank, BFS): how many supplier triples all pairwise co-supply.
+
+    Degree-oriented wedge counting (the MapReduce-era standard, cf.
+    Suri & Vassilvitskii WWW '11): every undirected edge points from
+    its LOWER-degree endpoint (id tie-break), which makes each
+    triangle counted exactly once AND bounds every vertex's out-degree
+    by O(sqrt(m)) — so the wedge equi-join fans out ~m^1.5 worst-case
+    instead of sum-of-squares-of-degrees; a hub supplier on a billion
+    orders contributes wedges only through its low-degree neighbors.
+    All joins are equi-joins (wedge: e1.v = e2.u; closure: both
+    endpoints); everything is integer-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_suppkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("x"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("y"))
+    ce = (
+        a.join(b, "k")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+        .localCheckpoint()  # reused 4x below (degrees + orientation)
+    )
+    deg = (
+        ce.select(F.col("x").alias("kk"))
+        .unionAll(ce.select(F.col("y").alias("kk")))
+        .groupBy("kk")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("kk").alias("x"), F.col("d").alias("dxd"))
+    dy = deg.select(F.col("kk").alias("y"), F.col("d").alias("dyd"))
+    first_is_src = (F.col("dxd") < F.col("dyd")) | (
+        (F.col("dxd") == F.col("dyd")) & (F.col("x") < F.col("y"))
+    )
+    oriented = (
+        ce.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            F.when(first_is_src, F.col("x")).otherwise(F.col("y")).alias("u"),
+            F.when(first_is_src, F.col("y")).otherwise(F.col("x")).alias("v"),
+        )
+        .localCheckpoint()  # reused 3x in the wedge/closure joins
+    )
+    e1 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_mid"))
+    e2 = oriented.select(F.col("u").alias("w_mid"), F.col("v").alias("w_w"))
+    wedges = e1.join(e2, "w_mid").select("w_u", "w_w")
+    closing = oriented.select(
+        F.col("u").alias("w_u"), F.col("v").alias("w_w")
+    )
+    tri = wedges.join(closing, ["w_u", "w_w"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    return (
+        deg.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(ce.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri)
+    )
+
+
+# --- Q2 shape: per-part argmin supplier -------------------------------------
+
+
+@register(
+    "part_cheapest_supplier",
+    oracle="""
+WITH unit AS (
+    SELECT l_partkey, l_suppkey,
+           l_extendedprice / l_quantity AS unit_price
+    FROM lineitem WHERE l_quantity > 0
+),
+w AS (
+    SELECT l_partkey, l_suppkey, unit_price,
+           MIN(unit_price) OVER (PARTITION BY l_partkey) AS best
+    FROM unit
+),
+pick AS (
+    SELECT l_partkey, MIN(l_suppkey) AS cheapest_suppkey,
+           MIN(unit_price) AS best_unit_price
+    FROM w WHERE unit_price = best
+    GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, p.p_type,
+       pick.cheapest_suppkey,
+       ROUND(pick.best_unit_price, 6) AS best_unit_price
+FROM pick JOIN part p ON pick.l_partkey = p.p_partkey
+""".strip(),
+)
+def q_part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part cheapest supplier — the TPC-H Q2 correlated-subquery
+    shape ("supplier achieving the minimum cost") expressed the modern
+    way: a window MIN over the part key instead of a correlated
+    rescan, then the achievers filtered and reduced to the min-key
+    supplier (deterministic tie-break). One fact shuffle keyed by
+    part; the part dim broadcasts onto the result.
+
+    Determinism across engines: the unit price is a SINGLE IEEE double
+    division of identical parquet doubles (bit-identical both sides),
+    MIN over identical bit patterns matches, and the achiever filter
+    compares those same bits — rounding happens only at the output
+    edge, never before a comparison."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    unit = li.filter(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    w = Window.partitionBy("l_partkey")
+    pick = (
+        unit.withColumn("best", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("best"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("cheapest_suppkey"),
+            F.min("unit_price").alias("best_unit_price"),
+        )
+    )
+    return pick.join(
+        F.broadcast(part), pick.l_partkey == part.p_partkey
+    ).select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "cheapest_suppkey",
+        F.round("best_unit_price", 6).alias("best_unit_price"),
+    )
+
+
+# --- Q14 shape: promo revenue share per ship month --------------------------
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(3,2)) END)
+            AS DOUBLE) AS promo_revenue,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+             / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS promo_share_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""".strip(),
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: monthly share of revenue from PROMO-type
+    parts — the conditional-aggregate ratio shape (CASE inside SUM,
+    one division per group at the output edge). Both sums are exact
+    DECIMAL (order-free); the part dim broadcasts onto the fact scan;
+    one month-keyed shuffle of map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _revenue_cols()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "ship_month",
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+                6,
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+# --- dominance: suppliers owning >= half a part's volume --------------------
+
+
+@register(
+    "suppliers_of_heavy_parts",
+    oracle="""
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+    SELECT l_partkey, l_suppkey, qty,
+           SUM(qty) OVER (PARTITION BY l_partkey) AS part_qty
+    FROM ps
+),
+dom AS (
+    SELECT l_suppkey, COUNT(*) AS n_dominated_parts
+    FROM tot WHERE qty * 8 >= part_qty
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(d.n_dominated_parts AS BIGINT) AS n_dominated_parts
+FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+ORDER BY n_dominated_parts DESC, s.s_suppkey
+LIMIT 20
+""".strip(),
+)
+def q_suppliers_of_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain dominance: suppliers shipping at least an EIGHTH
+    of a part's total volume (the major-supplier register; with ~20
+    candidate suppliers per part a 1/8 share is 2-3x the uniform
+    share), ranked by how many parts they dominate — TPC-H Q20's
+    "excess availability" semi-join family, adapted to the
+    no-partsupp schema. The threshold is the business knob; the test
+    stays division-free at any value.
+
+    The share test is division-free: ``8·qty_ps >= qty_part`` on exact
+    DECIMAL sums — no float share, nothing order-dependent. Plan: one
+    fact agg to (part, supplier) grain, a window SUM over the part key
+    on that REDUCED table (never raw lineitem), an integer-exact
+    filter, a supplier-keyed count, broadcast name join, TakeOrdered
+    top-20."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        ps.withColumn("part_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") * 8 >= F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated_parts"))
+    )
+    return (
+        dom.join(F.broadcast(sup), dom.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_dominated_parts").cast("long").alias("n_dominated_parts"),
+        )
+        .orderBy(F.desc("n_dominated_parts"), F.asc("s_suppkey"))
+        .limit(20)
+    )

@@ -684,3 +684,80 @@ def test_table_fingerprint_one_scan_partial_xor(spark, specs):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert shuffles(plan) == 1
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_triangle_count_equi_joins_only(spark, specs):
+    # Degree-oriented wedge counting: every join (wedge + closure +
+    # orientation) must be an equi-join — a cartesian here is the
+    # all-triples failure mode.
+    plan = plan_of(spark, specs, "supplier_triangle_count")
+    assert "CartesianProduct" not in plan
+
+
+def test_part_cheapest_supplier_window_not_rescan(spark, specs):
+    # Q2 shape: the per-part min must be a window over ONE fact pass
+    # (never a correlated second scan) and the part dim broadcasts.
+    plan = plan_of(spark, specs, "part_cheapest_supplier")
+    assert plan.count("Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 2  # lineitem + part
+
+
+def test_promo_share_broadcast_one_month_shuffle(spark, specs):
+    # Q14 shape: part dim broadcasts onto the fact scan; both CASE sums
+    # land in ONE month-keyed aggregate (partial + final — no second
+    # fact pass for the denominator).
+    plan = plan_of(spark, specs, "promo_revenue_share")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert shuffles(plan) == 1
+    assert plan.count("Location: InMemoryFileIndex") == 2
+
+
+def test_heavy_parts_window_over_reduced_grain(spark, specs):
+    # The part-total window must run over the (part, supplier) AGGREGATE,
+    # never raw lineitem: one fact scan, TakeOrdered top-20.
+    plan = plan_of(spark, specs, "suppliers_of_heavy_parts")
+    assert plan.count("Window") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 2  # lineitem + supplier
+    assert "CartesianProduct" not in plan
+
+
+def test_hhi_two_level_agg_broadcast_dims(spark, specs):
+    # HHI: fact agg to (nation, supplier) grain then a dimension-sized
+    # second agg; supplier + nation dims broadcast; exchanges stay on
+    # the two agg keys.
+    plan = plan_of(spark, specs, "nation_supplier_hhi")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert shuffles(plan) <= 2
+
+
+def test_correlation_single_agg_exact_moments(spark, specs):
+    # Five moment sums in ONE brand-keyed aggregate over one broadcast
+    # join — corr never triggers a second pass.
+    plan = plan_of(spark, specs, "discount_quantity_correlation")
+    assert "BroadcastHashJoin" in plan
+    assert shuffles(plan) == 1
+    assert plan.count("Location: InMemoryFileIndex") == 2
+
+
+def test_column_profile_one_scan_expand(spark, specs):
+    # Five exact COUNT(DISTINCT)s must compile to the Expand-based
+    # multi-distinct aggregate: ONE scan, no join, no five-pass union.
+    plan = plan_of(spark, specs, "lineitem_column_profile")
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_month_fingerprints_one_scan_partial_agg(spark, specs):
+    # Merkle drill-down: one scan, one month-keyed agg with map-side
+    # partials — the exchange carries digest rows, not data.
+    plan = plan_of(spark, specs, "orders_month_fingerprints")
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert shuffles(plan) == 1
+    assert plan.count("HashAggregate") >= 2
