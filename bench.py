@@ -113,6 +113,10 @@ HEADLINE = [
     "discount_quantity_correlation",
     "lineitem_column_profile",
     "orders_month_fingerprints",
+    "lang_id_confusion",
+    "events_type_transition_matrix",
+    "customer_rfm_segments",
+    "streaming_enrichment_equivalence",
 ]
 
 

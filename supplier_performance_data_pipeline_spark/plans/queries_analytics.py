@@ -1892,3 +1892,94 @@ def q_lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (column_name, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+# --- RFM customer segmentation ----------------------------------------------
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH per_cust AS (
+    SELECT o_custkey,
+           MAX(CAST(o_orderdate AS DATE)) AS last_order,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+anchored AS (
+    SELECT p.*,
+           date_diff('day', p.last_order,
+                     (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+               AS recency_days
+    FROM per_cust p
+),
+scored AS (
+    SELECT o_custkey, recency_days, n_orders, monetary,
+           NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
+           NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+    FROM anchored
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
+FROM scored
+GROUP BY r_quartile, f_quartile, m_quartile
+""".strip(),
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation —
+    the classic customer-base rollup (who's churning, who's whale).
+    Each customer lands in an (R,F,M) quartile cell; the output is the
+    cell census plus average spend.
+
+    Determinism: quartiles are NTILE(4) over a TOTAL order (metric +
+    custkey tie-break) — identical bucket boundaries in both engines
+    by NTILE's fixed ceil/floor split; monetary stays exact DECIMAL
+    until the one output division. The recency anchor is the table's
+    own MAX order date (broadcast 1-row cross join), not wall-clock —
+    reruns are reproducible.
+
+    Scale: the windows run over the CUSTOMER-grain aggregate
+    (dimension-sized after the one fact shuffle), so the global-sort
+    windows are cheap; past dimension scale swap NTILE for
+    approx-percentile cuts — same output schema."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
+    )
+    anchor = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("now_date")
+    )
+    anchored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        "n_orders",
+        "monetary",
+        F.datediff("now_date", "last_order").alias("recency_days"),
+    )
+    scored = anchored.select(
+        "o_custkey",
+        "n_orders",
+        "monetary",
+        "recency_days",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("n_orders"), F.asc("o_custkey")))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(
+            F.sum("monetary").cast("double") / F.count("*"), 6
+        ).alias("avg_monetary"),
+    )

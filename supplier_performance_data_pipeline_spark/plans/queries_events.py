@@ -791,3 +791,149 @@ def q_streaming_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("n_s") - F.col("n_u")).cast("long").alias("n_extra_rows"),
         (F.col("n_s") == F.col("n_u")).alias("dedup_equals_batch"),
     )
+
+
+# --- per-user event-type transition matrix ----------------------------------
+
+
+@register(
+    "events_type_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+),
+trans AS (
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type,
+       CAST(n AS BIGINT) AS n_transitions,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS p_transition
+FROM trans
+""".strip(),
+)
+def q_events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the behavioral-sequence statistic that feeds
+    next-action models and funnel anomaly detection (a sudden shift in
+    P(purchase | view) is a product incident). ``lead()`` over
+    (user, time) forms consecutive pairs WITHOUT a self-join —
+    sessionize's window shape reused for sequence modeling; ties on
+    ``ts`` break on event_id, so the sequence (and the matrix) is
+    deterministic in both engines.
+
+    Plan: one user-keyed window pass over the fact scan, a
+    (from, to)-keyed agg of the pairs, then the row-probability
+    normalization as a window over the TINY type×type matrix — the
+    second window costs nothing at any scale."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wf), 6
+        ).alias("p_transition"),
+    )
+
+
+# --- stream-static enrichment equivalence -----------------------------------
+
+
+@register(
+    "streaming_enrichment_equivalence",
+    oracle="""
+WITH r AS (
+    SELECT c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(0 AS BIGINT) AS n_mismatched,
+       TRUE AS streaming_equals_batch
+FROM r
+""".strip(),
+)
+def q_streaming_enrichment_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static JOIN on the driver's board: replay the events
+    parquet through ``streaming_enriched_segment_rollup`` (per
+    microbatch, the stream joins the static broadcast customer dim and
+    rolls up per market segment), then full-outer-join the drained
+    memory sink against the batch twin and report (n_groups,
+    n_mismatched, streaming_equals_batch) — the same verdict pattern
+    as streaming_batch_equivalence, extended from windowed aggs to the
+    third streaming join mode (stream-static; stream-stream interval
+    join and dedup already board-proven). Counts compare exactly; the
+    float sum to 1e-6 (different reduction orders)."""
+    from supplier_performance_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_enriched_segment_rollup,
+    )
+
+    tune_session(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    name = f"stream_enrich_{app}_{next(_STREAM_EQ_SEQ)}"
+    cust = _t_customer(spark, sf_dir)
+    stream = read_event_stream(spark, sf_dir)
+    run_to_memory_sink(
+        streaming_enriched_segment_rollup(stream, cust), name, "complete"
+    )
+    streamed = spark.table(name)
+    batch = (
+        _events(spark, sf_dir)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    j = batch.alias("b").join(
+        streamed.alias("s"), ["c_mktsegment"], "full_outer"
+    )
+    mism = (
+        F.col("b.n_events").isNull()
+        | F.col("s.n_events").isNull()
+        | (F.col("b.n_events") != F.col("s.n_events"))
+        | (F.abs(F.col("b.sum_value") - F.col("s.sum_value")) > 1e-6)
+    )
+    n_mism = F.sum(F.when(mism, 1).otherwise(0)).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        n_mism.alias("n_mismatched"),
+        (n_mism == 0).alias("streaming_equals_batch"),
+    )
+
+
+def _t_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))

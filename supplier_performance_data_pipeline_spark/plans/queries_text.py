@@ -1371,3 +1371,64 @@ def q_lsh_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_both_pos"),
     )
+
+
+# --- language-ID confusion matrix -------------------------------------------
+
+
+def _lang_pred_case() -> str:
+    """The lang_id decision rule as one SQL CASE, GENERATED from the
+    same ordered LANG_STOPWORDS the operator uses (first language in
+    dict order wins ties) — so the oracle can never drift from
+    operators/textops.py::lang_id_t."""
+    langs = list(LANG_STOPWORDS)
+    clauses = []
+    for i, lang in enumerate(langs):
+        conds = [f"COALESCE(s_{lang}, 0.0) > 0"] + [
+            f"COALESCE(s_{lang}, 0.0) >= COALESCE(s_{l2}, 0.0)"
+            for l2 in langs[i + 1:]
+        ]
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+WITH {_TOKS_CTE},
+labeled AS (
+    SELECT d.lang, t.doc_id,
+           {", ".join(
+               f"CAST({_stop_count(w)} AS DOUBLE) / NULLIF(CAST(len(toks) AS DOUBLE), 0.0) AS s_{lang}"
+               for lang, w in LANG_STOPWORDS.items()
+           )}
+    FROM toks_cte t JOIN documents d ON t.doc_id = d.doc_id
+),
+pred AS (
+    SELECT lang, {_lang_pred_case()} AS lang_pred FROM labeled
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, lang_pred
+""".strip(),
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram/stopword language-ID heuristic
+    against the corpus's labeled ``lang`` column — the accuracy audit
+    every language-filtered training mix needs before trusting the
+    classifier to route documents (off-diagonal mass = mislabeled
+    training data; labels OUTSIDE the classifier's inventory, e.g.
+    zh here, expose its blind spot honestly as their own rows).
+
+    One tokenization, one projection, one (lang, lang_pred)-keyed agg
+    — at 100 TB this is a scan plus a 25-cell rollup. The decision
+    rule in the oracle is GENERATED from the operator's own ordered
+    stopword table, so predictions cannot drift between engines."""
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select(
+        "lang", tokens(F.col("text")).alias("toks")
+    )
+    return (
+        toks_df.select("lang", lang_id_t(F.col("toks")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -103,6 +103,31 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_enriched_segment_rollup(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment: join each microbatch of the event
+    stream against the STATIC customer dimension (user_id ==
+    c_custkey) and roll up per market segment — the canonical
+    "enrich the stream with a dimension" operator. Spark executes the
+    stream-static inner join per microbatch with the static side
+    planned once (broadcast for a dimension table); no watermark is
+    needed because static rows never arrive late — state is only the
+    downstream aggregate. Unmatched events (users outside the
+    dimension) drop, exactly as in the batch twin."""
+    return (
+        events.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            events.user_id == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
 def streaming_sessionize(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -761,3 +761,33 @@ def test_month_fingerprints_one_scan_partial_agg(spark, specs):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert shuffles(plan) == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_lang_confusion_one_scan_one_agg(spark, specs):
+    # One tokenization projection + one (lang, lang_pred) agg — the
+    # oracle joins docs to a tokens CTE but the engine must not.
+    plan = plan_of(spark, specs, "lang_id_confusion")
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert shuffles(plan) == 1
+
+
+def test_transition_matrix_window_then_tiny_normalize(spark, specs):
+    # lead() over (user, ts) forms pairs without a self-join; the
+    # probability normalization windows over the tiny type x type
+    # matrix, never the fact table.
+    plan = plan_of(spark, specs, "events_type_transition_matrix")
+    assert "Join" not in plan
+    assert plan.count("Window") == 2
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert shuffles(plan) <= 4
+
+
+def test_rfm_windows_over_customer_grain(spark, specs):
+    # NTILE windows must run over the post-aggregate customer table;
+    # the recency anchor attaches as a broadcast 1-row cross join.
+    plan = plan_of(spark, specs, "customer_rfm_segments")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") >= 1
+    assert plan.count("Location: InMemoryFileIndex") == 2  # orders x2 (fact + anchor)
