@@ -58,6 +58,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Right-size shuffles for the local harness (the driver's
+        # default session ships Spark's 200 — AQE coalesces batch
+        # exchanges anyway, but STREAMING state stores are created one
+        # per shuffle partition at first microbatch and never coalesce,
+        # so the equivalence queries would spin up 200 state tasks per
+        # tiny replay). On a real cluster this knob is sized to the
+        # data, not hardcoded.
+        "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
     }.items():
         try:
             spark.conf.set(k, v)
