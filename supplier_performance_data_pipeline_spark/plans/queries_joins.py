@@ -933,7 +933,13 @@ def q_supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of sum-of-squares-of-degrees; a hub supplier on a billion
     orders contributes wedges only through its low-degree neighbors.
     All joins are equi-joins (wedge: e1.v = e2.u; closure: both
-    endpoints); everything is integer-exact."""
+    endpoints); everything is integer-exact. Counting core:
+    operators/graph.py::triangle_count (property-tested against brute
+    force on adversarial random graphs)."""
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_suppkey").distinct()
     a = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("x"))
@@ -945,42 +951,8 @@ def q_supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= _TRI_MIN_SHARED)
         .select("x", "y")
-        .localCheckpoint()  # reused 4x below (degrees + orientation)
     )
-    deg = (
-        ce.select(F.col("x").alias("kk"))
-        .unionAll(ce.select(F.col("y").alias("kk")))
-        .groupBy("kk")
-        .agg(F.count("*").alias("d"))
-    )
-    dx = deg.select(F.col("kk").alias("x"), F.col("d").alias("dxd"))
-    dy = deg.select(F.col("kk").alias("y"), F.col("d").alias("dyd"))
-    first_is_src = (F.col("dxd") < F.col("dyd")) | (
-        (F.col("dxd") == F.col("dyd")) & (F.col("x") < F.col("y"))
-    )
-    oriented = (
-        ce.join(F.broadcast(dx), "x")
-        .join(F.broadcast(dy), "y")
-        .select(
-            F.when(first_is_src, F.col("x")).otherwise(F.col("y")).alias("u"),
-            F.when(first_is_src, F.col("y")).otherwise(F.col("x")).alias("v"),
-        )
-        .localCheckpoint()  # reused 3x in the wedge/closure joins
-    )
-    e1 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_mid"))
-    e2 = oriented.select(F.col("u").alias("w_mid"), F.col("v").alias("w_w"))
-    wedges = e1.join(e2, "w_mid").select("w_u", "w_w")
-    closing = oriented.select(
-        F.col("u").alias("w_u"), F.col("v").alias("w_w")
-    )
-    tri = wedges.join(closing, ["w_u", "w_w"]).agg(
-        F.count("*").alias("n_triangles")
-    )
-    return (
-        deg.agg(F.count("*").alias("n_nodes"))
-        .crossJoin(ce.agg(F.count("*").alias("n_edges")))
-        .crossJoin(tri)
-    )
+    return triangle_count(ce)
 
 
 # --- Q2 shape: per-part argmin supplier -------------------------------------

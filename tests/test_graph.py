@@ -182,3 +182,47 @@ def test_graph_ops_non_broadcast_path_identical(spark):
 
     assert _nodes_side(edges, False) is edges
     assert _nodes_side(edges, True) is not edges
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-oriented wedge counting vs itertools brute force on
+    seeded pseudo-random graphs (including a hub star that punishes a
+    wrong orientation and a complete K5)."""
+    import hashlib
+    from itertools import combinations
+
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    def rand_graph(seed: str, n: int, keep_mod: int) -> list[tuple[int, int]]:
+        # Deterministic pseudo-random subset of all pairs.
+        out = []
+        for x, y in combinations(range(n), 2):
+            h = int(hashlib.md5(f"{seed}|{x}|{y}".encode()).hexdigest()[:8], 16)
+            if h % keep_mod == 0:
+                out.append((x, y))
+        return out
+
+    cases = [
+        rand_graph("a", 12, 2),
+        rand_graph("b", 15, 3),
+        list(combinations(range(5), 2)),             # K5: C(5,3)=10
+        [(0, i) for i in range(1, 9)] + [(1, 2)],    # hub star + one edge
+        [(0, 1)],                                    # single edge
+    ]
+    for edges in cases:
+        adj = {}
+        for x, y in edges:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        expected = sum(
+            1
+            for a, b, c in combinations(sorted(adj), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        df = spark.createDataFrame(edges, "x long, y long")
+        row = triangle_count(df).collect()[0]
+        assert row["n_triangles"] == expected, (edges, row, expected)
+        assert row["n_edges"] == len(edges)
+        assert row["n_nodes"] == len(adj)
