@@ -252,3 +252,92 @@ def test_scd2_empty_update_batch_keeps_all_current(spark):
     rows = scd2_apply(base, upd, ["k"]).collect()
     assert len(rows) == 1
     assert rows[0].is_current and rows[0].valid_to is None
+
+
+def test_correlation_constant_column_is_null(spark, tmp_path):
+    """Zero variance in either variable must yield NULL correlation
+    (NULLIF guard), never a divide-by-zero or NaN ranking artifact."""
+    import os
+
+    from supplier_performance_data_pipeline_spark.plans.queries_analytics import (
+        q_discount_quantity_correlation,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (1, 0.05, 10.0), (1, 0.05, 20.0), (1, 0.05, 30.0),  # const disc
+            (2, 0.01, 5.0), (2, 0.07, 9.0), (2, 0.04, 7.0),     # varying
+        ],
+        "l_partkey long, l_discount double, l_quantity double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#A"), (2, "Brand#B")], "p_partkey long, p_brand string"
+    )
+    li.write.mode("overwrite").parquet(os.path.join(tmp_path, "lineitem.parquet"))
+    part.write.mode("overwrite").parquet(os.path.join(tmp_path, "part.parquet"))
+    got = {
+        r["p_brand"]: (r["corr_disc_qty"], r["covar_disc_qty"])
+        for r in q_discount_quantity_correlation(spark, str(tmp_path)).collect()
+    }
+    assert got["Brand#A"][0] is None          # constant x -> undefined corr
+    assert got["Brand#A"][1] == 0.0           # but covariance is exactly 0
+    assert got["Brand#B"][0] == 1.0           # perfectly linear: disc ~ qty
+
+
+def test_transition_matrix_single_event_users_empty(spark, tmp_path):
+    """Users with one event produce no transitions; equal timestamps
+    order by event_id so the sequence is deterministic."""
+    import datetime as dt
+    import os
+
+    from supplier_performance_data_pipeline_spark.plans.queries_events import (
+        q_events_type_transition_matrix,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, t, 10, "view", 0.0, "{}"),
+            (2, t, 11, "view", 0.0, "{}"),   # same ts as event 3: id order
+            (3, t, 11, "purchase", 0.0, "{}"),
+            (4, t, 12, "error", 0.0, "{}"),  # singleton user: no pair
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(tmp_path, "events.parquet"))
+    rows = q_events_type_transition_matrix(spark, str(tmp_path)).collect()
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"] for r in rows}
+    assert got == {("view", "purchase"): 1}
+    assert rows[0]["p_transition"] == 1.0
+
+
+def test_hhi_single_supplier_nation_is_one(spark, tmp_path):
+    """A nation with one supplier is maximally concentrated: HHI = 1."""
+    import os
+
+    from supplier_performance_data_pipeline_spark.plans.queries_analytics import (
+        q_nation_supplier_hhi,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0), (1, 50.0, 0.0), (2, 30.0, 0.0), (3, 30.0, 0.0)],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    sup = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20)], "s_suppkey long, s_nationkey int"
+    )
+    nat = spark.createDataFrame(
+        [(10, "SOLO"), (20, "DUO")], "n_nationkey int, n_name string"
+    )
+    import os as _os
+    li.write.mode("overwrite").parquet(_os.path.join(tmp_path, "lineitem.parquet"))
+    sup.write.mode("overwrite").parquet(_os.path.join(tmp_path, "supplier.parquet"))
+    nat.write.mode("overwrite").parquet(_os.path.join(tmp_path, "nation.parquet"))
+    got = {
+        r["nation_name"]: (r["n_suppliers"], r["hhi"], r["total_revenue"])
+        for r in q_nation_supplier_hhi(spark, str(tmp_path)).collect()
+    }
+    assert got["SOLO"] == (1, 1.0, 150.0)
+    # Two equal suppliers: HHI = 2 * (1/2)^2 = 0.5.
+    assert got["DUO"] == (2, 0.5, 60.0)
