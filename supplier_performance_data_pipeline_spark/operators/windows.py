@@ -45,7 +45,17 @@ def step_seconds(step: str) -> int:
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
-    """Tumbling 1-hour rollup per event type: count / sum / avg of value."""
+    """Tumbling 1-hour rollup per event type: count / sum / avg of value.
+
+    ``value`` converts per-row to DECIMAL(18,6) BEFORE the sum: double
+    summation is reduction-order-dependent, and at bench scale (~1e6
+    rows/group) the drift crosses 6-dp rounding boundaries, breaking
+    cross-engine and batch-vs-streaming equality. The per-row
+    conversion is one deterministic rounding of the same IEEE double in
+    every engine; the decimal sum is then exact and order-free, and
+    avg is the exact sum over the exact count (ONE double division at
+    the output edge)."""
+    vdec = F.col("value").cast("decimal(18,6)")
     return (
         events.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
@@ -53,8 +63,8 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
-            F.avg("value").alias("avg_value"),
+            F.sum(vdec).cast("double").alias("sum_value"),
+            (F.sum(vdec).cast("double") / F.count("*")).alias("avg_value"),
         )
     )
 

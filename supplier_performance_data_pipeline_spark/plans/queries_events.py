@@ -47,8 +47,8 @@ SELECT
     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
     event_type,
     COUNT(*) AS n_events,
-    ROUND(SUM(value), 6) AS sum_value,
-    ROUND(AVG(value), 6) AS avg_value
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
 FROM events
 GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
 """.strip(),

@@ -979,7 +979,7 @@ pick AS (
 )
 SELECT p.p_partkey, p.p_brand, p.p_type,
        pick.cheapest_suppkey,
-       ROUND(pick.best_unit_price, 6) AS best_unit_price
+       FLOOR(pick.best_unit_price * 1e6) / 1e6 AS best_unit_price
 FROM pick JOIN part p ON pick.l_partkey = p.p_partkey
 """.strip(),
 )
@@ -994,8 +994,11 @@ def q_part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism across engines: the unit price is a SINGLE IEEE double
     division of identical parquet doubles (bit-identical both sides),
     MIN over identical bit patterns matches, and the achiever filter
-    compares those same bits — rounding happens only at the output
-    edge, never before a comparison."""
+    compares those same bits. The display value truncates at 6 dp via
+    FLOOR (multiply, floor, divide — three IEEE-exact-identical steps);
+    ROUND is avoided because price/qty quotients with power-of-two
+    divisors produce EXACT half-way ties at any fixed scale, where
+    Spark (half-up) and DuckDB (half-even) legitimately disagree."""
     from pyspark.sql.window import Window
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1022,7 +1025,9 @@ def q_part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "p_type",
         "cheapest_suppkey",
-        F.round("best_unit_price", 6).alias("best_unit_price"),
+        (F.floor(F.col("best_unit_price") * 1e6) / 1e6).alias(
+            "best_unit_price"
+        ),
     )
 
 

@@ -84,14 +84,18 @@ def streaming_hourly_rollup(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermarked tumbling 1-hour rollup — streaming twin of
-    operators/windows.hourly_rollup (same keys, same aggregates)."""
+    operators/windows.hourly_rollup (same keys, same aggregates,
+    including the per-row DECIMAL conversion that makes the sums exact
+    and order-free — so streaming microbatch accumulation equals the
+    batch result EXACTLY, not just within a float tolerance)."""
+    vdec = F.col("value").cast("decimal(18,6)")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
-            F.avg("value").alias("avg_value"),
+            F.sum(vdec).cast("double").alias("sum_value"),
+            (F.sum(vdec).cast("double") / F.count("*")).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("hour"),
