@@ -117,6 +117,7 @@ HEADLINE = [
     "events_type_transition_matrix",
     "customer_rfm_segments",
     "streaming_enrichment_equivalence",
+    "lang_heavy_hitters_verified",
 ]
 
 

@@ -1432,3 +1432,73 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --- Misra-Gries heavy hitters, exact-verified ------------------------------
+
+MG_K = 2  # counters per partition: heavy = frequency > n/(k+1) = n/3.
+# The corpus's lang column is genuinely skewed (en ~ 44% > 1/3), so the
+# guarantee is non-vacuous AND evictions actually happen (5 distinct
+# values compete for 2 counters).
+
+
+@register(
+    "lang_heavy_hitters_verified",
+    oracle=f"""
+SELECT CAST({MG_K} AS BIGINT) AS k_counters,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT lang FROM documents GROUP BY lang
+            HAVING COUNT(*) * ({MG_K} + 1) > (SELECT COUNT(*) FROM documents)
+        )) AS n_true_heavy,
+       CAST(0 AS BIGINT) AS n_missed
+FROM documents
+""".strip(),
+)
+def q_lang_heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter languages (frequency > n/(k+1)) found by per-
+    partition Misra-Gries summaries with k={k} counters and PROVEN
+    complete against exact counts — the verified-approximation pattern
+    (events_user_count_approx) applied to the frequent-items sketch.
+
+    The guarantee under test (Agarwal et al., Mergeable Summaries,
+    PODS '12): the union of per-partition MG candidate keys contains
+    EVERY item with global frequency above n/(k+1), whatever the
+    partitioning or arrival order — so ``n_missed`` (true heavy
+    hitters absent from the candidates, via anti-join) is
+    deterministically ZERO even though the candidate SET itself is
+    order-dependent. The oracle asserts the exact heavy-hitter count
+    and the zero; a broken sketch flips n_missed and hash-fails.
+
+    Scale shape: the sketch pass is one scan with k counters per
+    partition and no shuffle (Arrow ``mapInPandas``,
+    operators/sketch.py); the exact pass — which at 100 TB you'd run
+    only on the candidates — here also feeds the verification
+    threshold. Integer-only output."""
+    from supplier_performance_data_pipeline_spark.operators.sketch import (
+        mg_candidate_items,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = mg_candidate_items(docs, "lang", MG_K)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    totals = docs.agg(F.count("*").alias("n"))
+    heavy = (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("c") * (MG_K + 1) > F.col("n"))
+        .select(F.col("lang").alias("item"))
+    )
+    missed = heavy.join(cands, "item", "left_anti")
+    return (
+        totals.select(
+            F.lit(MG_K).cast("long").alias("k_counters"),
+            F.col("n").cast("long").alias("n_docs"),
+        )
+        .crossJoin(heavy.agg(F.count("*").alias("n_true_heavy")))
+        .crossJoin(missed.agg(F.count("*").alias("n_missed")))
+    )
+
+
+q_lang_heavy_hitters_verified.__doc__ = q_lang_heavy_hitters_verified.__doc__.format(
+    k=MG_K
+)

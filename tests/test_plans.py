@@ -791,3 +791,13 @@ def test_rfm_windows_over_customer_grain(spark, specs):
     assert "SortMergeJoin" not in plan
     assert plan.count("Window") >= 1
     assert plan.count("Location: InMemoryFileIndex") == 2  # orders x2 (fact + anchor)
+
+
+def test_mg_heavy_hitters_arrow_sketch_no_fact_shuffle(spark, specs):
+    # The sketch pass must be Arrow mapInPandas over the scan; the only
+    # exchanges are the tiny candidate distinct + count-rollups, never
+    # a fact-wide item shuffle before the sketch.
+    plan = plan_of(spark, specs, "lang_heavy_hitters_verified")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

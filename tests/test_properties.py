@@ -343,3 +343,37 @@ def test_byte_entropy_bounds(spark, ps):
             assert r.entropy == 0.0
         else:
             assert r.entropy > 0.0
+
+
+def test_mg_candidates_never_miss_heavy_hitters(spark):
+    """Misra-Gries superset guarantee under adversarial partitioning:
+    any item with global frequency > n/(k+1) appears in the candidate
+    union, for every repartitioning of a skewed synthetic stream."""
+    from supplier_performance_data_pipeline_spark.operators.sketch import (
+        mg_candidate_items,
+    )
+
+    # 57% 'a', 29% 'b', rest singleton-ish noise; n = 420.
+    rows = (
+        [("a",)] * 240
+        + [("b",)] * 120
+        + [(f"z{i}",) for i in range(60)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    n = len(rows)
+    k = 3
+    exact = {}
+    for (v,) in rows:
+        exact[v] = exact.get(v, 0) + 1
+    true_heavy = {v for v, c in exact.items() if c * (k + 1) > n}
+    assert true_heavy == {"a", "b"}  # the test is non-vacuous
+    for parts in (1, 3, 7, 32):
+        cands = {
+            r["item"]
+            for r in mg_candidate_items(
+                df.repartition(parts), "v", k
+            ).collect()
+        }
+        assert true_heavy <= cands, (parts, sorted(cands))
+        # and the summary stays small: at most k keys per partition
+        assert len(cands) <= k * parts
