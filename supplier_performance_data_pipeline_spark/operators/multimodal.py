@@ -5,11 +5,17 @@ Extension surface (BASELINE.json north star). Images/audio/video are
 extraction run as Arrow-batched functions over ``mapInPandas`` so the
 payload never round-trips through Python row-by-row.
 
-The actual codec step is STUBBED (image/audio libraries are not in this
-container): ``decode_stub=True`` produces deterministic fake features
-from the payload bytes so the Spark-side plumbing — schema, batch
-iteration, partitioning — is real and tested; ``decode_stub=False``
-raises NotImplementedError where a codec (Pillow/ffmpeg) would plug in.
+Codec status: UNCOMPRESSED formats decode for real — a pure-numpy
+codec handles binary PPM (P6) and raw interleaved RGB, so
+``decode_stub=False`` runs a genuine decode → pixel features →
+nearest-neighbor resize → re-encode pipeline for those mimes.
+COMPRESSED formats (JPEG/PNG/audio/video) still raise
+NotImplementedError where Pillow/ffmpeg would plug in — the container
+has no codec libraries, and faking entropy-coded decode would be
+dishonest. ``decode_stub=True`` (default, used by the registered
+queries whose fixtures are opaque synthetic blobs) keeps the
+deterministic byte-statistics stand-in so the Spark-side plumbing —
+schema, batch iteration, partitioning — is exercised on any payload.
 """
 
 from __future__ import annotations
@@ -45,6 +51,78 @@ def _fake_features(payload: bytes) -> tuple[float, float]:
     return sum(vals) / len(vals), float(max(vals))
 
 
+# --- pure-numpy codec for uncompressed formats ------------------------------
+
+PPM_MIME = "image/x-portable-pixmap"
+RAW_RGB_MIME = "image/x-raw-rgb"
+
+
+def decode_rgb(payload: bytes, mime: str, width=None, height=None):
+    """(H, W, 3) uint8 array from an UNCOMPRESSED payload.
+
+    Supports binary PPM P6 with maxval 255 (dimensions parsed from the
+    header, comments honored) and headerless interleaved raw RGB
+    (dimensions taken from the metadata columns). Raises
+    NotImplementedError for anything entropy-coded — that is the
+    Pillow/ffmpeg plug-point, not something numpy should fake."""
+    import numpy as np
+
+    if mime == PPM_MIME:
+        # P6 header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+        # with '#' comments allowed between tokens.
+        if payload[:2] != b"P6":
+            raise ValueError("not a binary PPM (P6) payload")
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = tokens
+        if maxval != 255:
+            raise NotImplementedError("PPM maxval != 255 unsupported")
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return data.reshape(h, w, 3)
+    if mime == RAW_RGB_MIME:
+        if not width or not height:
+            raise ValueError("raw RGB payload needs width/height metadata")
+        data = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3)
+        return data.reshape(height, width, 3)
+    raise NotImplementedError(
+        f"decoding {mime!r} requires a codec library (Pillow/ffmpeg) "
+        "not present in this container"
+    )
+
+
+def encode_rgb(arr, mime: str) -> bytes:
+    """Inverse of ``decode_rgb`` for the supported uncompressed mimes."""
+    h, w = arr.shape[0], arr.shape[1]
+    if mime == PPM_MIME:
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+    if mime == RAW_RGB_MIME:
+        return arr.tobytes()
+    raise NotImplementedError(f"encoding {mime!r} unsupported")
+
+
+def resize_rgb_nearest(arr, target_w: int, target_h: int):
+    """Nearest-neighbor resize via integer index sampling — the
+    standard vectorized formula src_idx = floor((i + 0.5) * src/dst),
+    exact in numpy with no interpolation arithmetic to drift."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = ((np.arange(target_h) + 0.5) * (h / target_h)).astype(np.int64)
+    cols = ((np.arange(target_w) + 0.5) * (w / target_w)).astype(np.int64)
+    return arr[rows.clip(0, h - 1)][:, cols.clip(0, w - 1)]
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Per-payload feature extraction via mapInPandas (Arrow batches).
 
@@ -55,16 +133,26 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real codec path requires image/audio libraries "
-                    "(Pillow/ffmpeg) not present in this container"
-                )
             import hashlib
 
-            feats = pdf["payload"].map(
-                lambda p: _fake_features(bytes(p) if p is not None else b"")
-            )
+            if decode_stub:
+                feats = pdf["payload"].map(
+                    lambda p: _fake_features(bytes(p) if p is not None else b"")
+                )
+            else:
+                # Real decode (uncompressed mimes): features over PIXEL
+                # values, not raw container bytes. Compressed mimes
+                # raise from decode_rgb — the honest plug-point.
+                def pixel_features(row):
+                    p = bytes(row["payload"]) if row["payload"] is not None else b""
+                    if not p:
+                        return 0.0, 0.0
+                    arr = decode_rgb(
+                        p, row["mime"], row.get("width"), row.get("height")
+                    )
+                    return float(arr.mean()), float(arr.max())
+
+                feats = pdf.apply(pixel_features, axis=1)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -103,34 +191,42 @@ def resize_media(
     real decode-resize-reencode pipeline has (payload never crosses into
     Python per row, metadata updated alongside the bytes).
 
-    Stubbed codec: the fake 'resized' payload is a deterministic
-    size-proportional prefix of the original (target pixels / source
-    pixels of the bytes), so output sizes scale the way a real resize
-    would and tests can assert on them; ``decode_stub=False`` raises
-    where Pillow/ffmpeg would plug in.
+    ``decode_stub=False`` runs the REAL pipeline for uncompressed mimes
+    (PPM P6 / raw RGB): numpy decode → nearest-neighbor index resize →
+    re-encode in the same container format; compressed mimes raise from
+    the decoder (the Pillow/ffmpeg plug-point). ``decode_stub=True``
+    keeps the deterministic stand-in (a size-proportional byte prefix,
+    so output sizes scale the way a real resize would) for the opaque
+    synthetic fixtures.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real resize requires image/audio libraries "
-                    "(Pillow/ffmpeg) not present in this container"
-                )
-
             def fake_resize(row):
                 p = bytes(row["payload"]) if row["payload"] is not None else b""
                 src_px = max((row["width"] or 1) * (row["height"] or 1), 1)
                 keep = max(1, int(len(p) * min(1.0, (target_w * target_h) / src_px)))
                 return p[:keep]
 
+            def real_resize(row):
+                p = bytes(row["payload"]) if row["payload"] is not None else b""
+                if not p:
+                    return p
+                arr = decode_rgb(
+                    p, row["mime"], row.get("width"), row.get("height")
+                )
+                return encode_rgb(
+                    resize_rgb_nearest(arr, target_w, target_h), row["mime"]
+                )
+
+            resize_fn = fake_resize if decode_stub else real_resize
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
                     "width": target_w,
                     "height": target_h,
-                    "payload": pdf.apply(fake_resize, axis=1),
+                    "payload": pdf.apply(resize_fn, axis=1),
                 }
             )
 

@@ -58,3 +58,75 @@ def test_resize_scales_payload_and_metadata(media):
     assert bytes(out[0].payload) == (b"\x00\x01\x02\x03" * 100)[:100]
     assert len(out[10].payload) == 3  # upscale never pads past source
     assert len(out[2].payload) == 0  # NULL payload stays empty
+
+
+def test_real_codec_decodes_uncompressed_formats(spark):
+    """decode_stub=False is REAL for uncompressed mimes: PPM P6 decodes
+    via its own header (comments honored), raw RGB via metadata, and
+    features come from PIXELS, not container bytes (the PPM header
+    would skew byte statistics)."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PPM_MIME,
+        RAW_RGB_MIME,
+        extract_features,
+    )
+
+    # 2x2 PPM: pixels 10, 20, 30, 200 on every channel.
+    px = np.array(
+        [[[10] * 3, [20] * 3], [[30] * 3, [200] * 3]], dtype=np.uint8
+    )
+    ppm = b"P6\n# comment\n2 2\n255\n" + px.tobytes()
+    raw = px.tobytes()
+    rows = [(1, ppm, PPM_MIME, 2, 2), (2, raw, RAW_RGB_MIME, 2, 2)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in extract_features(media, decode_stub=False).collect()
+    }
+    for mid in (1, 2):
+        assert out[mid].feat_mean == pytest.approx((10 + 20 + 30 + 200) / 4)
+        assert out[mid].feat_max == 200.0
+
+
+def test_real_codec_still_raises_for_compressed(spark):
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, b"\x89PNG....", "image/png", 4, 4)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(media, decode_stub=False).collect()
+
+
+def test_real_resize_roundtrip(spark):
+    """Real nearest-neighbor resize: a 4x4 quadrant image downsized to
+    2x2 keeps one exact source pixel per quadrant, and the output
+    re-encodes in the source container (PPM header + pixels)."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PPM_MIME,
+        decode_rgb,
+        resize_media,
+    )
+
+    quad = np.zeros((4, 4, 3), dtype=np.uint8)
+    quad[:2, :2] = 10
+    quad[:2, 2:] = 20
+    quad[2:, :2] = 30
+    quad[2:, 2:] = 40
+    ppm = b"P6\n4 4\n255\n" + quad.tobytes()
+    media = spark.createDataFrame([(1, ppm, PPM_MIME, 4, 4)], MEDIA_SCHEMA)
+    out = resize_media(media, 2, 2, decode_stub=False).collect()[0]
+    assert (out.width, out.height) == (2, 2)
+    arr = decode_rgb(bytes(out.payload), PPM_MIME)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0, 0] == 10 and arr[0, 1, 0] == 20
+    assert arr[1, 0, 0] == 30 and arr[1, 1, 0] == 40
