@@ -48,74 +48,32 @@ def _last_checked_round() -> dict[str, int]:
     return last
 
 
-# Queries already registered before round 4. Within the never-checked
-# tier these sort AHEAD of newer registrations: the round-3 board showed
-# that a purely alphabetical tier lets a batch of new names push queries
-# that already missed the driver's per-round sample cap (alphabetically
-# late names like vocab_top_terms missed it two rounds running) past the
-# cap again indefinitely. Seniority-first makes the wait bounded: a
-# query can only be deferred by queries registered before it.
-_PRE_R4 = frozenset({
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_recall_at_10",
-    "bigram_collocations", "bm25_top_terms", "bottom5_on_time",
-    "brand_revenue_share", "brand_size_quantity_revenue",
-    "chunk_dedup_stats", "corpus_curation_stats", "corpus_full_curation",
-    "customer_order_distribution", "customer_returns_ranking",
-    "customer_running_totals", "decontamination_report",
-    "dedup_cluster_size_histogram", "dedup_components", "dedup_exact",
-    "dedup_normalized", "discount_revenue_forecast", "distinct_countries",
-    "distinct_users_per_type_salted", "doc_length_histogram",
-    "document_chunks", "documents_hash_sample",
-    "documents_stratified_sample", "dormant_high_value_customers",
-    "embedding_centroid_confusion", "embedding_dim_stats",
-    "embedding_label_centroids", "embedding_near_dup_pairs",
-    "embedding_quantize_int8", "errors_recent_purchase_count",
-    "events_asof_purchase_view", "events_cohort_retention",
-    "events_hourly_anomalies", "events_hourly_rollup",
-    "events_json_props", "events_partitioned_write_scan",
-    "events_resample_ffill", "events_rolling_wau", "events_sessionize",
-    "events_user_count_approx", "events_user_sketch_rollup",
-    "events_view_purchase_funnel", "kmeans_cluster_sizes",
-    "knn_join_top5", "kpi_tiles_filtered", "large_order_customers",
-    "late_orders_by_priority", "lineitem_quality_report",
-    "lineitem_range_layout_scan", "lineitem_scd2_point_in_time",
-    "lineitem_table_fingerprint", "lsh_estimator_error",
-    "lsh_near_dup_pairs", "minhash_signatures", "monthly_revenue_growth",
-    "multimodal_byte_entropy", "multimodal_features",
-    "multimodal_frame_sample", "nation_pair_trade_volume",
-    "nation_revenue_share", "nation_set_ops", "near_dup_source_matrix",
-    "ngram_jaccard_pairs", "ngram_novelty_scores", "npos_bounds",
-    "order_delay_blame", "order_status_priority_pivot",
-    "orders_grouping_sets", "orders_incremental_rollup_merge",
-    "orders_lineitem_bucketed_join", "orders_priority_rollup",
-    "orders_status_priority_cube", "orphan_checks", "packing_stats",
-    "part_pair_affinity", "pii_scrub", "preview_suppliers",
-    "pricing_summary", "priority_distinct_customers",
-    "product_type_revenue_by_nation", "quality_weighted_sample",
-    "quantity_kll_sketch_rollup", "quantity_percentiles_approx",
-    "quantity_percentiles_by_flag", "repetition_metrics",
-    "revenue_decile_shares", "risk_band_summary",
-    "scalar_function_surface", "semdedup_cluster_prune",
-    "shipping_priority", "simhash_hamming_pairs", "simhash_signatures",
-    "small_order_revenue", "source_mixture_weights",
-    "streaming_batch_equivalence", "streaming_dedup_equivalence",
-    "supplier_bfs_reach", "supplier_csv_roundtrip", "supplier_kpis",
-    "supplier_kpis_unpivot", "supplier_name_fuzzy_matches",
-    "supplier_pagerank", "supplier_risk_display",
-    "supplier_risk_summary", "supplier_scd2_history",
-    "supplier_snapshot_upsert", "text_fingerprints", "text_profile",
-    "tfidf_top_terms", "tokenizer_fertility_by_lang",
-    "top10_risk_suppliers", "top3_suppliers_per_nation",
-    "top_revenue_suppliers", "unigram_surprisal_scores",
-    "vocab_top_terms", "weighted_reservoir_sample",
-    "window_function_surface", "winsorized_price_stats",
-})
+# Registration age per query (committed REGISTRY_AGE.json: name -> the
+# round it was first registered). Within the never-checked rotation tier
+# OLDER registrations sort first: the round-3 board showed that a purely
+# alphabetical tier lets a batch of new names push queries that already
+# missed the driver's per-round sample cap (alphabetically late names
+# like vocab_top_terms missed it two rounds running) past the cap again
+# indefinitely. Seniority-first makes the wait bounded: a query can only
+# be deferred by queries registered before it. tests/test_registry_age.py
+# fails if a registered query is missing from the file, so every future
+# round MUST stamp its additions with the current round number.
+
+
+def _registration_age() -> dict[str, int]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "REGISTRY_AGE.json")) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    return {k: int(v) for k, v in data.items()} if isinstance(data, dict) else {}
 
 
 def _rotation_order(names: list[str]) -> list[str]:
     """Least-recently-driver-checked first (never-checked lead, then by
     ascending last-checked round; within a tier, senior registrations
-    before round-4+ additions, alphabetical last).
+    before newer ones, alphabetical last).
 
     The driver samples a bounded number of queries per round in
     ``queries()`` iteration order; this rotation guarantees every query
@@ -123,8 +81,9 @@ def _rotation_order(names: list[str]) -> list[str]:
     a fixed tail permanently unsampled.
     """
     last = _last_checked_round()
+    age = _registration_age()
     return sorted(
-        names, key=lambda n: (last.get(n, -1), n not in _PRE_R4, n)
+        names, key=lambda n: (last.get(n, -1), age.get(n, 99), n)
     )
 
 
