@@ -245,7 +245,13 @@ def _recover_times_from_tail(tail: str) -> dict[str, float]:
     object; even when the driver's tail capture lost the line's head,
     every surviving pair is recoverable by regex. Keys are filtered to
     the known headline list so envelope fields ("value", "sf", driver
-    wrapper numbers) can't masquerade as queries."""
+    wrapper numbers) can't masquerade as queries — and everything from
+    ``vs_prev_round`` on is cut BEFORE scanning, because its
+    ``per_query_delta_sec`` map uses the same headline names and its
+    deltas would otherwise overwrite the real times."""
+    cut = tail.find('"vs_prev_round"')
+    if cut != -1:
+        tail = tail[:cut]
     times: dict[str, float] = {}
     for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', tail):
         name, val = m.group(1), float(m.group(2))

@@ -342,7 +342,9 @@ def bfs_distances(
 # --- triangle counting ------------------------------------------------------
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, broadcast_nodes: bool = True
+) -> DataFrame:
     """One row (n_nodes, n_edges, n_triangles) for an undirected simple
     graph given as CANONICAL edges (x < y, no duplicates).
 
@@ -359,13 +361,20 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Feed a SPARSE graph: on a near-complete graph triangles approach
     C(n,3) and no algorithm beats the output size (the registered
     co-supply query thresholds edges on shared-order support for
-    exactly this reason)."""
+    exactly this reason).
+
+    ``broadcast_nodes`` carries the same contract as pagerank/BFS: the
+    degree table is node-sized, so the default forced broadcast is
+    right up to broadcast scale and a driver OOM past it — pass False
+    there and the orientation joins shuffle on the vertex key under
+    AQE instead (results identical; all-integer)."""
     ce = edges.localCheckpoint()  # reused by degrees + orientation
     deg = (
         ce.select(F.col("x").alias("kk"))
         .unionAll(ce.select(F.col("y").alias("kk")))
         .groupBy("kk")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint()  # reused 3x: dx join, dy join, n_nodes agg
     )
     dx = deg.select(F.col("kk").alias("x"), F.col("d").alias("dxd"))
     dy = deg.select(F.col("kk").alias("y"), F.col("d").alias("dyd"))
@@ -373,8 +382,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         (F.col("dxd") == F.col("dyd")) & (F.col("x") < F.col("y"))
     )
     oriented = (
-        ce.join(F.broadcast(dx), "x")
-        .join(F.broadcast(dy), "y")
+        ce.join(_nodes_side(dx, broadcast_nodes), "x")
+        .join(_nodes_side(dy, broadcast_nodes), "y")
         .select(
             F.when(first_is_src, F.col("x")).otherwise(F.col("y")).alias("u"),
             F.when(first_is_src, F.col("y")).otherwise(F.col("x")).alias("v"),

@@ -91,10 +91,18 @@ def decode_rgb(payload: bytes, mime: str, width=None, height=None):
         data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
         return data.reshape(h, w, 3)
     if mime == RAW_RGB_MIME:
-        if not width or not height:
+        # Arrow→pandas coerces an int column containing any NULL to
+        # float64, so valid rows arrive as e.g. 2.0 and NULLs as NaN
+        # (which `not width` does NOT catch) — normalize explicitly.
+        import pandas as pd
+
+        if width is None or height is None or pd.isna(width) or pd.isna(height):
             raise ValueError("raw RGB payload needs width/height metadata")
-        data = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3)
-        return data.reshape(height, width, 3)
+        w, h = int(width), int(height)
+        if w <= 0 or h <= 0:
+            raise ValueError("raw RGB payload needs positive dimensions")
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3)
+        return data.reshape(h, w, 3)
     raise NotImplementedError(
         f"decoding {mime!r} requires a codec library (Pillow/ffmpeg) "
         "not present in this container"

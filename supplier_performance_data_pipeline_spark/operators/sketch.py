@@ -38,14 +38,22 @@ def mg_candidate_items(df: DataFrame, col: str, k: int) -> DataFrame:
     (dropping zeros). Emits each partition's surviving keys; the
     global ``distinct`` union is the candidate superset of every item
     with global frequency > n/(k+1). One scan, zero shuffle until the
-    candidate union (≤ k rows per partition)."""
+    candidate union (≤ k rows per partition). The output column keeps
+    the SOURCE column's type (declared from ``df.schema``), so joins
+    back against the typed source never silently stringify."""
     import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [T.StructField("item", df.schema[col].dataType, True)]
+    )
 
     def summarize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         counters: dict = {}
         for pdf in batches:
             for v in pdf[col]:
-                if v is None:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
                     continue
                 if v in counters:
                     counters[v] += 1
@@ -61,4 +69,4 @@ def mg_candidate_items(df: DataFrame, col: str, k: int) -> DataFrame:
                         del counters[key]
         yield pd.DataFrame({"item": pd.Series(list(counters), dtype="object")})
 
-    return df.select(col).mapInPandas(summarize, "item string").distinct()
+    return df.select(col).mapInPandas(summarize, out_schema).distinct()

@@ -53,8 +53,9 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     cross-engine and batch-vs-streaming equality. The per-row
     conversion is one deterministic rounding of the same IEEE double in
     every engine; the decimal sum is then exact and order-free, and
-    avg is the exact sum over the exact count (ONE double division at
-    the output edge)."""
+    avg is the exact sum over the exact NON-NULL count (ONE double
+    division at the output edge — denominator COUNT(value), preserving
+    SQL AVG's ignore-NULLs semantics)."""
     vdec = F.col("value").cast("decimal(18,6)")
     return (
         events.groupBy(
@@ -64,7 +65,9 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(vdec).cast("double").alias("sum_value"),
-            (F.sum(vdec).cast("double") / F.count("*")).alias("avg_value"),
+            (F.sum(vdec).cast("double") / F.count(F.col("value"))).alias(
+                "avg_value"
+            ),
         )
     )
 

@@ -48,7 +48,7 @@ SELECT
     event_type,
     COUNT(*) AS n_events,
     ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
-    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
 FROM events
 GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
 """.strip(),

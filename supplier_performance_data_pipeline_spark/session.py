@@ -58,17 +58,25 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # Right-size shuffles for the local harness (the driver's
-        # default session ships Spark's 200 — AQE coalesces batch
-        # exchanges anyway, but STREAMING state stores are created one
-        # per shuffle partition at first microbatch and never coalesce,
-        # so the equivalence queries would spin up 200 state tasks per
-        # tiny replay). On a real cluster this knob is sized to the
-        # data, not hardcoded.
-        "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
     }.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some envs
             pass
+    # Right-size shuffles for the local harness — but ONLY when the
+    # session still carries Spark's stock 200 (the driver's default
+    # session): AQE coalesces batch exchanges anyway, but STREAMING
+    # state stores are created one per shuffle partition at the first
+    # microbatch and never coalesce, so equivalence queries would spin
+    # up 200 state tasks per tiny replay. A session whose owner chose a
+    # value (get_spark(shuffle_partitions=...), test fixtures, a real
+    # cluster sizing the knob to the data) is left untouched.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(DEFAULT_SHUFFLE_PARTITIONS),
+            )
+    except Exception:  # pragma: no cover
+        pass
     return spark

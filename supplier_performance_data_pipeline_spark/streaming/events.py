@@ -95,7 +95,9 @@ def streaming_hourly_rollup(
         .agg(
             F.count("*").alias("n_events"),
             F.sum(vdec).cast("double").alias("sum_value"),
-            (F.sum(vdec).cast("double") / F.count("*")).alias("avg_value"),
+            (F.sum(vdec).cast("double") / F.count(F.col("value"))).alias(
+                "avg_value"
+            ),
         )
         .select(
             F.col("w.start").alias("hour"),

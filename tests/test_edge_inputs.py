@@ -341,3 +341,46 @@ def test_hhi_single_supplier_nation_is_one(spark, tmp_path):
     assert got["SOLO"] == (1, 1.0, 150.0)
     # Two equal suppliers: HHI = 2 * (1/2)^2 = 0.5.
     assert got["DUO"] == (2, 0.5, 60.0)
+
+
+def test_hourly_rollup_avg_ignores_null_values(spark):
+    """SQL AVG semantics: NULL values drop from the denominator (a
+    bucket [10.0, NULL] averages 10.0, not 5.0) while n_events still
+    counts every row."""
+    import datetime as dt
+
+    from supplier_performance_data_pipeline_spark.operators.windows import (
+        hourly_rollup,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 30, 0)
+    ev = spark.createDataFrame(
+        [(t, "view", 10.0), (t, "view", None)],
+        "ts timestamp, event_type string, value double",
+    )
+    row = hourly_rollup(ev).collect()[0]
+    assert row["n_events"] == 2
+    assert row["sum_value"] == 10.0
+    assert row["avg_value"] == 10.0
+
+
+def test_decode_rgb_null_width_raises_cleanly(spark):
+    """A NULL width in an Arrow batch coerces the int column to float64
+    (valid rows become e.g. 2.0, NULLs become NaN) — the decoder must
+    reject NaN dimensions with the clean ValueError and still decode
+    the valid rows in the same batch."""
+    import numpy as np
+    import pytest as _pytest
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        RAW_RGB_MIME,
+        decode_rgb,
+    )
+
+    px = np.full((2, 2, 3), 7, dtype=np.uint8)
+    arr = decode_rgb(px.tobytes(), RAW_RGB_MIME, 2.0, 2.0)  # float dims OK
+    assert arr.shape == (2, 2, 3)
+    with _pytest.raises(ValueError, match="width/height"):
+        decode_rgb(px.tobytes(), RAW_RGB_MIME, float("nan"), 2.0)
+    with _pytest.raises(ValueError, match="width/height"):
+        decode_rgb(px.tobytes(), RAW_RGB_MIME, None, None)

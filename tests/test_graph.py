@@ -226,3 +226,21 @@ def test_triangle_count_matches_brute_force(spark):
         assert row["n_triangles"] == expected, (edges, row, expected)
         assert row["n_edges"] == len(edges)
         assert row["n_nodes"] == len(adj)
+
+
+def test_triangle_count_non_broadcast_identical(spark):
+    """broadcast_nodes=False (the past-broadcast-scale path) changes
+    join strategy only — counts identical on K5."""
+    from itertools import combinations
+
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    df = spark.createDataFrame(
+        list(combinations(range(5), 2)), "x long, y long"
+    )
+    a = triangle_count(df).collect()[0]
+    b = triangle_count(df, broadcast_nodes=False).collect()[0]
+    assert a == b
+    assert a["n_triangles"] == 10

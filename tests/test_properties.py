@@ -377,3 +377,19 @@ def test_mg_candidates_never_miss_heavy_hitters(spark):
         assert true_heavy <= cands, (parts, sorted(cands))
         # and the summary stays small: at most k keys per partition
         assert len(cands) <= k * parts
+
+
+def test_mg_candidates_keep_source_column_type(spark):
+    """The candidate column carries the SOURCE type (here bigint), so
+    joins back against the typed column match instead of silently
+    stringifying."""
+    from supplier_performance_data_pipeline_spark.operators.sketch import (
+        mg_candidate_items,
+    )
+
+    rows = [(7,)] * 50 + [(i,) for i in range(100, 110)]
+    df = spark.createDataFrame(rows, "user_id long")
+    cands = mg_candidate_items(df, "user_id", 2)
+    assert dict(cands.dtypes)["item"] == "bigint"
+    items = {r["item"] for r in cands.collect()}
+    assert 7 in items  # 50/60 > n/3: the heavy user survives

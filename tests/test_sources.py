@@ -132,3 +132,21 @@ def test_range_layout_files_have_disjoint_key_ranges(spark, tmp_path):
         assert hi1 <= lo2  # disjoint (boundary key may touch, never overlap)
     # And the data survives intact.
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_tune_session_respects_explicit_shuffle_partitions(spark):
+    """tune_session right-sizes only sessions still on Spark's stock
+    200 — an owner-chosen value (test fixtures, get_spark callers, a
+    cluster sized to its data) must survive."""
+    from supplier_performance_data_pipeline_spark.session import tune_session
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert before != "200"  # the fixture chose its own value
+    tune_session(spark)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        tune_session(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
