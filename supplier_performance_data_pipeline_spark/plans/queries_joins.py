@@ -1147,3 +1147,176 @@ def q_suppliers_of_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_dominated_parts"), F.asc("s_suppkey"))
         .limit(20)
     )
+
+
+# --- Q8 shape: nation market share per year ---------------------------------
+
+
+@register(
+    "nation_market_share_by_year",
+    oracle=f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                     THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(3,2)) END)
+            AS DOUBLE) AS target_revenue,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS market_revenue,
+       ROUND(100.0 * CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                     THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+             / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS mkt_share_pct
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey AND p_type = 'STANDARD'
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1
+""".strip(),
+)
+def q_nation_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of the STANDARD-part market in
+    EUROPE per order year — the national-market-share query, an 8-way
+    join whose share is a conditional aggregate over the SAME joined
+    rows (numerator is a CASE on the supplier's nation, denominator the
+    whole market). Dims (part pre-filtered on type, supplier, both
+    nation roles, region) broadcast onto the fact side, so the only
+    shuffles are the two fact joins (lineitem⋈orders on orderkey,
+    then ⋈customer on custkey) — the same two-exchange skeleton as the
+    Q5 shape. Both sums are exact DECIMAL; ONE double division per
+    output year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat_c = _t(spark, sf_dir, "nation").alias("n1")
+    nat_s = _t(spark, sf_dir, "nation").alias("n2")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rev = _revenue_cols()
+    target = F.when(F.col("n2.n_name") == "NATION_7", rev).otherwise(
+        F.lit(0).cast("decimal(3,2)")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(reg), F.col("n1.n_regionkey") == reg.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat_s), sup.s_nationkey == F.col("n2.n_nationkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.sum(target).cast("double").alias("target_revenue"),
+            F.sum(rev).cast("double").alias("market_revenue"),
+        )
+        .select(
+            "order_year",
+            "target_revenue",
+            "market_revenue",
+            F.round(
+                F.lit(100.0)
+                * F.col("target_revenue")
+                / F.col("market_revenue"),
+                6,
+            ).alias("mkt_share_pct"),
+        )
+    )
+
+
+# --- Q12 shape: priority mix by ship-delay bucket ---------------------------
+
+
+@register(
+    "ship_delay_priority_counts",
+    oracle="""
+SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) <= 30 THEN 'FAST'
+            WHEN datediff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) <= 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS delay_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""".strip(),
+)
+def q_ship_delay_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts of high- vs low-priority orders per
+    ship-delay bucket (the testdata has no l_shipmode, so the grouping
+    dimension is the order→ship latency bucket — same join, same pair
+    of complementary CASE counters). One fact-fact shuffle join on the
+    order key, then a 3-group integer aggregate; the priority test is
+    evaluated once per row with complementary counters so the two
+    columns always sum to the bucket's line count."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "FAST").when(delay <= 90, "MEDIUM").otherwise("SLOW")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q16 shape: supplier breadth per part segment ---------------------------
+
+
+@register(
+    "brand_type_supplier_counts",
+    oracle="""
+SELECT p_brand, p_type,
+       CAST(CASE WHEN p_size <= 10 THEN 'S'
+                 WHEN p_size <= 30 THEN 'M' ELSE 'L' END AS VARCHAR)
+           AS size_class,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand <> 'Brand#1'
+WHERE l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY 1, 2, 3
+""".strip(),
+)
+def q_brand_type_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size-class) part segment, excluding one brand and a
+    blocklist of suppliers (negative account balance standing in for
+    Q16's complaint predicate; the no-partsupp schema observes supply
+    from lineitem). The blocklist is a dim-sized broadcast LEFT ANTI
+    join — never a NOT IN re-scan per row; the part dim broadcasts
+    pre-filtered. One distinct-aggregate shuffle on the segment keys
+    (Spark plans COUNT DISTINCT as a two-phase partial aggregate, so
+    the (segment, suppkey) pairs are deduplicated map-side before the
+    exchange)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    size_class = (
+        F.when(F.col("p_size") <= 10, "S")
+        .when(F.col("p_size") <= 30, "M")
+        .otherwise("L")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy(
+            "p_brand", "p_type", size_class.alias("size_class")
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -801,3 +801,36 @@ def test_mg_heavy_hitters_arrow_sketch_no_fact_shuffle(spark, specs):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_market_share_dims_broadcast_one_agg(spark, specs):
+    # Q8 shape: all five dimension roles (part, customer nation, region,
+    # supplier, supplier nation) broadcast; the conditional share is ONE
+    # year-keyed aggregate — never a second fact pass for the
+    # denominator. At smoke scale the fact joins broadcast too, so pin
+    # a lower bound on broadcasts and an upper bound on exchanges.
+    plan = plan_of(spark, specs, "nation_market_share_by_year")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert shuffles(plan) <= 6  # ≤2 fact joins (2-3 exchanges) + groupBy
+
+
+def test_ship_delay_two_scans_no_cartesian(spark, specs):
+    # Q12 shape: exactly the two fact scans; complementary CASE counters
+    # land in one 3-group aggregate after the orderkey join.
+    plan = plan_of(spark, specs, "ship_delay_priority_counts")
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "CartesianProduct" not in plan
+    assert shuffles(plan) <= 3  # join exchanges at scale + the groupBy
+
+
+def test_brand_type_counts_anti_broadcast_two_phase_distinct(spark, specs):
+    # Q16 shape: the supplier blocklist is a broadcast LEFT ANTI join
+    # and the part dim broadcasts; COUNT DISTINCT compiles to the
+    # two-phase partial-distinct aggregate (2 exchanges), never a
+    # NOT IN rescan.
+    plan = plan_of(spark, specs, "brand_type_supplier_counts")
+    assert "BuildRight, LeftAnti" in plan or "LeftAnti, BuildRight" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert shuffles(plan) == 2
+    assert "CartesianProduct" not in plan
