@@ -571,3 +571,67 @@ def q_supplier_kpis_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kpis.unpivot(
         ["supplier_id"], _UNPIVOT_METRICS, "metric", "value"
     )
+
+
+# --- Z-order layout: write → two-dimensional pruned scan roundtrip ----------
+
+
+@register(
+    "lineitem_zorder_layout_scan",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS total_price
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 300
+  AND l_suppkey BETWEEN 20 AND 60
+""".strip(),
+)
+def q_lineitem_zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order (Morton-curve) layout as a driver-verified identity:
+    rewrite lineitem clustered on the bit-interleave of
+    (l_partkey, l_suppkey) via ``write_parquet_zorder_layout``, then
+    answer a CONJUNCTIVE range aggregate on both dimensions FROM THE
+    REWRITTEN LAYOUT. The oracle computes the same aggregate from the
+    original table, so the row proves the multi-dim clustering is
+    lossless; the scan-side benefit — footer min/max stats tight on
+    BOTH columns, where a 1-d sort helps only its leading key — is
+    pinned separately in tests/test_sources.py. DECIMAL sums, cast at
+    the edge: the layout must not change a single cent."""
+    import tempfile
+
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+        write_parquet_zorder_layout,
+    )
+
+    tune_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    sweep_stale_artifacts(
+        tempfile.gettempdir(), "spark_graft_lineitem_zorder_layout_"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_lineitem_zorder_layout_{spark.sparkContext.applicationId}",
+    )
+    write_parquet_zorder_layout(
+        li.select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"),
+        path,
+        "l_partkey",
+        "l_suppkey",
+        8,
+    )
+    scan = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(100, 300)
+        & F.col("l_suppkey").between(20, 60)
+    )
+    return scan.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -507,3 +507,84 @@ def q_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sample_key"), F.asc("doc_id"))
         .limit(_WRS_K)
     )
+
+
+# --- bigram LM surprisal (context-conditional quality signal) ---------------
+
+
+@register(
+    "bigram_surprisal_scores",
+    oracle=f"""
+WITH {_TOKS_CTE},
+pos AS (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM toks_cte
+),
+big AS (
+    SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+cc AS (SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY 1),
+scored AS (
+    SELECT doc_id,
+           CAST(ROUND(ln(CAST(c1 AS DOUBLE) / c2), 6) AS DECIMAL(18,6)) AS nll
+    FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1)
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_surprisal
+FROM scored GROUP BY doc_id
+""".strip(),
+)
+def q_bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal -ln p(w2|w1) under the
+    corpus's own bigram LM (maximum-likelihood conditionals; every
+    scored bigram appears in the counts, so no smoothing is needed and
+    no probability is zero). The context-conditional upgrade of
+    ``unigram_surprisal_scores``: boilerplate scores LOWER (its exact
+    continuations repeat) while rare-word soup scores HIGHER — the pair
+    of scores separates template spam from low-quality noise better
+    than either alone.
+
+    The bigram stream is a pure projection — arrays_zip of the token
+    array against its own 1-shifted slice, then ONE explode; no
+    self-join, no window over raw tokens. Counts are two aggregates on
+    that stream (bigram grain, then context grain = a rollup of the
+    already-reduced bigram table). Both count tables are
+    vocabulary-bounded and broadcast back onto the stream (past the
+    broadcast threshold the same plan is a key-shuffle join — the
+    bigram vocabulary grows with corpus diversity, not corpus size).
+    Per-bigram surprisal rounds to 6dp and sums as DECIMAL — exact,
+    order-independent — with ONE double division per doc. Docs with
+    fewer than two tokens have no bigrams and are absent (inner
+    explode), mirroring the oracle's empty range()."""
+    docs = _docs(spark, sf_dir)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = toked.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        pairs.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(cc), ["w1"])
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c1").cast("double") / F.col("c2")), 6)
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias(
+            "avg_bigram_surprisal"
+        ),
+    )

@@ -216,3 +216,163 @@ def q_documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return stratified_hash_sample(
         _docs(spark, sf_dir), "doc_id", "lang", _STRAT_RATES, _STRAT_SEED
     ).select("doc_id", "lang")
+
+
+# --- Bloom-filter decontamination audit -------------------------------------
+
+_BLOOM_M = 65536  # bits (8 KiB bitmap when packed)
+_BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos_sql(expr: str, j: int) -> str:
+    return (
+        f"(CAST(concat('0x', substr(md5(concat('bf{j}|', {expr})), 1, 14)) "
+        f"AS BIGINT) % {_BLOOM_M})"
+    )
+
+
+@register(
+    "bloom_decontamination_audit",
+    oracle=f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id, {_shingles_sql(3)} AS shingles FROM toks_cte),
+b AS (SELECT doc_id, {{bucket}} AS bkt FROM documents),
+ev AS (
+    SELECT DISTINCT unnest(sh.shingles) AS g
+    FROM sh JOIN b USING (doc_id) WHERE b.bkt < {{thr}}
+),
+tr AS (
+    SELECT DISTINCT unnest(sh.shingles) AS g
+    FROM sh JOIN b USING (doc_id) WHERE b.bkt >= {{thr}}
+),
+bits AS (
+    SELECT DISTINCT {_bloom_pos_sql("g", 0)} AS pos FROM ev
+    UNION SELECT DISTINCT {_bloom_pos_sql("g", 1)} FROM ev
+    UNION SELECT DISTINCT {_bloom_pos_sql("g", 2)} FROM ev
+    UNION SELECT DISTINCT {_bloom_pos_sql("g", 3)} FROM ev
+),
+trpos AS (
+    SELECT g, unnest([{", ".join(_bloom_pos_sql("g", j) for j in range(_BLOOM_K))}]) AS pos
+    FROM tr
+),
+flag AS (
+    SELECT t.g, (COUNT(bits.pos) = {_BLOOM_K}) AS bloom_pos
+    FROM trpos t LEFT JOIN bits ON t.pos = bits.pos
+    GROUP BY t.g
+),
+audit AS (
+    SELECT f.g, f.bloom_pos, (e.g IS NOT NULL) AS exact_pos
+    FROM flag f LEFT JOIN ev e ON f.g = e.g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_train_grams,
+       CAST(SUM(CASE WHEN exact_pos THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_overlap,
+       CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_positive,
+       CAST(SUM(CASE WHEN bloom_pos AND NOT exact_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       CAST(SUM(CASE WHEN exact_pos AND NOT bloom_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_negative,
+       ROUND(100.0 * SUM(CASE WHEN bloom_pos AND NOT exact_pos THEN 1 ELSE 0 END)
+             / NULLIF(COUNT(*) - SUM(CASE WHEN exact_pos THEN 1 ELSE 0 END), 0),
+             6) AS fpr_pct
+FROM audit
+""".strip().format(
+        bucket=_DECON_BUCKET_SQL, thr=sample_threshold(_DECON_PCT)
+    ),
+)
+def q_bloom_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter audit for eval-set decontamination — the
+    scale path ``contamination_report`` documents for eval sets too big
+    to broadcast as an exact n-gram list: an m={m}-bit / k={k}-hash
+    Bloom bitmap is 8 KiB regardless of eval size, so at 100 TB the
+    bitmap broadcasts to every executor and the exact (expensive) gram
+    join runs only on the bloom-positive survivors. This query measures
+    what that buys on the REAL split: distinct train 3-grams, exact
+    overlap, bloom positives, false positives, and the measured
+    false-positive rate — plus a false-NEGATIVE count the Bloom
+    guarantee forces to zero (the structural self-check: a nonzero
+    value here is a hash-portability bug, not tuning).
+
+    The bit set is represented relationally (DISTINCT positions of the
+    eval grams under the k seeded hashes, ≤ m rows) and the membership
+    test is a broadcast position-join counting k hits — semantically
+    identical to testing k bits in the packed bitmap, and expressible
+    on both engines with the same md5 arithmetic as every other
+    deterministic-sampling contract in this file. The train side
+    reduces to DISTINCT grams first (one shuffle), fans out ×{k}
+    positions as a pure projection, and aggregates back to gram grain;
+    the final audit is a single 1-row aggregate."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        shingle_sets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bkt = hash_bucket(F.col("doc_id"), _DECON_SEED)
+    thr = sample_threshold(_DECON_PCT)
+
+    def grams(split: DataFrame) -> DataFrame:
+        return (
+            shingle_sets(split, "text", _DECON_N)
+            .select(F.explode(F.array_distinct("shingles")).alias("g"))
+            .distinct()
+        )
+
+    def pos(col: F.Column, j: int) -> F.Column:
+        digest = F.md5(F.concat(F.lit(f"bf{j}|"), col))
+        h56 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
+        return F.pmod(h56, F.lit(_BLOOM_M))
+
+    ev = grams(docs.filter(bkt < thr))
+    tr = grams(docs.filter(bkt >= thr))
+    bits = (
+        ev.select(
+            F.explode(
+                F.array(*[pos(F.col("g"), j) for j in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("bit", F.lit(1))
+    )
+    trpos = tr.select(
+        "g",
+        F.explode(
+            F.array(*[pos(F.col("g"), j) for j in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    flag = (
+        trpos.join(F.broadcast(bits), "pos", "left")
+        .groupBy("g")
+        .agg((F.count("bit") == _BLOOM_K).alias("bloom_pos"))
+    )
+    audit = flag.join(
+        F.broadcast(ev.withColumnRenamed("g", "eg").withColumn("e", F.lit(1))),
+        flag.g == F.col("eg"),
+        "left",
+    ).select("g", "bloom_pos", F.col("e").isNotNull().alias("exact_pos"))
+    n_exact = F.sum(F.when(F.col("exact_pos"), 1).otherwise(0))
+    n_fp = F.sum(
+        F.when(F.col("bloom_pos") & ~F.col("exact_pos"), 1).otherwise(0)
+    )
+    return audit.agg(
+        F.count("*").cast("long").alias("n_train_grams"),
+        n_exact.cast("long").alias("n_exact_overlap"),
+        F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_positive"),
+        n_fp.cast("long").alias("n_false_positive"),
+        F.sum(F.when(F.col("exact_pos") & ~F.col("bloom_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_negative"),
+        F.round(
+            F.lit(100.0)
+            * n_fp
+            / F.nullif((F.count("*") - n_exact).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("fpr_pct"),
+    )
+
+
+q_bloom_decontamination_audit.__doc__ = q_bloom_decontamination_audit.__doc__.format(
+    m=_BLOOM_M, k=_BLOOM_K
+)

@@ -937,3 +937,82 @@ def q_streaming_enrichment_equivalence(
 def _t_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     return spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+
+
+# --- streaming sliding-window equivalence -----------------------------------
+
+
+@register(
+    "streaming_sliding_equivalence",
+    oracle="""
+WITH w AS (
+    SELECT DISTINCT
+        CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900
+             - i.i * 900 AS BIGINT) AS wstart_epoch,
+        event_type
+    FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(0 AS BIGINT) AS n_mismatched,
+       TRUE AS streaming_equals_batch
+FROM w
+""".strip(),
+)
+def q_streaming_sliding_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fourth streaming verdict row: the watermarked SLIDING-window
+    rollup (1h window / 15min slide — 4 overlapping windows per event)
+    replayed through a memory sink and full-outer-joined against its
+    batch twin (the same F.window expression in batch mode). Counts
+    compare exactly and sums are DECIMAL-exact on both arms, so any
+    divergence in window ALIGNMENT (the failure mode tumbling windows
+    can't catch: a slide-offset bug changes which 4 windows an event
+    lands in), late-row handling, or accumulation flips the booleans
+    and hash-fails the driver row. The oracle derives the expected
+    group count from epoch arithmetic — floor-to-slide minus i*slide
+    for i in 0..3 — independently of either Spark arm."""
+    from supplier_performance_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_sliding_rollup,
+    )
+
+    tune_session(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    name = f"stream_slide_{app}_{next(_STREAM_EQ_SEQ)}"
+    stream = read_event_stream(spark, sf_dir)
+    run_to_memory_sink(streaming_sliding_rollup(stream), name, "complete")
+    streamed = spark.table(name)
+    ev = _events(spark, sf_dir)
+    vdec = F.col("value").cast("decimal(18,6)")
+    batch = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(vdec).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    j = batch.alias("b").join(
+        streamed.alias("s"), ["window_start", "event_type"], "full_outer"
+    )
+    mism = (
+        F.col("b.n_events").isNull()
+        | F.col("s.n_events").isNull()
+        | (F.col("b.n_events") != F.col("s.n_events"))
+        | (F.col("b.sum_value") != F.col("s.sum_value"))
+    )
+    n_mism = F.sum(F.when(mism, 1).otherwise(0)).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        n_mism.alias("n_mismatched"),
+        (n_mism == 0).alias("streaming_equals_batch"),
+    )

@@ -134,6 +134,38 @@ def streaming_enriched_segment_rollup(
     )
 
 
+def streaming_sliding_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window rollup — each event contributes to
+    window/slide overlapping windows (4 at the defaults), the shape
+    behind any "last hour, refreshed every 15 minutes" operational
+    metric. Same exactness contract as the tumbling rollup: per-row
+    DECIMAL(18,6) conversion makes the sum order-free, so streaming
+    microbatch accumulation equals the batch twin EXACTLY. State is
+    one aggregate per open window per key, bounded by the watermark
+    (closed windows emit and evict); the x4 row amplification happens
+    map-side in the window generator, never as a shuffle fan-out."""
+    vdec = F.col("value").cast("decimal(18,6)")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(vdec).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_sessionize(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
 ) -> DataFrame:

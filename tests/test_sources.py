@@ -150,3 +150,65 @@ def test_tune_session_respects_explicit_shuffle_partitions(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """The 2-d data-skipping precondition: under the z-order layout
+    EVERY file's footer stats are tight on BOTH keys (each file covers
+    roughly half of each domain at 4 files), whereas a 1-d range layout
+    is tight on its leading key only — the trailing key spans ~the full
+    domain in every file, so conjunctive predicates can't prune."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_parquet_range_layout,
+        write_parquet_zorder_layout,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    lo_a, hi_a, lo_b, hi_b = li.agg(
+        *[f("l_partkey") for f in (F.min, F.max)],
+        *[f("l_suppkey") for f in (F.min, F.max)],
+    ).first()
+    span_a, span_b = hi_a - lo_a + 1, hi_b - lo_b + 1
+
+    def file_spans(path):
+        spans = []
+        for fn in _glob.glob(path + "/*.parquet"):
+            md = _pq.read_metadata(fn)
+            cols = {}
+            for key in ("l_partkey", "l_suppkey"):
+                idx = md.schema.names.index(key)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                cols[key] = max(maxs) - min(mins) + 1
+            spans.append(cols)
+        return spans
+
+    zpath = str(tmp_path / "li_z")
+    write_parquet_zorder_layout(li, zpath, "l_partkey", "l_suppkey", 8)
+    zspans = file_spans(zpath)
+    assert len(zspans) >= 6
+    # Sampled range boundaries let the odd file straddle a z-quadrant
+    # edge (inheriting a full span on one key), so assert the CLUSTER
+    # property on the majority: most files tight on BOTH dimensions.
+    tight_a = sum(s["l_partkey"] <= 0.65 * span_a for s in zspans)
+    tight_b = sum(s["l_suppkey"] <= 0.65 * span_b for s in zspans)
+    assert tight_a >= len(zspans) * 2 // 3
+    assert tight_b >= len(zspans) * 2 // 3
+
+    rpath = str(tmp_path / "li_r")
+    write_parquet_range_layout(li, rpath, ["l_partkey"], n_files=4)
+    rspans = file_spans(rpath)
+    # The 1-d layout's trailing key is UNclustered: full-domain stats.
+    assert all(s["l_suppkey"] >= 0.9 * span_b for s in rspans)
+
+    # And the z layout is lossless.
+    assert spark.read.parquet(zpath).count() == li.count()
