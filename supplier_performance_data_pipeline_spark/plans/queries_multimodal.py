@@ -117,3 +117,112 @@ def q_multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic SQL-side at oracle scale (ASCII corpus: byte == char
     code), using the rounded-term DECIMAL-sum contract."""
     return byte_entropy(_media(spark, sf_dir))
+
+
+# --- audio: real WAV container roundtrip + PCM features ---------------------
+
+_AUDIO_RATE = 8000
+_AUDIO_A = 2654435761  # Knuth multiplicative hash constant
+_AUDIO_B = 40503
+
+
+def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → audio table: a REAL RIFF/WAVE container per doc whose
+    PCM16 samples are a deterministic function of (doc_id, i) — so the
+    DuckDB oracle reproduces the decoded waveform in closed form while
+    the Spark side must parse an honest WAV container to get it. One
+    sample per character keeps payload sizes document-shaped."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        WAV_MIME,
+        encode_wav,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "n_chars"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():
+                n = int(row["n_chars"])
+                s = (
+                    (
+                        np.int64(row["doc_id"]) * _AUDIO_A
+                        + np.arange(n, dtype=np.int64) * _AUDIO_B
+                    )
+                    % 65536
+                    - 32768
+                ).astype(np.int16)
+                payloads.append(encode_wav(s, _AUDIO_RATE))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": WAV_MIME,
+                }
+            )
+
+    return docs.mapInPandas(
+        synth, schema="media_id long, payload binary, mime string"
+    )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+WITH pos AS (
+    SELECT doc_id, unnest(range(0, n_chars)) AS i FROM documents
+),
+s AS (
+    SELECT doc_id, i,
+           ((doc_id * {_AUDIO_A} + i * {_AUDIO_B}) % 65536) - 32768 AS v
+    FROM pos
+),
+lagged AS (
+    SELECT doc_id, v,
+           lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM s
+),
+agg AS (
+    SELECT doc_id,
+           COUNT(*) AS n,
+           MAX(ABS(v)) AS peak,
+           SUM(v * v) AS sum_sq,
+           SUM(CASE WHEN prev IS NOT NULL AND ((v >= 0) <> (prev >= 0))
+                    THEN 1 ELSE 0 END) AS zc
+    FROM lagged GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       {_AUDIO_RATE} AS sample_rate,
+       CAST(n AS DOUBLE) * 1000 / {_AUDIO_RATE} AS duration_ms,
+       CAST(peak AS INTEGER) AS peak,
+       CAST(zc AS BIGINT) AS zero_crossings,
+       ROUND(sqrt(CAST(sum_sq AS DOUBLE) / n), 6) AS rms
+FROM agg
+""".strip(),
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio joins the multimodal surface for real: synthesize a WAV
+    container per document (PCM16 samples a closed-form function of
+    doc_id — see _audio_media), then run operators/multimodal.py::
+    audio_features — Arrow batches → chunk-walking RIFF parse →
+    vectorized numpy features (frame count, duration, integer-exact
+    peak / zero crossings / sum-of-squares, one rounded sqrt for rms).
+    The oracle computes the same features from the sample formula
+    directly, so a single byte of container mis-parse (header offset,
+    alignment, endianness) shifts every sample and hash-fails the row.
+    Scale: both steps are mapInPandas projections — no shuffle anywhere;
+    payloads never leave the executor, and batch memory is bounded by
+    the Arrow batch size."""
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    return audio_features(_audio_media(spark, sf_dir))

@@ -130,3 +130,93 @@ def test_real_resize_roundtrip(spark):
     assert arr.shape == (2, 2, 3)
     assert arr[0, 0, 0] == 10 and arr[0, 1, 0] == 20
     assert arr[1, 0, 0] == 30 and arr[1, 1, 0] == 40
+
+
+def test_wav_decode_walks_unknown_and_odd_chunks():
+    """The RIFF parser must skip unknown chunks (LIST metadata is
+    routine in real WAV files) and honor word alignment for odd-size
+    chunks — a naive fmt-at-12/data-at-36 layout assumption shifts
+    every sample."""
+    import struct
+
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        decode_pcm,
+    )
+
+    samples = np.array([1, -2, 3], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    odd = b"\x07"  # 1-byte chunk -> needs a pad byte before the next
+    body = (
+        b"junk" + struct.pack("<I", len(odd)) + odd + b"\x00"  # pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    s, rate, channels = decode_pcm(payload)
+    assert (s == samples).all() and rate == 8000 and channels == 1
+
+
+def test_wav_compressed_and_multichannel_raise(spark):
+    """Non-PCM formats raise from the decoder (the ffmpeg plug-point);
+    stereo raises from the feature extractor (downmix unimplemented,
+    never silently averaged)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        decode_pcm,
+        encode_wav,
+    )
+
+    # fmt says IEEE float (3) -> decoder refuses.
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", 0)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        decode_pcm(payload)
+
+    # Stereo container parses but features refuse to downmix.
+    stereo = encode_wav(np.array([1, 2, 3, 4], dtype="<i2"), 8000)
+    stereo = stereo.replace(
+        struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+        struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16),
+    )
+    media = spark.createDataFrame(
+        [(1, stereo, "audio/x-wav")], "media_id long, payload binary, mime string"
+    )
+    with pytest.raises(Exception, match="downmix"):
+        audio_features(media).collect()
+
+
+def test_wav_feature_math_matches_hand_computation(spark):
+    """Deterministic waveform -> exact integer features: peak, zero
+    crossings, and rms from the sum of squares, cross-checked by hand."""
+    import math
+
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    s = np.array([100, -200, 300, 0, -5], dtype="<i2")
+    media = spark.createDataFrame(
+        [(7, encode_wav(s, 16000), "audio/x-wav")],
+        "media_id long, payload binary, mime string",
+    )
+    row = audio_features(media).collect()[0]
+    assert row.n_samples == 5 and row.sample_rate == 16000
+    assert row.duration_ms == 5 * 1000.0 / 16000
+    assert row.peak == 300
+    # sign flips: +100/-200, -200/+300, +300/+0 (0 counts nonneg: no),
+    # 0/-5 -> 3 crossings
+    assert row.zero_crossings == 3
+    assert row.rms == round(math.sqrt((100**2 + 200**2 + 300**2 + 25) / 5), 6)

@@ -834,3 +834,32 @@ def test_brand_type_counts_anti_broadcast_two_phase_distinct(spark, specs):
     assert plan.count("BroadcastHashJoin") >= 2
     assert shuffles(plan) == 2
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_surprisal_broadcast_lm_no_selfjoin(spark, specs):
+    # The bigram stream is a projection (arrays_zip explode), the two LM
+    # count tables broadcast back onto it, and there is no token-table
+    # self-join — the O(n^2) failure mode for bigram construction.
+    plan = plan_of(spark, specs, "bigram_surprisal_scores")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffles(plan) <= 4  # bigram agg + context agg + doc agg (+AQE read)
+
+
+def test_bloom_audit_broadcast_bitset_no_cartesian(spark, specs):
+    # The bit set and the eval gram set broadcast onto the train side;
+    # membership is a position equi-join — never a per-gram rescan.
+    plan = plan_of(spark, specs, "bloom_decontamination_audit")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_audio_features_pure_arrow_no_shuffle(spark, specs):
+    # Synthesis and feature extraction are both mapInPandas projections:
+    # one scan, zero exchanges — payloads never cross a shuffle.
+    plan = plan_of(spark, specs, "multimodal_audio_features")
+    assert plan.count("MapInPandas") == 2
+    assert shuffles(plan) == 0
+    assert plan.count("Location: InMemoryFileIndex") == 1
