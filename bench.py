@@ -118,6 +118,14 @@ HEADLINE = [
     "customer_rfm_segments",
     "streaming_enrichment_equivalence",
     "lang_heavy_hitters_verified",
+    "nation_market_share_by_year",
+    "ship_delay_priority_counts",
+    "brand_type_supplier_counts",
+    "bigram_surprisal_scores",
+    "bloom_decontamination_audit",
+    "streaming_sliding_equivalence",
+    "lineitem_zorder_layout_scan",
+    "multimodal_audio_features",
 ]
 
 
