@@ -384,3 +384,37 @@ def test_decode_rgb_null_width_raises_cleanly(spark):
         decode_rgb(px.tobytes(), RAW_RGB_MIME, float("nan"), 2.0)
     with _pytest.raises(ValueError, match="width/height"):
         decode_rgb(px.tobytes(), RAW_RGB_MIME, None, None)
+
+
+def test_zorder_writer_constant_column(spark, tmp_path):
+    """A constant clustering key (span 1) must not divide by zero or
+    scatter rows: every row buckets to 0 on that dimension and the
+    layout degrades to a 1-d sort on the other key."""
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_parquet_zorder_layout,
+    )
+
+    df = spark.range(100).select(
+        F.lit(7).alias("a"), F.col("id").alias("b")
+    )
+    path = str(tmp_path / "zconst")
+    write_parquet_zorder_layout(df, path, "a", "b", 2)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert back.agg(F.count_distinct("a")).first()[0] == 1
+    assert back.agg(F.sum("b")).first()[0] == 99 * 100 // 2
+
+
+def test_wav_empty_payload_raises(spark):
+    """An empty/garbage payload is a corrupt container, not silence —
+    the decoder refuses rather than returning zero samples."""
+    import pytest
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        decode_pcm,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_pcm(b"")
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_pcm(b"RIFFxxxxJUNK")
