@@ -126,6 +126,8 @@ HEADLINE = [
     "streaming_sliding_equivalence",
     "lineitem_zorder_layout_scan",
     "multimodal_audio_features",
+    "events_asof_next_error",
+    "streaming_session_equivalence",
 ]
 
 

@@ -31,10 +31,20 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join; right ``value_cols`` (+ the matched right
-    timestamp as ``{prefix}{ts_col}``) appended to every left row,
-    NULL when no right row precedes it."""
+    """As-of join; right ``value_cols`` (+ the matched right timestamp
+    as ``{prefix}{ts_col}``) appended to every left row, NULL when no
+    right row matches. ``direction="backward"`` (default) attaches the
+    most recent right row with ``right.ts <= left.ts``;
+    ``direction="forward"`` the nearest upcoming right row with
+    ``right.ts >= left.ts`` — the "next maintenance window / next
+    error" lookup. Same single-shuffle union-trick plan either way:
+    only the window frame and the equal-timestamp side ordering flip
+    (inclusive semantics need the right row adjacent to the left row
+    INSIDE the frame)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     rv = F.struct(
         F.col(ts_col).alias(ts_col),
         *[F.col(c).alias(c) for c in value_cols],
@@ -59,14 +69,26 @@ def asof_join(
         )
     unioned = left_tagged.unionByName(right_tagged)
 
-    w = (
-        Window.partitionBy(on)
-        .orderBy(ts_col, "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if direction == "backward":
+        # Right (0) sorts before left (1) at equal ts -> inclusive.
+        w = (
+            Window.partitionBy(on)
+            .orderBy(ts_col, "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        match_expr = F.last("_rv", ignorenulls=True).over(w)
+    else:
+        # Left (1) sorts before right (0) at equal ts -> the equal-ts
+        # right row is inside the FOLLOWING frame: inclusive forward.
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts_col), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        match_expr = F.first("_rv", ignorenulls=True).over(w)
+    matched = unioned.withColumn("_match", match_expr).filter(
+        F.col("_side") == 1
     )
-    matched = unioned.withColumn(
-        "_match", F.last("_rv", ignorenulls=True).over(w)
-    ).filter(F.col("_side") == 1)
 
     out_cols = [F.col(on), F.col(ts_col), *[F.col(c) for c in left_payload]]
     out_cols.append(F.col(f"_match.{ts_col}").alias(f"{prefix}{ts_col}"))

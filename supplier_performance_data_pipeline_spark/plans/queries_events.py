@@ -1016,3 +1016,185 @@ def q_streaming_sliding_equivalence(
         n_mism.alias("n_mismatched"),
         (n_mism == 0).alias("streaming_equals_batch"),
     )
+
+
+# --- forward as-of: next error after each purchase --------------------------
+
+
+@register(
+    "events_asof_next_error",
+    oracle="""
+WITH base AS (
+    SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+),
+purchases AS (
+    SELECT user_id, ts, event_id, value FROM base WHERE event_type = 'purchase'
+),
+errors AS (
+    SELECT user_id, ts, MAX(value) AS value
+    FROM base WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT p.user_id, p.ts, p.event_id, p.value,
+       e.ts AS next_ts, e.value AS next_value,
+       CASE WHEN e.ts IS NULL THEN NULL
+            ELSE CAST(DATE_DIFF('second', p.ts, e.ts) AS BIGINT) END
+           AS seconds_until_error
+FROM purchases p ASOF LEFT JOIN errors e
+  ON p.user_id = e.user_id AND p.ts <= e.ts
+""".strip(),
+)
+def q_events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched to the user's nearest
+    UPCOMING 'error' event (inclusive) — the "did this purchase precede
+    a failure" lookup, the mirror of events_asof_purchase_view's
+    backward match. Same union-trick plan, one shuffle on user_id, with
+    the window frame flipped to (currentRow, unboundedFollowing); the
+    oracle uses DuckDB's native ASOF JOIN with the reversed inequality,
+    so two independent implementations must agree on every row. Errors
+    pre-aggregate to one row per (user_id, ts) — the operator's
+    right-side uniqueness contract — mirrored in the oracle."""
+    from supplier_performance_data_pipeline_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        on="user_id",
+        ts_col="ts",
+        value_cols=["value"],
+        prefix="next_",
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.col("next_ts"),
+        F.col("next_value"),
+        F.when(
+            F.col("next_ts").isNotNull(),
+            (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).cast(
+                "long"
+            ),
+        ).alias("seconds_until_error"),
+    )
+
+
+# --- streaming session-window equivalence -----------------------------------
+
+
+@register(
+    "streaming_session_equivalence",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+g AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM e
+),
+s AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+),
+agg AS (
+    SELECT user_id, sid, MAX(ts) AS last_ts FROM s GROUP BY 1, 2
+),
+mx AS (SELECT MAX(ts) AS max_ts FROM e)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_closed_sessions,
+       CAST(0 AS BIGINT) AS n_mismatched,
+       TRUE AS streaming_equals_batch
+FROM agg, mx
+WHERE last_ts + INTERVAL 30 MINUTE
+      <= max_ts - INTERVAL 2 HOUR - INTERVAL 1 SECOND
+""".strip(),
+)
+def q_streaming_session_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fifth streaming verdict row, and the hardest stateful shape on
+    the board: NATIVE SESSION WINDOWS under watermark eviction. The
+    event stream replays through streaming_sessionize (session_window
+    + append mode — merging session state emits only when the
+    watermark passes a session's end), full-outer-joined against the
+    batch twin (the same session_window expression in batch mode) over
+    the CLOSED region: sessions whose end (last event + gap) precedes
+    the final watermark minus a 1s guard — the only region append-mode
+    streaming promises to have emitted; both arms filter identically,
+    so a mismatch means streaming session MERGE or EVICTION dropped or
+    split a session batch mode kept. The oracle counts closed sessions
+    via the lag-gap-cumsum construction — a third, independent
+    implementation of session semantics (it must agree with
+    session_window on where every session boundary falls)."""
+    from supplier_performance_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_sessionize,
+    )
+
+    tune_session(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    name = f"stream_sess_{app}_{next(_STREAM_EQ_SEQ)}"
+    stream = read_event_stream(spark, sf_dir)
+    run_to_memory_sink(streaming_sessionize(stream), name, "append")
+    ev = _events(spark, sf_dir)
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    cutoff = (
+        F.col("max_ts")
+        - F.expr("INTERVAL 2 HOURS")
+        - F.expr("INTERVAL 1 SECONDS")
+    )
+    batch = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+    def closed(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(max_ts))
+            .filter(
+                F.col("session_end") + F.expr("INTERVAL 30 MINUTES") <= cutoff
+            )
+            .drop("max_ts")
+        )
+
+    j = closed(batch).alias("b").join(
+        closed(spark.table(name)).alias("s"),
+        ["user_id", "session_start"],
+        "full_outer",
+    )
+    mism = (
+        F.col("b.n_events").isNull()
+        | F.col("s.n_events").isNull()
+        | (F.col("b.n_events") != F.col("s.n_events"))
+        | (F.col("b.session_end") != F.col("s.session_end"))
+    )
+    n_mism = F.sum(F.when(mism, 1).otherwise(0)).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_closed_sessions"),
+        n_mism.alias("n_mismatched"),
+        (n_mism == 0).alias("streaming_equals_batch"),
+    )

@@ -54,3 +54,43 @@ def test_asof_keeps_all_left_rows(spark):
     assert out.count() == 5
     matched = out.filter("r_value is not null").collect()
     assert len(matched) == 1 and matched[0]["user_id"] == 0
+
+
+def test_asof_forward_inclusive_and_null(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "p1"),  # exact-ts match (inclusive)
+            (1, _ts("2024-01-01T12:30:00"), "p2"),  # nearest upcoming = 13:00
+            (2, _ts("2024-01-01T09:45:00"), "p3"),  # nothing follows
+        ],
+        "user_id int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 9.0),  # before p1 — ignored
+            (1, _ts("2024-01-01T10:00:00"), 10.0),
+            (1, _ts("2024-01-01T13:00:00"), 13.0),
+            (2, _ts("2024-01-01T09:30:00"), 9.5),  # before p3 — ignored
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    out = {
+        r["tag"]: r
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts", value_cols=["value"],
+            prefix="next_", direction="forward",
+        ).collect()
+    }
+    assert out["p1"]["next_value"] == 10.0  # equal ts matches (inclusive)
+    assert out["p2"]["next_value"] == 13.0  # nearest following, not prior
+    assert out["p3"]["next_value"] is None  # nothing follows
+    assert out["p3"]["next_ts"] is None
+
+
+def test_asof_unknown_direction_raises(spark):
+    import pytest
+
+    left = spark.createDataFrame([], "user_id int, ts timestamp")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, on="user_id", ts_col="ts", value_cols=[],
+                  direction="nearest")

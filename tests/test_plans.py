@@ -863,3 +863,14 @@ def test_audio_features_pure_arrow_no_shuffle(spark, specs):
     assert plan.count("MapInPandas") == 2
     assert shuffles(plan) == 0
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_asof_forward_no_join_one_key_shuffle(spark, specs):
+    # Forward as-of is the union trick, not a range join: NO join
+    # operator at all — one user-keyed window pass (plus the right
+    # side's dedup agg), never a per-row range rescan.
+    plan = plan_of(spark, specs, "events_asof_next_error")
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert shuffles(plan) <= 2  # right-side (user,ts) dedup + window sort
