@@ -128,6 +128,7 @@ HEADLINE = [
     "multimodal_audio_features",
     "events_asof_next_error",
     "streaming_session_equivalence",
+    "events_value_drift_psi",
 ]
 
 

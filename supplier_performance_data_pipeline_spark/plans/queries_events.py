@@ -1198,3 +1198,116 @@ def q_streaming_session_equivalence(
         n_mism.alias("n_mismatched"),
         (n_mism == 0).alias("streaming_equals_batch"),
     )
+
+
+# --- distribution drift: PSI between time halves ----------------------------
+
+_PSI_BUCKETS = 10
+
+
+@register(
+    "events_value_drift_psi",
+    oracle=f"""
+WITH e AS (
+    SELECT value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events WHERE value IS NOT NULL
+),
+b AS (
+    SELECT MIN(value) AS mn, MAX(value) AS mx,
+           (MIN(us) + MAX(us)) // 2 AS cutoff
+    FROM e
+),
+sided AS (
+    SELECT CAST(least(floor((value - mn) * {_PSI_BUCKETS}
+                            / nullif(mx - mn, 0)),
+                      {_PSI_BUCKETS - 1}) AS INTEGER) AS bucket,
+           (us <= cutoff) AS is_before
+    FROM e CROSS JOIN b
+),
+cnt AS (
+    SELECT COALESCE(bucket, 0) AS bucket,
+           SUM(CASE WHEN is_before THEN 1 ELSE 0 END) AS n_before,
+           SUM(CASE WHEN is_before THEN 0 ELSE 1 END) AS n_after
+    FROM sided GROUP BY 1
+),
+tot AS (
+    SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM cnt
+)
+SELECT bucket,
+       CAST(n_before AS BIGINT) AS n_before,
+       CAST(n_after AS BIGINT) AS n_after,
+       ROUND((CAST(n_before + 1 AS DOUBLE) / (tb + {_PSI_BUCKETS})
+              - CAST(n_after + 1 AS DOUBLE) / (ta + {_PSI_BUCKETS}))
+             * ln((CAST(n_before + 1 AS DOUBLE) / (tb + {_PSI_BUCKETS}))
+                  / (CAST(n_after + 1 AS DOUBLE) / (ta + {_PSI_BUCKETS}))),
+             6) AS psi_term
+FROM cnt CROSS JOIN tot
+""".strip(),
+)
+def q_events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check between the first and
+    second time halves of the event stream — the standard ML-ops
+    monitor for "has this feature's distribution moved" (PSI > 0.2 is
+    the conventional alarm; the per-bucket terms localize WHERE the
+    mass moved). Both the value range and the time split derive from
+    the table itself (fixed-width buckets over [min,max] value;
+    integer-µs midpoint cutoff), so the check is parameter-free and
+    reproducible. Laplace add-one smoothing keeps empty buckets finite
+    AND integer-exact: every PSI input is a ratio of exact integers,
+    so the single (p-q)·ln(p/q) float expression per bucket is
+    deterministic on both engines, rounded once at the edge.
+
+    Plan: one bounds aggregate (map-side combined 1-row) broadcast
+    onto the scan, one bucket-keyed count aggregate ({b} groups), one
+    1-row total broadcast back — at 100 TB: two scans of one column,
+    three dimension-sized exchanges, nothing else."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    e = ev.select("value", F.unix_micros(F.col("ts")).alias("us"))
+    b = e.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("cutoff"),
+    )
+    sided = e.crossJoin(F.broadcast(b)).select(
+        F.coalesce(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    * _PSI_BUCKETS
+                    / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+                ),
+                F.lit(_PSI_BUCKETS - 1),
+            ).cast("int"),
+            F.lit(0),
+        ).alias("bucket"),
+        (F.col("us") <= F.col("cutoff")).alias("is_before"),
+    )
+    cnt = sided.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_before"), 1).otherwise(0)).alias("n_before"),
+        F.sum(F.when(F.col("is_before"), 0).otherwise(1)).alias("n_after"),
+    )
+    # Totals as an unpartitioned window over the ≤B-row bucket table:
+    # a second aggregate would recompute the whole fact subtree (the
+    # plan is lazy, not materialized) — a window reuses the ONE pass
+    # and exchanges only the bucket rows.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    tcnt = cnt.withColumn("tb", F.sum("n_before").over(w)).withColumn(
+        "ta", F.sum("n_after").over(w)
+    )
+    p = (F.col("n_before") + 1).cast("double") / (
+        F.col("tb") + _PSI_BUCKETS
+    )
+    q = (F.col("n_after") + 1).cast("double") / (F.col("ta") + _PSI_BUCKETS)
+    return tcnt.select(
+        "bucket",
+        F.col("n_before").cast("long").alias("n_before"),
+        F.col("n_after").cast("long").alias("n_after"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+q_events_value_drift_psi.__doc__ = q_events_value_drift_psi.__doc__.format(
+    b=_PSI_BUCKETS
+)

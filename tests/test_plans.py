@@ -874,3 +874,13 @@ def test_asof_forward_no_join_one_key_shuffle(spark, specs):
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
     assert shuffles(plan) <= 2  # right-side (user,ts) dedup + window sort
+
+
+def test_psi_drift_two_scans_window_totals(spark, specs):
+    # PSI: bounds agg + ONE fact pass; the totals come from a window
+    # over the <=10-row bucket table, never a second aggregate that
+    # would recompute the fact subtree (the 2x-scan trap).
+    plan = plan_of(spark, specs, "events_value_drift_psi")
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert plan.count("Window") == 1
+    assert shuffles(plan) <= 3

@@ -393,3 +393,56 @@ def test_mg_candidates_keep_source_column_type(spark):
     assert dict(cands.dtypes)["item"] == "bigint"
     items = {r["item"] for r in cands.collect()}
     assert 7 in items  # 50/60 > n/3: the heavy user survives
+
+
+@given(
+    lts=st.lists(
+        st.integers(min_value=0, max_value=100), min_size=1, max_size=10
+    ),
+    rts=st.lists(
+        st.integers(min_value=0, max_value=100), max_size=10, unique=True
+    ),
+)
+@SLOW
+def test_asof_forward_matches_pandas_merge_asof(spark, lts, rts):
+    """Forward as-of must agree with pandas merge_asof(direction=
+    'forward') — an independent reference implementation — on random
+    timestamp sets including equal-ts collisions and no-match tails."""
+    import pandas as pd
+
+    from supplier_performance_data_pipeline_spark.operators.asof import (
+        asof_join,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    left = spark.createDataFrame(
+        [(1, (base + pd.Timedelta(seconds=t)).to_pydatetime(), i)
+         for i, t in enumerate(lts)],
+        "k int, ts timestamp, row_id int",
+    )
+    right = spark.createDataFrame(
+        [(1, (base + pd.Timedelta(seconds=t)).to_pydatetime(), float(t))
+         for t in rts],
+        "k int, ts timestamp, value double",
+    ) if rts else spark.createDataFrame([], "k int, ts timestamp, value double")
+    got = {
+        r["row_id"]: r["next_value"]
+        for r in asof_join(
+            left, right, on="k", ts_col="ts", value_cols=["value"],
+            prefix="next_", direction="forward",
+        ).collect()
+    }
+    lpd = pd.DataFrame(
+        {"ts": [base + pd.Timedelta(seconds=t) for t in lts],
+         "row_id": range(len(lts))}
+    ).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(
+        {"ts": pd.to_datetime(
+            [base + pd.Timedelta(seconds=t) for t in sorted(rts)]
+        ),
+         "value": [float(t) for t in sorted(rts)]}
+    )
+    exp = pd.merge_asof(lpd, rpd, on="ts", direction="forward")
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row["value"]) else row["value"]
+        assert got[row["row_id"]] == want
