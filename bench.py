@@ -129,6 +129,7 @@ HEADLINE = [
     "events_asof_next_error",
     "streaming_session_equivalence",
     "events_value_drift_psi",
+    "orders_open_backlog_timeline",
 ]
 
 

@@ -884,3 +884,15 @@ def test_psi_drift_two_scans_window_totals(spark, specs):
     assert plan.count("Location: InMemoryFileIndex") == 2
     assert plan.count("Window") == 1
     assert shuffles(plan) <= 3
+
+
+def test_backlog_sweep_line_one_fact_pass(spark, specs):
+    # Interval-overlap count: ONE pass over the facts (a union of two
+    # selects would re-derive the whole subtree), generator expansion
+    # for the +-1 deltas, running sum over the day-grain table only.
+    plan = plan_of(spark, specs, "orders_open_backlog_timeline")
+    assert plan.count("Location: InMemoryFileIndex") == 2  # lineitem+orders once
+    assert plan.count("Generate") == 1
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert shuffles(plan) <= 4
