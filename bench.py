@@ -130,6 +130,7 @@ HEADLINE = [
     "streaming_session_equivalence",
     "events_value_drift_psi",
     "orders_open_backlog_timeline",
+    "multimodal_image_pixel_stats",
 ]
 
 

@@ -226,3 +226,109 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return audio_features(_audio_media(spark, sf_dir))
+
+
+# --- image: real PPM container roundtrip + pixel features -------------------
+
+_IMG_W = 16
+_IMG_A = 131
+_IMG_B = 31
+
+
+def _image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → image table: a REAL binary-PPM (P6) container per
+    doc whose pixel bytes are a closed-form function of (doc_id, k) and
+    whose height varies with doc_id — so the oracle reproduces the
+    pixel stream AND the container length independently, while the
+    Spark side must parse an honest PPM header (width/height tokens,
+    maxval, single-whitespace terminator) to get the pixels."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        PPM_MIME,
+        encode_rgb,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for _, row in pdf.iterrows():
+                h = 8 + int(row["doc_id"]) % 9
+                n = _IMG_W * h * 3
+                data = (
+                    (
+                        np.int64(row["doc_id"]) * _IMG_A
+                        + np.arange(n, dtype=np.int64) * _IMG_B
+                    )
+                    % 256
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_rgb(data.reshape(h, _IMG_W, 3), PPM_MIME)
+                )
+                widths.append(_IMG_W)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": PPM_MIME,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return docs.mapInPandas(
+        synth,
+        schema="media_id long, payload binary, mime string, "
+        "width int, height int",
+    )
+
+
+@register(
+    "multimodal_image_pixel_stats",
+    oracle=f"""
+WITH img AS (
+    SELECT doc_id, 8 + doc_id % 9 AS h FROM documents
+),
+px AS (
+    SELECT doc_id, h,
+           (doc_id * {_IMG_A} + unnest(range(0, {_IMG_W} * h * 3))
+            * {_IMG_B}) % 256 AS v
+    FROM img
+)
+SELECT doc_id AS media_id,
+       'image/x-portable-pixmap' AS mime,
+       CAST(11 + length(CAST(MAX(h) AS VARCHAR))
+            + {_IMG_W} * MAX(h) * 3 AS BIGINT) AS n_bytes,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS feat_mean,
+       CAST(MAX(v) AS DOUBLE) AS feat_max
+FROM px GROUP BY doc_id
+""".strip(),
+)
+def q_multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real IMAGE decode path on the driver's board: synthesize a
+    binary-PPM container per document (pixels a closed-form function of
+    doc_id, height varying so header lengths differ), then run
+    operators/multimodal.py::extract_features with decode_stub=False —
+    Arrow batches → PPM header parse → pixel-value features. The oracle
+    reproduces pixel mean/max from the formula and the container byte
+    length from the header grammar (11 fixed bytes + the height's digit
+    count + 3wh pixels), so a mis-parse of ANY header token shifts the
+    pixel offset and hash-fails every row. The md5 checksum column is
+    dropped — binary-blob md5 is not portable SQL — but n_bytes pins
+    the container framing end to end. Both steps are shuffle-free
+    mapInPandas projections."""
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    return extract_features(
+        _image_media(spark, sf_dir), decode_stub=False
+    ).select("media_id", "mime", "n_bytes", "feat_mean", "feat_max")

@@ -896,3 +896,12 @@ def test_backlog_sweep_line_one_fact_pass(spark, specs):
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
     assert shuffles(plan) <= 4
+
+
+def test_image_pixel_stats_pure_arrow_no_shuffle(spark, specs):
+    # Synthesis and REAL-decode feature extraction are both mapInPandas
+    # projections: one scan, zero exchanges.
+    plan = plan_of(spark, specs, "multimodal_image_pixel_stats")
+    assert plan.count("MapInPandas") == 2
+    assert shuffles(plan) == 0
+    assert plan.count("Location: InMemoryFileIndex") == 1
