@@ -86,6 +86,12 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         match_expr = F.first("_rv", ignorenulls=True).over(w)
+    # A NULL left timestamp has no order position: Spark sorts NULLs
+    # first, which the backward frame turns into a correct no-match but
+    # the forward frame would turn into a fabricated match with the
+    # partition's EARLIEST right row. Both directions must agree: NULL
+    # ts -> NULL match.
+    match_expr = F.when(F.col(ts_col).isNotNull(), match_expr)
     matched = unioned.withColumn("_match", match_expr).filter(
         F.col("_side") == 1
     )

@@ -352,6 +352,8 @@ def decode_pcm(payload: bytes):
         )[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAVE fmt chunk truncated")
             fmt, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -365,7 +367,11 @@ def decode_pcm(payload: bytes):
             "only uncompressed PCM16 decodes; compressed audio needs a "
             "codec library (ffmpeg) not present in this container"
         )
-    samples = np.frombuffer(data, dtype="<i2")
+    if rate <= 0:
+        raise ValueError("WAVE fmt declares a non-positive sample rate")
+    # Tolerate a truncated/odd-length data chunk by dropping the
+    # trailing partial sample instead of letting frombuffer raise.
+    samples = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
     return samples, rate, channels
 
 

@@ -22,11 +22,29 @@ from pyspark.sql import functions as F
 GRAIN = 10_000  # rate resolution: 0.01%
 
 
+def md5_mod(key: Column, salt: str, m: int) -> Column:
+    """THE portable-hash recipe, in one place: md5(salt || key) → first
+    14 hex chars (56 bits) → integer mod m. Every deterministic-
+    membership contract in the engine (sampling buckets, Bloom bit
+    positions) derives from this so the DuckDB oracles can reproduce
+    membership bit-for-bit; ``md5_mod_sql`` is its SQL twin — change
+    one, change both."""
+    digest = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    h56 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
+    return F.pmod(h56, F.lit(m))
+
+
+def md5_mod_sql(expr: str, salt: str, m: int) -> str:
+    """DuckDB rendering of ``md5_mod`` for oracle generation."""
+    return (
+        f"(CAST(concat('0x', substr(md5(concat('{salt}', {expr})), 1, 14)) "
+        f"AS BIGINT) % {m})"
+    )
+
+
 def hash_bucket(key: Column, seed: int) -> Column:
     """Deterministic bucket in [0, GRAIN) from md5(seed | key)."""
-    digest = F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string")))
-    h56 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
-    return F.pmod(h56, F.lit(GRAIN))
+    return md5_mod(key, f"{seed}|", GRAIN)
 
 
 def sample_threshold(pct: float) -> int:

@@ -225,10 +225,11 @@ _BLOOM_K = 4  # hash functions
 
 
 def _bloom_pos_sql(expr: str, j: int) -> str:
-    return (
-        f"(CAST(concat('0x', substr(md5(concat('bf{j}|', {expr})), 1, 14)) "
-        f"AS BIGINT) % {_BLOOM_M})"
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod_sql,
     )
+
+    return md5_mod_sql(expr, f"bf{j}|", _BLOOM_M)
 
 
 @register(
@@ -318,10 +319,12 @@ def q_bloom_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             .distinct()
         )
 
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+
     def pos(col: F.Column, j: int) -> F.Column:
-        digest = F.md5(F.concat(F.lit(f"bf{j}|"), col))
-        h56 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
-        return F.pmod(h56, F.lit(_BLOOM_M))
+        return md5_mod(col, f"bf{j}|", _BLOOM_M)
 
     ev = grams(docs.filter(bkt < thr))
     tr = grams(docs.filter(bkt >= thr))

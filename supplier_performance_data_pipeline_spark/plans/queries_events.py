@@ -1230,8 +1230,15 @@ cnt AS (
            SUM(CASE WHEN is_before THEN 0 ELSE 1 END) AS n_after
     FROM sided GROUP BY 1
 ),
+spine AS (SELECT unnest(range(0, {_PSI_BUCKETS})) AS bucket),
+dense AS (
+    SELECT CAST(s.bucket AS INTEGER) AS bucket,
+           COALESCE(c.n_before, 0) AS n_before,
+           COALESCE(c.n_after, 0) AS n_after
+    FROM spine s LEFT JOIN cnt c ON s.bucket = c.bucket
+),
 tot AS (
-    SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM cnt
+    SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM dense
 )
 SELECT bucket,
        CAST(n_before AS BIGINT) AS n_before,
@@ -1241,7 +1248,7 @@ SELECT bucket,
              * ln((CAST(n_before + 1 AS DOUBLE) / (tb + {_PSI_BUCKETS}))
                   / (CAST(n_after + 1 AS DOUBLE) / (ta + {_PSI_BUCKETS}))),
              6) AS psi_term
-FROM cnt CROSS JOIN tot
+FROM dense CROSS JOIN tot
 """.strip(),
 )
 def q_events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,6 +1292,16 @@ def q_events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = sided.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_before"), 1).otherwise(0)).alias("n_before"),
         F.sum(F.when(F.col("is_before"), 0).otherwise(1)).alias("n_after"),
+    )
+    # Densify against the full bucket spine: a bucket empty in BOTH
+    # halves still owes its Laplace-smoothed PSI term whenever the two
+    # half sizes differ — dropping it silently underestimates drift.
+    spine = spark.range(_PSI_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    cnt = (
+        spine.join(cnt, "bucket", "left")
+        .na.fill({"n_before": 0, "n_after": 0})
     )
     # Totals as an unpartitioned window over the ≤B-row bucket table:
     # a second aggregate would recompute the whole fact subtree (the

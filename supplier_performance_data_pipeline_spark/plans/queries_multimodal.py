@@ -150,7 +150,11 @@ def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for _, row in pdf.iterrows():
-                n = int(row["n_chars"])
+                # greatest-guard: an n_chars=0 doc still yields one
+                # sample, mirroring the oracle's greatest() — otherwise
+                # the Spark arm would emit a zero-sample row the
+                # oracle's empty range() cannot produce.
+                n = max(int(row["n_chars"]), 1)
                 s = (
                     (
                         np.int64(row["doc_id"]) * _AUDIO_A
@@ -177,7 +181,8 @@ def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_features",
     oracle=f"""
 WITH pos AS (
-    SELECT doc_id, unnest(range(0, n_chars)) AS i FROM documents
+    SELECT doc_id, unnest(range(0, greatest(n_chars, 1))) AS i
+    FROM documents
 ),
 s AS (
     SELECT doc_id, i,

@@ -125,12 +125,12 @@ def write_parquet_zorder_layout(
         F.min(col_b).alias("_min_b"),
         F.max(col_b).alias("_max_b"),
     )
-    scale = (1 << bits) - 1
+    n_buckets = 1 << bits
 
     def bucket(col: str, lo: str, hi: str):
         span = (F.col(hi) - F.col(lo) + 1).cast("double")
         return F.floor(
-            (F.col(col) - F.col(lo)).cast("double") * (scale + 1) / span
+            (F.col(col) - F.col(lo)).cast("double") * n_buckets / span
         ).cast("long")
 
     with_b = df.crossJoin(F.broadcast(bounds)).withColumns(

@@ -94,3 +94,28 @@ def test_asof_unknown_direction_raises(spark):
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, left, on="user_id", ts_col="ts", value_cols=[],
                   direction="nearest")
+
+
+def test_asof_null_timestamp_left_rows_never_match(spark):
+    """A NULL left timestamp has no order position: both directions
+    must return NULL, not (forward) the partition's earliest right row
+    fabricated by NULLS FIRST ordering."""
+    left = spark.createDataFrame(
+        [(1, None, "pnull"), (1, _ts("2024-01-01T10:00:00"), "preal")],
+        "user_id int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 9.0),
+         (1, _ts("2024-01-01T11:00:00"), 11.0)],
+        "user_id int, ts timestamp, value double",
+    )
+    for direction, expect_real in (("backward", 9.0), ("forward", 11.0)):
+        out = {
+            r["tag"]: r
+            for r in asof_join(
+                left, right, on="user_id", ts_col="ts",
+                value_cols=["value"], prefix="m_", direction=direction,
+            ).collect()
+        }
+        assert out["pnull"]["m_value"] is None, direction
+        assert out["preal"]["m_value"] == expect_real, direction

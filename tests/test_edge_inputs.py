@@ -418,3 +418,38 @@ def test_wav_empty_payload_raises(spark):
         decode_pcm(b"")
     with pytest.raises(ValueError, match="RIFF"):
         decode_pcm(b"RIFFxxxxJUNK")
+
+
+def test_psi_emits_all_buckets_even_when_empty(spark, tmp_path):
+    """A bucket empty in BOTH halves still owes its Laplace-smoothed
+    term: the output is densified to the full spine, never just the
+    occupied buckets (bimodal data would otherwise underreport PSI)."""
+    import datetime as _dt
+    import os
+
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    rows = []
+    base = _dt.datetime(2024, 1, 1)
+    for i in range(20):  # values only at the extremes -> buckets 0 and 9;
+        # late events pushed far out so the time MIDPOINT splits 15/5
+        # (unequal halves -> empty buckets owe a nonzero smoothed term)
+        rows.append(
+            (i, base + _dt.timedelta(hours=i if i < 15 else 100 + i),
+             i % 3, "view", 0.0 if i < 15 else 100.0, None)
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path)
+    ev.write.parquet(os.path.join(sf, "events.parquet"))
+    out = load_all()["events_value_drift_psi"].build(spark, sf).collect()
+    assert len(out) == 10
+    occupied = {r["bucket"] for r in out if r["n_before"] + r["n_after"] > 0}
+    assert occupied == {0, 9}
+    # Halves differ in size (15 early vs 5 late), so even empty buckets
+    # carry a nonzero smoothed term.
+    empties = [r for r in out if r["n_before"] + r["n_after"] == 0]
+    assert empties and all(r["psi_term"] != 0.0 for r in empties)

@@ -220,3 +220,34 @@ def test_wav_feature_math_matches_hand_computation(spark):
     # 0/-5 -> 3 crossings
     assert row.zero_crossings == 3
     assert row.rms == round(math.sqrt((100**2 + 200**2 + 300**2 + 25) / 5), 6)
+
+
+def test_wav_malformed_containers_fail_cleanly():
+    """Malformed-but-RIFF containers must hit the codec's stated error
+    contract (ValueError / NotImplementedError), never ZeroDivision or
+    struct/numpy internals: short fmt chunk, zero sample rate, and an
+    odd-length data chunk (trailing partial sample dropped)."""
+    import struct
+
+    import pytest
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        decode_pcm,
+    )
+
+    def wav(fmt_body, data):
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + (b"\x00" if len(fmt_body) % 2 else b"")
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pcm(wav(struct.pack("<HHIH", 1, 1, 8000, 16), b""))
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_pcm(wav(struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16), b""))
+    s, rate, ch = decode_pcm(
+        wav(struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16), b"\x01\x00\x02")
+    )
+    assert list(s) == [1] and rate == 8000  # odd tail byte dropped
