@@ -131,6 +131,8 @@ HEADLINE = [
     "events_value_drift_psi",
     "orders_open_backlog_timeline",
     "multimodal_image_pixel_stats",
+    "supplier_snapshot_diff",
+    "events_lateness_histogram",
 ]
 
 

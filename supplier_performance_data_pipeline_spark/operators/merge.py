@@ -67,3 +67,49 @@ def scd2_apply(
     return hist.withColumn("valid_to", valid_to).withColumn(
         "is_current", F.col("valid_to").isNull()
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """CDC diff of two keyed snapshots: every key classified as
+    'added' (new only), 'removed' (old only), 'changed' (both, any
+    non-key column differs), or 'unchanged' — the reconciliation
+    operator behind incremental replication, migration sign-off, and
+    "what did yesterday's load actually change". Comparison is by a
+    canonical per-row md5 over the non-key columns (NULLs sentineled),
+    so wide rows cross the shuffle as one 32-char digest, not as
+    themselves. Plan: ONE full-outer equi-join on the key — both
+    sides pre-projected to (key, digest) — then a pure classification
+    projection; at 100 TB that is one co-partitioned shuffle each
+    side and constant-width exchange rows. Output: key columns +
+    ``change_type``, consumable directly or re-aggregated."""
+    val_cols_old = [c for c in old.columns if c not in key_cols]
+    val_cols_new = [c for c in new.columns if c not in key_cols]
+    if sorted(val_cols_old) != sorted(val_cols_new):
+        raise ValueError("snapshot schemas differ in non-key columns")
+
+    def digested(df: DataFrame, tag: str) -> DataFrame:
+        dig = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in sorted(val_cols_old)
+                ],
+            )
+        )
+        return df.select(
+            *[F.col(k) for k in key_cols], dig.alias(f"_h_{tag}")
+        )
+
+    j = digested(old, "old").join(
+        digested(new, "new"), key_cols, "full_outer"
+    )
+    change = (
+        F.when(F.col("_h_old").isNull(), "added")
+        .when(F.col("_h_new").isNull(), "removed")
+        .when(F.col("_h_old") != F.col("_h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(*key_cols, change.alias("change_type"))

@@ -1983,3 +1983,80 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary").cast("double") / F.count("*"), 6
         ).alias("avg_monetary"),
     )
+
+
+# --- CDC snapshot diff ------------------------------------------------------
+
+
+@register(
+    "supplier_snapshot_diff",
+    oracle="""
+WITH oldt AS (
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+),
+newt AS (
+    SELECT s_suppkey, s_name, s_nationkey,
+           CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 10
+                ELSE s_acctbal END AS s_acctbal
+    FROM supplier WHERE s_suppkey % 13 <> 0
+    UNION ALL
+    SELECT s_suppkey + 100000, s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_suppkey % 17 = 0
+),
+j AS (
+    SELECT COALESCE(o.s_suppkey, n.s_suppkey) AS k,
+           CASE WHEN o.s_suppkey IS NULL THEN 'added'
+                WHEN n.s_suppkey IS NULL THEN 'removed'
+                WHEN o.s_name IS DISTINCT FROM n.s_name
+                  OR o.s_nationkey IS DISTINCT FROM n.s_nationkey
+                  OR o.s_acctbal IS DISTINCT FROM n.s_acctbal
+                    THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM oldt o FULL OUTER JOIN newt n ON o.s_suppkey = n.s_suppkey
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MIN(k) AS BIGINT) AS min_key,
+       CAST(MAX(k) AS BIGINT) AS max_key
+FROM j GROUP BY 1
+""".strip(),
+)
+def q_supplier_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC reconciliation on the board: diff two keyed snapshots into
+    added/removed/changed/unchanged and aggregate per class. The "new"
+    snapshot derives deterministically from supplier (every 13th key
+    dropped, every 7th rebalanced, every 17th re-added under a shifted
+    key), so both engines construct it independently; the Spark arm
+    classifies via operators/merge.py::snapshot_diff — ONE full-outer
+    join on (key, row-digest) where wide rows cross the shuffle as a
+    32-char md5 — while the oracle classifies by direct column
+    comparison (IS DISTINCT FROM), so the digest construction itself
+    is under differential test: any digest collision/instability
+    (column-order drift, NULL-sentinel bug) splits the class counts
+    and hash-fails the row."""
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    old = sup.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    new = (
+        old.filter(F.col("s_suppkey") % 13 != 0)
+        .withColumn(
+            "s_acctbal",
+            F.when(
+                F.col("s_suppkey") % 7 == 0, F.col("s_acctbal") + 10
+            ).otherwise(F.col("s_acctbal")),
+        )
+        .unionByName(
+            old.filter(F.col("s_suppkey") % 17 == 0).withColumn(
+                "s_suppkey", F.col("s_suppkey") + 100000
+            )
+        )
+    )
+    d = snapshot_diff(old, new, ["s_suppkey"])
+    return d.groupBy("change_type").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.min("s_suppkey").cast("long").alias("min_key"),
+        F.max("s_suppkey").cast("long").alias("max_key"),
+    )

@@ -1328,3 +1328,114 @@ def q_events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_events_value_drift_psi.__doc__ = q_events_value_drift_psi.__doc__.format(
     b=_PSI_BUCKETS
 )
+
+
+# --- out-of-orderness profile via distributed prefix max --------------------
+
+_LATE_BLOCK = 1024  # arrival-order block size for the two-level prefix
+
+
+@register(
+    "events_lateness_histogram",
+    oracle="""
+WITH e AS (
+    SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+),
+run AS (
+    SELECT us,
+           MAX(us) OVER (ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING) AS run_max
+    FROM e
+),
+lat AS (SELECT (run_max - us) / 1000000 AS late_s FROM run)
+SELECT CASE WHEN late_s = 0 THEN 'in_order'
+            WHEN late_s <= 60 THEN 'le_1m'
+            WHEN late_s <= 600 THEN 'le_10m'
+            WHEN late_s <= 3600 THEN 'le_1h'
+            ELSE 'gt_1h' END AS lateness_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(late_s) AS BIGINT) AS max_lateness_s
+FROM lat GROUP BY 1
+""".strip(),
+)
+def q_events_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order is the stream, really — the histogram that
+    SIZES THE WATERMARK: per event, lateness = (running max event time
+    over arrival order) - (own event time), bucketed; the tail bucket
+    is exactly the mass a given watermark would drop. Arrival order is
+    the event_id sequence (ingest-assigned).
+
+    The interesting part is HOW a running max over a global order
+    scales: a naive unpartitioned window single-partitions the whole
+    fact (the one-reducer trap — fine for top-k output, fatal for a
+    per-row prefix). This is the classic two-level PARALLEL PREFIX
+    instead: (1) block = event_id div {B}; per-block max — one
+    map-side-combined aggregate; (2) running max over the BLOCK table
+    shifted one block back — an unpartitioned window over a
+    dimension-sized table (n_blocks = n/{B}); (3) per-event prefix =
+    greatest(previous blocks' max, running max WITHIN the block) — a
+    window PARTITIONED by block, embarrassingly parallel. Identical
+    semantics to the oracle's single running max, proven by the
+    differential hash; the plan pin asserts no unpartitioned window
+    ever touches event grain. Lateness math stays in integer µs.
+
+    {B} is the scale knob: the block table is n/{B} rows and is
+    broadcast here, so size the block so that stays dimension-sized
+    (≲10M rows — at n=10^12 use a ~10^6 block). Past broadcast scale,
+    drop the hint: the block join keys on the SAME column the
+    intra-block window shuffles on, so AQE co-partitions the two into
+    one exchange — or add a third level (blocks of blocks), the
+    general log-depth parallel-prefix construction."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("event_id") / _LATE_BLOCK).cast("long").alias("block"),
+    )
+    blocks = e.groupBy("block").agg(F.max("us").alias("block_max"))
+    wprev = (
+        Window.orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = blocks.withColumn("prev_max", F.max("block_max").over(wprev))
+    win_block = (
+        Window.partitionBy("block")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lat = (
+        e.join(F.broadcast(prev.select("block", "prev_max")), "block")
+        .withColumn("intra_max", F.max("us").over(win_block))
+        .select(
+            (
+                (
+                    F.greatest(
+                        F.coalesce(F.col("prev_max"), F.col("intra_max")),
+                        F.col("intra_max"),
+                    )
+                    - F.col("us")
+                )
+                / 1_000_000
+            )
+            .cast("long")
+            .alias("late_s")
+        )
+    )
+    bucket = (
+        F.when(F.col("late_s") == 0, "in_order")
+        .when(F.col("late_s") <= 60, "le_1m")
+        .when(F.col("late_s") <= 600, "le_10m")
+        .when(F.col("late_s") <= 3600, "le_1h")
+        .otherwise("gt_1h")
+    )
+    return lat.groupBy(bucket.alias("lateness_bucket")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("late_s").cast("long").alias("max_lateness_s"),
+    )
+
+
+q_events_lateness_histogram.__doc__ = q_events_lateness_histogram.__doc__.format(
+    B=_LATE_BLOCK
+)

@@ -453,3 +453,58 @@ def test_psi_emits_all_buckets_even_when_empty(spark, tmp_path):
     # carry a nonzero smoothed term.
     empties = [r for r in out if r["n_before"] + r["n_after"] == 0]
     assert empties and all(r["psi_term"] != 0.0 for r in empties)
+
+
+def test_lateness_two_level_prefix_matches_naive_running_max(spark, tmp_path):
+    """The two-level parallel prefix must equal the naive single
+    running max on genuinely out-of-order data — including late rows
+    whose predecessor maximum lives MANY BLOCKS back (prev_max beats
+    intra_max) and in-order stretches (intra_max wins)."""
+    import datetime as _dt
+    import os
+
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    run_max, lateness = 0, {}
+    for eid in range(5000):
+        # A spike early (eid 10 jumps 2 days ahead) makes everything
+        # after it late until time catches up; smaller jitter scatters
+        # in_order/le_1m/le_10m cases across block boundaries.
+        if eid == 10:
+            off = 2 * 24 * 3600
+        else:
+            off = eid * 30 - (eid % 7) * 45
+        run_max = max(run_max, off)
+        lateness[eid] = run_max - off
+        rows.append(
+            (eid, base + _dt.timedelta(seconds=off), eid % 11, "view",
+             1.0, None)
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path)
+    ev.write.parquet(os.path.join(sf, "events.parquet"))
+    out = {
+        r["lateness_bucket"]: (r["n_events"], r["max_lateness_s"])
+        for r in load_all()["events_lateness_histogram"]
+        .build(spark, sf)
+        .collect()
+    }
+
+    def bucket(s):
+        return ("in_order" if s == 0 else "le_1m" if s <= 60
+                else "le_10m" if s <= 600 else "le_1h" if s <= 3600
+                else "gt_1h")
+
+    expect = {}
+    for s in lateness.values():
+        b = bucket(s)
+        n, mx = expect.get(b, (0, 0))
+        expect[b] = (n + 1, max(mx, s))
+    assert out == expect
+    assert len(out) >= 3  # the fixture genuinely exercises several buckets

@@ -905,3 +905,23 @@ def test_image_pixel_stats_pure_arrow_no_shuffle(spark, specs):
     assert plan.count("MapInPandas") == 2
     assert shuffles(plan) == 0
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_lateness_prefix_never_single_partitions_the_fact(spark, specs):
+    # Two-level parallel prefix: the ONLY SinglePartition exchange
+    # feeds the block-grain window (n/1024 rows); the event-grain
+    # window partitions by block; the block maxima broadcast back.
+    plan = plan_of(spark, specs, "events_lateness_histogram")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert re.search(r"hashpartitioning\(block", plan)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_digest_join_no_cartesian(spark, specs):
+    # CDC diff: ONE full-outer sort-merge join on the key over
+    # (key, digest) projections — wide rows never cross the shuffle.
+    plan = plan_of(spark, specs, "supplier_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert shuffles(plan) <= 4  # two join sides + union branch + agg

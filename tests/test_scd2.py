@@ -74,3 +74,49 @@ def test_exactly_one_current_row_per_key(spark):
     for r in per_key:
         assert r.n_current == 1
         assert r.n_versions == (2 if r.k % 5 == 0 else 1)
+
+
+def test_snapshot_diff_classifies_all_four_ways(spark):
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 21.0), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_vs_empty_string_differ(spark):
+    # The NULL sentinel must keep NULL distinct from '' — a naive
+    # concat would collapse them into the same digest.
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, None)], "k long, name string")
+    new = spark.createDataFrame([(1, "")], "k long, name string")
+    rows = snapshot_diff(old, new, ["k"]).collect()
+    assert rows[0]["change_type"] == "changed"
+
+
+def test_snapshot_diff_schema_mismatch_raises(spark):
+    import pytest
+
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, "a")], "k long, name string")
+    new = spark.createDataFrame([(1, 2.0)], "k long, other double")
+    with pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(old, new, ["k"])
