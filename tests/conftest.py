@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -12,10 +13,17 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    # Partition-invariance knobs: the oracle-parity suite re-run under
+    # a different parallelism/shuffle sizing (e.g. TEST_MASTER=local[3]
+    # TEST_SHUFFLE=7) must produce the SAME hashes — any query whose
+    # result depends on partition count or task order is a determinism
+    # bug the sweep then catches.
     spark = get_spark(
         app_name="engine-tests",
-        master="local[4]",
-        shuffle_partitions=8,
+        master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"),
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")
+        ),
         extra_conf={
             # saveAsTable targets (bucketed-write tests) go to a temp
             # warehouse, never the repo working directory.
