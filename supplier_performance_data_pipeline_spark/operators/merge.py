@@ -77,26 +77,45 @@ def snapshot_diff(
     non-key column differs), or 'unchanged' — the reconciliation
     operator behind incremental replication, migration sign-off, and
     "what did yesterday's load actually change". Comparison is by a
-    canonical per-row md5 over the non-key columns (NULLs sentineled),
-    so wide rows cross the shuffle as one 32-char digest, not as
+    canonical per-row md5 over the non-key columns — the serialization
+    is JSON (``to_json`` with nulls kept), which escapes every
+    delimiter a value could contain, so no two distinct rows share a
+    serialization (a separator-joined concat is ambiguous: a value
+    containing the separator shifts fields and collides). Wide rows
+    therefore cross the shuffle as one 32-char digest, not as
     themselves. Plan: ONE full-outer equi-join on the key — both
     sides pre-projected to (key, digest) — then a pure classification
     projection; at 100 TB that is one co-partitioned shuffle each
     side and constant-width exchange rows. Output: key columns +
-    ``change_type``, consumable directly or re-aggregated."""
+    ``change_type``, consumable directly or re-aggregated.
+
+    Caller contract (same as ``upsert``): keys are unique within each
+    snapshot — with duplicates the full-outer join multiplies rows and
+    the per-class counts inflate. Non-key columns must match in name
+    AND type: a type migration (INT→DOUBLE) renders values differently
+    and would report every row changed, so it raises instead."""
     val_cols_old = [c for c in old.columns if c not in key_cols]
     val_cols_new = [c for c in new.columns if c not in key_cols]
     if sorted(val_cols_old) != sorted(val_cols_new):
         raise ValueError("snapshot schemas differ in non-key columns")
+    types_old = {f.name: f.dataType for f in old.schema if f.name in val_cols_old}
+    types_new = {f.name: f.dataType for f in new.schema if f.name in val_cols_new}
+    if types_old != types_new:
+        raise ValueError(
+            "snapshot schemas differ in non-key column TYPES: "
+            + ", ".join(
+                f"{c}: {types_old[c].simpleString()} vs "
+                f"{types_new[c].simpleString()}"
+                for c in sorted(types_old)
+                if types_old[c] != types_new[c]
+            )
+        )
 
     def digested(df: DataFrame, tag: str) -> DataFrame:
         dig = F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in sorted(val_cols_old)
-                ],
+            F.to_json(
+                F.struct(*[F.col(c) for c in sorted(val_cols_old)]),
+                {"ignoreNullFields": "false"},
             )
         )
         return df.select(

@@ -466,18 +466,22 @@ def test_lateness_two_level_prefix_matches_naive_running_max(spark, tmp_path):
     from supplier_performance_data_pipeline_spark.plans.registry import load_all
 
     base = _dt.datetime(2024, 1, 1)
-    rows = []
-    run_max, lateness = 0, {}
+    # A spike early (eid 10 jumps an hour ahead) makes a long stretch
+    # late until time catches up; smaller jitter scatters in_order /
+    # le_1m / le_10m cases across block boundaries; eid 3001 lands
+    # 0.4s behind the running max — FRACTIONAL lateness on purpose
+    # (0.5s late is le_1m, not in_order; a divide-then-truncate before
+    # bucketing collapses it wrong).
+    rows, run_max, lateness = [], 0.0, {}
     for eid in range(5000):
-        # A spike early (eid 10 jumps 2 days ahead) makes everything
-        # after it late until time catches up; smaller jitter scatters
-        # in_order/le_1m/le_10m cases across block boundaries.
         if eid == 10:
-            off = 2 * 24 * 3600
+            off = 10 * 30 + 3600.0
+        elif eid == 3001:
+            off = run_max - 0.4  # sub-second-late: the trap case
         else:
-            off = eid * 30 - (eid % 7) * 45
+            off = eid * 30 - (eid % 7) * 45 + (eid % 3) * 0.5
         run_max = max(run_max, off)
-        lateness[eid] = run_max - off
+        lateness[eid] = round((run_max - off) * 1_000_000)
         rows.append(
             (eid, base + _dt.timedelta(seconds=off), eid % 11, "view",
              1.0, None)
@@ -496,15 +500,19 @@ def test_lateness_two_level_prefix_matches_naive_running_max(spark, tmp_path):
         .collect()
     }
 
-    def bucket(s):
-        return ("in_order" if s == 0 else "le_1m" if s <= 60
-                else "le_10m" if s <= 600 else "le_1h" if s <= 3600
+    def bucket(us):
+        return ("in_order" if us == 0 else "le_1m" if us <= 60_000_000
+                else "le_10m" if us <= 600_000_000
+                else "le_1h" if us <= 3_600_000_000
                 else "gt_1h")
 
     expect = {}
-    for s in lateness.values():
-        b = bucket(s)
+    for us in lateness.values():
+        b = bucket(us)
         n, mx = expect.get(b, (0, 0))
-        expect[b] = (n + 1, max(mx, s))
+        expect[b] = (n + 1, max(mx, us // 1_000_000))
     assert out == expect
     assert len(out) >= 3  # the fixture genuinely exercises several buckets
+    # And sub-second lateness is genuinely present (the 0.5s jitter
+    # produces late_us in (0, 1s) — the truncation-bug trap).
+    assert any(0 < us < 1_000_000 for us in lateness.values())

@@ -120,3 +120,35 @@ def test_snapshot_diff_schema_mismatch_raises(spark):
     new = spark.createDataFrame([(1, 2.0)], "k long, other double")
     with pytest.raises(ValueError, match="schemas differ"):
         snapshot_diff(old, new, ["k"])
+
+
+def test_snapshot_diff_separator_injection_detected(spark):
+    # The JSON serialization must keep field boundaries unambiguous: a
+    # value containing any would-be separator can't shift fields into
+    # a colliding digest.
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a\x1f", "b")], "k long, c1 string, c2 string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "\x1fb")], "k long, c1 string, c2 string"
+    )
+    assert snapshot_diff(old, new, ["k"]).collect()[0]["change_type"] == (
+        "changed"
+    )
+
+
+def test_snapshot_diff_type_migration_raises(spark):
+    import pytest
+
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, 10)], "k long, v int")
+    new = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    with pytest.raises(ValueError, match="TYPES"):
+        snapshot_diff(old, new, ["k"])
