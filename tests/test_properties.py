@@ -446,3 +446,54 @@ def test_asof_forward_matches_pandas_merge_asof(spark, lts, rts):
     for _, row in exp.iterrows():
         want = None if pd.isna(row["value"]) else row["value"]
         assert got[row["row_id"]] == want
+
+
+snap_vals = st.one_of(st.none(), st.text(max_size=4), st.just("\x1f"))
+
+
+@given(
+    old=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.tuples(snap_vals, snap_vals),
+        max_size=8,
+    ),
+    new=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.tuples(snap_vals, snap_vals),
+        max_size=8,
+    ),
+)
+@SLOW
+def test_snapshot_diff_matches_dict_diff(spark, old, new):
+    """snapshot_diff must agree with a dict-based reference diff on
+    random snapshots including NULLs, empty strings, and separator
+    characters inside values."""
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    schema = "k long, a string, b string"
+
+    def df(d):
+        rows = [(k, v[0], v[1]) for k, v in d.items()]
+        return (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
+
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(df(old), df(new), ["k"]).collect()
+    }
+    expect = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expect[k] = "added"
+        elif k not in new:
+            expect[k] = "removed"
+        elif old[k] != new[k]:
+            expect[k] = "changed"
+        else:
+            expect[k] = "unchanged"
+    assert got == expect

@@ -168,3 +168,35 @@ def test_out_of_order_within_watermark_is_accepted(spark, tmp_path):
     # Finalized windows: hour-2 (02:30 + the out-of-order 02:35) and
     # hour-3 (03:30). The 07:00 pusher's own window stays open.
     assert list(got["n_events"]) == [2, 1]
+
+
+def test_sessionize_merges_bridged_sessions(spark, tmp_path):
+    """The hardest session-state path: two DISJOINT open sessions for
+    the same user (minutes 0 and 44, gap > 30) must MERGE into one
+    when a late-but-within-watermark bridging event (minute 22) closes
+    both gaps. A session store that only extends edges (never merges
+    neighbors) emits two sessions here; the merged truth is ONE
+    session of 3 events spanning 0..44."""
+    seq = [
+        # b0: the two fragments + nothing near them.
+        [(1, _ns(0), 1, "view", 1.0), (2, _ns(44), 1, "view", 1.0)],
+        # b1: the bridge (watermark still far behind), plus a pusher
+        # at +300 that advances the watermark to +180 — past the
+        # merged session's end (+74), forcing finalize+emit.
+        [(3, _ns(22), 1, "view", 1.0), (4, _ns(300), 2, "view", 1.0)],
+    ]
+    d = _arrival_sequence(tmp_path, seq)
+    run_to_memory_sink(
+        streaming_sessionize(_stream(spark, d)),
+        "merged_sessions",
+        output_mode="append",
+    )
+    got = spark.sql(
+        "SELECT * FROM merged_sessions WHERE user_id = 1"
+    ).toPandas()
+    assert len(got) == 1  # ONE merged session, not two fragments
+    assert got.loc[0, "n_events"] == 3
+    start = pd.Timestamp(1970, 1, 1) + pd.Timedelta(microseconds=_ns(0) // 1000)
+    end = pd.Timestamp(1970, 1, 1) + pd.Timedelta(microseconds=_ns(44) // 1000)
+    assert pd.Timestamp(got.loc[0, "session_start"]) == start
+    assert pd.Timestamp(got.loc[0, "session_end"]) == end
