@@ -133,6 +133,7 @@ HEADLINE = [
     "multimodal_image_pixel_stats",
     "supplier_snapshot_diff",
     "events_lateness_histogram",
+    "streaming_left_outer_equivalence",
 ]
 
 

@@ -1446,3 +1446,117 @@ def q_events_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_events_lateness_histogram.__doc__ = q_events_lateness_histogram.__doc__.format(
     B=_LATE_BLOCK
 )
+
+
+# --- streaming left-outer interval-join equivalence -------------------------
+
+
+@register(
+    "streaming_left_outer_equivalence",
+    oracle="""
+WITH e AS (
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM e WHERE event_type = 'purchase'),
+er AS (SELECT user_id, event_id AS error_id, ts AS e_ts
+       FROM e WHERE event_type = 'error'),
+wm AS (
+    SELECT least((SELECT MAX(ts) FROM e WHERE event_type = 'purchase'),
+                 (SELECT MAX(ts) FROM e WHERE event_type = 'error'))
+           - INTERVAL 2 HOUR - INTERVAL 10 MINUTE - INTERVAL 1 SECOND
+           AS cutoff
+),
+j AS (
+    SELECT p.purchase_id, er.error_id
+    FROM p CROSS JOIN wm
+    LEFT JOIN er ON p.user_id = er.user_id
+        AND er.e_ts >= p.p_ts - INTERVAL 10 MINUTE
+        AND er.e_ts <= p.p_ts
+    WHERE p.p_ts <= wm.cutoff
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN error_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unmatched,
+       CAST(0 AS BIGINT) AS n_mismatched,
+       TRUE AS streaming_equals_batch
+FROM j
+""".strip(),
+)
+def q_streaming_left_outer_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sixth streaming verdict row, completing the join matrix: the
+    stream-stream LEFT OUTER interval join — unmatched purchases must
+    emit with NULL error columns, but only once the watermark PROVES no
+    match can still arrive (the failure modes are emitting too early —
+    phantom unmatched rows that later match — or never emitting at
+    all). Both arms (append-mode streaming replay, batch twin) filter
+    to the closed region: purchases older than the joint watermark
+    (min of the two sides' max ts, minus delay, interval, and a 1s
+    guard), the only region append mode promises complete. The compare
+    is a full-outer join on (purchase_id, error_id-or-sentinel) — a
+    phantom or missing unmatched row breaks the pair-set equality, and
+    the oracle independently recomputes the closed-region LEFT JOIN
+    with its unmatched count."""
+    from supplier_performance_data_pipeline_spark.streaming.events import (
+        interval_join,
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_interval_join,
+    )
+
+    tune_session(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    name = f"stream_lo_{app}_{next(_STREAM_EQ_SEQ)}"
+    stream = read_event_stream(spark, sf_dir)
+    run_to_memory_sink(
+        streaming_interval_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "error"),
+            how="left_outer",
+        ),
+        name,
+        "append",
+    )
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    wm = purchases.agg(F.max("ts").alias("mp")).crossJoin(
+        errors.agg(F.max("ts").alias("me"))
+    ).select(
+        (
+            F.least("mp", "me")
+            - F.expr("INTERVAL 2 HOURS")
+            - F.expr("INTERVAL 10 MINUTES")
+            - F.expr("INTERVAL 1 SECONDS")
+        ).alias("cutoff")
+    )
+
+    def closed(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(wm))
+            .filter(F.col("p_ts") <= F.col("cutoff"))
+            .select(
+                "purchase_id",
+                F.coalesce(F.col("error_id"), F.lit(-1)).alias("err_key"),
+                F.col("error_id"),
+            )
+        )
+
+    batch = closed(interval_join(purchases, errors, how="left_outer"))
+    streamed = closed(spark.table(name))
+    j = batch.alias("b").join(
+        streamed.alias("s"), ["purchase_id", "err_key"], "full_outer"
+    )
+    mism = F.col("b.err_key").isNull() | F.col("s.err_key").isNull()
+    n_mism = F.sum(F.when(mism, 1).otherwise(0)).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("b.error_id").isNull() & ~mism, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unmatched"),
+        n_mism.alias("n_mismatched"),
+        (n_mism == 0).alias("streaming_equals_batch"),
+    )

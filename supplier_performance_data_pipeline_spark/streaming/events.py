@@ -193,12 +193,16 @@ def interval_join(
     purchases: DataFrame,
     errors: DataFrame,
     minutes: int = 10,
+    how: str = "inner",
 ) -> DataFrame:
     """Per-user interval join: each purchase pairs with that user's
     error events in the ``minutes`` before it. Works identically on
     batch and streaming inputs; under streaming, BOTH sides must be
     watermarked and the time-range predicate is what lets Spark expire
-    join state (without it, stream-stream join state grows forever)."""
+    join state (without it, stream-stream join state grows forever).
+    ``how="left_outer"`` keeps unmatched purchases (NULL error columns);
+    under streaming those rows emit once the watermark proves no match
+    can still arrive — the time bound is what makes that provable."""
     p = purchases.select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
@@ -214,6 +218,7 @@ def interval_join(
         (F.col("p_user") == F.col("e_user"))
         & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {int(minutes)} MINUTES"))
         & (F.col("e_ts") <= F.col("p_ts")),
+        how,
     ).select("p_user", "purchase_id", "p_ts", "error_id", "e_ts")
 
 
@@ -222,14 +227,19 @@ def streaming_interval_join(
     errors: DataFrame,
     minutes: int = 10,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream twin of ``interval_join``: watermark both sides,
     then the same equi + time-range condition. State per side is bounded
-    by watermark + interval, keyed by user."""
+    by watermark + interval, keyed by user. ``how="left_outer"`` adds
+    the null-padded unmatched purchases, emitted on watermark passage —
+    the fourth streaming join mode (inner stream-stream, stream-static,
+    session merge, and this)."""
     return interval_join(
         purchases.withWatermark("ts", watermark),
         errors.withWatermark("ts", watermark),
         minutes,
+        how,
     )
 
 
