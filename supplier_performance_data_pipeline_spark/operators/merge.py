@@ -112,10 +112,15 @@ def snapshot_diff(
         )
 
     def digested(df: DataFrame, tag: str) -> DataFrame:
+        # timestampFormat: to_json's default renders milliseconds only,
+        # which would collide rows differing in sub-ms timestamps.
         dig = F.md5(
             F.to_json(
                 F.struct(*[F.col(c) for c in sorted(val_cols_old)]),
-                {"ignoreNullFields": "false"},
+                {
+                    "ignoreNullFields": "false",
+                    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+                },
             )
         )
         return df.select(

@@ -1463,10 +1463,11 @@ p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
 er AS (SELECT user_id, event_id AS error_id, ts AS e_ts
        FROM e WHERE event_type = 'error'),
 wm AS (
-    SELECT least((SELECT MAX(ts) FROM e WHERE event_type = 'purchase'),
-                 (SELECT MAX(ts) FROM e WHERE event_type = 'error'))
-           - INTERVAL 2 HOUR - INTERVAL 10 MINUTE - INTERVAL 1 SECOND
-           AS cutoff
+    SELECT CASE WHEN mp IS NULL OR me IS NULL THEN NULL
+                ELSE least(mp, me) - INTERVAL 2 HOUR
+                     - INTERVAL 10 MINUTE - INTERVAL 1 SECOND END AS cutoff
+    FROM (SELECT (SELECT MAX(ts) FROM e WHERE event_type = 'purchase') AS mp,
+                 (SELECT MAX(ts) FROM e WHERE event_type = 'error') AS me)
 ),
 j AS (
     SELECT p.purchase_id, er.error_id
@@ -1477,8 +1478,8 @@ j AS (
     WHERE p.p_ts <= wm.cutoff
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN error_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_unmatched,
+       CAST(COALESCE(SUM(CASE WHEN error_id IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_unmatched,
        CAST(0 AS BIGINT) AS n_mismatched,
        TRUE AS streaming_equals_batch
 FROM j
@@ -1523,26 +1524,33 @@ def q_streaming_left_outer_equivalence(
     ev = _events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase")
     errors = ev.filter(F.col("event_type") == "error")
-    wm = purchases.agg(F.max("ts").alias("mp")).crossJoin(
-        errors.agg(F.max("ts").alias("me"))
-    ).select(
-        (
-            F.least("mp", "me")
-            - F.expr("INTERVAL 2 HOURS")
-            - F.expr("INTERVAL 10 MINUTES")
-            - F.expr("INTERVAL 1 SECONDS")
-        ).alias("cutoff")
+    # ONE bounded collect (a single scalar — the IVF-probe precedent):
+    # an uncollected wm DataFrame would be re-derived inside BOTH
+    # closed() arms, re-scanning events four times. NULL-safe on
+    # purpose: least() SKIPS NULLs, so with one side absent it would
+    # fabricate a cutoff while the joint streaming watermark (min over
+    # both sides' nodes) never advances — the closed region must be
+    # EMPTY when either side is empty, matching the oracle's CASE.
+    mp, me = (
+        purchases.agg(F.max("ts").alias("mp"))
+        .crossJoin(errors.agg(F.max("ts").alias("me")))
+        .first()
     )
+    import datetime as _dt
+
+    cutoff = (
+        None
+        if mp is None or me is None
+        else min(mp, me)
+        - _dt.timedelta(hours=2, minutes=10, seconds=1)
+    )
+    cutoff_lit = F.lit(cutoff).cast("timestamp")
 
     def closed(df: DataFrame) -> DataFrame:
-        return (
-            df.crossJoin(F.broadcast(wm))
-            .filter(F.col("p_ts") <= F.col("cutoff"))
-            .select(
-                "purchase_id",
-                F.coalesce(F.col("error_id"), F.lit(-1)).alias("err_key"),
-                F.col("error_id"),
-            )
+        return df.filter(F.col("p_ts") <= cutoff_lit).select(
+            "purchase_id",
+            F.coalesce(F.col("error_id"), F.lit(-1)).alias("err_key"),
+            F.col("error_id"),
         )
 
     batch = closed(interval_join(purchases, errors, how="left_outer"))
@@ -1551,10 +1559,19 @@ def q_streaming_left_outer_equivalence(
         streamed.alias("s"), ["purchase_id", "err_key"], "full_outer"
     )
     mism = F.col("b.err_key").isNull() | F.col("s.err_key").isNull()
-    n_mism = F.sum(F.when(mism, 1).otherwise(0)).cast("bigint")
+    # SUM over zero rows is NULL — an EMPTY closed region (short-span
+    # data) must still report (0, 0, 0, TRUE), matching the oracle.
+    n_mism = F.coalesce(
+        F.sum(F.when(mism, 1).otherwise(0)), F.lit(0)
+    ).cast("bigint")
     return j.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("b.error_id").isNull() & ~mism, 1).otherwise(0))
+        F.coalesce(
+            F.sum(
+                F.when(F.col("b.error_id").isNull() & ~mism, 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("n_unmatched"),
         n_mism.alias("n_mismatched"),

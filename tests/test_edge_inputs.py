@@ -516,3 +516,51 @@ def test_lateness_two_level_prefix_matches_naive_running_max(spark, tmp_path):
     # And sub-second lateness is genuinely present (the 0.5s jitter
     # produces late_us in (0, 1s) — the truncation-bug trap).
     assert any(0 < us < 1_000_000 for us in lateness.values())
+
+
+def test_left_outer_equivalence_degenerate_inputs(spark, tmp_path):
+    """One-sided and short-span event sets must yield the EMPTY closed
+    region (0, 0, 0, TRUE) — least() skipping a NULL max would instead
+    fabricate a cutoff the streaming watermark never reaches, and SUM
+    over zero rows would leak NULL into the verdict columns."""
+    import datetime as _dt
+    import os
+
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    base = _dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def run(rows, sub):
+        d = str(tmp_path / sub)
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        row = (
+            load_all()["streaming_left_outer_equivalence"]
+            .build(spark, d)
+            .collect()[0]
+        )
+        return (
+            row["n_rows"], row["n_unmatched"], row["n_mismatched"],
+            row["streaming_equals_batch"],
+        )
+
+    # Purchases ancient, but ZERO error events: joint watermark never
+    # advances -> closed region must be empty, not every purchase.
+    one_sided = [
+        (i, base + _dt.timedelta(seconds=i), 1, "purchase", 1.0, None)
+        for i in range(5)
+    ]
+    assert run(one_sided, "onesided") == (0, 0, 0, True)
+
+    # Both sides present but the span is < 2h10m: no purchase clears
+    # the cutoff; empty aggregate must still read (0, 0, 0, TRUE).
+    short = [
+        (1, base, 1, "purchase", 1.0, None),
+        (2, base + _dt.timedelta(minutes=5), 1, "error", 1.0, None),
+    ]
+    assert run(short, "short") == (0, 0, 0, True)

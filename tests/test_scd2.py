@@ -152,3 +152,22 @@ def test_snapshot_diff_type_migration_raises(spark):
     new = spark.createDataFrame([(1, 10.0)], "k long, v double")
     with pytest.raises(ValueError, match="TYPES"):
         snapshot_diff(old, new, ["k"])
+
+
+def test_snapshot_diff_sub_millisecond_timestamp_change_detected(spark):
+    # to_json's default timestampFormat renders milliseconds only —
+    # the digest must carry full microseconds or sub-ms changes
+    # collide into 'unchanged'.
+    import datetime as dt
+
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    t2 = dt.datetime(2024, 1, 1, 0, 0, 0, 123457)
+    old = spark.createDataFrame([(1, t1)], "k long, ts timestamp")
+    new = spark.createDataFrame([(1, t2)], "k long, ts timestamp")
+    assert snapshot_diff(old, new, ["k"]).collect()[0]["change_type"] == (
+        "changed"
+    )
