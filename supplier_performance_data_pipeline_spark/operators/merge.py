@@ -112,14 +112,18 @@ def snapshot_diff(
         )
 
     def digested(df: DataFrame, tag: str) -> DataFrame:
-        # timestampFormat: to_json's default renders milliseconds only,
-        # which would collide rows differing in sub-ms timestamps.
+        # Timestamp formats: to_json's defaults render milliseconds
+        # only (sub-ms changes would collide), and TIMESTAMP vs
+        # TIMESTAMP_NTZ use SEPARATE options. The zoned format keeps
+        # the offset (XXX) so two instants in a DST fall-back hour
+        # stay distinct under a non-UTC session timezone.
         dig = F.md5(
             F.to_json(
                 F.struct(*[F.col(c) for c in sorted(val_cols_old)]),
                 {
                     "ignoreNullFields": "false",
-                    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+                    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSSXXX",
+                    "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
                 },
             )
         )

@@ -1531,20 +1531,21 @@ def q_streaming_left_outer_equivalence(
     # fabricate a cutoff while the joint streaming watermark (min over
     # both sides' nodes) never advances — the closed region must be
     # EMPTY when either side is empty, matching the oracle's CASE.
-    mp, me = (
-        purchases.agg(F.max("ts").alias("mp"))
-        .crossJoin(errors.agg(F.max("ts").alias("me")))
+    # Collect INTEGER microseconds, not datetimes: PySpark converts
+    # TimestampType through the OS local timezone on collect()/lit(),
+    # so naive datetime arithmetic here would drift an hour across DST
+    # transitions while the oracle does instant arithmetic. Integer µs
+    # round-trips exactly via unix_micros/timestamp_micros.
+    mp_us, me_us = (
+        purchases.agg(F.max(F.unix_micros("ts")).alias("mp"))
+        .crossJoin(errors.agg(F.max(F.unix_micros("ts")).alias("me")))
         .first()
     )
-    import datetime as _dt
-
-    cutoff = (
-        None
-        if mp is None or me is None
-        else min(mp, me)
-        - _dt.timedelta(hours=2, minutes=10, seconds=1)
-    )
-    cutoff_lit = F.lit(cutoff).cast("timestamp")
+    if mp_us is None or me_us is None:
+        cutoff_lit = F.lit(None).cast("timestamp")
+    else:
+        cutoff_us = min(mp_us, me_us) - (2 * 3600 + 10 * 60 + 1) * 1_000_000
+        cutoff_lit = F.timestamp_micros(F.lit(cutoff_us))
 
     def closed(df: DataFrame) -> DataFrame:
         return df.filter(F.col("p_ts") <= cutoff_lit).select(

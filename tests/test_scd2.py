@@ -171,3 +171,21 @@ def test_snapshot_diff_sub_millisecond_timestamp_change_detected(spark):
     assert snapshot_diff(old, new, ["k"]).collect()[0]["change_type"] == (
         "changed"
     )
+
+
+def test_snapshot_diff_ntz_sub_millisecond_change_detected(spark):
+    # TIMESTAMP_NTZ formats via the SEPARATE timestampNTZFormat option
+    # — it must carry microseconds too.
+    import datetime as dt
+
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    t2 = dt.datetime(2024, 1, 1, 0, 0, 0, 123457)
+    old = spark.createDataFrame([(1, t1)], "k long, ts timestamp_ntz")
+    new = spark.createDataFrame([(1, t2)], "k long, ts timestamp_ntz")
+    assert snapshot_diff(old, new, ["k"]).collect()[0]["change_type"] == (
+        "changed"
+    )
