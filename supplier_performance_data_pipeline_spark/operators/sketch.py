@@ -70,3 +70,95 @@ def mg_candidate_items(df: DataFrame, col: str, k: int) -> DataFrame:
         yield pd.DataFrame({"item": pd.Series(list(counters), dtype="object")})
 
     return df.select(col).mapInPandas(summarize, out_schema).distinct()
+
+
+# --- Count-Min sketch (mergeable cell table) --------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def cm_cell_table(
+    df: DataFrame, col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> DataFrame:
+    """Count-Min sketch as a (row, pos, cnt) cell DataFrame — the
+    mergeable frequency summary (Cormode & Muthukrishnan '05): est(x) =
+    min over rows of cell[row][h_row(x)] is ALWAYS >= the true count
+    (cells only ever add), with overestimate <= 2n/width at probability
+    1 - 2^-depth per query. Unlike the Misra-Gries summary the cell
+    table is a reproducible VALUE (no arrival-order dependence), so it
+    is hash-verifiable cross-engine.
+
+    Plan shape: one scan, a x`depth` generator expansion (pure
+    projection), one (row, pos)-keyed aggregate whose map-side combine
+    collapses to <= depth x width cells per partition before the
+    shuffle — the exchange carries the SKETCH, not the data. Sketches
+    of two table halves merge by cellwise addition (tested), which is
+    what makes this the incremental/distributed counting primitive.
+    Hashing is the engine's portable md5_mod recipe, so a DuckDB
+    oracle reproduces every cell."""
+    from pyspark.sql import functions as F
+
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        md5_mod(F.col(col), f"cm{r}|", width).alias("pos"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.row", "c.pos")
+        .groupBy("row", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_estimates(
+    cells: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch: (item, est) with est = min over the
+    depth rows of the item's cell. The cell table is sketch-sized
+    (<= depth x width rows) and broadcasts; the per-item min is a
+    depth-row aggregate — no scan of the original data. Absent cells
+    count 0 (an item never inserted estimates 0, not NULL)."""
+    from pyspark.sql import functions as F
+
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+
+    probes = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        md5_mod(F.col(item_col), f"cm{r}|", width).alias(
+                            "pos"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", "p.row", "p.pos")
+    joined = probes.join(F.broadcast(cells), ["row", "pos"], "left")
+    return (
+        joined.groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -172,3 +172,38 @@ def resample_ffill(
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_gap"),
     )
+
+
+def debounce(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    quiet_seconds: int = 60,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Telemetry debounce: keep only the FIRST event of each burst per
+    key — a burst continues while consecutive inter-event gaps stay
+    under ``quiet_seconds`` (session-starter semantics: identical to
+    "sessionize with this gap and keep each session's opening event",
+    which is the well-defined distributed form; the keep-relative-to-
+    last-KEPT variant is an inherently sequential running state and
+    deliberately not this operator). The dedup family's time-axis
+    member: exact dedup collapses identical payloads, debounce
+    collapses temporal repeats regardless of payload.
+
+    One key-keyed shuffle (the lag window); ties on ``ts`` order by
+    ``order_col`` (default: first key-independent column is NOT
+    assumed — pass an id column for a total order, else equal-ts rows
+    within a burst are kept/dropped by an unspecified tiebreak).
+    Streaming twin: dropDuplicatesWithinWatermark on a time-bucketed
+    key approximates this under watermark state."""
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    gap = F.col(ts_col).cast("double") - F.lag(
+        F.col(ts_col).cast("double")
+    ).over(w)
+    return (
+        events.withColumn("_gap", gap)
+        .filter(F.col("_gap").isNull() | (F.col("_gap") >= quiet_seconds))
+        .drop("_gap")
+    )

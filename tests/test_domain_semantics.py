@@ -144,3 +144,70 @@ def test_fingerprint_invariant_under_repartitioning(spark):
     assert again.fingerprint == base.fingerprint
     assert again.fingerprint_sum == base.fingerprint_sum
     assert again.n_rows == base.n_rows
+
+
+# --- debounce (banked for round-5 registration) ------------------------------
+
+
+def test_debounce_keeps_burst_openers_only(spark):
+    """Bursts chain on inter-event gaps: 0s/30s/50s collapse to the
+    opener even though the third event is 80s after it; a 60s quiet
+    gap opens a new burst; keys debounce independently."""
+    import datetime as dt
+
+    from supplier_performance_data_pipeline_spark.operators.windows import (
+        debounce,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user):
+        return (eid, base + dt.timedelta(seconds=sec), user, "click")
+
+    rows = [
+        ev(1, 0, 1), ev(2, 30, 1), ev(3, 50, 1),   # one chained burst
+        ev(4, 120, 1),                              # 70s quiet -> opener
+        ev(5, 130, 1),                              # chained
+        ev(6, 0, 2),                                # other key: opener
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    kept = {
+        r["event_id"]
+        for r in debounce(
+            df, ["user_id", "event_type"], quiet_seconds=60,
+            order_col="event_id",
+        ).collect()
+    }
+    assert kept == {1, 4, 6}
+
+
+def test_debounce_empty_and_exact_boundary(spark):
+    """Empty input flows through; a gap of EXACTLY quiet_seconds opens
+    a new burst (>= semantics, matching the sessionize oracle's
+    strict-> comparison complement)."""
+    import datetime as dt
+
+    from supplier_performance_data_pipeline_spark.operators.windows import (
+        debounce,
+    )
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    assert debounce(empty, ["user_id"], quiet_seconds=60).count() == 0
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base, 1, "x"),
+            (2, base + dt.timedelta(seconds=60), 1, "x"),  # exactly 60
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    kept = {
+        r["event_id"]
+        for r in debounce(df, ["user_id"], quiet_seconds=60).collect()
+    }
+    assert kept == {1, 2}
