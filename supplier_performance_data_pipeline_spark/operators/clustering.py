@@ -148,3 +148,63 @@ def kmeans_cluster_profile(
             F.sum(F.col("d").cast(DIST_DEC)).cast("double"), 6
         ).alias("inertia"),
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    dim: int = DIM_DEFAULT,
+    m: int = 4,
+    k: int = 16,
+    iters: int = ITERS_DEFAULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI '11): split each
+    vector into ``m`` subvectors of dim/m, k-means each subspace
+    independently (the SAME deterministic Lloyd's above — first-k
+    seeding, DECIMAL-exact updates, so codes are reproducible across
+    engines and partitionings), and encode every vector as its m
+    nearest-subcentroid ids — dim floats compress to m small ints
+    (16x-64x), and asymmetric distance queries scan codes instead of
+    vectors. The compression step of an IVF-PQ index; the IVF coarse
+    half is ``ann_ivf_topk``'s quantizer.
+
+    Output: (vec_id, codes array<int> length m, distortion = rounded
+    double sum of the m subspace squared distances — the
+    reconstruction error of the codeword).
+
+    Plan: per subspace a PROJECTION slices the subvector (no shuffle)
+    and Lloyd's runs its I aggregate rounds; the m assignment tables
+    (vec-sized, 3 columns) union and fold back to one row per vector
+    with a single vec_id-keyed aggregate. Subspaces are independent —
+    at scale they parallelize as m branches of one lazy plan."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    parts = []
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("embedding"),
+        )
+        assign = kmeans_assignments(sub, k, iters, dim=d_sub)
+        parts.append(
+            assign.select(
+                "vec_id",
+                F.lit(s).alias("sub"),
+                F.col("cluster").cast("int").alias("code"),
+                F.col("d").cast(DIST_DEC).alias("d"),
+            )
+        )
+    allsub = parts[0]
+    for p in parts[1:]:
+        allsub = allsub.unionAll(p)
+    return allsub.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("code")))
+            ),
+            lambda c: c["code"],
+        ).alias("codes"),
+        F.round(F.sum("d").cast("double"), 6).alias("distortion"),
+    )

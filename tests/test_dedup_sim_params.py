@@ -171,3 +171,79 @@ def test_knn_recall_banded_dominates_single(spark):
     assert row["n_exact_pairs"] > 0
     assert row["n_overlap_banded"] >= row["n_overlap_single"]
     assert row["n_overlap_banded"] <= row["n_exact_pairs"]
+
+
+# --- product quantization (banked for round-5 registration) ------------------
+
+
+def _pq_fixture(spark, n=40, dim=8):
+    # Two well-separated blobs per half-space so every subspace has
+    # clear structure; deterministic values.
+    rows = []
+    for i in range(n):
+        hot = 10.0 if i % 2 == 0 else -10.0
+        vec = [hot + (i % 5) * 0.01] * (dim // 2) + [
+            -hot + (i % 3) * 0.01
+        ] * (dim // 2)
+        rows.append((i, [float(v) for v in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_codes_shape_and_range(spark):
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        pq_encode,
+    )
+
+    emb = _pq_fixture(spark)
+    out = pq_encode(emb, dim=8, m=4, k=4).collect()
+    assert len(out) == 40
+    for r in out:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 4 for c in r["codes"])
+        assert r["distortion"] >= 0.0
+
+
+def test_pq_deterministic_under_repartition(spark):
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        pq_encode,
+    )
+
+    emb = _pq_fixture(spark)
+    a = {
+        r["vec_id"]: (tuple(r["codes"]), r["distortion"])
+        for r in pq_encode(emb, dim=8, m=2, k=3).collect()
+    }
+    b = {
+        r["vec_id"]: (tuple(r["codes"]), r["distortion"])
+        for r in pq_encode(emb.repartition(7), dim=8, m=2, k=3).collect()
+    }
+    assert a == b
+
+
+def test_pq_more_centroids_never_increase_distortion(spark):
+    # With the same seeding scheme, a larger codebook refines the
+    # partition — total distortion must not grow.
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        pq_encode,
+    )
+
+    emb = _pq_fixture(spark)
+
+    def total(k):
+        return sum(
+            r["distortion"] for r in pq_encode(emb, dim=8, m=2, k=k).collect()
+        )
+
+    assert total(8) <= total(2) + 1e-6
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest
+
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        pq_encode,
+    )
+
+    emb = _pq_fixture(spark)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_encode(emb, dim=8, m=3, k=4)
