@@ -120,6 +120,14 @@ def kmeans_assignments(
         F.col(id_col).alias("vec_id"),
         F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
     ).localCheckpoint()
+    return _lloyd_from_base(base, k, iters, dim)
+
+
+def _lloyd_from_base(base: DataFrame, k: int, iters: int, dim: int) -> DataFrame:
+    """Lloyd iterations over an already-decoded (vec_id, v) table —
+    shared by ``kmeans_assignments`` (which checkpoints the decode) and
+    ``pq_encode`` (which checkpoints ONCE and slices lazily per
+    subspace, instead of paying one eager decode job per subspace)."""
     cent = base.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
     )
@@ -173,21 +181,26 @@ def pq_encode(
     double sum of the m subspace squared distances — the
     reconstruction error of the codeword).
 
-    Plan: per subspace a PROJECTION slices the subvector (no shuffle)
-    and Lloyd's runs its I aggregate rounds; the m assignment tables
-    (vec-sized, 3 columns) union and fold back to one row per vector
-    with a single vec_id-keyed aggregate. Subspaces are independent —
-    at scale they parallelize as m branches of one lazy plan."""
+    Plan: the full vectors decode and localCheckpoint ONCE (one eager
+    job — calling kmeans_assignments per subspace would instead pay m
+    sequential decode-and-checkpoint jobs, each re-scanning the
+    source); every subspace then slices that materialized base with a
+    lazy projection and runs Lloyd's I aggregate rounds; the m
+    assignment tables (vec-sized, 3 columns) union and fold back to
+    one row per vector with a single vec_id-keyed aggregate."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
+    ).localCheckpoint()
     parts = []
     for s in range(m):
-        sub = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("embedding"),
+        sub = base.select(
+            "vec_id", F.slice(F.col("v"), s * d_sub + 1, d_sub).alias("v")
         )
-        assign = kmeans_assignments(sub, k, iters, dim=d_sub)
+        assign = _lloyd_from_base(sub, k, iters, d_sub)
         parts.append(
             assign.select(
                 "vec_id",

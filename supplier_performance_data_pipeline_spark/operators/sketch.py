@@ -78,6 +78,29 @@ CM_DEPTH = 4
 CM_WIDTH = 1024
 
 
+def _cm_probes(col: "F.Column", depth: int, width: int):
+    """The (row, pos) probe construction BOTH the writer and the reader
+    use — one source of truth for the salt format and hash recipe (a
+    drift between the two sides silently zeroes every estimate)."""
+    from pyspark.sql import functions as F
+
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    md5_mod(col, f"cm{r}|", width).alias("pos"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+
+
 def cm_cell_table(
     df: DataFrame, col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
 ) -> DataFrame:
@@ -89,6 +112,13 @@ def cm_cell_table(
     table is a reproducible VALUE (no arrival-order dependence), so it
     is hash-verifiable cross-engine.
 
+    NULL keys are skipped (same contract as mg_candidate_items —
+    hashed NULLs would land in cells no equality probe can reach).
+    CONTRACT: the reader must be called with the SAME (depth, width)
+    the table was built with — the cell table carries no metadata, and
+    a mismatch silently misses cells (est 0 for present items). Keep
+    both on the shared defaults unless you thread the pair explicitly.
+
     Plan shape: one scan, a x`depth` generator expansion (pure
     projection), one (row, pos)-keyed aggregate whose map-side combine
     collapses to <= depth x width cells per partition before the
@@ -99,22 +129,8 @@ def cm_cell_table(
     oracle reproduces every cell."""
     from pyspark.sql import functions as F
 
-    from supplier_performance_data_pipeline_spark.operators.sampling import (
-        md5_mod,
-    )
-
-    cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        md5_mod(F.col(col), f"cm{r}|", width).alias("pos"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("c")
+    cells = df.filter(F.col(col).isNotNull()).select(
+        _cm_probes(F.col(col), depth, width).alias("c")
     )
     return (
         cells.select("c.row", "c.pos")
@@ -131,32 +147,22 @@ def cm_estimates(
     width: int = CM_WIDTH,
 ) -> DataFrame:
     """Point-query the sketch: (item, est) with est = min over the
-    depth rows of the item's cell. The cell table is sketch-sized
+    depth rows of the item's cell. (depth, width) MUST match the
+    builder's — see the cm_cell_table contract. NULL query items are
+    dropped (they were never inserted). The cell table is sketch-sized
     (<= depth x width rows) and broadcasts; the per-item min is a
     depth-row aggregate — no scan of the original data. Absent cells
     count 0 (an item never inserted estimates 0, not NULL)."""
     from pyspark.sql import functions as F
 
-    from supplier_performance_data_pipeline_spark.operators.sampling import (
-        md5_mod,
+    probes = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(
+            F.col(item_col).alias("item"),
+            _cm_probes(F.col(item_col), depth, width).alias("p"),
+        )
+        .select("item", "p.row", "p.pos")
     )
-
-    probes = items.select(
-        F.col(item_col).alias("item"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        md5_mod(F.col(item_col), f"cm{r}|", width).alias(
-                            "pos"
-                        ),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("p"),
-    ).select("item", "p.row", "p.pos")
     joined = probes.join(F.broadcast(cells), ["row", "pos"], "left")
     return (
         joined.groupBy("item")

@@ -182,28 +182,34 @@ def debounce(
     order_col: str | None = None,
 ) -> DataFrame:
     """Telemetry debounce: keep only the FIRST event of each burst per
-    key — a burst continues while consecutive inter-event gaps stay
-    under ``quiet_seconds`` (session-starter semantics: identical to
-    "sessionize with this gap and keep each session's opening event",
-    which is the well-defined distributed form; the keep-relative-to-
-    last-KEPT variant is an inherently sequential running state and
-    deliberately not this operator). The dedup family's time-axis
-    member: exact dedup collapses identical payloads, debounce
-    collapses temporal repeats regardless of payload.
+    key — IDENTICAL to "``sessionize`` with gap=quiet_seconds and keep
+    each session's opening event": a new burst opens on a gap STRICTLY
+    greater than ``quiet_seconds`` (matching sessionize's ``ts >
+    prev + gap`` boundary, so the two operators can cross-validate).
+    The dedup family's time-axis member: exact dedup collapses
+    identical payloads, debounce collapses temporal repeats regardless
+    of payload.
+
+    Rows with a NULL ``ts_col`` are dropped (a timestampless event has
+    no position in any burst; passing them through would also disable
+    debouncing of the event that follows, since its lag-gap would be
+    NULL). The keep-relative-to-last-KEPT variant is an inherently
+    sequential running state and deliberately not this operator.
 
     One key-keyed shuffle (the lag window); ties on ``ts`` order by
-    ``order_col`` (default: first key-independent column is NOT
-    assumed — pass an id column for a total order, else equal-ts rows
-    within a burst are kept/dropped by an unspecified tiebreak).
-    Streaming twin: dropDuplicatesWithinWatermark on a time-bucketed
-    key approximates this under watermark state."""
+    ``order_col`` (pass an id column for a total order, else equal-ts
+    rows within a burst are kept/dropped by an unspecified tiebreak)."""
+    tmp = "__debounce_gap"
+    if tmp in events.columns:
+        raise ValueError(f"input already has a {tmp!r} column")
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
     w = Window.partitionBy(*key_cols).orderBy(*order)
     gap = F.col(ts_col).cast("double") - F.lag(
         F.col(ts_col).cast("double")
     ).over(w)
     return (
-        events.withColumn("_gap", gap)
-        .filter(F.col("_gap").isNull() | (F.col("_gap") >= quiet_seconds))
-        .drop("_gap")
+        events.filter(F.col(ts_col).isNotNull())
+        .withColumn(tmp, gap)
+        .filter(F.col(tmp).isNull() | (F.col(tmp) > quiet_seconds))
+        .drop(tmp)
     )

@@ -221,8 +221,10 @@ def test_pq_deterministic_under_repartition(spark):
 
 
 def test_pq_more_centroids_never_increase_distortion(spark):
-    # With the same seeding scheme, a larger codebook refines the
-    # partition — total distortion must not grow.
+    # Regression PIN on this deterministic fixture, not a Lloyd's
+    # theorem (post-iteration distortion is not monotone in k in
+    # general): on these two well-separated blobs the larger codebook
+    # lands at or below the smaller one's distortion.
     from supplier_performance_data_pipeline_spark.operators.clustering import (
         pq_encode,
     )

@@ -184,9 +184,10 @@ def test_debounce_keeps_burst_openers_only(spark):
 
 
 def test_debounce_empty_and_exact_boundary(spark):
-    """Empty input flows through; a gap of EXACTLY quiet_seconds opens
-    a new burst (>= semantics, matching the sessionize oracle's
-    strict-> comparison complement)."""
+    """Empty input flows through; a gap of EXACTLY quiet_seconds stays
+    IN the burst (strict-> boundary, identical to sessionize's
+    ``ts > prev + gap`` — the cross-validation contract), so only the
+    opener survives."""
     import datetime as dt
 
     from supplier_performance_data_pipeline_spark.operators.windows import (
@@ -210,4 +211,38 @@ def test_debounce_empty_and_exact_boundary(spark):
         r["event_id"]
         for r in debounce(df, ["user_id"], quiet_seconds=60).collect()
     }
-    assert kept == {1, 2}
+    assert kept == {1}  # exact-boundary gap chains, matching sessionize
+
+
+def test_debounce_null_ts_dropped_and_gap_collision_raises(spark):
+    """NULL-ts rows are dropped (they would otherwise pass through AND
+    disable debouncing of their successor, whose lag-gap goes NULL);
+    a pre-existing temp-column name is an error, not silent data loss."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from supplier_performance_data_pipeline_spark.operators.windows import (
+        debounce,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, None, 1, "x"),
+            (2, base, 1, "x"),
+            (3, base + dt.timedelta(seconds=5), 1, "x"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    kept = {
+        r["event_id"]
+        for r in debounce(df, ["user_id"], quiet_seconds=60).collect()
+    }
+    assert kept == {2}  # null dropped; its successor still debounces
+
+    with pytest.raises(ValueError, match="__debounce_gap"):
+        debounce(
+            df.withColumn("__debounce_gap", F.lit(0)), ["user_id"]
+        )

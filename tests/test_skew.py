@@ -112,3 +112,24 @@ def test_cm_unseen_item_estimates_zero_or_collision(spark):
     ghost = spark.createDataFrame([("never-seen",)], "k string")
     row = cm_estimates(cells, ghost, "k").collect()[0]
     assert row["est"] == 0
+
+
+def test_cm_null_keys_skipped_on_both_sides(spark):
+    """NULLs never enter the sketch (hashed NULLs would land in cells
+    no equality probe can reach — a silent underestimate path) and
+    NULL query items are dropped rather than returning est rows."""
+    from supplier_performance_data_pipeline_spark.operators.sketch import (
+        cm_cell_table,
+        cm_estimates,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "k string"
+    )
+    cells = cm_cell_table(df, "k")
+    # Only 'a' contributes: every cell count is exactly 2.
+    assert all(r["cnt"] == 2 for r in cells.collect())
+    items = spark.createDataFrame([("a",), (None,)], "k string")
+    est = {r["item"]: r["est"] for r in cm_estimates(cells, items, "k").collect()}
+    assert est == {"a": 2}
