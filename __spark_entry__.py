@@ -24,13 +24,17 @@ from supplier_performance_data_pipeline_spark.plans.registry import load_all
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _last_checked_round() -> dict[str, int]:
-    """Map query name -> latest round with a CORRECTNESS_r{N}.json row.
+def _board_state() -> tuple[dict[str, int], set[str]]:
+    """(last-checked round per query, queries whose LATEST row FAILED).
 
     Queries absent from every round file have never been driver-checked.
+    A row passes only if rows/schema/hash all match; the failed set is
+    computed from each query's most recent row, so a later green row
+    clears the flag.
     """
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
+    passed_at: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -43,9 +47,18 @@ def _last_checked_round() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
+        for name, row in rows.items():
             last[name] = max(last.get(name, 0), rnd)
-    return last
+            ok = bool(
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            if name not in passed_at or rnd > passed_at[name][0]:
+                passed_at[name] = (rnd, ok)
+    failed = {n for n, (_, ok) in passed_at.items() if not ok}
+    return last, failed
 
 
 # Registration age per query (committed REGISTRY_AGE.json: name -> the
@@ -71,19 +84,22 @@ def _registration_age() -> dict[str, int]:
 
 
 def _rotation_order(names: list[str]) -> list[str]:
-    """Least-recently-driver-checked first (never-checked lead, then by
-    ascending last-checked round; within a tier, senior registrations
-    before newer ones, alphabetical last).
+    """Failed-latest-row first, then least-recently-driver-checked
+    (never-checked, then by ascending last-checked round); within a
+    tier, senior registrations before newer ones, alphabetical last.
 
     The driver samples a bounded number of queries per round in
-    ``queries()`` iteration order; this rotation guarantees every query
-    gets a CORRECTNESS row within a couple of rounds instead of leaving
-    a fixed tail permanently unsampled.
+    ``queries()`` iteration order. The round-4 verdict showed why
+    failures must lead: with a pure LRU rotation a query that failed
+    in the immediately previous round sorts LAST (it was just
+    checked), so its fix can't be re-proved for several rounds. The
+    failed tier bounds re-proof latency to one round.
     """
-    last = _last_checked_round()
+    last, failed = _board_state()
     age = _registration_age()
     return sorted(
-        names, key=lambda n: (last.get(n, -1), age.get(n, 99), n)
+        names,
+        key=lambda n: (n not in failed, last.get(n, -1), age.get(n, 99), n),
     )
 
 

@@ -78,17 +78,21 @@ def stratified_hash_sample(
 
 
 def weighted_sample_key(key: Column, weight: Column, seed: int) -> Column:
-    """Efraimidis–Spirakis (A-ES) weighted-sampling key: rank rows by
-    u^(1/w) descending and the top-k form a weighted sample WITHOUT
-    replacement with inclusion ∝ weight. We rank by the monotone
-    transform ln(u)/w instead — identical order, and the only float
-    ops are one ln and one division (no pow), so the cross-engine
-    contract stays the usual rounded-value one.
+    """Priority-sampling key (Duffield–Lund–Thorup, "Priority sampling
+    for estimation of arbitrary subset sums", JACM 2007): priority
+    q = w/u with u uniform; the k rows with LARGEST q form a weighted
+    sample without replacement with inclusion ≈ min(w/τ, 1) ∝ weight
+    (and unbiased subset-sum estimators, which plain A-ES lacks).
 
     u is deterministic per (seed, key): the hash bucket shifted off
     zero, u = (bucket + 0.5) / GRAIN — same hash, same u, same sample
-    tomorrow, on any engine, under any partitioning. The caller rounds
-    the key (6dp) and tie-breaks on the row key so the top-k cut is a
-    total order."""
-    u = (hash_bucket(key, seed) + F.lit(0.5)) / F.lit(float(GRAIN))
-    return F.log(u) / weight
+    tomorrow, on any engine, under any partitioning. q reduces to
+    w·2·GRAIN / (2·bucket + 1): one integer-exact multiply and one
+    IEEE-correctly-rounded divide, so the key is BIT-IDENTICAL across
+    engines BY IEEE-754 MANDATE — no libm transcendental anywhere (the
+    round-4 red proved that a single ln() in a hashed/ranked output is
+    environment-borne: last-ulp libm drift flips a 6dp rounding
+    boundary). No rounding needed; callers tie-break on the row key so
+    the top-k cut is a total order."""
+    q_num = weight.cast("double") * F.lit(float(2 * GRAIN))
+    return q_num / (hash_bucket(key, seed) * F.lit(2) + F.lit(1)).cast("double")

@@ -1178,23 +1178,28 @@ def q_customer_returns_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "winsorized_price_stats",
     oracle="""
-WITH bounds AS (
-    SELECT CAST(ROUND(quantile_cont(l_extendedprice, 0.01), 2)
-                AS DECIMAL(12,2)) AS p01,
-           CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 2)
-                AS DECIMAL(12,2)) AS p99
+WITH cents AS (
+    SELECT l_returnflag,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
     FROM lineitem
+),
+bounds AS (
+    SELECT CAST(FLOOR(quantile_cont(c, 0.01) + 0.5) AS BIGINT) AS p01,
+           CAST(FLOOR(quantile_cont(c, 0.99) + 0.5) AS BIGINT) AS p99
+    FROM cents
 ),
 clipped AS (
     SELECT l_returnflag,
-           LEAST(GREATEST(CAST(l_extendedprice AS DECIMAL(12,2)), p01),
-                 p99) AS v
-    FROM lineitem CROSS JOIN bounds
+           CASE WHEN c < p01 THEN p01
+                WHEN c > p99 THEN p99
+                ELSE c END AS v
+    FROM cents CROSS JOIN bounds
 )
 SELECT l_returnflag,
        COUNT(*) AS n_rows,
-       CAST(SUM(v) AS DOUBLE) AS clipped_sum,
-       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS clipped_mean
+       CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) / 100 AS clipped_sum,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) / 100
+             / COUNT(*), 6) AS clipped_mean
 FROM clipped GROUP BY l_returnflag
 """.strip(),
 )
@@ -1203,35 +1208,44 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the robust-stats shape that stops a handful of outliers
     from dominating a mean (feature normalization / reward clipping use
     the identical plan). The percentile bounds attach as a broadcast
-    1-row cross join (the risk-bounds shape); clipping and summing run
-    entirely in DECIMAL(12,2) — prices are 2dp-quantized, so the
-    double→decimal cast reproduces the exact stored value on both
-    engines (a 6dp cast does NOT: the engines' double→decimal rounding
-    paths diverge in the last µ-digit and the per-row drift survives
-    the exact sum) — with one double division at the edge. Two passes over the fact
-    (bounds + clipped agg) is the price of exact percentiles; at 100 TB
-    the bounds pass switches to approx_percentile, same plan."""
+    1-row cross join (the risk-bounds shape). All money math runs in
+    exact integer CENTS via the portable `FLOOR(x*100 + 0.5)`
+    quantization (identical IEEE steps both engines): the round-4 red
+    proved both that DuckDB's LEAST/GREATEST over DECIMAL silently
+    promotes to DOUBLE (the oracle summed floats while Spark summed
+    DECIMAL) and that `CAST(double AS DECIMAL(12,2))` itself
+    tie-breaks differently per engine on .xx5 prices — so the clip is
+    a CASE over BIGINT cents (no type promotion anywhere), percentile
+    interpolation runs over integer cents (both engines interpolate
+    (1-f)·a + f·b on the same integers → identical doubles), and the
+    sums stay DECIMAL-exact until one double division at the edge.
+    Two passes over the fact (bounds + clipped agg) is the price of
+    exact percentiles; at 100 TB the bounds pass switches to
+    approx_percentile, same plan."""
     li = _t(spark, sf_dir, "lineitem")
-    pct = F.expr("percentile(l_extendedprice, array(0.01D, 0.99D))")
-    bounds = li.agg(
-        F.round(pct[0], 2).cast("decimal(12,2)").alias("p01"),
-        F.round(pct[1], 2).cast("decimal(12,2)").alias("p99"),
-    )
-    clipped = li.crossJoin(F.broadcast(bounds)).select(
+    cents = li.select(
         "l_returnflag",
-        F.least(
-            F.greatest(
-                F.col("l_extendedprice").cast("decimal(12,2)"), F.col("p01")
-            ),
-            F.col("p99"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c"),
+    )
+    bounds = cents.agg(
+        F.expr("CAST(FLOOR(percentile(c, 0.01D) + 0.5) AS BIGINT)").alias("p01"),
+        F.expr("CAST(FLOOR(percentile(c, 0.99D) + 0.5) AS BIGINT)").alias("p99"),
+    )
+    clipped = cents.crossJoin(F.broadcast(bounds)).select(
+        "l_returnflag",
+        F.expr(
+            "CASE WHEN c < p01 THEN p01 WHEN c > p99 THEN p99 ELSE c END"
         ).alias("v"),
     )
     return clipped.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
-        F.sum("v").cast("double").alias("clipped_sum"),
-        F.round(F.sum("v").cast("double") / F.count("*"), 6).alias(
-            "clipped_mean"
+        F.expr("CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) / 100").alias(
+            "clipped_sum"
         ),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) / 100"
+            " / COUNT(*), 6)"
+        ).alias("clipped_mean"),
     )
 
 
@@ -1659,19 +1673,18 @@ def q_orders_month_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rev AS (
     SELECT s.s_nationkey, l.l_suppkey,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(1.0 - l_discount AS DECIMAL(4,2))) * 100
-               AS DECIMAL(19,0)) AS BIGINT) AS cents
+           SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+               AS DECIMAL(38,0))) AS rev_e4
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_nationkey, l.l_suppkey
 )
 SELECT n.n_name AS nation_name,
        CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-       CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100 AS total_revenue,
+       CAST(SUM(rev_e4) AS DOUBLE) / 10000 AS total_revenue,
        ROUND(
-         CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
-         / CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(19,0))
-                * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(19,0)) AS DOUBLE),
+         CAST(SUM(CAST(rev_e4 AS DECIMAL(19,0)) * CAST(rev_e4 AS DECIMAL(19,0))) AS DOUBLE)
+         / (CAST(SUM(rev_e4) AS DOUBLE) * CAST(SUM(rev_e4) AS DOUBLE)),
          6) AS hhi
 FROM rev JOIN nation n ON rev.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
@@ -1682,15 +1695,21 @@ def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     each nation — the market-structure rollup behind "is this nation's
     supply chain one bankruptcy away from collapse". HHI = Σ share_i²
     = Σ rev_i² / (Σ rev_i)², computed WITHOUT per-supplier division:
-    revenues reduce to exact integer CENTS (DECIMAL sum × 100), the
-    squares and their sums stay in DECIMAL (exact, order-free — a
-    float Σ share² would be reduction-order-dependent), and the single
-    double division happens once per nation at the output edge.
+    each row reduces to an exact integer in 1e-4-dollar units via the
+    portable quantization `FLOOR(x*100 + 0.5)` (price→cents, discount→
+    basis points; identical IEEE double steps in both engines — the
+    round-4 red proved that casting a DECIMAL sum down a scale, e.g.
+    `CAST(dec(…,4)*100 AS DECIMAL(19,0))`, ties-breaks differently per
+    engine: Spark HALF_UP, DuckDB truncation, 1-cent drift on 43/100
+    suppliers). Squares and sums stay in DECIMAL(38,0) (exact,
+    order-free — a float Σ share² would be reduction-order-dependent);
+    the single double division happens once per nation at the edge.
 
     Plan: fact-keyed agg to (nation, supplier) grain, then a
     dimension-sized second agg; the nation dim broadcasts. Bound:
-    cents fit BIGINT to ~9e16 dollars per supplier; cents² in
-    DECIMAL(38,0) to ~1e12 dollars — document, don't guess, at 100 TB.
+    per-row rev_e4 ≤ ~1e9 ≪ BIGINT; per-supplier rev_e4² needs
+    DECIMAL(38,0) up to ~1e15 dollars/supplier — document, don't
+    guess, at 100 TB.
     """
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
@@ -1700,25 +1719,25 @@ def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.expr(
-                "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
-                " * CAST(1.0 - l_discount AS DECIMAL(4,2))) * 100"
-                " AS DECIMAL(19,0)) AS BIGINT)"
-            ).alias("cents")
+                "SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))"
+                " AS DECIMAL(38,0)))"
+            ).alias("rev_e4")
         )
     )
-    sq = "CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))"
-    tot = "CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(19,0))"
     return (
         rev.join(F.broadcast(nat), rev.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
             F.count("*").alias("n_suppliers"),
             F.expr(
-                "CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100"
+                "CAST(SUM(rev_e4) AS DOUBLE) / 10000"
             ).alias("total_revenue"),
             F.expr(
-                f"ROUND(CAST(SUM({sq}) AS DOUBLE)"
-                f" / CAST({tot} * {tot} AS DOUBLE), 6)"
+                "ROUND(CAST(SUM(CAST(rev_e4 AS DECIMAL(19,0))"
+                " * CAST(rev_e4 AS DECIMAL(19,0))) AS DOUBLE)"
+                " / (CAST(SUM(rev_e4) AS DOUBLE)"
+                " * CAST(SUM(rev_e4) AS DOUBLE)), 6)"
             ).alias("hhi"),
         )
     )

@@ -446,7 +446,7 @@ q_bigram_collocations.__doc__ = q_bigram_collocations.__doc__.format(
 )
 
 
-# --- fixed-size weighted sample (A-ES) --------------------------------------
+# --- fixed-size weighted sample (priority sampling) -------------------------
 
 from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
     GRAIN,
@@ -462,11 +462,10 @@ _WRS_SEED = 7
     oracle=f"""
 WITH keyed AS (
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-           ROUND(
-               ln((CAST(concat('0x', substr(md5(concat('{_WRS_SEED}|',
+           CAST(GREATEST(n_chars, 1) AS DOUBLE) * {float(2 * GRAIN)}
+           / CAST(2 * (CAST(concat('0x', substr(md5(concat('{_WRS_SEED}|',
                        CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT)
-                   % {GRAIN} + 0.5) / {float(GRAIN)})
-               / GREATEST(n_chars, 1), 6) AS sample_key
+                   % {GRAIN}) + 1 AS DOUBLE) AS sample_key
     FROM documents
 )
 SELECT doc_id, n_chars, sample_key
@@ -477,26 +476,27 @@ LIMIT {_WRS_K}
 )
 def q_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-SIZE weighted sample: exactly k documents drawn without
-    replacement with inclusion probability ∝ length (Efraimidis–
-    Spirakis top-k keys) — the token-budget counterpart of the
+    replacement with inclusion probability ≈ min(w/τ, 1) ∝ length
+    (priority sampling, Duffield–Lund–Thorup JACM '07 — chosen over
+    the round-4 Efraimidis–Spirakis key precisely because its priority
+    w/u needs NO transcendental) — the token-budget counterpart of the
     rate-based samplers: "give me 100 docs, longer ones more likely,
     and the SAME 100 tomorrow". Rate-based hash sampling cannot pin an
-    exact output size; A-ES does, in one pass, fully deterministic
-    (hash-derived u, no RNG).
+    exact output size; priority top-k does, in one pass, fully
+    deterministic (hash-derived u, no RNG).
 
-    Plan: a pure projection computes each row's key (one md5 + one ln
-    + one division), then TakeOrdered keeps the top-k — no shuffle
-    beyond the k-row collect, no window, no global sort. The ranking
-    key is rounded to 6dp with a doc_id tie-break so the cut is a
-    total order in both engines."""
+    Plan: a pure projection computes each row's priority (one md5, one
+    integer-exact multiply, one IEEE-correctly-rounded divide — the
+    key is bit-identical across engines BY MANDATE, unlike the ln()
+    it replaced, whose last-ulp libm drift was the round-4 driver
+    red), then TakeOrdered keeps the top-k — no shuffle beyond the
+    k-row collect, no window, no global sort. doc_id tie-break makes
+    the cut a total order."""
     docs = _docs(spark, sf_dir)
-    key = F.round(
-        weighted_sample_key(
-            F.col("doc_id"),
-            F.greatest(F.col("n_chars"), F.lit(1)),
-            _WRS_SEED,
-        ),
-        6,
+    key = weighted_sample_key(
+        F.col("doc_id"),
+        F.greatest(F.col("n_chars"), F.lit(1)),
+        _WRS_SEED,
     )
     return (
         docs.select(

@@ -1237,10 +1237,10 @@ SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
             WHEN datediff('day', CAST(o_orderdate AS DATE),
                           CAST(l_shipdate AS DATE)) <= 90 THEN 'MEDIUM'
             ELSE 'SLOW' END AS delay_bucket,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """.strip(),
