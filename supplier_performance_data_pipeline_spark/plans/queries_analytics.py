@@ -14,6 +14,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from supplier_performance_data_pipeline_spark.functions.money import (
+    basis_points,
+    cents,
+    revenue_e4,
+    revenue_e4_sql,
+)
 from supplier_performance_data_pipeline_spark.functions.scalar import round_doubles
 from supplier_performance_data_pipeline_spark.operators.windows import top_n_per_group
 from supplier_performance_data_pipeline_spark.plans.registry import register
@@ -34,16 +40,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 SELECT
     l_returnflag,
     l_linestatus,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * CAST(1.0 - l_discount AS DECIMAL(4,2))
-             * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
-    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+    CAST(SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_qty,
+    CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_base_price,
+    CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+             AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS sum_disc_price,
+    CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+             * (100 + CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT))
+             AS DECIMAL(38,0))) AS DOUBLE) / 1000000 AS sum_charge,
+    ROUND(CAST(SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS DOUBLE) / 100 / COUNT(*), 6) AS avg_qty,
+    ROUND(CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS DOUBLE) / 100 / COUNT(*), 6) AS avg_price,
+    ROUND(CAST(SUM(CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS DOUBLE) / 100 / COUNT(*), 6) AS avg_disc,
     COUNT(*) AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
@@ -54,22 +67,40 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic 2-key groupBy + 8 mixed aggregates with a pushed-down
     date filter. DECIMAL sums → order-independent exact arithmetic."""
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
-    tax1 = (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
+    qty = cents("l_quantity").cast("decimal(38,0)")
+    price = cents("l_extendedprice").cast("decimal(38,0)")
+    disc_bp = basis_points("l_discount")
+    tax_bp = basis_points("l_tax")
+    disc_e4 = (cents("l_extendedprice") * (F.lit(100) - disc_bp)).cast(
+        "decimal(38,0)"
+    )
+    charge_e6 = (
+        cents("l_extendedprice") * (F.lit(100) - disc_bp) * (F.lit(100) + tax_bp)
+    ).cast("decimal(38,0)")
     out = (
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-12-01").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * disc1).cast("double").alias("sum_disc_price"),
-            F.sum(price * disc1 * tax1).cast("double").alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            (F.sum(qty).cast("double") / F.lit(100)).alias("sum_qty"),
+            (F.sum(price).cast("double") / F.lit(100)).alias("sum_base_price"),
+            (F.sum(disc_e4).cast("double") / F.lit(10000)).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(charge_e6).cast("double") / F.lit(1000000)).alias(
+                "sum_charge"
+            ),
+            F.round(
+                F.sum(qty).cast("double") / F.lit(100) / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(price).cast("double") / F.lit(100) / F.count("*"), 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(disc_bp.cast("decimal(38,0)")).cast("double")
+                / F.lit(100)
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -85,8 +116,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH revenue AS (
     SELECT
         l_suppkey,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS supplier_revenue
+        CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+             AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS supplier_revenue
     FROM lineitem
     GROUP BY l_suppkey
 ),
@@ -114,10 +146,9 @@ def q_top3_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    rev4 = revenue_e4("l_extendedprice", "l_discount")
     revenue = li.groupBy("l_suppkey").agg(
-        F.sum(price * disc1).cast("double").alias("supplier_revenue")
+        (F.sum(rev4).cast("double") / F.lit(10000)).alias("supplier_revenue")
     )
     joined = (
         revenue.join(F.broadcast(sup), revenue.l_suppkey == sup.s_suppkey)
@@ -191,7 +222,8 @@ SELECT
     COALESCE(o_orderpriority, 'ALL') AS orderpriority,
     COALESCE(o_orderstatus, 'ALL') AS orderstatus,
     COUNT(*) AS n_orders,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+            AS DECIMAL(38,0))) AS DOUBLE) / 100 AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """.strip(),
@@ -205,8 +237,11 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-            .cast("double")
+            (
+                F.sum(cents("o_totalprice").cast("decimal(38,0)"))
+                .cast("double")
+                / F.lit(100)
+            )
             .alias("total_price"),
         )
         .select(
@@ -298,8 +333,9 @@ SELECT
         AS days_since_epoch_start,
     CAST(l_shipdate AS DATE) + 30 AS promised_date,
     LEAST(GREATEST(l_quantity, 10.0), 40.0) AS qty_clamped,
-    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-         * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DOUBLE) AS net_price,
+    CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+         AS DOUBLE) / 10000 AS net_price,
     CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS return_status,
     CONCAT(l_returnflag, '-', l_linestatus) AS flag_status
 FROM lineitem
@@ -323,14 +359,16 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.greatest(F.col("l_quantity"), F.lit(10.0)), F.lit(40.0)).alias(
             "qty_clamped"
         ),
-        # Exact decimal product (no ROUND: double-ROUND half-way semantics
-        # differ across engines; decimal arithmetic is exact on both).
+        # Exact integer e4 product (no ROUND: double-ROUND half-way
+        # semantics differ across engines; integer arithmetic + one
+        # IEEE division is exact and portable on both).
         (
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
-        )
-        .cast("double")
-        .alias("net_price"),
+            (
+                cents("l_extendedprice")
+                * (F.lit(100) - basis_points("l_discount"))
+            ).cast("double")
+            / F.lit(10000)
+        ).alias("net_price"),
         F.when(F.col("l_returnflag") == "R", "returned")
         .otherwise("kept")
         .alias("return_status"),
@@ -348,8 +386,9 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
     l_orderkey,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+             AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS revenue,
     CAST(o_orderdate AS DATE) AS order_date,
     o_orderpriority
 FROM customer
@@ -377,8 +416,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").cast("date") > F.lit("1998-06-01").cast("date")
     )
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    rev4 = revenue_e4("l_extendedprice", "l_discount")
     joined = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
@@ -389,7 +427,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("order_date"),
             "o_orderpriority",
         )
-        .agg(F.sum(price * disc1).cast("double").alias("revenue"))
+        .agg((F.sum(rev4).cast("double") / F.lit(10000)).alias("revenue"))
         .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -404,8 +442,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
     n_name AS nation,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+             AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -427,8 +466,7 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    rev4 = revenue_e4("l_extendedprice", "l_discount")
     joined = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
@@ -441,7 +479,7 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
-        F.sum(price * disc1).cast("double").alias("revenue")
+        (F.sum(rev4).cast("double") / F.lit(10000)).alias("revenue")
     )
 
 
@@ -455,7 +493,8 @@ SELECT
     COALESCE(o_orderstatus, 'ALL') AS orderstatus,
     COALESCE(o_orderpriority, 'ALL') AS orderpriority,
     COUNT(*) AS n_orders,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+            AS DECIMAL(38,0))) AS DOUBLE) / 100 AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """.strip(),
@@ -469,8 +508,11 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-            .cast("double")
+            (
+                F.sum(cents("o_totalprice").cast("decimal(38,0)"))
+                .cast("double")
+                / F.lit(100)
+            )
             .alias("total_price"),
         )
         .select(
@@ -493,7 +535,8 @@ SELECT
     o_orderkey,
     CAST(o_orderdate AS DATE) AS order_date,
     CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS cum_spend,
+    CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+         AS DECIMAL(38,0))) OVER w AS DOUBLE) / 100 AS cum_spend,
     ROUND(AVG(o_totalprice) OVER (
         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg_3
@@ -519,10 +562,12 @@ def q_customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.row_number().over(w).cast("long").alias("order_seq"),
-        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-        .over(cum)
-        .cast("double")
-        .alias("cum_spend"),
+        (
+            F.sum(cents("o_totalprice").cast("decimal(38,0)"))
+            .over(cum)
+            .cast("double")
+            / F.lit(100)
+        ).alias("cum_spend"),
         F.round(F.avg("o_totalprice").over(mov), 6).alias("mov_avg_3"),
     )
 
@@ -568,14 +613,15 @@ def q_events_user_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH per_brand AS (
     SELECT
         p_brand,
-        SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-            * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS brand_revenue
+        SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+            * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+            AS DECIMAL(38,0))) AS brand_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
 )
 SELECT
     p_brand,
-    CAST(brand_revenue AS DOUBLE) AS brand_revenue,
+    CAST(brand_revenue AS DOUBLE) / 10000 AS brand_revenue,
     ROUND(100.0 * CAST(brand_revenue AS DOUBLE)
           / CAST(SUM(brand_revenue) OVER () AS DOUBLE), 6) AS revenue_share_pct
 FROM per_brand
@@ -588,19 +634,20 @@ def q_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     so either works, but the crossJoin shape is the one that scales)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    rev4 = revenue_e4("l_extendedprice", "l_discount")
     per_brand = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
-        .agg(F.sum(price * disc1).alias("brand_revenue_dec"))
+        .agg(F.sum(rev4).alias("brand_revenue_dec"))
     )
     total = per_brand.agg(
         F.sum("brand_revenue_dec").alias("total_revenue_dec")
     )
     return per_brand.crossJoin(F.broadcast(total)).select(
         "p_brand",
-        F.col("brand_revenue_dec").cast("double").alias("brand_revenue"),
+        (F.col("brand_revenue_dec").cast("double") / F.lit(10000)).alias(
+            "brand_revenue"
+        ),
         F.round(
             100.0
             * F.col("brand_revenue_dec").cast("double")
@@ -683,17 +730,19 @@ def q_late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_part AS (
     SELECT l_partkey,
-           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+           SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS sum_qty,
            COUNT(*) AS cnt
     FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+SELECT ROUND(CAST(SUM(CAST(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS DOUBLE) / 100
              / 7.0, 6) AS avg_yearly
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN per_part a ON l.l_partkey = a.l_partkey
 WHERE p.p_brand = 'Brand#1'
-  AND CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * a.cnt < a.sum_qty
+  AND CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) * 5 * a.cnt < a.sum_qty
 """.strip(),
 )
 def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,19 +756,21 @@ def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't flip on last-ulp reduction-order differences between engines."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
+    qty_c = cents("l_quantity")
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(qty).alias("sum_qty"), F.count("*").alias("cnt")
+        F.sum(qty_c.cast("decimal(38,0)")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
     )
     brand = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     return (
         li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
         .join(per_part, "l_partkey")
-        .filter(qty * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
+        .filter(qty_c * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                F.sum(cents("l_extendedprice").cast("decimal(38,0)"))
                 .cast("double")
+                / F.lit(100)
                 / 7.0,
                 6,
             ).alias("avg_yearly")
@@ -790,7 +841,8 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
        CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+            AS DECIMAL(38,0))) AS DOUBLE) / 100 AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """.strip(),
@@ -811,8 +863,11 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-            .cast("double")
+            (
+                F.sum(cents("o_totalprice").cast("decimal(38,0)"))
+                .cast("double")
+                / F.lit(100)
+            )
             .alias("total_price"),
         )
         .select(
@@ -995,8 +1050,9 @@ def q_quantity_kll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "brand_size_quantity_revenue",
     oracle="""
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+             AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -1035,10 +1091,9 @@ def q_brand_size_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             & F.col("l_quantity").between(20, 30)
         )
     )
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    rev4 = revenue_e4("l_extendedprice", "l_discount")
     return j.filter(clause).agg(
-        F.sum(price * disc1).cast("double").alias("revenue"),
+        (F.sum(rev4).cast("double") / F.lit(10000)).alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
 
@@ -1091,8 +1146,9 @@ def q_supplier_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "discount_revenue_forecast",
     oracle="""
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+SELECT CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS revenue_delta,
        COUNT(*) AS n_lineitems
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
@@ -1116,12 +1172,13 @@ def q_discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * F.col("l_discount").cast("decimal(4,2)")
-            )
-            .cast("double")
-            .alias("revenue_delta"),
+            (
+                F.sum(
+                    (cents("l_extendedprice") * basis_points("l_discount"))
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(10000)
+            ).alias("revenue_delta"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -1134,8 +1191,9 @@ def q_discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_returns_ranking",
     oracle="""
 SELECT c_custkey, c_name, n_name AS nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+       CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+             AS DECIMAL(38,0))) AS DOUBLE) / 10000
            AS lost_revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -1157,8 +1215,7 @@ def q_customer_returns_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nat = _t(spark, sf_dir, "nation")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    rev4 = revenue_e4("l_extendedprice", "l_discount")
     j = (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
@@ -1166,7 +1223,7 @@ def q_customer_returns_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.sum(price * disc1).cast("double").alias("lost_revenue"))
+        .agg((F.sum(rev4).cast("double") / F.lit(10000)).alias("lost_revenue"))
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -1263,8 +1320,9 @@ _BUCKETS = 8
     oracle="""
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+       CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+             AS DECIMAL(38,0))) AS DOUBLE) / 10000
            AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
@@ -1304,17 +1362,14 @@ def q_orders_lineitem_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFra
     write_table(li, lt, bucket_by=(_BUCKETS, "l_orderkey"))
     write_table(orders, ot, bucket_by=(_BUCKETS, "o_orderkey"))
     lb, ob = spark.table(lt), spark.table(ot)
-    rev = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
-    )
+    rev = revenue_e4("l_extendedprice", "l_discount")
     return (
         lb.hint("merge")
         .join(ob, lb.l_orderkey == ob.o_orderkey)
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(rev).cast("double").alias("revenue"),
+            (F.sum(rev).cast("double") / F.lit(10000)).alias("revenue"),
         )
     )
 
@@ -1398,7 +1453,8 @@ _INCR_CUTOFF = "1997-01-01"
 SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
            AS month_start,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+            AS DECIMAL(38,0))) AS DOUBLE) / 100
            AS total_price
 FROM orders
 GROUP BY date_trunc('month', CAST(o_orderdate AS DATE))
@@ -1423,7 +1479,7 @@ def q_orders_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataF
     def partial(df):
         return df.groupBy(month.alias("month_start")).agg(
             F.count("*").alias("pn"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ps"),
+            F.sum(cents("o_totalprice").cast("decimal(38,0)")).alias("ps"),
         )
 
     hist = partial(orders.filter(F.col("o_orderdate").cast("date") < cutoff))
@@ -1433,7 +1489,7 @@ def q_orders_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("month_start")
         .agg(
             F.sum("pn").cast("long").alias("n_orders"),
-            F.sum("ps").cast("double").alias("total_price"),
+            (F.sum("ps").cast("double") / F.lit(100)).alias("total_price"),
         )
     )
 
@@ -1464,8 +1520,9 @@ hist AS (
 )
 SELECT h.s_acctbal < 0.0 AS neg_balance_at_ship,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+       CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+             AS DECIMAL(38,0))) AS DOUBLE) / 10000
            AS revenue
 FROM lineitem l
 JOIN hist h
@@ -1511,10 +1568,7 @@ def q_lineitem_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("date")),
     )
     ship = F.col("l_shipdate").cast("date")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
-    )
+    rev = revenue_e4("l_extendedprice", "l_discount")
     return (
         li.join(
             F.broadcast(hist),
@@ -1525,7 +1579,7 @@ def q_lineitem_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy((F.col("s_acctbal") < 0.0).alias("neg_balance_at_ship"))
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(rev).cast("double").alias("revenue"),
+            (F.sum(rev).cast("double") / F.lit(10000)).alias("revenue"),
         )
     )
 
@@ -1544,10 +1598,13 @@ q_lineitem_scd2_point_in_time.__doc__ = (
 _FP_COLS = [
     "CAST(l_orderkey AS STRING)",
     "CAST(l_linenumber AS STRING)",
-    "CAST(CAST(l_quantity AS DECIMAL(12,2)) AS STRING)",
-    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS STRING)",
-    "CAST(CAST(l_discount AS DECIMAL(4,2)) AS STRING)",
-    "CAST(CAST(l_tax AS DECIMAL(4,2)) AS STRING)",
+    # money/rate columns canonicalize through the portable FLOOR
+    # integer-units recipe (functions/money.py) — a DECIMAL cast here
+    # would make the row bytes engine-dependent on .xx5 ties.
+    "CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS STRING)",
+    "CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS STRING)",
+    "CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS STRING)",
+    "CAST(CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS STRING)",
     "l_returnflag",
     "l_linestatus",
     "CAST(CAST(l_shipdate AS DATE) AS STRING)",
@@ -1611,7 +1668,7 @@ _OFP_COLS = [
     "CAST(o_orderkey AS STRING)",
     "CAST(o_custkey AS STRING)",
     "o_orderstatus",
-    "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING)",
+    "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)",
     "CAST(CAST(o_orderdate AS DATE) AS STRING)",
     "o_orderpriority",
 ]
@@ -1752,14 +1809,19 @@ def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
     SELECT p.p_brand,
            COUNT(*) AS n,
-           SUM(CAST(l_discount AS DECIMAL(4,2))) AS sx,
-           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sy,
-           SUM(CAST(l_discount AS DECIMAL(4,2))
-               * CAST(l_quantity AS DECIMAL(12,2))) AS sxy,
-           SUM(CAST(l_discount AS DECIMAL(4,2))
-               * CAST(l_discount AS DECIMAL(4,2))) AS sxx,
-           SUM(CAST(l_quantity AS DECIMAL(12,2))
-               * CAST(l_quantity AS DECIMAL(12,2))) AS syy
+           SUM(CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS sx,
+           SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS sy,
+           SUM(CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+               * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS sxy,
+           SUM(CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+               * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS sxx,
+           SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+               * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS syy
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
 )
@@ -1770,7 +1832,7 @@ SELECT p_brand,
                     * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0),
          6) AS corr_disc_qty,
        ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * (n - 1)), 6) AS covar_disc_qty
+           / (CAST(n AS DOUBLE) * (n - 1)) / 10000, 6) AS covar_disc_qty
 FROM m
 """.strip(),
 )
@@ -1795,19 +1857,23 @@ def q_discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n"),
-            F.expr("SUM(CAST(l_discount AS DECIMAL(4,2)))").alias("sx"),
-            F.expr("SUM(CAST(l_quantity AS DECIMAL(12,2)))").alias("sy"),
-            F.expr(
-                "SUM(CAST(l_discount AS DECIMAL(4,2))"
-                " * CAST(l_quantity AS DECIMAL(12,2)))"
+            F.sum(
+                basis_points("l_discount").cast("decimal(38,0)")
+            ).alias("sx"),
+            F.sum(cents("l_quantity").cast("decimal(38,0)")).alias("sy"),
+            F.sum(
+                (basis_points("l_discount") * cents("l_quantity")).cast(
+                    "decimal(38,0)"
+                )
             ).alias("sxy"),
-            F.expr(
-                "SUM(CAST(l_discount AS DECIMAL(4,2))"
-                " * CAST(l_discount AS DECIMAL(4,2)))"
+            F.sum(
+                (basis_points("l_discount") * basis_points("l_discount"))
+                .cast("decimal(38,0)")
             ).alias("sxx"),
-            F.expr(
-                "SUM(CAST(l_quantity AS DECIMAL(12,2))"
-                " * CAST(l_quantity AS DECIMAL(12,2)))"
+            F.sum(
+                (cents("l_quantity") * cents("l_quantity")).cast(
+                    "decimal(38,0)"
+                )
             ).alias("syy"),
         )
     )
@@ -1824,7 +1890,7 @@ def q_discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFra
             ", 0), 6)"
         ).alias("corr_disc_qty"),
         F.expr(
-            f"ROUND({num} / (CAST(n AS DOUBLE) * (n - 1)), 6)"
+            f"ROUND({num} / (CAST(n AS DOUBLE) * (n - 1)) / 10000, 6)"
         ).alias("covar_disc_qty"),
     )
 
@@ -1845,11 +1911,11 @@ WITH a AS (
            CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS mn_sd,
            CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS mx_sd,
            COUNT(l_quantity) AS c_q, COUNT(DISTINCT l_quantity) AS d_q,
-           CAST(CAST(MIN(l_quantity) AS DECIMAL(12,2)) AS VARCHAR) AS mn_q,
-           CAST(CAST(MAX(l_quantity) AS DECIMAL(12,2)) AS VARCHAR) AS mx_q,
+           CAST(CAST(FLOOR(MIN(l_quantity) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS mn_q,
+           CAST(CAST(FLOOR(MAX(l_quantity) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS mx_q,
            COUNT(l_discount) AS c_d, COUNT(DISTINCT l_discount) AS d_d,
-           CAST(CAST(MIN(l_discount) AS DECIMAL(4,2)) AS VARCHAR) AS mn_d,
-           CAST(CAST(MAX(l_discount) AS DECIMAL(4,2)) AS VARCHAR) AS mx_d
+           CAST(CAST(FLOOR(MIN(l_discount) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS mn_d,
+           CAST(CAST(FLOOR(MAX(l_discount) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS mx_d
     FROM lineitem
 )
 SELECT 'l_returnflag' AS column_name, CAST(n_rows - c_rf AS BIGINT) AS n_nulls,
@@ -1893,12 +1959,20 @@ def q_lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CAST(MAX(l_shipdate) AS DATE) AS STRING)").alias("mx_sd"),
         F.count("l_quantity").alias("c_q"),
         F.countDistinct("l_quantity").alias("d_q"),
-        F.expr("CAST(CAST(MIN(l_quantity) AS DECIMAL(12,2)) AS STRING)").alias("mn_q"),
-        F.expr("CAST(CAST(MAX(l_quantity) AS DECIMAL(12,2)) AS STRING)").alias("mx_q"),
+        F.expr(
+            "CAST(CAST(FLOOR(MIN(l_quantity) * 100 + 0.5) AS BIGINT) AS STRING)"
+        ).alias("mn_q"),
+        F.expr(
+            "CAST(CAST(FLOOR(MAX(l_quantity) * 100 + 0.5) AS BIGINT) AS STRING)"
+        ).alias("mx_q"),
         F.count("l_discount").alias("c_d"),
         F.countDistinct("l_discount").alias("d_d"),
-        F.expr("CAST(CAST(MIN(l_discount) AS DECIMAL(4,2)) AS STRING)").alias("mn_d"),
-        F.expr("CAST(CAST(MAX(l_discount) AS DECIMAL(4,2)) AS STRING)").alias("mx_d"),
+        F.expr(
+            "CAST(CAST(FLOOR(MIN(l_discount) * 100 + 0.5) AS BIGINT) AS STRING)"
+        ).alias("mn_d"),
+        F.expr(
+            "CAST(CAST(FLOOR(MAX(l_discount) * 100 + 0.5) AS BIGINT) AS STRING)"
+        ).alias("mx_d"),
     )
     return a.select(
         F.expr(
@@ -1923,7 +1997,8 @@ WITH per_cust AS (
     SELECT o_custkey,
            MAX(CAST(o_orderdate AS DATE)) AS last_order,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+           SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS monetary
     FROM orders GROUP BY o_custkey
 ),
 anchored AS (
@@ -1942,7 +2017,7 @@ scored AS (
 )
 SELECT r_quartile, f_quartile, m_quartile,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
+       ROUND(CAST(SUM(monetary) AS DOUBLE) / 100 / COUNT(*), 6) AS avg_monetary
 FROM scored
 GROUP BY r_quartile, f_quartile, m_quartile
 """.strip(),
@@ -1970,7 +2045,7 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
+        F.sum(cents("o_totalprice").cast("decimal(38,0)")).alias("monetary"),
     )
     anchor = o.agg(
         F.max(F.col("o_orderdate").cast("date")).alias("now_date")
@@ -1999,7 +2074,7 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count("*").cast("long").alias("n_customers"),
         F.round(
-            F.sum("monetary").cast("double") / F.count("*"), 6
+            F.sum("monetary").cast("double") / F.lit(100) / F.count("*"), 6
         ).alias("avg_monetary"),
     )
 

@@ -14,6 +14,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from supplier_performance_data_pipeline_spark.functions.money import (
+    cents,
+    revenue_e4,
+)
 from supplier_performance_data_pipeline_spark.functions.scalar import round_doubles
 from supplier_performance_data_pipeline_spark.operators.kpis import supplier_kpis
 from supplier_performance_data_pipeline_spark.operators.quality import (
@@ -407,8 +411,9 @@ def q_supplier_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS revenue
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
   AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
@@ -456,12 +461,10 @@ def q_lineitem_range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
     )
-    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast("decimal(4,2)")
     return scan.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(revenue).cast("double").alias("revenue"),
+        (F.sum(revenue_e4("l_extendedprice", "l_discount")).cast("double")
+         / F.lit(10000)).alias("revenue"),
     )
 
 
@@ -492,13 +495,16 @@ SELECT o_orderpriority,
        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
        CAST(SUM(CASE WHEN o_orderstatus = 'F'
-                THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+                THEN CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS DECIMAL(38,0)) END) AS DOUBLE) / 100
            AS total_f,
        CAST(SUM(CASE WHEN o_orderstatus = 'O'
-                THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+                THEN CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS DECIMAL(38,0)) END) AS DOUBLE) / 100
            AS total_o,
        CAST(SUM(CASE WHEN o_orderstatus = 'P'
-                THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+                THEN CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS DECIMAL(38,0)) END) AS DOUBLE) / 100
            AS total_p
 FROM orders GROUP BY o_orderpriority
 """.strip(),
@@ -520,9 +526,8 @@ def q_order_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             # count(lit(1)), not count("*"): Pivot rejects the star
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-            .cast("double")
-            .alias("total"),
+            (F.sum(cents("o_totalprice").cast("decimal(38,0)"))
+             .cast("double") / F.lit(100)).alias("total"),
         )
     )
     return wide.select(
@@ -580,8 +585,10 @@ def q_supplier_kpis_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_zorder_layout_scan",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+       CAST(SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                AS DECIMAL(38,0))) AS DOUBLE) / 100 AS total_qty,
+       CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                AS DECIMAL(38,0))) AS DOUBLE) / 100
            AS total_price
 FROM lineitem
 WHERE l_partkey BETWEEN 100 AND 300
@@ -628,10 +635,8 @@ def q_lineitem_zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return scan.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("total_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("total_price"),
+        (F.sum(cents("l_quantity").cast("decimal(38,0)"))
+         .cast("double") / F.lit(100)).alias("total_qty"),
+        (F.sum(cents("l_extendedprice").cast("decimal(38,0)"))
+         .cast("double") / F.lit(100)).alias("total_price"),
     )

@@ -17,6 +17,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from supplier_performance_data_pipeline_spark.functions.money import (
+    cents,
+    revenue_e4,
+    revenue_e4_sql,
+)
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.session import tune_session
 
@@ -27,15 +32,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _revenue_cols():
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
-    return price * disc1
+    """Discounted revenue in exact integer 1e-4 dollars (the portable
+    FLOOR cents×basis-points recipe from functions/money.py); callers
+    report CAST(SUM(...) AS DOUBLE) / 10000 at the output edge."""
+    return revenue_e4("l_extendedprice", "l_discount")
 
 
-_REV_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(12,2)) "
-    "* CAST(1.0 - l_discount AS DECIMAL(4,2))"
-)
+_REV_SQL = revenue_e4_sql("l_extendedprice", "l_discount")
 
 
 # --- Q13 shape: customer order-count distribution ---------------------------
@@ -91,14 +94,17 @@ _LARGE_ORDER_QTY = 300
     "large_order_customers",
     oracle=f"""
 WITH big AS (
-    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+    SELECT l_orderkey,
+           SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS total_qty
     FROM lineitem GROUP BY l_orderkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {_LARGE_ORDER_QTY}
+    HAVING SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) > {_LARGE_ORDER_QTY} * 100
 )
 SELECT c_name, c_custkey, o_orderkey,
        CAST(o_orderdate AS DATE) AS o_orderdate,
        o_totalprice,
-       CAST(total_qty AS DOUBLE) AS total_qty
+       CAST(total_qty AS DOUBLE) / 100 AS total_qty
 FROM big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -120,8 +126,10 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("total_qty"))
-        .filter(F.col("total_qty") > _LARGE_ORDER_QTY)
+        .agg(
+            F.sum(cents("l_quantity").cast("decimal(38,0)")).alias("total_qty")
+        )
+        .filter(F.col("total_qty") > _LARGE_ORDER_QTY * 100)
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
@@ -132,7 +140,7 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_totalprice",
-            F.col("total_qty").cast("double").alias("total_qty"),
+            (F.col("total_qty").cast("double") / F.lit(100)).alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
@@ -162,7 +170,7 @@ WITH rev AS (
 ),
 mx AS (SELECT MAX(total_revenue) AS max_revenue FROM rev)
 SELECT s_suppkey, s_name,
-       CAST(total_revenue AS DOUBLE) AS total_revenue
+       CAST(total_revenue AS DOUBLE) / 10000 AS total_revenue
 FROM rev CROSS JOIN mx
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = max_revenue
@@ -197,7 +205,9 @@ def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_revenue").cast("double").alias("total_revenue"),
+            (F.col("total_revenue").cast("double") / F.lit(10000)).alias(
+                "total_revenue"
+            ),
         )
     )
 
@@ -214,7 +224,7 @@ _TRADE_B = "NATION_2"
 SELECT ns.n_name AS supp_nation,
        nc.n_name AS cust_nation,
        CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS ship_year,
-       CAST(SUM({_REV_SQL}) AS DOUBLE) AS volume
+       CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -270,7 +280,7 @@ def q_nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year(F.col("l_shipdate").cast("date")).alias("ship_year"),
         )
-        .agg(F.sum(_revenue_cols()).cast("double").alias("volume"))
+        .agg((F.sum(_revenue_cols()).cast("double") / F.lit(10000)).alias("volume"))
     )
 
 
@@ -284,7 +294,7 @@ _PROFIT_PTYPE = "PROMO"
     oracle=f"""
 SELECT n_name AS nation,
        CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
-       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+       CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -325,7 +335,7 @@ def q_product_type_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFr
             "nation",
             F.year(F.col("o_orderdate").cast("date")).alias("order_year"),
         )
-        .agg(F.sum(_revenue_cols()).cast("double").alias("revenue"))
+        .agg((F.sum(_revenue_cols()).cast("double") / F.lit(10000)).alias("revenue"))
     )
 
 
@@ -338,7 +348,8 @@ _DORMANT_CUTOFF = "1999-01-01"
     "dormant_high_value_customers",
     oracle=f"""
 WITH bounds AS (
-    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+    SELECT CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS DOUBLE) / 100
            / COUNT(*) AS avg_bal
     FROM customer WHERE c_acctbal > 0.0
 ),
@@ -354,7 +365,8 @@ dormant AS (
 )
 SELECT n_name AS nation,
        COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+       CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                AS DECIMAL(38,0))) AS DOUBLE) / 100 AS total_balance
 FROM dormant JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """.strip(),
@@ -374,7 +386,8 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
     nat = _t(spark, sf_dir, "nation")
     bounds = cust.filter(F.col("c_acctbal") > 0.0).agg(
         (
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            F.sum(cents("c_acctbal").cast("decimal(38,0)")).cast("double")
+            / F.lit(100)
             / F.count("*")
         ).alias("avg_bal")
     )
@@ -392,9 +405,10 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_balance"),
+            (
+                F.sum(cents("c_acctbal").cast("decimal(38,0)")).cast("double")
+                / F.lit(100)
+            ).alias("total_balance"),
         )
     )
 
@@ -408,7 +422,7 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
 WITH monthly AS (
     SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
                AS month_start,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS revenue
     FROM lineitem
     GROUP BY date_trunc('month', CAST(l_shipdate AS DATE))
 )
@@ -439,7 +453,7 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "month_start"
             )
         )
-        .agg(F.sum(_revenue_cols()).cast("double").alias("revenue"))
+        .agg((F.sum(_revenue_cols()).cast("double") / F.lit(10000)).alias("revenue"))
     )
     w = Window.orderBy("month_start")
     prev = F.lag("revenue").over(w)
@@ -628,7 +642,8 @@ def q_part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_cust AS (
     SELECT o_custkey,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS rev
     FROM orders GROUP BY o_custkey
 ),
 tot AS (SELECT SUM(rev) AS total FROM per_cust),
@@ -639,7 +654,7 @@ deciles AS (
 )
 SELECT decile,
        COUNT(*) AS n_customers,
-       CAST(SUM(rev) AS DOUBLE) AS decile_revenue,
+       CAST(SUM(rev) AS DOUBLE) / 100 AS decile_revenue,
        ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(total AS DOUBLE) * 100.0, 6)
            AS share_pct
 FROM deciles CROSS JOIN tot
@@ -667,7 +682,7 @@ def q_revenue_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     per_cust = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        F.sum(cents("o_totalprice").cast("decimal(38,0)")).alias("rev")
     )
     tot = per_cust.agg(F.sum("rev").alias("total"))
     w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
@@ -682,7 +697,9 @@ def q_revenue_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "decile",
             "n_customers",
-            F.col("rev_sum").cast("double").alias("decile_revenue"),
+            (F.col("rev_sum").cast("double") / F.lit(100)).alias(
+                "decile_revenue"
+            ),
             F.round(
                 F.col("rev_sum").cast("double")
                 / F.col("total").cast("double")
@@ -1037,16 +1054,18 @@ def q_part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue_share",
     oracle=f"""
-SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
-       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                     THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(3,2)) END)
-            AS DOUBLE) AS promo_revenue,
-       CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue,
-       ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                     THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
-             / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS promo_share_pct
-FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-GROUP BY 1
+SELECT ship_month, promo_revenue, total_revenue,
+       ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct
+FROM (
+    SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_REV_SQL}
+                         ELSE CAST(0 AS DECIMAL(38,0)) END)
+                AS DOUBLE) / 10000 AS promo_revenue,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+) t
 """.strip(),
 )
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,14 +1078,14 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     rev = _revenue_cols()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(3,2)")
+        F.lit(0).cast("decimal(38,0)")
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
-            F.sum(promo).cast("double").alias("promo_revenue"),
-            F.sum(rev).cast("double").alias("total_revenue"),
+            (F.sum(promo).cast("double") / F.lit(10000)).alias("promo_revenue"),
+            (F.sum(rev).cast("double") / F.lit(10000)).alias("total_revenue"),
         )
         .select(
             "ship_month",
@@ -1088,7 +1107,8 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ps AS (
     SELECT l_partkey, l_suppkey,
-           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+           SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS qty
     FROM lineitem GROUP BY l_partkey, l_suppkey
 ),
 tot AS (
@@ -1128,7 +1148,7 @@ def q_suppliers_of_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty")
+        F.sum(cents("l_quantity").cast("decimal(38,0)")).alias("qty")
     )
     w = Window.partitionBy("l_partkey")
     dom = (
@@ -1155,23 +1175,25 @@ def q_suppliers_of_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "nation_market_share_by_year",
     oracle=f"""
-SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
-       CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
-                     THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(3,2)) END)
-            AS DOUBLE) AS target_revenue,
-       CAST(SUM({_REV_SQL}) AS DOUBLE) AS market_revenue,
-       ROUND(100.0 * CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
-                     THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
-             / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS mkt_share_pct
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN part     ON l_partkey = p_partkey AND p_type = 'STANDARD'
-JOIN customer ON o_custkey = c_custkey
-JOIN nation n1 ON c_nationkey = n1.n_nationkey
-JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation n2 ON s_nationkey = n2.n_nationkey
-GROUP BY 1
+SELECT order_year, target_revenue, market_revenue,
+       ROUND(100.0 * target_revenue / market_revenue, 6) AS mkt_share_pct
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                         THEN {_REV_SQL}
+                         ELSE CAST(0 AS DECIMAL(38,0)) END)
+                AS DOUBLE) / 10000 AS target_revenue,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS market_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey AND p_type = 'STANDARD'
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    GROUP BY 1
+) t
 """.strip(),
 )
 def q_nation_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,7 +1217,7 @@ def q_nation_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     rev = _revenue_cols()
     target = F.when(F.col("n2.n_name") == "NATION_7", rev).otherwise(
-        F.lit(0).cast("decimal(3,2)")
+        F.lit(0).cast("decimal(38,0)")
     )
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -1209,8 +1231,10 @@ def q_nation_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         joined.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(
-            F.sum(target).cast("double").alias("target_revenue"),
-            F.sum(rev).cast("double").alias("market_revenue"),
+            (F.sum(target).cast("double") / F.lit(10000)).alias(
+                "target_revenue"
+            ),
+            (F.sum(rev).cast("double") / F.lit(10000)).alias("market_revenue"),
         )
         .select(
             "order_year",

@@ -20,16 +20,32 @@ class QuerySpec:
     name: str
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
+    # Columns whose cross-engine contract is *approximate* (compared at
+    # tolerance by the local parity gate). Default: EVERY column is
+    # exact — the driver hashes exact values, and round 4 proved that a
+    # tolerant local gate certifies queries the driver then fails
+    # (rtol=1e-9 at 1e8 magnitude tolerates cent-level error). Declare
+    # a column here only with a docstring reason.
+    approx_cols: frozenset[str] = frozenset()
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(
+    name: str,
+    oracle: str | None = None,
+    approx_cols: frozenset[str] | set[str] = frozenset(),
+):
     """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name=name, build=fn, oracle=oracle)
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            build=fn,
+            oracle=oracle,
+            approx_cols=frozenset(approx_cols),
+        )
         return fn
 
     return deco

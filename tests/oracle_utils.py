@@ -39,7 +39,23 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def assert_frames_match(actual: pd.DataFrame, expected: pd.DataFrame, name: str):
+def assert_frames_match(
+    actual: pd.DataFrame,
+    expected: pd.DataFrame,
+    name: str,
+    approx_cols: frozenset[str] = frozenset(),
+):
+    """Exact comparison by default, EVEN for float columns.
+
+    The driver hashes exact values; round 4 proved that a tolerant
+    local gate (the old rtol=1e-9, which at 1e8 magnitude tolerates
+    cent-level absolute error) certifies queries the driver then
+    fails. Float columns are compared by repr (bit-identity up to the
+    0.0/-0.0 distinction the shortest-roundtrip repr makes visible —
+    which the driver's canonicalization would also see); only columns
+    a spec explicitly declares in ``approx_cols`` fall back to the
+    tolerance check.
+    """
     assert sorted(actual.columns) == sorted(expected.columns), (
         f"{name}: column mismatch {sorted(actual.columns)} vs {sorted(expected.columns)}"
     )
@@ -50,10 +66,24 @@ def assert_frames_match(actual: pd.DataFrame, expected: pd.DataFrame, name: str)
     for col in a.columns:
         av, ev = a[col], e[col]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(ev):
-            ok = np.isclose(
-                av.astype(float), ev.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True
-            ).all()
-            assert ok, f"{name}: value mismatch in float column {col}"
+            af = av.astype(float)
+            ef = ev.astype(float)
+            if col in approx_cols:
+                ok = np.isclose(
+                    af, ef, rtol=1e-9, atol=1e-9, equal_nan=True
+                ).all()
+                assert ok, f"{name}: value mismatch in approx float column {col}"
+            else:
+                ar = af.map(repr)
+                er = ef.map(repr)
+                mism = ar[ar != er]
+                assert mism.empty, (
+                    f"{name}: exact float mismatch in column {col} "
+                    f"({len(mism)} rows), first: "
+                    f"{ar[mism.index[0]]} vs {er[mism.index[0]]} "
+                    "(declare in approx_cols ONLY with a documented "
+                    "approximate contract)"
+                )
         else:
             assert av.fillna("<NULL>").astype(str).equals(
                 ev.fillna("<NULL>").astype(str)

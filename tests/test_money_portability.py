@@ -1,0 +1,196 @@
+"""Adversarial money-math portability: the round-4 reds came from money
+values the testdata happens not to contain (exact half-cent ties, >2dp
+prices) hitting engine-specific rounding in DECIMAL casts/rescales.
+This suite proves the FLOOR integer-unit recipe (functions/money.py)
+survives data engineered to hit every tie:
+
+1. the cents/basis-points primitives agree bit-for-bit between Spark
+   and DuckDB on thousands of .xx5 / .xxx5 / >2dp adversarial values
+   (including negatives, where FLOOR's half-toward-+inf convention
+   differs from HALF_UP but is identical across engines — which is the
+   actual contract);
+2. EVERY money-handling registry query matches its oracle EXACTLY on a
+   testdata clone whose money columns are replaced with adversarial
+   tie values end-to-end;
+3. the tightened local gate (exact float comparison in
+   tests/oracle_utils.py) catches a deliberately injected 1-cent error
+   that the old rtol=1e-9 comparison certified — the round-4 escape
+   hatch, now pinned shut.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from supplier_performance_data_pipeline_spark.functions.money import (
+    basis_points,
+    basis_points_sql,
+    cents,
+    cents_sql,
+)
+from supplier_performance_data_pipeline_spark.plans.registry import load_all
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import assert_frames_match, run_oracle
+
+MONEY_COLS = (
+    "l_extendedprice",
+    "o_totalprice",
+    "c_acctbal",
+    "l_quantity",
+    "l_discount",
+    "l_tax",
+)
+
+
+def _adversarial_values(n: int) -> np.ndarray:
+    """Doubles engineered to sit on every rounding boundary: exact
+    .xx5 half-cent ties, .xxx5 sub-cent ties, >2dp tails, negatives."""
+    rng = np.random.RandomState(7)
+    base = rng.uniform(0, 99999, n)
+    out = np.empty(n)
+    kind = np.arange(n) % 5
+    out[kind == 0] = np.floor(base[kind == 0]) + 0.005  # half-cent tie
+    out[kind == 1] = np.floor(base[kind == 1] * 10) / 10 + 0.015
+    out[kind == 2] = np.round(base[kind == 2], 4)  # 4dp tails
+    out[kind == 3] = np.floor(base[kind == 3]) + 0.455
+    out[kind == 4] = -(np.floor(base[kind == 4]) + 0.005)  # negative tie
+    return out
+
+
+def test_cents_primitive_bit_identical_cross_engine(spark):
+    vals = _adversarial_values(6000)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) AS x)",
+        [vals.tolist()],
+    )
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {cents_sql('x')} FROM t ORDER BY rowid"
+        ).fetchall()
+    ]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(vals)), "x": vals})
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in sdf.select("i", cents("x").alias("c")).collect()
+    }
+    spark_vals = [got[i] for i in range(len(vals))]
+    assert spark_vals == duck, (
+        "cents() disagrees cross-engine on adversarial ties"
+    )
+
+
+def test_basis_points_primitive_bit_identical_cross_engine(spark):
+    # rates in [0,1] with half-bp ties like 0.055, 0.005, 0.125
+    vals = [i / 1000.0 for i in range(0, 1001)] + [0.055, 0.005, 0.075]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) AS x)", [vals]
+    )
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {basis_points_sql('x')} FROM t ORDER BY rowid"
+        ).fetchall()
+    ]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(vals)), "x": vals})
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in sdf.select("i", basis_points("x").alias("c")).collect()
+    }
+    assert [got[i] for i in range(len(vals))] == duck
+
+
+# --- end-to-end: every money query over an adversarial testdata clone -------
+
+
+def _money_specs():
+    specs = load_all()
+    return sorted(
+        name
+        for name, spec in specs.items()
+        if spec.oracle is not None
+        and "FLOOR(" in spec.oracle
+        and any(c in spec.oracle for c in MONEY_COLS)
+    )
+
+
+@pytest.fixture(scope="session")
+def adversarial_sf_dir(tmp_path_factory):
+    """Clone of sf0.001 whose money columns are replaced with
+    adversarial tie values (same schema, same row counts/keys)."""
+    out = str(tmp_path_factory.mktemp("adversarial_sf"))
+    perturb = {
+        "lineitem": ["l_extendedprice", "l_quantity", "l_discount", "l_tax"],
+        "orders": ["o_totalprice"],
+        "customer": ["c_acctbal"],
+    }
+    for fname in os.listdir(SF_SMOKE):
+        src = os.path.join(SF_SMOKE, fname)
+        dst = os.path.join(out, fname)
+        table = fname.removesuffix(".parquet")
+        if table not in perturb:
+            shutil.copy(src, dst)
+            continue
+        df = pd.read_parquet(src)
+        for col in perturb[table]:
+            vals = _adversarial_values(len(df))
+            if col in ("l_discount", "l_tax"):
+                vals = np.abs(vals) % 1000 / 10000.0  # rates in [0, 0.1)
+            elif col != "c_acctbal":
+                vals = np.abs(vals)  # prices/quantities non-negative
+            df[col] = vals
+        df.to_parquet(dst, index=False)
+    return out
+
+
+@pytest.mark.parametrize("name", _money_specs())
+def test_money_query_exact_on_adversarial_data(
+    spark, adversarial_sf_dir, name
+):
+    spec = load_all()[name]
+    actual = spec.build(spark, adversarial_sf_dir).toPandas()
+    expected = run_oracle(adversarial_sf_dir, spec.oracle)
+    assert_frames_match(actual, expected, name, approx_cols=spec.approx_cols)
+
+
+# --- the round-4 escape hatch, pinned shut ----------------------------------
+
+
+def test_exact_gate_catches_one_cent_error():
+    """A 1-cent error at 1e8 magnitude passed the old rtol=1e-9 gate
+    (|a-b| <= rtol*|b| tolerates ±0.1 at that scale) — exactly how two
+    genuinely-wrong queries certified 'parity green' in round 4. The
+    exact gate must fail it."""
+    a = pd.DataFrame({"k": ["x"], "revenue": [123456789.01]})
+    b = pd.DataFrame({"k": ["x"], "revenue": [123456789.02]})
+    assert np.isclose(
+        a.revenue, b.revenue, rtol=1e-9, atol=1e-9
+    ).all(), "precondition: the OLD gate tolerates the cent error"
+    with pytest.raises(AssertionError, match="exact float mismatch"):
+        assert_frames_match(a, b, "injected_cent_error")
+
+
+def test_money_registry_has_no_decimal_cast_left():
+    """No registered oracle may quantize money through a DECIMAL cast
+    (engine-dependent tie-rounding) — the FLOOR recipe is the only
+    sanctioned quantization. Guards against regression by new queries."""
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        for col in MONEY_COLS:
+            assert f"CAST({col} AS DECIMAL" not in spec.oracle, (
+                f"{name}: oracle quantizes {col} via DECIMAL cast; use "
+                "the FLOOR integer-unit recipe from functions/money.py"
+            )

@@ -29,7 +29,7 @@ def test_query_matches_oracle(spark, name):
         assert len(actual) >= 0  # rows-only check, mirrors the driver
         return
     expected = run_oracle(PARITY_SF_DIR, spec.oracle)
-    assert_frames_match(actual, expected, name)
+    assert_frames_match(actual, expected, name, approx_cols=spec.approx_cols)
 
 
 def _assert_no_cache_residue(spark, name: str) -> None:

@@ -35,9 +35,29 @@ def test_rotation_prefers_senior_never_checked():
 
     age = e._registration_age()
     assert age, "REGISTRY_AGE.json must load"
-    last = e._last_checked_round()
+    last, failed = e._board_state()
     order = e._rotation_order(list(load_all()))
-    never = [n for n in order if n not in last]
-    # Within the never-checked prefix, ages must be non-decreasing.
+    never = [n for n in order if n not in last and n not in failed]
+    # Within the never-checked tier, ages must be non-decreasing.
     ages = [age.get(n, 99) for n in never]
     assert ages == sorted(ages), never
+
+
+def test_rotation_puts_latest_row_failures_first():
+    """Round-4 lesson: with a pure LRU rotation, a query that failed in
+    the immediately previous round sorts LAST (it was just checked) and
+    its fix cannot be re-proved for several rounds. Queries whose
+    LATEST driver row failed must lead queries(); a later green row
+    clears the flag."""
+    import __spark_entry__ as e
+
+    last, failed = e._board_state()
+    order = e._rotation_order(list(load_all()))
+    k = len([n for n in order if n in failed])
+    assert set(order[:k]) == failed, (
+        f"failed queries must occupy the first {k} rotation slots"
+    )
+    # lsh_near_dup_pairs failed in r01 but re-proved green in r04 — the
+    # flag must reflect the LATEST row, not any historical failure.
+    if "lsh_near_dup_pairs" in last:
+        assert "lsh_near_dup_pairs" not in failed
