@@ -134,6 +134,9 @@ HEADLINE = [
     "supplier_snapshot_diff",
     "events_lateness_histogram",
     "streaming_left_outer_equivalence",
+    "events_cm_frequency_audit",
+    "events_debounce",
+    "embedding_pq_codes",
 ]
 
 

@@ -1578,3 +1578,161 @@ def q_streaming_left_outer_equivalence(
         n_mism.alias("n_mismatched"),
         (n_mism == 0).alias("streaming_equals_batch"),
     )
+
+
+# --- Count-Min sketch frequency audit ---------------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    md5_mod_sql,
+)
+from supplier_performance_data_pipeline_spark.operators.sketch import (  # noqa: E402
+    CM_DEPTH,
+    CM_WIDTH,
+    cm_cell_table,
+    cm_estimates,
+)
+
+_CM_PROBES_SQL = "\n    UNION ALL ".join(
+    f"SELECT event_type, {r} AS row, "
+    + md5_mod_sql("event_type", f"cm{r}|", CM_WIDTH)
+    + " AS pos FROM events WHERE event_type IS NOT NULL"
+    for r in range(CM_DEPTH)
+)
+
+
+@register(
+    "events_cm_frequency_audit",
+    oracle=f"""
+WITH probes AS (
+    {_CM_PROBES_SQL}
+),
+cells AS (
+    SELECT row, pos, COUNT(*) AS cnt FROM probes GROUP BY row, pos
+),
+items AS (
+    SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+),
+iprobes AS (
+    SELECT p.event_type, p.row, p.pos FROM (
+        {_CM_PROBES_SQL.replace("FROM events", "FROM items")}
+    ) p
+),
+est AS (
+    SELECT i.event_type AS item, MIN(COALESCE(c.cnt, 0)) AS est
+    FROM (SELECT DISTINCT event_type, row, pos FROM iprobes) i
+    LEFT JOIN cells c ON i.row = c.row AND i.pos = c.pos
+    GROUP BY i.event_type
+),
+truth AS (
+    SELECT event_type AS item, COUNT(*) AS true_cnt
+    FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+)
+SELECT t.item,
+       CAST(t.true_cnt AS BIGINT) AS true_cnt,
+       CAST(e.est AS BIGINT) AS est,
+       CAST(e.est - t.true_cnt AS BIGINT) AS overestimate,
+       e.est >= t.true_cnt AS never_undercounts
+FROM truth t JOIN est e ON t.item = e.item
+""".strip(),
+)
+def q_events_cm_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency audit (Cormode & Muthukrishnan '05):
+    build the mergeable (row, pos, cnt) cell table over event_type,
+    point-query every distinct type back through the sketch, and emit
+    estimate vs exact count with the overestimate margin — the
+    structural guarantee (est >= truth ALWAYS; cells only ever add)
+    surfaces as a per-item boolean the driver hash-verifies. The cell
+    table uses the engine's portable md5_mod recipe, so the oracle
+    reproduces every cell bit-for-bit — unlike Misra-Gries (whose
+    candidate set is arrival-order-dependent and only superset-
+    verifiable), the CM sketch is a reproducible VALUE.
+
+    Plan: one fact scan → ×depth generator expansion (projection) →
+    ONE (row, pos)-keyed agg whose map-side combine collapses each
+    partition to <= depth×width cells BEFORE the shuffle: the exchange
+    carries the sketch, not the data. The estimate pass never rescans
+    the fact table — the sketch (<= 4096 rows) broadcasts into the
+    distinct-item probe join. At 100 TB this is the shape that counts
+    a quadrillion events in ~32 KB of shuffled state per partition;
+    widen CM_WIDTH to bound the additive error 2n/width."""
+    ev = _events(spark, sf_dir)
+    cells = cm_cell_table(ev, "event_type")
+    items = ev.filter(F.col("event_type").isNotNull()).select(
+        "event_type"
+    ).distinct()
+    est = cm_estimates(cells, items, "event_type")
+    truth = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("item"))
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    return truth.join(est, "item").select(
+        "item",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("est").cast("long").alias("est"),
+        (F.col("est") - F.col("true_cnt")).cast("long").alias("overestimate"),
+        (F.col("est") >= F.col("true_cnt")).alias("never_undercounts"),
+    )
+
+
+# --- debounce: time-axis dedup (burst openers) ------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.windows import (  # noqa: E402
+    debounce,
+)
+
+_DEBOUNCE_QUIET_S = 86400  # 1 day: events are sparse per user
+
+
+@register(
+    "events_debounce",
+    oracle=f"""
+WITH e AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE ts IS NOT NULL
+),
+g AS (
+    SELECT event_id, user_id, ts,
+           epoch(ts) - LAG(epoch(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts), event_id
+           ) AS gap
+    FROM e
+)
+SELECT user_id, event_id, epoch_us(ts) AS ts_us
+FROM g WHERE gap IS NULL OR gap > {_DEBOUNCE_QUIET_S}
+""".strip(),
+)
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: keep only the OPENING event of each per-user burst
+    (quiet window {quiet}s) — the time-axis member of the dedup family:
+    exact dedup collapses identical payloads, debounce collapses
+    temporal repeats regardless of payload. Semantically identical to
+    "sessionize with gap=quiet and keep each session's first event",
+    which is the operator's cross-validation contract
+    (tests/test_windows.py).
+
+    Plan: ONE user-keyed shuffle for the lag window, then a pure
+    filter — no join, no second scan. The epoch-seconds gap is
+    µs/1e6 in both engines (exact division, identical doubles);
+    event_id breaks ts ties so the kept set is a total-order cut.
+    Output pins timestamps as integer epoch-µs, keeping the hashed
+    surface integer-only. At 100 TB the window partitions by the
+    (high-cardinality) user key — no global sort anywhere."""
+    ev = _events(spark, sf_dir)
+    kept = debounce(
+        ev,
+        ["user_id"],
+        ts_col="ts",
+        quiet_seconds=_DEBOUNCE_QUIET_S,
+        order_col="event_id",
+    )
+    return kept.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
+q_events_debounce.__doc__ = q_events_debounce.__doc__.format(
+    quiet=_DEBOUNCE_QUIET_S
+)

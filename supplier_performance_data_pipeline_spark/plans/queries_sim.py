@@ -997,3 +997,106 @@ def q_embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFram
     return assigned.groupBy(
         F.col("label").alias("true_label"), "pred_label"
     ).agg(F.count("*").alias("n_vectors"))
+
+
+# --- product quantization codes (PQ, Jégou et al. PAMI '11) -----------------
+
+from supplier_performance_data_pipeline_spark.operators.clustering import (  # noqa: E402
+    pq_encode,
+)
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codewords per subspace
+_PQ_DSUB = DIM // PQ_M
+
+
+def _pq_subspace_ctes(s: int, k: int, iters: int, d_sub: int) -> list[str]:
+    """Lloyd CTE chain for ONE PQ subspace — the subspace-sliced twin
+    of ``_kmeans_ctes`` (same first-k seeding, same left-to-right
+    double distance fold, same DECIMAL(20,10) centroid sums), with
+    every CTE name prefixed ``s{s}_`` and the base sliced to elements
+    [s·d_sub+1, (s+1)·d_sub] (DuckDB 1-based inclusive list slice ≡
+    Spark's F.slice(v, s·d_sub+1, d_sub))."""
+    lo, hi = s * d_sub + 1, (s + 1) * d_sub
+    dist = (
+        f"list_sum(list_transform(range(0, {d_sub}), "
+        "i -> (b.v[i+1] - c.cv[i+1]) * (b.v[i+1] - c.cv[i+1])))"
+    )
+    cv_exprs = ", ".join(
+        f"CAST(SUM(CAST(b.v[{i + 1}] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*)"
+        for i in range(d_sub)
+    )
+    p = f"s{s}_"
+    ctes = [
+        f"{p}b AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM b_full)",
+        f"{p}cent_0 AS (SELECT vec_id AS cluster, v AS cv "
+        f"FROM {p}b WHERE vec_id < {k})",
+    ]
+    for n in range(iters + 1):
+        ctes.append(
+            f"{p}dist_{n} AS (SELECT b.vec_id, c.cluster, {dist} AS d "
+            f"FROM {p}b b CROSS JOIN {p}cent_{n} c)"
+        )
+        ctes.append(
+            f"{p}assign_{n} AS (SELECT vec_id, cluster, d FROM ("
+            "SELECT vec_id, cluster, d, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY d, cluster) AS rn "
+            f"FROM {p}dist_{n}) t WHERE rn = 1)"
+        )
+        if n < iters:
+            ctes.append(
+                f"{p}cent_{n + 1} AS (SELECT a.cluster, [{cv_exprs}] AS cv "
+                f"FROM {p}b b JOIN {p}assign_{n} a ON b.vec_id = a.vec_id "
+                "GROUP BY a.cluster)"
+            )
+    return ctes
+
+
+def _pq_oracle(m: int, k: int, iters: int, d_sub: int) -> str:
+    ctes = [
+        "b_full AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    ]
+    for s in range(m):
+        ctes.extend(_pq_subspace_ctes(s, k, iters, d_sub))
+    union = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, cluster, d FROM s{s}_assign_{iters}"
+        for s in range(m)
+    )
+    ctes.append(f"all_sub AS (\n    {union}\n)")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id,\n"
+        "       list(CAST(cluster AS INTEGER) ORDER BY sub) AS codes,\n"
+        "       ROUND(CAST(SUM(CAST(d AS DECIMAL(24,12))) AS DOUBLE), 6)"
+        " AS distortion\n"
+        "FROM all_sub GROUP BY vec_id"
+    )
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=_pq_oracle(PQ_M, PQ_K, ITERS_DEFAULT, _PQ_DSUB),
+)
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou, Douze & Schmid, PAMI '11): each
+    64-dim vector splits into 4 subvectors of 16 dims; each subspace is
+    k-means'd independently (the engine's deterministic Lloyd's:
+    first-k seeding, left-to-right double distance fold, DECIMAL-exact
+    centroid sums — so codes reproduce across engines and
+    partitionings); every vector becomes its 4 nearest-subcentroid ids
+    plus the DECIMAL-summed reconstruction distortion. 64 floats →
+    4 small ints: the 16-64x compression step of an IVF-PQ index,
+    whose coarse half is ``ann_ivf_topk``'s quantizer.
+
+    Plan: the decoded vectors localCheckpoint ONCE; each subspace
+    slices that base lazily (projection) and runs I centroid-update
+    aggregates; the 4 assignment tables union and fold back to one row
+    per vector in a single vec_id-keyed agg. Nothing driver-side, no
+    UDF. At 100 TB: train the codebooks on a hash-sampled subset
+    (same deterministic sampler), then encoding is one broadcast-
+    codebook projection over the full table — the shape is already
+    exactly that."""
+    return pq_encode(
+        _embeddings(spark, sf_dir), dim=DIM, m=PQ_M, k=PQ_K
+    )

@@ -925,3 +925,42 @@ def test_snapshot_diff_digest_join_no_cartesian(spark, specs):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert shuffles(plan) <= 4  # two join sides + union branch + agg
+
+
+def test_cm_audit_sketch_broadcasts_no_smj(spark, specs):
+    """The Count-Min estimate pass must join the (<= depth x width)-row
+    cell table by BROADCAST — shuffling the sketch would defeat its
+    purpose — and nothing in the audit may degenerate to a sort-merge
+    join or cartesian. Three shuffles ceiling: cells agg, truth agg,
+    per-item min agg (the distinct-item probe rides the truth
+    exchange's key)."""
+    plan = plan_of(spark, specs, "events_cm_frequency_audit")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffles(plan) <= 3
+
+
+def test_debounce_single_key_shuffle(spark, specs):
+    """Debounce is ONE user-keyed window shuffle + a filter: no join,
+    no second scan, no global sort (the lag window partitions by the
+    high-cardinality user key)."""
+    plan = plan_of(spark, specs, "events_debounce")
+    assert shuffles(plan) == 1
+    assert "Join" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pq_codes_shape_scales_with_m(spark, specs):
+    """PQ is m independent Lloyd runs over SLICES of one checkpointed
+    base: every centroid attach is a 1-row broadcast (BNLJ on a
+    broadcast single row — the risk-bounds shape, never a cartesian of
+    two real tables), assignments stay projections, and the shuffle
+    count is the m x (iters updates) aggregates plus the final vec_id
+    fold — all K-keyed or vec-keyed, nothing quadratic."""
+    plan = plan_of(spark, specs, "embedding_pq_codes")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # 4 subspaces x (2 updates + their 1-row collapses) + final fold:
+    # pin a ceiling so a regression to per-iteration wide shuffles fails.
+    assert shuffles(plan) <= 24
