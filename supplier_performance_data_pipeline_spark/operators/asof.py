@@ -45,9 +45,18 @@ def asof_join(
     INSIDE the frame)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown as-of direction {direction!r}")
-    rv = F.struct(
-        F.col(ts_col).alias(ts_col),
-        *[F.col(c).alias(c) for c in value_cols],
+    # A right row with NULL ts must be ignored in BOTH directions: it
+    # has no time position. Without this guard it still carries a
+    # non-null _rv struct and (NULLS FIRST) sorts to the head of the
+    # backward frame, so a left row with no real predecessor would get
+    # a fabricated match with NULL r_ts but non-null value columns —
+    # while the forward frame never matched it: asymmetric semantics.
+    rv = F.when(
+        F.col(ts_col).isNotNull(),
+        F.struct(
+            F.col(ts_col).alias(ts_col),
+            *[F.col(c).alias(c) for c in value_cols],
+        ),
     )
     right_tagged = right.select(
         F.col(on), F.col(ts_col), rv.alias("_rv"), F.lit(0).alias("_side")

@@ -131,13 +131,28 @@ def snapshot_diff(
             *[F.col(k) for k in key_cols], dig.alias(f"_h_{tag}")
         )
 
-    j = digested(old, "old").join(
-        digested(new, "new"), key_cols, "full_outer"
-    )
+    # Null-SAFE key equality (<=>): a plain equi-join never matches
+    # NULL keys, so a row whose key is NULL in both snapshots would be
+    # double-reported as 'added' + 'removed'. EqualNullSafe is still a
+    # hash-joinable equi-key, so the one-shuffle plan contract holds.
+    do = digested(old, "old")
+    for k in key_cols:
+        do = do.withColumnRenamed(k, f"_ko_{k}")
+    dn = digested(new, "new")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & F.col(f"_ko_{k}").eqNullSafe(F.col(k))
+    j = do.join(dn, cond, "full_outer")
     change = (
         F.when(F.col("_h_old").isNull(), "added")
         .when(F.col("_h_new").isNull(), "removed")
         .when(F.col("_h_old") != F.col("_h_new"), "changed")
         .otherwise("unchanged")
     )
-    return j.select(*key_cols, change.alias("change_type"))
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_ko_{k}"), F.col(k)).alias(k)
+            for k in key_cols
+        ],
+        change.alias("change_type"),
+    )

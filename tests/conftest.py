@@ -14,8 +14,9 @@ SF_ORACLE = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def spark():
     # Partition-invariance knobs: the oracle-parity suite re-run under
-    # a different parallelism/shuffle sizing (e.g. TEST_MASTER=local[3]
-    # TEST_SHUFFLE=7) must produce the SAME hashes — any query whose
+    # a different parallelism/shuffle sizing (e.g.
+    # SPARK_GRAFT_TEST_MASTER=local[3] SPARK_GRAFT_TEST_SHUFFLE=7)
+    # must produce the SAME hashes — any query whose
     # result depends on partition count or task order is a determinism
     # bug the sweep then catches.
     spark = get_spark(

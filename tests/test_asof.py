@@ -119,3 +119,26 @@ def test_asof_null_timestamp_left_rows_never_match(spark):
         }
         assert out["pnull"]["m_value"] is None, direction
         assert out["preal"]["m_value"] == expect_real, direction
+
+
+def test_asof_null_timestamp_right_rows_ignored_both_directions(spark):
+    """A right row with NULL ts has no time position and must be
+    ignored in BOTH directions. Before the guard, backward's NULLS
+    FIRST ordering put it at the frame head, so a left row with no
+    real predecessor got a fabricated match (NULL r_ts, non-null
+    value) while forward never matched it — asymmetric semantics."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "p")],
+        "user_id int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0)], "user_id int, ts timestamp, value double"
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, on="user_id", ts_col="ts", value_cols=["value"],
+            direction=direction, prefix="m_",
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["m_value"] is None, direction
+        assert out[0]["m_ts"] is None, direction

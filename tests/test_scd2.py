@@ -189,3 +189,23 @@ def test_snapshot_diff_ntz_sub_millisecond_change_detected(spark):
     assert snapshot_diff(old, new, ["k"]).collect()[0]["change_type"] == (
         "changed"
     )
+
+
+def test_snapshot_diff_null_keys_match_null_safe(spark):
+    """A key that is NULL in both snapshots must classify ONCE (here:
+    changed), not double-report as 'added' + 'removed' — the full-outer
+    join uses null-safe key equality."""
+    from supplier_performance_data_pipeline_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(None, "x", 1.0), (1, "a", 10.0)], "k long, name string, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, "x", 2.0), (1, "a", 10.0)], "k long, name string, v double"
+    )
+    rows = snapshot_diff(old, new, ["k"]).collect()
+    assert len(rows) == 2
+    got = {r["k"]: r["change_type"] for r in rows}
+    assert got == {None: "changed", 1: "unchanged"}
