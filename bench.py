@@ -137,6 +137,7 @@ HEADLINE = [
     "events_cm_frequency_audit",
     "events_debounce",
     "embedding_pq_codes",
+    "error_purchase_session_overlap",
 ]
 
 

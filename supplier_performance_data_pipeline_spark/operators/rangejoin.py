@@ -54,3 +54,60 @@ def point_in_interval_join(
         )
         .drop("_bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Inner join of every LEFT interval to every RIGHT interval it
+    OVERLAPS (half-open semantics: [ls, le) ∩ [rs, re) ≠ ∅ ⇔
+    ls < re AND rs < le) — the interval-interval sibling of
+    ``point_in_interval_join``, which Spark likewise plans as a nested
+    loop if written as a bare range predicate.
+
+    Same bucketization, one extra step: BOTH sides explode to every
+    bucket they touch, so an overlapping pair now meets in EVERY shared
+    bucket and would duplicate. Each pair is therefore emitted only by
+    its OWNER bucket — the bucket containing the overlap's start
+    ``greatest(ls, rs)``, which every overlapping pair has exactly one
+    of (the standard dedup of temporal-join literature, e.g. the
+    DBToaster/Flink interval join): a cheap post-join equality instead
+    of a DISTINCT over the output.
+
+    Plan: two generator explosions (≤ len/bucket + 1 rows each), ONE
+    bucket-keyed shuffle equi-join, exact predicates on the candidates.
+    Pick ``bucket_seconds`` ≈ the typical interval length (≤2 buckets
+    per interval); AQE handles hot buckets like any skewed key.
+    Column names must be disjoint apart from the four coordinates."""
+
+    # All bucket math in exact integer MICROSECONDS: second-truncating
+    # unix_timestamp would let a sub-second overlap start round into a
+    # bucket the truncated interval ends never touch, silently dropping
+    # the pair at a bucket edge.
+    bus = bucket_seconds * 1_000_000
+
+    def exploded(df: DataFrame, s: str, e: str) -> DataFrame:
+        b0 = F.floor(F.unix_micros(F.col(s)) / F.lit(bus))
+        # half-open end: an interval ending exactly on a bucket edge
+        # does not reach into that bucket
+        b1 = F.floor((F.unix_micros(F.col(e)) - F.lit(1)) / F.lit(bus))
+        return df.withColumn(
+            "_bucket", F.explode(F.sequence(b0, F.greatest(b0, b1)))
+        )
+
+    lb = exploded(left, left_start, left_end)
+    rb = exploded(right, right_start, right_end)
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(right_start), F.col(right_end)
+    owner = F.floor(F.unix_micros(F.greatest(ls, rs)) / F.lit(bus))
+    return (
+        lb.join(rb, "_bucket")
+        .filter((ls < re_) & (rs < le) & (F.col("_bucket") == owner))
+        .drop("_bucket")
+    )

@@ -1736,3 +1736,103 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_events_debounce.__doc__ = q_events_debounce.__doc__.format(
     quiet=_DEBOUNCE_QUIET_S
 )
+
+
+# --- interval-interval overlap join (bucketized temporal join) --------------
+
+from supplier_performance_data_pipeline_spark.operators.rangejoin import (  # noqa: E402
+    interval_overlap_join,
+)
+
+_OVL_GAP_MIN = 30
+_OVL_BUCKET_S = 3600
+
+
+def _session_intervals_sql(etype: str, alias: str) -> str:
+    """Session CTE chain for one event type: the events_sessionize
+    lag/cumsum recipe, reduced to half-open [start, end+1s) intervals."""
+    return f"""
+{alias}_o AS (
+    SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL {_OVL_GAP_MIN} MINUTE
+             THEN 1 ELSE 0 END AS is_new
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = '{etype}') b
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+{alias}_s AS (
+    SELECT user_id, ts,
+        CAST(SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+    FROM {alias}_o
+),
+{alias} AS (
+    SELECT user_id, sid, MIN(ts) AS s,
+           MAX(ts) + INTERVAL 1 SECOND AS e
+    FROM {alias}_s GROUP BY user_id, sid
+)""".strip()
+
+
+@register(
+    "error_purchase_session_overlap",
+    oracle=f"""
+WITH {_session_intervals_sql("error", "err")},
+{_session_intervals_sql("purchase", "pur")}
+SELECT a.user_id AS err_user, a.sid AS err_session,
+       b.user_id AS pur_user, b.sid AS pur_session,
+       epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s))
+           AS overlap_us
+FROM err a JOIN pur b ON a.s < b.e AND b.s < a.e
+""".strip(),
+)
+def q_error_purchase_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-INTERVAL overlap join: which error bursts (per-user
+    30-min-gap sessions of 'error' events) overlap in time with
+    purchase sessions of ANY user — the "were purchases happening
+    while things were on fire" temporal-correlation query. Spark plans
+    a bare ``a.s < b.e AND b.s < a.e`` join as a broadcast nested loop
+    (O(L·R)); ``interval_overlap_join`` bucketizes BOTH interval sets
+    ({_OVL_BUCKET_S}s buckets ≈ session length, ≤2 buckets/interval),
+    equi-joins on the bucket, and dedups pairs that share several
+    buckets by the OWNER-bucket rule (only the bucket containing
+    greatest(start) emits — bucket math in exact integer µs so
+    sub-second overlap starts can't round out of the touched range).
+    Session construction is the engine's lag/cumsum sessionize —
+    user-partitioned windows, bounded state.
+
+    Plan: two session aggs (user-keyed), one bucket-keyed shuffle
+    equi-join, exact half-open predicates on candidates; no nested
+    loop anywhere. At 100 TB candidate volume per bucket is bounded by
+    burst density, not table size; hot buckets are AQE skew-join
+    territory like any other key."""
+    ev = _events(spark, sf_dir)
+
+    def intervals(etype: str, prefix: str) -> DataFrame:
+        s = sessionize(ev.filter(F.col("event_type") == etype),
+                       gap_minutes=_OVL_GAP_MIN)
+        return s.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("session_id").alias(f"{prefix}_session"),
+            F.col("session_start").alias(f"{prefix}_s"),
+            (F.col("session_end") + F.expr("INTERVAL 1 SECOND")).alias(
+                f"{prefix}_e"
+            ),
+        )
+
+    err = intervals("error", "err")
+    pur = intervals("purchase", "pur")
+    out = interval_overlap_join(
+        err, pur, "err_s", "err_e", "pur_s", "pur_e", _OVL_BUCKET_S
+    )
+    overlap = F.unix_micros(
+        F.least(F.col("err_e"), F.col("pur_e"))
+    ) - F.unix_micros(F.greatest(F.col("err_s"), F.col("pur_s")))
+    return out.select(
+        "err_user",
+        "err_session",
+        "pur_user",
+        "pur_session",
+        overlap.alias("overlap_us"),
+    )

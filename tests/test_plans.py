@@ -964,3 +964,13 @@ def test_pq_codes_shape_scales_with_m(spark, specs):
     # 4 subspaces x (2 updates + their 1-row collapses) + final fold:
     # pin a ceiling so a regression to per-iteration wide shuffles fails.
     assert shuffles(plan) <= 24
+
+
+def test_interval_overlap_join_is_bucketized_equi(spark, specs):
+    """The interval-interval overlap must run as a bucket-keyed
+    hash/merge EQUI-join — never the broadcast nested loop Spark
+    plans for a bare range-predicate join."""
+    plan = plan_of(spark, specs, "error_purchase_session_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # the bucket expansion
