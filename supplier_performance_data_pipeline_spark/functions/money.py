@@ -29,6 +29,11 @@ Derived units used throughout the registry:
 
 Sums go through DECIMAL(38,0) (exact, order-free, overflow-checked)
 rather than BIGINT so a 100-TB-scale sum cannot wrap silently.
+Per-row bound: ``x*100`` is exact while |x| < 2^53/100 ≈ 9e13 dollars
+per VALUE — beyond that the quantization is still PORTABLE (both
+engines compute the identical double) but no longer cent-faithful to
+the decimal literal the double came from; no testdata column is within
+six orders of magnitude of the bound.
 
 Every helper has two renderings — a Spark ``Column`` and a DuckDB SQL
 string — generated from the same formula (the ``md5_mod`` "one recipe,

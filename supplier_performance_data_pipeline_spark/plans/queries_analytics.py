@@ -1,10 +1,13 @@
 """General OLAP coverage queries: big aggregations, per-group top-N,
 set operations, and the scalar-function surface (SURVEY.md §2.4-§2.7).
 
-Determinism note: large-magnitude SUMs are computed in DECIMAL on both
-engines — decimal addition is exact, so the result is independent of
-reduction order (then cast to double). Small-magnitude aggregates use
-double + ROUND(6).
+Determinism note: money/rate columns quantize per row through the
+portable FLOOR integer-unit recipe (functions/money.py — an
+engine-dependent DECIMAL(p,2) cast tie-breaks differently on .xx5
+values); large-magnitude SUMs run in DECIMAL(38,0) on both engines —
+decimal addition is exact, so the result is independent of reduction
+order (then ONE double division at the output edge). Small-magnitude
+aggregates use double + ROUND(6).
 """
 
 from __future__ import annotations
@@ -1284,9 +1287,13 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c"),
     )
+    # ONE array-percentile aggregate (a separate percentile(c, q) per
+    # bound would build two full sort buffers — measured 2x the query).
     bounds = cents.agg(
-        F.expr("CAST(FLOOR(percentile(c, 0.01D) + 0.5) AS BIGINT)").alias("p01"),
-        F.expr("CAST(FLOOR(percentile(c, 0.99D) + 0.5) AS BIGINT)").alias("p99"),
+        F.expr("percentile(c, array(0.01D, 0.99D))").alias("pq")
+    ).select(
+        F.expr("CAST(FLOOR(pq[0] + 0.5) AS BIGINT)").alias("p01"),
+        F.expr("CAST(FLOOR(pq[1] + 0.5) AS BIGINT)").alias("p99"),
     )
     clipped = cents.crossJoin(F.broadcast(bounds)).select(
         "l_returnflag",

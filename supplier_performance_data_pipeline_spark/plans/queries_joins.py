@@ -2,12 +2,14 @@
 Q15/Q18/Q22 analogs adapted to the driver's testdata schema — no
 partsupp/commitdate/phone columns, so the predicates use what exists).
 
-Determinism contract (same as queries_analytics.py): revenue SUMs run
-in DECIMAL on both engines — exact, reduction-order-independent — and
-are cast to double only at the output edge; comparisons that gate rows
-(max-equality, above-average) happen on the exact DECIMAL value or on
-a single deterministic double division, never on a multi-step float
-reduction.
+Determinism contract (same as queries_analytics.py): money quantizes
+per row through the portable FLOOR integer-unit recipe
+(functions/money.py — never an engine-dependent DECIMAL cast), sums
+run in DECIMAL(38,0) on both engines — exact, reduction-order-
+independent — and one double division lands at the output edge;
+comparisons that gate rows (max-equality, above-average) happen on
+the exact integer/DECIMAL value or on a single deterministic double
+division, never on a multi-step float reduction.
 """
 
 from __future__ import annotations
