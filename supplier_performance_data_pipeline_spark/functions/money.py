@@ -87,14 +87,6 @@ def revenue_e4_sql(price_expr: str, discount_expr: str) -> str:
     )
 
 
-def sum_dollars(e2_or_e4: Column, scale: int) -> Column:
-    """Exact DECIMAL sum of integer money units reported as dollars:
-    one correctly-rounded double division at the output edge."""
-    return (
-        F.sum(e2_or_e4.cast("decimal(38,0)")).cast("double") / F.lit(scale)
-    )
-
-
 # SQL fragments for the common oracle shapes (dollars at the edge):
 #   CAST(SUM(<rev_e4>) AS DOUBLE) / 10000
 #   CAST(SUM(CAST(<cents> AS DECIMAL(38,0))) AS DOUBLE) / 100

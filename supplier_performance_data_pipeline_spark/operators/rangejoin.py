@@ -66,8 +66,12 @@ def interval_overlap_join(
     bucket_seconds: int,
 ) -> DataFrame:
     """Inner join of every LEFT interval to every RIGHT interval it
-    OVERLAPS (half-open semantics: [ls, le) ∩ [rs, re) ≠ ∅ ⇔
-    ls < re AND rs < le) — the interval-interval sibling of
+    OVERLAPS (half-open semantics: for NON-empty intervals
+    [ls, le) ∩ [rs, re) ≠ ∅ ⇔ ls < re AND rs < le; EMPTY intervals
+    (end <= start, e.g. an upstream end<=start glitch) overlap nothing
+    and are filtered out before the join — the bare predicate alone
+    would report a zero-length interval as overlapping anything
+    containing its point) — the interval-interval sibling of
     ``point_in_interval_join``, which Spark likewise plans as a nested
     loop if written as a bare range predicate.
 
@@ -97,8 +101,8 @@ def interval_overlap_join(
         # half-open end: an interval ending exactly on a bucket edge
         # does not reach into that bucket
         b1 = F.floor((F.unix_micros(F.col(e)) - F.lit(1)) / F.lit(bus))
-        return df.withColumn(
-            "_bucket", F.explode(F.sequence(b0, F.greatest(b0, b1)))
+        return df.filter(F.col(s) < F.col(e)).withColumn(
+            "_bucket", F.explode(F.sequence(b0, b1))
         )
 
     lb = exploded(left, left_start, left_end)

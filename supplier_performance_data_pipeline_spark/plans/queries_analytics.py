@@ -21,7 +21,6 @@ from supplier_performance_data_pipeline_spark.functions.money import (
     basis_points,
     cents,
     revenue_e4,
-    revenue_e4_sql,
 )
 from supplier_performance_data_pipeline_spark.functions.scalar import round_doubles
 from supplier_performance_data_pipeline_spark.operators.windows import top_n_per_group

@@ -1758,7 +1758,7 @@ def _session_intervals_sql(etype: str, alias: str) -> str:
                   OR ts > lag(ts) OVER w + INTERVAL {_OVL_GAP_MIN} MINUTE
              THEN 1 ELSE 0 END AS is_new
     FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
-          FROM events WHERE event_type = '{etype}') b
+          FROM events WHERE event_type = '{etype}' AND ts IS NOT NULL) b
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 {alias}_s AS (
@@ -1810,8 +1810,16 @@ def q_error_purchase_session_overlap(spark: SparkSession, sf_dir: str) -> DataFr
     ev = _events(spark, sf_dir)
 
     def intervals(etype: str, prefix: str) -> DataFrame:
-        s = sessionize(ev.filter(F.col("event_type") == etype),
-                       gap_minutes=_OVL_GAP_MIN)
+        # ts IS NOT NULL in BOTH arms: a NULL-ts event would shift
+        # every session id in Spark (NULLS FIRST opens a session) but
+        # fold into the LAST session in DuckDB (NULLS LAST, NULL gap) —
+        # the debounce/asof NULL-time contract applies here too.
+        s = sessionize(
+            ev.filter(
+                (F.col("event_type") == etype) & F.col("ts").isNotNull()
+            ),
+            gap_minutes=_OVL_GAP_MIN,
+        )
         return s.select(
             F.col("user_id").alias(f"{prefix}_user"),
             F.col("session_id").alias(f"{prefix}_session"),

@@ -23,12 +23,15 @@ def _iv(sec0: float, sec1: float):
 
 
 def _brute(left, right):
+    # ls < le / rs < re: EMPTY intervals overlap nothing (the bare
+    # range predicate alone would match a zero-length interval to
+    # anything containing its point)
     return sorted(
         (li, ri)
         for (li, (ls, le)), (ri, (rs, re)) in itertools.product(
             enumerate(left), enumerate(right)
         )
-        if ls < re and rs < le
+        if ls < le and rs < re and ls < re and rs < le
     )
 
 
@@ -71,3 +74,10 @@ def test_overlap_no_duplicates_when_pair_shares_many_buckets(spark):
 def test_touching_intervals_do_not_match_half_open(spark):
     assert _run(spark, [(0, 10)], [(10, 20)], 5) == []
     assert _run(spark, [(10, 20)], [(0, 10)], 5) == []
+
+
+def test_empty_intervals_never_match(spark):
+    # a zero-length interval has an empty [s, s) extent
+    left = [(10, 10), (0, 20)]
+    right = [(5, 15), (12, 12)]
+    assert _run(spark, left, right, 10) == [(1, 0)]

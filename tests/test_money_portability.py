@@ -147,7 +147,18 @@ def adversarial_sf_dir(tmp_path_factory):
         for col in perturb[table]:
             vals = _adversarial_values(len(df))
             if col in ("l_discount", "l_tax"):
-                vals = np.abs(vals) % 1000 / 10000.0  # rates in [0, 0.1)
+                # rates in [0, 0.1) with a third sitting EXACTLY on the
+                # FLOOR(x*100 + 0.5) half-basis-point boundary
+                # (0.005, 0.015, ... 0.095) — dividing engineered price
+                # ties by 1e4 would shift them two decimals OFF the
+                # percent-quantization half-point and test nothing
+                n = len(df)
+                idx = np.arange(n)
+                vals = np.round(np.abs(vals) % 1000, 0) % 10 / 100.0
+                vals[idx % 3 == 0] = ((idx[idx % 3 == 0] % 10) + 0.5) / 100.0
+                vals[idx % 3 == 1] = np.round(
+                    np.abs(_adversarial_values(n)[idx % 3 == 1]) % 0.1, 4
+                )
             elif col != "c_acctbal":
                 vals = np.abs(vals)  # prices/quantities non-negative
             df[col] = vals
@@ -184,13 +195,55 @@ def test_exact_gate_catches_one_cent_error():
 
 def test_money_registry_has_no_decimal_cast_left():
     """No registered oracle may quantize money through a DECIMAL cast
-    (engine-dependent tie-rounding) — the FLOOR recipe is the only
-    sanctioned quantization. Guards against regression by new queries."""
+    (engine-dependent tie-rounding on .xx5 values) or rescale a
+    DECIMAL down to scale 0 (the nation_supplier_hhi red: Spark
+    HALF_UP vs DuckDB truncation) — the FLOOR recipe is the only
+    sanctioned quantization. The pattern matches a money column
+    followed by AS DECIMAL within one paren level, so the round-4
+    shapes `CAST(l_extendedprice AS DECIMAL(12,2))` AND
+    `CAST(1.0 - l_discount AS DECIMAL(4,2))` both trip it, while the
+    sanctioned `CAST(CAST(FLOOR(col*100+0.5) AS BIGINT) AS
+    DECIMAL(38,0))` does not (a `)` intervenes)."""
+    import re as _re
+
     for name, spec in load_all().items():
         if spec.oracle is None:
             continue
         for col in MONEY_COLS:
-            assert f"CAST({col} AS DECIMAL" not in spec.oracle, (
-                f"{name}: oracle quantizes {col} via DECIMAL cast; use "
-                "the FLOOR integer-unit recipe from functions/money.py"
+            m = _re.search(rf"{col}[^()]*AS DECIMAL\(", spec.oracle)
+            assert m is None, (
+                f"{name}: oracle quantizes {col} via DECIMAL cast "
+                f"({m.group(0)!r}); use the FLOOR integer-unit recipe "
+                "from functions/money.py"
+            )
+        m = _re.search(r"\*\s*100\s+AS DECIMAL\(\d+,0\)", spec.oracle)
+        assert m is None, (
+            f"{name}: oracle rescales a DECIMAL down to scale 0 "
+            f"({m.group(0)!r}) — engine-dependent tie rounding"
+        )
+
+
+def test_money_floor_fragments_use_the_canonical_rendering():
+    """The FLOOR recipe appears inlined in oracle strings; this pins
+    every inlined fragment to the EXACT canonical rendering from
+    functions/money.py, so a future recipe change that edits the
+    helpers but misses a hand-written copy fails loudly, listing the
+    stragglers (the 'change one, change both' contract, enforced)."""
+    import re as _re
+
+    canon = _re.compile(
+        r"CAST\(FLOOR\([A-Za-z0-9_.]+(?:\(ts\))? \* 100 \+ 0\.5\) AS BIGINT\)"
+        r"|CAST\(FLOOR\((?:MIN|MAX)\([a-z_]+\) \* 100 \+ 0\.5\) AS BIGINT\)"
+        r"|CAST\(FLOOR\(quantile_cont\(c, 0\.\d+\) \+ 0\.5\) AS BIGINT\)"
+    )
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        for m in _re.finditer(r"CAST\(FLOOR\([^;]{0,80}?AS BIGINT\)", spec.oracle):
+            frag = m.group(0)
+            assert canon.match(frag), (
+                f"{name}: non-canonical FLOOR money fragment {frag!r} — "
+                "render via functions/money.py (cents_sql / "
+                "basis_points_sql / revenue_e4_sql) or match their "
+                "exact output"
             )

@@ -53,7 +53,10 @@ def test_rotation_puts_latest_row_failures_first():
 
     last, failed = e._board_state()
     order = e._rotation_order(list(load_all()))
-    k = len([n for n in order if n in failed])
+    # board rows for renamed/deregistered queries linger in the failed
+    # set forever; only registry members can occupy rotation slots
+    failed &= set(order)
+    k = len(failed)
     assert set(order[:k]) == failed, (
         f"failed queries must occupy the first {k} rotation slots"
     )
