@@ -138,6 +138,7 @@ HEADLINE = [
     "events_debounce",
     "embedding_pq_codes",
     "error_purchase_session_overlap",
+    "corpus_mixture_resample",
 ]
 
 

@@ -96,3 +96,65 @@ def weighted_sample_key(key: Column, weight: Column, seed: int) -> Column:
     the top-k cut is a total order."""
     q_num = weight.cast("double") * F.lit(float(2 * GRAIN))
     return q_num / (hash_bucket(key, seed) * F.lit(2) + F.lit(1)).cast("double")
+
+
+def mixture_resample(
+    docs: DataFrame,
+    source_col: str,
+    size_col: str,
+    budget_frac: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic MIXTURE resampling: downsample each source so every
+    source contributes an (approximately) EQUAL share of a global size
+    budget — the training-data curriculum operator ("rebalance the
+    corpus to uniform source mix at half its size"). Per source s:
+
+        target_s = budget_frac · Σ_all size / n_sources
+        rate_s   = min(1, target_s / Σ_s size)
+        keep doc ⟺ hash_bucket(doc_id) < FLOOR(rate_s·GRAIN + 0.5)
+
+    Membership is the engine's md5_mod contract — a pure function of
+    (seed, doc id), reproducible across engines/partitionings/reruns —
+    and the rate derivation is integer sums + a fixed chain of
+    IEEE-correctly-rounded double ops, so the DuckDB oracle reproduces
+    the exact sampled set (hash-VERIFIED mixture, not statistically
+    eyeballed). Oversized sources shrink toward the uniform share;
+    undersized ones keep everything (rate clamps at 1 — resampling
+    never upsamples).
+
+    Plan: one source-keyed agg (map-side combined), a 1-row global agg,
+    the per-source thresholds broadcast back onto the doc scan, one
+    hash filter — the doc table crosses no shuffle at all. At 100 TB
+    the threshold table is |sources| rows; everything else is a
+    projection."""
+    # localCheckpoint: the |sources|-row totals feed BOTH the global
+    # budget and the per-source thresholds — without materializing,
+    # each branch re-scans and re-aggregates the full doc table.
+    totals = docs.groupBy(source_col).agg(
+        F.sum(size_col).alias("_src_size")
+    ).localCheckpoint()
+    glob = totals.agg(
+        F.sum("_src_size").alias("_tot"), F.count("*").alias("_ns")
+    )
+    thr = F.expr(
+        f"CAST(FLOOR(LEAST(1.0D, CAST(_tot AS DOUBLE) * {budget_frac!r}"
+        " / _ns / CAST(_src_size AS DOUBLE))"
+        f" * {GRAIN} + 0.5) AS BIGINT)"
+    )
+    rates = totals.crossJoin(F.broadcast(glob)).select(
+        source_col, thr.alias("_thr")
+    )
+    return docs.join(F.broadcast(rates), source_col).filter(
+        hash_bucket(F.col("doc_id"), seed) < F.col("_thr")
+    )
+
+
+def mixture_resample_rate_sql(
+    size_sum: str, budget_frac: float
+) -> str:
+    """DuckDB rendering of the mixture threshold (same op chain)."""
+    return (
+        f"CAST(FLOOR(LEAST(1.0, CAST(_tot AS DOUBLE) * {budget_frac!r}"
+        f" / _ns / CAST({size_sum} AS DOUBLE)) * {GRAIN} + 0.5) AS BIGINT)"
+    )

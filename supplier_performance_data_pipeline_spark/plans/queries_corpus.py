@@ -588,3 +588,66 @@ def q_bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bigram_surprisal"
         ),
     )
+
+
+# --- deterministic mixture resampling (curriculum rebalance) ----------------
+
+from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    md5_mod_sql,
+    mixture_resample,
+    mixture_resample_rate_sql,
+)
+
+_MIX_FRAC = 0.5
+_MIX_SEED = 42
+
+
+@register(
+    "corpus_mixture_resample",
+    oracle=f"""
+WITH totals AS (
+    SELECT source, SUM(n_chars) AS _src_size FROM documents GROUP BY source
+),
+g AS (SELECT SUM(_src_size) AS _tot, COUNT(*) AS _ns FROM totals),
+rates AS (
+    SELECT source, {mixture_resample_rate_sql("_src_size", _MIX_FRAC)} AS thr
+    FROM totals CROSS JOIN g
+),
+kept AS (
+    SELECT d.source, d.n_chars, r.thr
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {md5_mod_sql("CAST(doc_id AS VARCHAR)", f"{_MIX_SEED}|", GRAIN)}
+          < r.thr
+)
+SELECT source,
+       CAST(MAX(thr) AS BIGINT) AS keep_threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM kept GROUP BY source
+""".strip(),
+)
+def q_corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling — the curriculum-rebalance
+    operator: downsample every source toward a UNIFORM share of a
+    half-size char budget (rate_s = min(1, budget/n_sources/chars_s)),
+    with membership a pure function of (seed, doc_id) via the md5_mod
+    contract. The kept set is hash-VERIFIED: the oracle re-derives the
+    per-source thresholds from the same integer sums + fixed chain of
+    IEEE-correctly-rounded double ops and reproduces membership
+    bit-for-bit — "rebalance the corpus" becomes a value two engines
+    agree on, not a statistical eyeball.
+
+    Plan: one source-keyed agg, a 1-row global agg, |sources|-row
+    threshold table broadcast back onto the doc scan, hash filter,
+    final source rollup — the doc table itself never shuffles. At
+    100 TB this is a projection pass over the corpus plus
+    dimension-sized aggregates."""
+    docs = _docs(spark, sf_dir)
+    kept = mixture_resample(
+        docs, "source", "n_chars", _MIX_FRAC, seed=_MIX_SEED
+    )
+    return kept.groupBy("source").agg(
+        F.max("_thr").cast("long").alias("keep_threshold"),
+        F.count("*").cast("long").alias("n_docs_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )

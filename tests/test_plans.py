@@ -974,3 +974,14 @@ def test_interval_overlap_join_is_bucketized_equi(spark, specs):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan  # the bucket expansion
+
+
+def test_mixture_resample_docs_never_shuffle(spark, specs):
+    """The mixture thresholds broadcast back onto the doc scan: the
+    document table itself must cross NO exchange before the hash
+    filter — only the tiny totals/global aggregates shuffle."""
+    plan = plan_of(spark, specs, "corpus_mixture_resample")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert shuffles(plan) <= 3  # totals agg + 1-row glob + final rollup
