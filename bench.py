@@ -139,6 +139,7 @@ HEADLINE = [
     "embedding_pq_codes",
     "error_purchase_session_overlap",
     "corpus_mixture_resample",
+    "price_mad_outliers",
 ]
 
 

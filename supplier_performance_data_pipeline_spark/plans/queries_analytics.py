@@ -2160,3 +2160,93 @@ def q_supplier_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_suppkey").cast("long").alias("min_key"),
         F.max("s_suppkey").cast("long").alias("max_key"),
     )
+
+
+# --- robust outlier gate: median/MAD z-score --------------------------------
+
+_MAD_K = 10  # flag |x - med| > K * MAD
+
+
+@register(
+    "price_mad_outliers",
+    oracle=f"""
+WITH cents AS (
+    SELECT l_returnflag,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+    FROM lineitem
+),
+med AS (
+    SELECT l_returnflag, quantile_cont(c, 0.5) AS med_c
+    FROM cents GROUP BY l_returnflag
+),
+dev AS (
+    SELECT c.l_returnflag, c.c, m.med_c, ABS(c.c - m.med_c) AS ad
+    FROM cents c JOIN med m ON c.l_returnflag = m.l_returnflag
+),
+mad AS (
+    SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad_c
+    FROM dev GROUP BY l_returnflag
+)
+SELECT d.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(FLOOR(MAX(d.med_c) + 0.5) AS BIGINT) AS median_cents,
+       CAST(FLOOR(MAX(m.mad_c) + 0.5) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN d.ad > {_MAD_K} * m.mad_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+GROUP BY d.l_returnflag
+""".strip(),
+)
+def q_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate per return flag: flag rows whose price sits
+    more than {k}x the Median Absolute Deviation from the group
+    median — the heavy-tail-safe sibling of winsorization (a handful
+    of extreme rows cannot move the median or the MAD, where they drag
+    a mean/stddev z-score arbitrarily). The training-data shape: gate
+    documents/features on med±K·MAD before they poison normalization.
+
+    Portability: prices quantize to integer CENTS via the canonical
+    FLOOR recipe; both medians interpolate over integers ((1-f)a + fb,
+    identical doubles both engines); the outlier test compares an
+    exact integer deviation against K·MAD — one IEEE multiply each
+    side. Output medians re-quantize by the same FLOOR(x+0.5) rule.
+
+    Plan: two percentile aggregates over the 3-group key (group-keyed,
+    map-side partials; never a global sort) with the 3-row med/MAD
+    tables broadcast back onto the scan each pass; one final count
+    agg. Three passes over one pruned column is the price of EXACT
+    medians; at 100 TB both swap to approx_percentile, same shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents_df = li.select(
+        "l_returnflag", cents("l_extendedprice").alias("c")
+    )
+    med = cents_df.groupBy("l_returnflag").agg(
+        F.expr("percentile(c, 0.5D)").alias("med_c")
+    )
+    dev = cents_df.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "c", "med_c",
+        F.abs(F.col("c") - F.col("med_c")).alias("ad"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(ad, 0.5D)").alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("CAST(FLOOR(MAX(med_c) + 0.5) AS BIGINT)").alias(
+                "median_cents"
+            ),
+            F.expr("CAST(FLOOR(MAX(mad_c) + 0.5) AS BIGINT)").alias(
+                "mad_cents"
+            ),
+            F.expr(
+                f"CAST(SUM(CASE WHEN ad > {_MAD_K} * mad_c"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_outliers"),
+        )
+    )
+
+
+q_price_mad_outliers.__doc__ = q_price_mad_outliers.__doc__.format(k=_MAD_K)
