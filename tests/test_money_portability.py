@@ -232,9 +232,14 @@ def test_money_floor_fragments_use_the_canonical_rendering():
     import re as _re
 
     canon = _re.compile(
+        # cents/bp quantization of a raw column (the cents_sql shape)
         r"CAST\(FLOOR\([A-Za-z0-9_.]+(?:\(ts\))? \* 100 \+ 0\.5\) AS BIGINT\)"
+        # …of a MIN/MAX (column-profile canonical strings)
         r"|CAST\(FLOOR\((?:MIN|MAX)\([a-z_]+\) \* 100 \+ 0\.5\) AS BIGINT\)"
-        r"|CAST\(FLOOR\(quantile_cont\(c, 0\.\d+\) \+ 0\.5\) AS BIGINT\)"
+        # integer re-quantization of an already-cents aggregate
+        # (interpolated medians/percentiles): FLOOR(x + 0.5), no *100
+        r"|CAST\(FLOOR\((?:MIN|MAX|quantile_cont)\([A-Za-z0-9_., ]+\)"
+        r" \+ 0\.5\) AS BIGINT\)"
     )
     for name, spec in load_all().items():
         if spec.oracle is None:
