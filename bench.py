@@ -140,6 +140,7 @@ HEADLINE = [
     "error_purchase_session_overlap",
     "corpus_mixture_resample",
     "price_mad_outliers",
+    "corpus_sequence_packing",
 ]
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from supplier_performance_data_pipeline_spark.operators.textops import tokens
 
@@ -195,4 +196,77 @@ def packing_stats(
         (n_seq * budget - F.col("total_tokens")).cast("long").alias(
             "padding_tokens"
         ),
+    )
+
+
+PACK_BLOCK = 1024  # id-order block size for the two-level prefix sum
+
+
+def sequence_pack(
+    docs: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    block: int = PACK_BLOCK,
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing ASSIGNMENT: lay every document
+    out on the concatenated token stream in ``id_col`` order and chunk
+    the stream every ``budget`` tokens — each doc gets its byte-exact
+    placement (start_offset, first_seq, last_seq, n_seqs_spanned), the
+    materialization step that ``packing_stats``' ceil-accounting only
+    estimates. This is what actually feeds an LM data loader: sequence
+    i holds stream tokens [i·budget, (i+1)·budget).
+
+    The prefix sum is the two-level PARALLEL construction (same as the
+    lateness histogram's running max): per-block token sums (one
+    map-side-combined agg), running block offsets over the
+    dimension-sized block table (the only SinglePartition exchange),
+    then intra-block running sums partitioned by block — never a
+    global ordered window over the docs. ``block`` is the scale knob;
+    at 10^12 docs use ~10^6, or add a third level (log-depth general
+    construction).
+
+    Zero-token docs occupy no stream positions and are dropped (their
+    "placement" is an empty interval). All arithmetic is integer;
+    sequence ids use floor division of non-negative longs — identical
+    in both engines."""
+    e = docs.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("_tok"),
+        (F.col(id_col) / block).cast("long").alias("_block"),
+    ).filter(F.col("_tok") > 0)
+    blocks = e.groupBy("_block").agg(F.sum("_tok").alias("_bsum"))
+    wprev = Window.orderBy("_block").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = blocks.select(
+        "_block",
+        F.coalesce(F.sum("_bsum").over(wprev), F.lit(0)).alias("_prev"),
+    )
+    win = (
+        Window.partitionBy("_block")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.col("_prev") + F.sum("_tok").over(win)
+    return (
+        e.join(F.broadcast(prev), "_block")
+        .select(
+            F.col(id_col),
+            F.col("_tok").alias("n_tokens"),
+            (cum - F.col("_tok")).alias("start_offset"),
+            (cum - 1).alias("_end_incl"),
+        )
+        # integer floor-division of non-negative longs: DIV in Spark,
+        # // in the DuckDB oracle — identical results, no doubles
+        .selectExpr(
+            id_col,
+            "n_tokens",
+            "start_offset",
+            f"start_offset DIV {budget} AS first_seq",
+            f"_end_incl DIV {budget} AS last_seq",
+        )
+        .withColumn(
+            "n_seqs_spanned", F.col("last_seq") - F.col("first_seq") + 1
+        )
     )

@@ -651,3 +651,70 @@ def q_corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs_kept"),
         F.sum("n_chars").cast("long").alias("chars_kept"),
     )
+
+
+# --- sequence-packing assignment (concat-and-chunk materialization) ---------
+
+from supplier_performance_data_pipeline_spark.operators.curation import (  # noqa: E402
+    sequence_pack,
+)
+
+_PACK_BUDGET = 256
+_PACK_QBLOCK = 64  # small block so test scales exercise BOTH prefix levels
+
+
+@register(
+    "corpus_sequence_packing",
+    oracle=f"""
+WITH {_TOKS_CTE},
+t AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM toks_cte WHERE len(toks) > 0
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS first_seq,
+       CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS last_seq,
+       CAST((cum - 1) // {_PACK_BUDGET}
+            - (cum - n_tokens) // {_PACK_BUDGET} + 1 AS BIGINT)
+           AS n_seqs_spanned
+FROM c
+""".strip(),
+)
+def q_corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing ASSIGNMENT: every document's
+    byte-exact placement on the budget-{b}-token training stream
+    (start offset, first/last sequence id, sequences spanned) — the
+    materialization step an LM data loader consumes, where
+    ``packing_stats`` only does the ceil-accounting. Token counts come
+    from the engine's shared tokenizer contract (same constants render
+    the oracle's CTE), placement order is doc_id, zero-token docs
+    occupy no stream positions.
+
+    Plan: the prefix sum is the two-level PARALLEL construction (the
+    lateness histogram's pattern): per-block token sums, running block
+    offsets over the dimension-sized block table (the only
+    SinglePartition exchange — n/{blk} rows), intra-block running sums
+    partitioned by block, assignments via integer floor-division (DIV
+    vs // — identical on non-negative longs). The oracle's single
+    global window is the SEQUENTIAL spec the parallel construction
+    must reproduce exactly. At 10^12 docs raise the block to ~10^6 or
+    add a third level (log-depth general parallel prefix)."""
+    docs = _docs(spark, sf_dir)
+    counted = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    return sequence_pack(
+        counted, "doc_id", "n_tok", _PACK_BUDGET, block=_PACK_QBLOCK
+    )
+
+
+q_corpus_sequence_packing.__doc__ = q_corpus_sequence_packing.__doc__.format(
+    b=_PACK_BUDGET, blk=_PACK_QBLOCK
+)

@@ -96,3 +96,33 @@ def test_packing_stats_budget_math(spark):
     assert out["en"]["padding_tokens"] == 8
     assert out["es"]["n_sequences"] == 1
     assert out["es"]["padding_tokens"] == 7
+
+
+def test_sequence_pack_matches_sequential_spec(spark):
+    """The two-level parallel prefix must reproduce the sequential
+    concat-and-chunk layout exactly, including multi-block inputs,
+    budget-boundary docs, docs spanning many sequences, and dropped
+    zero-token docs."""
+    from supplier_performance_data_pipeline_spark.operators.curation import (
+        sequence_pack,
+    )
+
+    rows = [(i, (i * 37) % 500) for i in range(50)]  # includes 0-token
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r["doc_id"]: (
+            r["start_offset"], r["first_seq"], r["last_seq"],
+            r["n_seqs_spanned"],
+        )
+        for r in sequence_pack(df, "doc_id", "n", 256, block=8).collect()
+    }
+    cum = 0
+    expect = {}
+    for i, n in rows:
+        if n <= 0:
+            continue
+        start, end = cum, cum + n - 1
+        expect[i] = (start, start // 256, end // 256,
+                     end // 256 - start // 256 + 1)
+        cum += n
+    assert got == expect

@@ -985,3 +985,14 @@ def test_mixture_resample_docs_never_shuffle(spark, specs):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert shuffles(plan) <= 3  # totals agg + 1-row glob + final rollup
+
+
+def test_sequence_packing_prefix_is_two_level(spark, specs):
+    """The packing prefix sum must be the two-level parallel
+    construction: exactly ONE SinglePartition exchange (the
+    dimension-sized block-offset window), never a global ordered
+    window over the docs; the block table attaches by broadcast."""
+    plan = plan_of(spark, specs, "corpus_sequence_packing")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
