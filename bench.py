@@ -141,6 +141,7 @@ HEADLINE = [
     "corpus_mixture_resample",
     "price_mad_outliers",
     "corpus_sequence_packing",
+    "dedup_canonical_selection",
 ]
 
 

@@ -1502,3 +1502,98 @@ def q_lang_heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame
 q_lang_heavy_hitters_verified.__doc__ = q_lang_heavy_hitters_verified.__doc__.format(
     k=MG_K
 )
+
+
+# --- canonical survivor selection per near-dup cluster ----------------------
+
+
+@register(
+    "dedup_canonical_selection",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+{_MS_CTE},
+{_SIGS_CTE},
+bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs),
+{_CC_CTES_SQL},
+comp AS (
+    SELECT verts.v AS doc_id, COALESCE(mn.m, verts.v) AS component
+    FROM verts LEFT JOIN mn ON verts.v = mn.src
+),
+q AS (
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0)
+               + 0.4 * LEAST(COALESCE(
+                     CAST({_stop_count(QUALITY_STOPWORDS)} AS DOUBLE)
+                     / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 0.0) * 5.0,
+                     1.0)
+               + 0.2 * (1.0 - LEAST(COALESCE(
+                     CAST(length(text) - length(translate(text,
+                          '{PUNCT_CHARS}', '')) AS DOUBLE)
+                     / NULLIF(CAST(length(text) AS DOUBLE), 0.0), 0.0)
+                     * 10.0, 1.0)), 6) AS quality
+    FROM toks_cte
+),
+ranked AS (
+    SELECT c.component, c.doc_id, q.quality,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+               ORDER BY q.quality DESC, c.doc_id DESC) AS rn
+    FROM comp c JOIN q ON c.doc_id = q.doc_id
+)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+           AS canonical_doc,
+       MAX(CASE WHEN rn = 1 THEN quality END) AS canonical_quality,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY component
+""".strip(),
+)
+def q_dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection per near-dup cluster: instead of
+    the min-id survivor (``dedup_components``' convention), keep the
+    HIGHEST-QUALITY member of each cluster (quality-desc, doc_id-desc
+    tie-break — a total order, so both engines crown the same doc).
+    This is the retention policy real curation uses: near-dup groups
+    often pair a clean page with its boilerplate-wrapped copies, and
+    min-id keeps whichever crawled first.
+
+    Plan: the LSH pair list checkpoints once, components come from the
+    alternating star rewrites, quality is a pure projection over one
+    materialized tokenization, and the argmax is ROW_NUMBER over
+    CLUSTER-grain partitions (dup-doc-count rows, never the corpus;
+    the window key is the component id, high cardinality — no global
+    sort). Output is cluster-grain: component, size, canonical doc +
+    its quality, drop count."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs_df, sigs = near_dup_pairs_cached(docs)
+    pairs = pairs_df.filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    sigs.unpersist()
+    cc = connected_components(pairs)
+    q = docs.select(
+        "doc_id",
+        F.round(
+            quality_score_t(F.col("text"), tokens(F.col("text"))), 6
+        ).alias("quality"),
+    )
+    joined = cc.select(F.col("id").alias("doc_id"), "component").join(
+        q, "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.desc("doc_id")
+    )
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("canonical_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias(
+            "canonical_quality"
+        ),
+        (F.count("*") - 1).cast("long").alias("n_dropped"),
+    )
