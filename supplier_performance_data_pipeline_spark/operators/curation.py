@@ -229,7 +229,18 @@ def sequence_pack(
     Zero-token docs occupy no stream positions and are dropped (their
     "placement" is an empty interval). All arithmetic is integer;
     sequence ids use floor division of non-negative longs — identical
-    in both engines."""
+    in both engines. ``id_col`` must be NUMERIC (it both orders the
+    stream and derives the prefix blocks); a string id would cast to
+    NULL blocks and silently pack nothing, so it raises instead."""
+    from pyspark.sql import types as T
+
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, T.NumericType):
+        raise TypeError(
+            f"sequence_pack needs a numeric id column; {id_col} is "
+            f"{id_type.simpleString()} (map string ids to a dense rank "
+            "first)"
+        )
     e = docs.select(
         F.col(id_col),
         F.col(n_tokens_col).cast("long").alias("_tok"),

@@ -104,6 +104,7 @@ def mixture_resample(
     size_col: str,
     budget_frac: float,
     seed: int = 42,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic MIXTURE resampling: downsample each source so every
     source contributes an (approximately) EQUAL share of a global size
@@ -115,7 +116,7 @@ def mixture_resample(
         keep doc ⟺ hash_bucket(doc_id) < FLOOR(rate_s·GRAIN + 0.5)
 
     Membership is the engine's md5_mod contract — a pure function of
-    (seed, doc id), reproducible across engines/partitionings/reruns —
+    (seed, ``id_col``), reproducible across engines/partitionings/reruns —
     and the rate derivation is integer sums + a fixed chain of
     IEEE-correctly-rounded double ops, so the DuckDB oracle reproduces
     the exact sampled set (hash-VERIFIED mixture, not statistically
@@ -146,7 +147,7 @@ def mixture_resample(
         source_col, thr.alias("_thr")
     )
     return docs.join(F.broadcast(rates), source_col).filter(
-        hash_bucket(F.col("doc_id"), seed) < F.col("_thr")
+        hash_bucket(F.col(id_col), seed) < F.col("_thr")
     )
 
 

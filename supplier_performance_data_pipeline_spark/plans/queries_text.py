@@ -50,6 +50,17 @@ def _in_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+
+# THE quality-score SQL rendering (weights/caps/round in ONE place —
+# mirrored by operators/textops.py::quality_score_t; change one, change
+# both). Interpolate with {n_tok}/{stop}/{punct} sub-expressions.
+_QUALITY_FORMULA_SQL = (
+    "ROUND(0.4 * LEAST({n_tok} / 200.0, 1.0)"
+    " + 0.4 * LEAST(COALESCE({stop}, 0.0) * 5.0, 1.0)"
+    " + 0.2 * (1.0 - LEAST(COALESCE({punct}, 0.0) * 10.0, 1.0)), 6)"
+)
+
+
 def _stop_count(words: list[str]) -> str:
     return f"len(list_filter(toks, x -> x IN ({_in_list(words)})))"
 
@@ -122,9 +133,7 @@ scored AS (
 SELECT
     doc_id,
     n_tokens,
-    ROUND(0.4 * LEAST(n_tok_d / 200.0, 1.0)
-        + 0.4 * LEAST(COALESCE(stop_ratio, 0.0) * 5.0, 1.0)
-        + 0.2 * (1.0 - LEAST(COALESCE(punct_ratio, 0.0) * 10.0, 1.0)), 6)
+    {_QUALITY_FORMULA_SQL.format(n_tok="n_tok_d", stop="stop_ratio", punct="punct_ratio")}
         AS quality_score,
     CASE
         WHEN COALESCE(s_en, 0.0) > 0 AND COALESCE(s_en, 0.0) >= COALESCE(s_es, 0.0)
@@ -1521,18 +1530,17 @@ comp AS (
     FROM verts LEFT JOIN mn ON verts.v = mn.src
 ),
 q AS (
-    SELECT doc_id,
-           ROUND(0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0)
-               + 0.4 * LEAST(COALESCE(
-                     CAST({_stop_count(QUALITY_STOPWORDS)} AS DOUBLE)
-                     / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 0.0) * 5.0,
-                     1.0)
-               + 0.2 * (1.0 - LEAST(COALESCE(
-                     CAST(length(text) - length(translate(text,
-                          '{PUNCT_CHARS}', '')) AS DOUBLE)
-                     / NULLIF(CAST(length(text) AS DOUBLE), 0.0), 0.0)
-                     * 10.0, 1.0)), 6) AS quality
-    FROM toks_cte
+    SELECT t.doc_id,
+           {_QUALITY_FORMULA_SQL.format(
+               n_tok="CAST(len(toks) AS DOUBLE)",
+               stop=f"CAST({_stop_count(QUALITY_STOPWORDS)} AS DOUBLE)"
+                    " / NULLIF(CAST(len(toks) AS DOUBLE), 0.0)",
+               punct="CAST(length(text) - length(translate(text, '"
+                     + PUNCT_CHARS
+                     + "', '')) AS DOUBLE)"
+                     " / NULLIF(CAST(length(text) AS DOUBLE), 0.0)",
+           )} AS quality
+    FROM toks_cte t JOIN comp c2 ON t.doc_id = c2.doc_id
 ),
 ranked AS (
     SELECT c.component, c.doc_id, q.quality,
@@ -1574,14 +1582,17 @@ def q_dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     sigs.unpersist()
     cc = connected_components(pairs)
-    q = docs.select(
+    # Restrict to cluster members BEFORE tokenizing: quality is a
+    # regexp-split projection, and only docs appearing in LSH pairs
+    # survive — scoring the whole corpus first would waste a full
+    # tokenization pass at scale.
+    members = cc.select(F.col("id").alias("doc_id"), "component")
+    joined = members.join(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
+        "component",
         F.round(
             quality_score_t(F.col("text"), tokens(F.col("text"))), 6
         ).alias("quality"),
-    )
-    joined = cc.select(F.col("id").alias("doc_id"), "component").join(
-        q, "doc_id"
     )
     w = Window.partitionBy("component").orderBy(
         F.desc("quality"), F.desc("doc_id")
