@@ -564,3 +564,90 @@ def test_left_outer_equivalence_degenerate_inputs(spark, tmp_path):
         (2, base + _dt.timedelta(minutes=5), 1, "error", 1.0, None),
     ]
     assert run(short, "short") == (0, 0, 0, True)
+
+
+def test_mixture_resample_empty_and_single_source(spark):
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, source string, n_chars long"
+    )
+    assert mixture_resample(empty, "source", "n_chars", 0.5).count() == 0
+    # single source at budget_frac=1.0: uniform share == its own total,
+    # rate clamps to 1, everything kept
+    one = spark.createDataFrame(
+        [(1, "s", 10), (2, "s", 20)], "doc_id long, source string, n_chars long"
+    )
+    assert mixture_resample(one, "source", "n_chars", 1.0).count() == 2
+
+
+def test_sequence_pack_empty_and_all_zero_tokens(spark):
+    from supplier_performance_data_pipeline_spark.operators.curation import (
+        sequence_pack,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, n long")
+    assert sequence_pack(empty, "doc_id", "n", 128).count() == 0
+    zeros = spark.createDataFrame(
+        [(1, 0), (2, 0)], "doc_id long, n long"
+    )
+    assert sequence_pack(zeros, "doc_id", "n", 128).count() == 0
+
+
+def test_sequence_pack_rejects_string_ids(spark):
+    import pytest as _pytest
+
+    from supplier_performance_data_pipeline_spark.operators.curation import (
+        sequence_pack,
+    )
+
+    df = spark.createDataFrame([("a", 5)], "doc_id string, n long")
+    with _pytest.raises(TypeError, match="numeric id"):
+        sequence_pack(df, "doc_id", "n", 128)
+
+
+def test_interval_overlap_empty_sides(spark):
+    from supplier_performance_data_pipeline_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    iv = "lid long, s timestamp, e timestamp"
+    empty = spark.createDataFrame([], iv)
+    some = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "rid long, rs string, re string",
+    ).selectExpr(
+        "rid", "CAST(rs AS TIMESTAMP) AS rs", "CAST(re AS TIMESTAMP) AS re"
+    )
+    assert (
+        interval_overlap_join(empty, some, "s", "e", "rs", "re", 3600).count()
+        == 0
+    )
+
+
+def test_debounce_single_event_per_key_always_kept(spark):
+    from supplier_performance_data_pipeline_spark.operators.windows import (
+        debounce,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10), (2, "2024-01-01 00:00:01", 11)],
+        "user_id long, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert debounce(ev, ["user_id"], "ts", 60, "event_id").count() == 2
+
+
+def test_cm_sketch_empty_input_estimates_zero(spark):
+    from supplier_performance_data_pipeline_spark.operators.sketch import (
+        cm_cell_table,
+        cm_estimates,
+    )
+
+    empty = spark.createDataFrame([], "k string")
+    cells = cm_cell_table(empty, "k")
+    assert cells.count() == 0
+    items = spark.createDataFrame([("x",)], "k string")
+    est = cm_estimates(cells, items, "k").collect()
+    assert est[0]["est"] == 0  # absent cells count 0, not NULL
