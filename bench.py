@@ -142,6 +142,7 @@ HEADLINE = [
     "price_mad_outliers",
     "corpus_sequence_packing",
     "dedup_canonical_selection",
+    "price_equi_depth_bins",
 ]
 
 

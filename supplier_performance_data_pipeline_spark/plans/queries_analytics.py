@@ -2250,3 +2250,79 @@ def q_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_price_mad_outliers.__doc__ = q_price_mad_outliers.__doc__.format(k=_MAD_K)
+
+
+# --- equi-depth (equal-frequency) binning -----------------------------------
+
+_EDB_BINS = 8
+
+
+@register(
+    "price_equi_depth_bins",
+    oracle=f"""
+WITH cents AS (
+    SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+    FROM lineitem
+),
+bounds AS (
+    SELECT [{", ".join(
+        f"quantile_cont(c, {i}.0 / {_EDB_BINS})" for i in range(1, _EDB_BINS)
+    )}] AS bs
+    FROM cents
+),
+binned AS (
+    SELECT c, CAST(1 + len(list_filter(bs, b -> b <= c)) AS INTEGER) AS bin
+    FROM cents CROSS JOIN bounds
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(c) AS lo_cents,
+       MAX(c) AS hi_cents
+FROM binned GROUP BY bin
+""".strip(),
+)
+def q_price_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (equal-frequency) binning of prices into {n} buckets —
+    the feature-bucketing primitive (quantile discretization before a
+    model, or histogram equalization for skewed columns), where
+    equi-WIDTH bins would put 90% of rows in one bucket on a heavy
+    tail. Bin b = 1 + #(bounds <= x) over the {nm1} interior
+    (k/{n})-quantiles.
+
+    Portability: prices quantize to integer cents (canonical FLOOR
+    recipe); the bounds interpolate over integers — identical doubles
+    both engines — and bin assignment counts `bound <= x` comparisons
+    against the SAME doubles, so every row lands in the same bin on
+    both engines. Counts and integer min/max cross the hash boundary.
+
+    Plan: one exact array-percentile aggregate (ONE sort buffer — the
+    winsorized lesson), the 1-row bounds broadcast-crossJoined onto the
+    scan (risk-bounds shape), bin assignment a pure projection
+    (array filter + size), one bin-keyed agg. At 100 TB the bounds
+    pass switches to approx_percentile; assignment and rollup are
+    unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents_df = li.select(cents("l_extendedprice").alias("c"))
+    qs = ", ".join(
+        f"{i}.0D / {_EDB_BINS}" for i in range(1, _EDB_BINS)
+    )
+    bounds = cents_df.agg(
+        F.expr(f"percentile(c, array({qs}))").alias("bs")
+    )
+    binned = cents_df.crossJoin(F.broadcast(bounds)).select(
+        "c",
+        (
+            F.lit(1)
+            + F.size(F.filter("bs", lambda b: b <= F.col("c")))
+        ).cast("int").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("c").alias("lo_cents"),
+        F.max("c").alias("hi_cents"),
+    )
+
+
+q_price_equi_depth_bins.__doc__ = q_price_equi_depth_bins.__doc__.format(
+    n=_EDB_BINS, nm1=_EDB_BINS - 1
+)
