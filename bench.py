@@ -143,6 +143,7 @@ HEADLINE = [
     "corpus_sequence_packing",
     "dedup_canonical_selection",
     "price_equi_depth_bins",
+    "totalprice_benford_audit",
 ]
 
 

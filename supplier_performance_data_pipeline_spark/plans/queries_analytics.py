@@ -2326,3 +2326,84 @@ def q_price_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_price_equi_depth_bins.__doc__ = q_price_equi_depth_bins.__doc__.format(
     n=_EDB_BINS, nm1=_EDB_BINS - 1
 )
+
+
+# --- Benford first-digit audit ----------------------------------------------
+
+# log10(1 + 1/d) to 12dp, inlined as identical literals in BOTH arms —
+# computed once offline so neither engine's libm is in the loop.
+_BENFORD_P = {
+    1: "0.301029995664", 2: "0.176091259056", 3: "0.124938736608",
+    4: "0.096910013008", 5: "0.079181246048", 6: "0.066946789631",
+    7: "0.057991946978", 8: "0.051152522447", 9: "0.045757490561",
+}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "totalprice_benford_audit",
+    oracle=f"""
+WITH cents AS (
+    SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+    FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+    SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM cents
+),
+counts AS (
+    SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+),
+tot AS (SELECT SUM(n_obs) AS n FROM counts)
+SELECT digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       ROUND(CAST(n_obs AS DOUBLE) / n, 6) AS obs_freq,
+       ROUND({_BENFORD_CASE}, 6) AS benford_freq,
+       ROUND((CAST(n_obs AS DOUBLE) - n * ({_BENFORD_CASE}))
+             * (CAST(n_obs AS DOUBLE) - n * ({_BENFORD_CASE}))
+             / (n * ({_BENFORD_CASE})), 6) AS chi2_term
+FROM counts CROSS JOIN tot
+""".strip(),
+)
+def q_totalprice_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values — the classic
+    forensic-accounting / data-quality screen (fabricated or
+    unit-mangled money columns flunk the log-uniform first-digit
+    distribution; Benford 1938, Nigrini '96 audit practice). Emits the
+    per-digit observed count/frequency, the Benford expectation, and
+    the chi-square term, whose sum the auditor compares to the 8-df
+    critical value.
+
+    Portability: the first digit comes from STRING math over integer
+    cents (substr of the digits — no log10 and so no libm anywhere);
+    the Benford expectations are 12dp literals computed offline and
+    inlined IDENTICALLY in both arms; the chi-square terms are a fixed
+    chain of IEEE multiply/divide over exact integers and those
+    literals.
+
+    Plan: projection → 9-key hash agg (map-side combined) → 1-row
+    total broadcast-crossJoined back — one fact scan, one tiny
+    shuffle. A 100 TB audit is the identical plan."""
+    o = _t(spark, sf_dir, "orders")
+    cents_df = o.filter(F.col("o_totalprice") > 0).select(
+        cents("o_totalprice").alias("c")
+    )
+    digits = cents_df.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").alias("n"))
+    bf = _BENFORD_CASE
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.expr("ROUND(CAST(n_obs AS DOUBLE) / n, 6)").alias("obs_freq"),
+        F.expr(f"ROUND({bf}, 6)").alias("benford_freq"),
+        F.expr(
+            f"ROUND((CAST(n_obs AS DOUBLE) - n * ({bf}))"
+            f" * (CAST(n_obs AS DOUBLE) - n * ({bf}))"
+            f" / (n * ({bf})), 6)"
+        ).alias("chi2_term"),
+    )
