@@ -144,6 +144,7 @@ HEADLINE = [
     "dedup_canonical_selection",
     "price_equi_depth_bins",
     "totalprice_benford_audit",
+    "streaming_throttle_equivalence",
 ]
 
 

@@ -1844,3 +1844,123 @@ def q_error_purchase_session_overlap(spark: SparkSession, sf_dir: str) -> DataFr
         "pur_session",
         overlap.alias("overlap_us"),
     )
+
+
+# --- streaming throttle equivalence (custom sequential keyed state) ---------
+
+_THROTTLE_QUIET_S = 86400
+
+
+@register(
+    "streaming_throttle_equivalence",
+    oracle=f"""
+WITH RECURSIVE e AS (
+    SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+    FROM events WHERE ts IS NOT NULL
+),
+walk AS (
+    SELECT user_id, rn, us, TRUE AS kept, us AS last_kept
+    FROM e WHERE rn = 1
+    UNION ALL
+    SELECT n.user_id, n.rn, n.us,
+           n.us > w.last_kept + {_THROTTLE_QUIET_S * 1_000_000} AS kept,
+           CASE WHEN n.us > w.last_kept + {_THROTTLE_QUIET_S * 1_000_000}
+                THEN n.us ELSE w.last_kept END
+    FROM walk w JOIN e n ON n.user_id = w.user_id AND n.rn = w.rn + 1
+)
+SELECT CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       CAST(0 AS BIGINT) AS n_mismatched,
+       TRUE AS throttle_equals_batch
+FROM walk
+""".strip(),
+)
+def q_streaming_throttle_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SEQUENTIAL keyed state on the driver's board: throttle
+    (keep an event iff > {q}s after the last KEPT event of its user —
+    rate limiting, the inherently-sequential sibling of the batch
+    lag-based ``debounce``) runs through the REAL streaming engine
+    (``applyInPandasWithState``, 8-byte state per user) over a
+    TIME-SPLIT two-file replay (mtime-ordered, one file per trigger),
+    so kept decisions in batch 2 depend on state carried from batch 1.
+    The kept set must equal the batch twin — the same ``_throttle_core``
+    scan over each user's full history via ``applyInPandas`` — row for
+    row; the oracle independently re-derives the kept count with a
+    recursive CTE walking each user's (ts, event_id) sequence (depth =
+    max events/user), and pins (n_kept, 0 mismatches, TRUE).
+
+    This is the third verification arm: streaming state machinery vs
+    batch Arrow scan vs pure-SQL recursion — three executions of one
+    spec. State scale: one integer per active user; the replay split
+    preserves per-key event-time order across batches, the operator's
+    documented contract."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+    )
+    from supplier_performance_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+    )
+    from supplier_performance_data_pipeline_spark.streaming.stateful import (
+        batch_throttle,
+        streaming_throttle,
+    )
+
+    ev = _events(spark, sf_dir)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    sweep_stale_artifacts(tempfile.gettempdir(), "spark_graft_throttle_replay_")
+    replay = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_throttle_replay_{app}"
+    )
+    os.makedirs(replay, exist_ok=True)
+    # time-split halves, mtime-sequenced: per-key event-time order holds
+    # ACROSS micro-batches (the operator's contract)
+    mid = ev.agg(
+        F.expr("timestamp_micros(CAST(percentile(unix_micros(ts), 0.5D) AS BIGINT))")
+    ).collect()[0][0]
+    t0 = _time.time() - 100
+    for i, half in enumerate(
+        [ev.filter(F.col("ts") <= mid), ev.filter(F.col("ts") > mid)]
+    ):
+        tmp = os.path.join(replay, f"half{i}.dir")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(replay, f"half{i}.events.file")
+        os.replace(src, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    stream = read_event_stream(
+        spark, replay, glob="*.file", max_files_per_trigger=1
+    )
+    name = f"stream_throttle_{app}_{next(_STREAM_EQ_SEQ)}"
+    run_to_memory_sink(
+        streaming_throttle(stream, _THROTTLE_QUIET_S), name, "append"
+    )
+    s = spark.table(name).select(
+        F.col("event_id").alias("s_eid"), F.lit(1).alias("s_tag")
+    )
+    b = batch_throttle(ev, _THROTTLE_QUIET_S).select(
+        "event_id", F.lit(1).alias("b_tag")
+    )
+    j = b.join(s, b.event_id == s.s_eid, "full_outer")
+    mism = F.col("b_tag").isNull() | F.col("s_tag").isNull()
+    return j.agg(
+        F.coalesce(
+            F.sum(F.when(~mism, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(mism, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_mismatched"),
+        (
+            F.coalesce(F.sum(F.when(mism, 1).otherwise(0)), F.lit(0)) == 0
+        ).alias("throttle_equals_batch"),
+    )
+
+
+q_streaming_throttle_equivalence.__doc__ = (
+    q_streaming_throttle_equivalence.__doc__.format(q=_THROTTLE_QUIET_S)
+)

@@ -90,3 +90,115 @@ def streaming_user_profiles(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# --- throttle: keep-relative-to-last-KEPT rate limiting ---------------------
+
+THROTTLE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+_THROTTLE_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_kept_us", T.LongType())]
+)
+
+
+def _throttle_core(
+    pdf: "pd.DataFrame", last_kept_us: int | None, quiet_us: int
+) -> tuple["pd.DataFrame", int | None]:
+    """The shared sequential state machine: scan (ts, event_id)-sorted
+    rows, keep a row iff it is strictly more than ``quiet_us`` after
+    the last KEPT row — one function used by BOTH the streaming
+    operator and the batch twin, so the equivalence verdict tests the
+    state plumbing, not two reimplementations."""
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    keep = []
+    for us in pdf["ts_us"]:
+        us = int(us)
+        if last_kept_us is None or us > last_kept_us + quiet_us:
+            keep.append(True)
+            last_kept_us = us
+        else:
+            keep.append(False)
+    return pdf[pd.Series(keep, index=pdf.index)], last_kept_us
+
+
+def streaming_throttle(events: DataFrame, quiet_seconds: int) -> DataFrame:
+    """Streaming THROTTLE — the sequential sibling of the batch
+    ``debounce`` (which keeps burst OPENERS via a lag gap): keep an
+    event iff it is more than ``quiet_seconds`` after the last KEPT
+    event of its key. That reference-to-last-KEPT makes it an
+    inherently sequential running state (a long burst emits one event
+    per quiet window, where debounce emits only the opener), which is
+    exactly what ``applyInPandasWithState`` exists for: per-user state
+    is one integer (last kept µs), micro-batch rows arrive as Arrow
+    batches and are sorted (ts, event_id) before the scan.
+
+    Correctness contract: per-key event-time order must hold ACROSS
+    micro-batches (in-batch disorder is sorted away) — the replay
+    harness feeds time-split files in mtime order; a production feed
+    would pair this with a watermark-delayed upstream sort.
+
+    State scale: 8 bytes per active key, keyed and partitioned like
+    any grouped state; with an expiry timeout idle keys would be
+    reclaimed (left off here so drive-to-completion harnesses
+    settle)."""
+    quiet_us = quiet_seconds * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        (last,) = state.get if state.exists else (None,)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        kept, last = _throttle_core(batch, last, quiet_us)
+        if last is not None:
+            state.update((int(last),))
+        yield pd.DataFrame(
+            {
+                "user_id": kept["user_id"].astype("int64"),
+                "event_id": kept["event_id"].astype("int64"),
+                "ts_us": kept["ts_us"].astype("int64"),
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    prepped = events.filter(F.col("ts").isNotNull()).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=THROTTLE_SCHEMA,
+        stateStructType=_THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_throttle(events: DataFrame, quiet_seconds: int) -> DataFrame:
+    """Batch twin of ``streaming_throttle``: the SAME ``_throttle_core``
+    run once per key over the fully-sorted history via
+    ``applyInPandas`` (the sequential scan is irreducible — this is
+    the documented reason ``operators/windows.debounce`` implements
+    burst-opener semantics instead; per-key groups bound the scan)."""
+    quiet_us = quiet_seconds * 1_000_000
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        kept, _ = _throttle_core(pdf, None, quiet_us)
+        return kept[["user_id", "event_id", "ts_us"]]
+
+    from pyspark.sql import functions as F
+
+    prepped = events.filter(F.col("ts").isNotNull()).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepped.groupBy("user_id").applyInPandas(
+        run, schema=THROTTLE_SCHEMA
+    )

@@ -73,3 +73,58 @@ def test_salted_distinct_count_equals_plain(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_throttle_equals_batch_across_microbatches(spark, tmp_path):
+    """The stateful throttle must carry last-kept state ACROSS
+    micro-batches: a time-split replay (file per half, mtime-ordered,
+    one file per trigger) must produce the exact kept set of the batch
+    twin — including events in batch 2 suppressed by a kept event from
+    batch 1."""
+    import datetime as dt
+    import os
+    import time
+
+    from supplier_performance_data_pipeline_spark.streaming.stateful import (
+        batch_throttle,
+        streaming_throttle,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2, 3):
+        for i in range(12):
+            # bursts every 10s per user; quiet=25s throttles to every 30s
+            rows.append((u, u * 100 + i, base + dt.timedelta(seconds=10 * i)))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    # split ON a throttle-suppression boundary: second half starts at
+    # t=60 whose fate depends on state (last kept t=60? kept at 0,30,60…)
+    first = df.filter("ts < timestamp'2024-01-01 00:01:00'")
+    second = df.filter("ts >= timestamp'2024-01-01 00:01:00'")
+    t = time.time() - 100
+    for i, part in enumerate([first, second]):
+        p = os.path.join(d, f"half{i}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        import glob as g
+
+        src = g.glob(p + ".dir/part-*.parquet")[0]
+        os.rename(src, os.path.join(d, f"half{i}.parquet.file"))
+        os.utime(os.path.join(d, f"half{i}.parquet.file"), (t + i * 10, t + i * 10))
+    stream = read_event_stream(
+        spark, d, glob="*.file", max_files_per_trigger=1
+    )
+    run_to_memory_sink(
+        streaming_throttle(stream, 25), "throttle_out", "append"
+    )
+    got = sorted(
+        (r.user_id, r.event_id)
+        for r in spark.table("throttle_out").collect()
+    )
+    want = sorted(
+        (r.user_id, r.event_id) for r in batch_throttle(df, 25).collect()
+    )
+    assert got == want
+    # sanity: throttling actually suppressed rows and kept mid-burst ones
+    assert (1, 103) in want and (1, 101) not in want
