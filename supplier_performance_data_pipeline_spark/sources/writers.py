@@ -213,3 +213,24 @@ def sweep_stale_artifacts(
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             pass
+
+
+def write_replay_file(
+    df, directory: str, name: str, mtime: float
+) -> str:
+    """One sequenced replay file for file-source streaming tests: write
+    ``df`` as a single parquet part, surface it as ``directory/name``,
+    and pin its mtime so ``maxFilesPerTrigger=1`` replays files in the
+    intended micro-batch order. Shared by the streaming-equivalence
+    queries and tests — the replay contract (single part, rename,
+    backdated mtime) lives here, not in three hand-rolled copies."""
+    import glob as _glob
+    import os as _os
+
+    tmp = _os.path.join(directory, f"{name}.dir")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+    dst = _os.path.join(directory, name)
+    _os.replace(src, dst)
+    _os.utime(dst, (mtime, mtime))
+    return dst

@@ -18,6 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -127,6 +128,18 @@ def _throttle_core(
     return pdf[pd.Series(keep, index=pdf.index)], last_kept_us
 
 
+def _throttle_prepped(events: DataFrame) -> DataFrame:
+    """Shared input contract for BOTH throttle arms: NULL ts has no
+    time position and NULL user_id no state key — both are dropped
+    (Arrow would otherwise deliver a NULL-key group as NaN and crash
+    the int64 cast, while the recursive-CTE oracle's equality walk
+    silently drops NULL keys after rn=1 — three different behaviors
+    instead of one documented rule)."""
+    return events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+
+
 def streaming_throttle(events: DataFrame, quiet_seconds: int) -> DataFrame:
     """Streaming THROTTLE — the sequential sibling of the batch
     ``debounce`` (which keeps burst OPENERS via a lag gap): keep an
@@ -168,11 +181,7 @@ def streaming_throttle(events: DataFrame, quiet_seconds: int) -> DataFrame:
             }
         )
 
-    from pyspark.sql import functions as F
-
-    prepped = events.filter(F.col("ts").isNotNull()).select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
-    )
+    prepped = _throttle_prepped(events)
     return prepped.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=THROTTLE_SCHEMA,
@@ -194,11 +203,7 @@ def batch_throttle(events: DataFrame, quiet_seconds: int) -> DataFrame:
         kept, _ = _throttle_core(pdf, None, quiet_us)
         return kept[["user_id", "event_id", "ts_us"]]
 
-    from pyspark.sql import functions as F
-
-    prepped = events.filter(F.col("ts").isNotNull()).select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
-    )
+    prepped = _throttle_prepped(events)
     return prepped.groupBy("user_id").applyInPandas(
         run, schema=THROTTLE_SCHEMA
     )

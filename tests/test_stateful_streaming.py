@@ -103,15 +103,13 @@ def test_streaming_throttle_equals_batch_across_microbatches(spark, tmp_path):
     # t=60 whose fate depends on state (last kept t=60? kept at 0,30,60…)
     first = df.filter("ts < timestamp'2024-01-01 00:01:00'")
     second = df.filter("ts >= timestamp'2024-01-01 00:01:00'")
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_replay_file,
+    )
+
     t = time.time() - 100
     for i, part in enumerate([first, second]):
-        p = os.path.join(d, f"half{i}.parquet")
-        part.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
-        import glob as g
-
-        src = g.glob(p + ".dir/part-*.parquet")[0]
-        os.rename(src, os.path.join(d, f"half{i}.parquet.file"))
-        os.utime(os.path.join(d, f"half{i}.parquet.file"), (t + i * 10, t + i * 10))
+        write_replay_file(part, d, f"half{i}.parquet.file", t + i * 10)
     stream = read_event_stream(
         spark, d, glob="*.file", max_files_per_trigger=1
     )
