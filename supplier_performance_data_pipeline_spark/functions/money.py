@@ -22,8 +22,8 @@ needs.
 
 Derived units used throughout the registry:
   - cents    = integer 1e-2 dollars (prices, balances, quantities)
-  - bp       = integer basis points for discounts/rates in [0,1]
-  - e4 units = cents × (100 − bp): integer 1e-4 dollars for the
+  - pct      = integer percent units (0-100) for discounts/rates
+  - e4 units = cents × (100 − pct): integer 1e-4 dollars for the
                discounted-revenue product — never divide until the
                output edge; report ``CAST(SUM(e4) AS DOUBLE) / 10000``.
 
@@ -61,21 +61,22 @@ def cents_sql(expr: str) -> str:
     return f"CAST(FLOOR({expr} * 100 + 0.5) AS BIGINT)"
 
 
-def basis_points(col: Column | str) -> Column:
-    """Exact integer basis points (percent×1) from a rate double in
-    [0, 1] quantized at 2 digits (TPC-H discounts/taxes)."""
+def percent_units(col: Column | str) -> Column:
+    """Exact integer PERCENT units (0-100 — NOT basis points: a 5%
+    discount maps to 5) from a rate double in [0, 1] quantized at 2
+    digits (TPC-H discounts/taxes)."""
     return F.floor(_c(col) * F.lit(100) + F.lit(0.5)).cast("long")
 
 
-def basis_points_sql(expr: str) -> str:
-    """DuckDB rendering of :func:`basis_points`."""
+def percent_units_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`percent_units`."""
     return f"CAST(FLOOR({expr} * 100 + 0.5) AS BIGINT)"
 
 
 def revenue_e4(price: Column | str, discount: Column | str) -> Column:
     """price×(1−discount) as exact integer 1e-4 dollars, DECIMAL(38,0)
     so engine-side sums stay exact and unwrappable at any scale."""
-    e4 = cents(price) * (F.lit(100) - basis_points(discount))
+    e4 = cents(price) * (F.lit(100) - percent_units(discount))
     return e4.cast("decimal(38,0)")
 
 
@@ -83,7 +84,7 @@ def revenue_e4_sql(price_expr: str, discount_expr: str) -> str:
     """DuckDB rendering of :func:`revenue_e4`."""
     return (
         f"CAST({cents_sql(price_expr)}"
-        f" * (100 - {basis_points_sql(discount_expr)}) AS DECIMAL(38,0))"
+        f" * (100 - {percent_units_sql(discount_expr)}) AS DECIMAL(38,0))"
     )
 
 

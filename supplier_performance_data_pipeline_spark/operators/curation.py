@@ -230,10 +230,21 @@ def sequence_pack(
     "placement" is an empty interval). All arithmetic is integer;
     sequence ids use floor division of non-negative longs — identical
     in both engines. ``id_col`` must be NUMERIC (it both orders the
-    stream and derives the prefix blocks); a string id would cast to
-    NULL blocks and silently pack nothing, so it raises instead."""
+    stream and derives the prefix blocks; a string id would cast to
+    NULL blocks and silently pack nothing, so it raises instead) and
+    UNIQUE per row (duplicate ids tie the intra-block ORDER BY, making
+    their running-sum frames — and so their offsets —
+    partition-order-dependent). ``budget``/``block`` must be positive:
+    Spark's non-ANSI ``DIV 0`` would return NULL sequence ids where
+    the oracle errors — a silent/loud divergence this guard
+    forecloses."""
     from pyspark.sql import types as T
 
+    if budget <= 0 or block <= 0:
+        raise ValueError(
+            f"sequence_pack needs positive budget/block, got "
+            f"{budget}/{block}"
+        )
     id_type = docs.schema[id_col].dataType
     if not isinstance(id_type, T.NumericType):
         raise TypeError(

@@ -90,6 +90,8 @@ def interval_overlap_join(
     per interval); AQE handles hot buckets like any skewed key.
     Column names must be disjoint apart from the four coordinates."""
 
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
     # All bucket math in exact integer MICROSECONDS: second-truncating
     # unix_timestamp would let a sub-second overlap start round into a
     # bucket the truncated interval ends never touch, silently dropping

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from supplier_performance_data_pipeline_spark.functions.money import (
-    basis_points,
+    percent_units,
     cents,
     revenue_e4,
 )
@@ -71,8 +71,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     qty = cents("l_quantity").cast("decimal(38,0)")
     price = cents("l_extendedprice").cast("decimal(38,0)")
-    disc_bp = basis_points("l_discount")
-    tax_bp = basis_points("l_tax")
+    disc_bp = percent_units("l_discount")
+    tax_bp = percent_units("l_tax")
     disc_e4 = (cents("l_extendedprice") * (F.lit(100) - disc_bp)).cast(
         "decimal(38,0)"
     )
@@ -367,7 +367,7 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (
                 cents("l_extendedprice")
-                * (F.lit(100) - basis_points("l_discount"))
+                * (F.lit(100) - percent_units("l_discount"))
             ).cast("double")
             / F.lit(10000)
         ).alias("net_price"),
@@ -1176,7 +1176,7 @@ def q_discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    (cents("l_extendedprice") * basis_points("l_discount"))
+                    (cents("l_extendedprice") * percent_units("l_discount"))
                     .cast("decimal(38,0)")
                 ).cast("double")
                 / F.lit(10000)
@@ -1864,16 +1864,16 @@ def q_discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(
             F.count("*").alias("n"),
             F.sum(
-                basis_points("l_discount").cast("decimal(38,0)")
+                percent_units("l_discount").cast("decimal(38,0)")
             ).alias("sx"),
             F.sum(cents("l_quantity").cast("decimal(38,0)")).alias("sy"),
             F.sum(
-                (basis_points("l_discount") * cents("l_quantity")).cast(
+                (percent_units("l_discount") * cents("l_quantity")).cast(
                     "decimal(38,0)"
                 )
             ).alias("sxy"),
             F.sum(
-                (basis_points("l_discount") * basis_points("l_discount"))
+                (percent_units("l_discount") * percent_units("l_discount"))
                 .cast("decimal(38,0)")
             ).alias("sxx"),
             F.sum(

@@ -29,8 +29,8 @@ import pandas as pd
 import pytest
 
 from supplier_performance_data_pipeline_spark.functions.money import (
-    basis_points,
-    basis_points_sql,
+    percent_units,
+    percent_units_sql,
     cents,
     cents_sql,
 )
@@ -89,7 +89,7 @@ def test_cents_primitive_bit_identical_cross_engine(spark):
     )
 
 
-def test_basis_points_primitive_bit_identical_cross_engine(spark):
+def test_percent_units_primitive_bit_identical_cross_engine(spark):
     # rates in [0,1] with half-bp ties like 0.055, 0.005, 0.125
     vals = [i / 1000.0 for i in range(0, 1001)] + [0.055, 0.005, 0.075]
     con = duckdb.connect()
@@ -99,7 +99,7 @@ def test_basis_points_primitive_bit_identical_cross_engine(spark):
     duck = [
         r[0]
         for r in con.execute(
-            f"SELECT {basis_points_sql('x')} FROM t ORDER BY rowid"
+            f"SELECT {percent_units_sql('x')} FROM t ORDER BY rowid"
         ).fetchall()
     ]
     sdf = spark.createDataFrame(
@@ -107,7 +107,7 @@ def test_basis_points_primitive_bit_identical_cross_engine(spark):
     )
     got = {
         r["i"]: r["c"]
-        for r in sdf.select("i", basis_points("x").alias("c")).collect()
+        for r in sdf.select("i", percent_units("x").alias("c")).collect()
     }
     assert [got[i] for i in range(len(vals))] == duck
 
@@ -240,15 +240,33 @@ def test_money_floor_fragments_use_the_canonical_rendering():
         # (interpolated medians/percentiles): FLOOR(x + 0.5), no *100
         r"|CAST\(FLOOR\((?:MIN|MAX|quantile_cont)\([A-Za-z0-9_., ]+\)"
         r" \+ 0\.5\) AS BIGINT\)"
+        # GRAIN-scaled rate threshold (mixture_resample_rate_sql):
+        # FLOOR(LEAST(1.0, <fixed op chain>) * GRAIN + 0.5)
+        r"|CAST\(FLOOR\(LEAST\(1\.0, [^;]{0,120}?\)"
+        r" \* 10000 \+ 0\.5\) AS BIGINT\)"
     )
     for name, spec in load_all().items():
         if spec.oracle is None:
             continue
-        for m in _re.finditer(r"CAST\(FLOOR\([^;]{0,80}?AS BIGINT\)", spec.oracle):
-            frag = m.group(0)
+        frags = _re.findall(
+            r"CAST\(FLOOR\([^;]{0,200}?AS BIGINT\)", spec.oracle
+        )
+        # no exemption hole: a money fragment (ending in AS BIGINT)
+        # that exceeds the 80-char window would otherwise escape the
+        # pin — compare against a 200-char sweep. (Non-money FLOORs
+        # like tpch_domain's `... AS INTEGER` risk score are out of
+        # scope for the cents recipe and intentionally unmatched.)
+        wide = _re.findall(
+            r"CAST\(FLOOR\([^;]{0,400}?AS BIGINT\)", spec.oracle
+        )
+        assert len(frags) == len(wide), (
+            f"{name}: a FLOOR…AS BIGINT fragment exceeds the 200-char "
+            "match window — widen the test or shorten the fragment"
+        )
+        for frag in frags:
             assert canon.match(frag), (
                 f"{name}: non-canonical FLOOR money fragment {frag!r} — "
                 "render via functions/money.py (cents_sql / "
-                "basis_points_sql / revenue_e4_sql) or match their "
+                "percent_units_sql / revenue_e4_sql) or match their "
                 "exact output"
             )

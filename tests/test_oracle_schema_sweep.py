@@ -8,8 +8,12 @@ that class of bug (fetchdf coerces), so this sweep compares the Spark
 DataFrame schema against the oracle's ARROW schema with an explicit
 normalization map and fails on any int-vs-decimal/double drift.
 
-Cheap by construction: the Spark side builds the plan only (no action);
-DuckDB executes at sf0.001.
+Cost note: for most specs the Spark side only BUILDS the plan, but
+~10 specs (streaming equivalence verdicts, CTAS/bucketed layouts)
+execute real work inside build() before .schema is readable — the
+sweep re-pays that (~comparable to one parity run at sf0.001). Keep
+action-at-build specs rare; the sweep's value (it caught the only
+schema drift in a 152-query registry) justifies the current cost.
 """
 
 from __future__ import annotations
