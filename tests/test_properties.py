@@ -497,3 +497,157 @@ def test_snapshot_diff_matches_dict_diff(spark, old, new):
         else:
             expect[k] = "unchanged"
     assert got == expect
+
+
+# --- round-5 operators -------------------------------------------------------
+
+_throttle_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=0, max_value=400),  # seconds offset
+    ),
+    max_size=14,
+)
+
+
+@given(evs=_throttle_events, quiet=st.integers(min_value=1, max_value=120))
+@SLOW
+def test_batch_throttle_complete_characterization(spark, evs, quiet):
+    """Two-way spec: (a) consecutive KEPT events per key are strictly
+    more than ``quiet`` apart; (b) every DROPPED event is within
+    ``quiet`` of the latest kept event at or before it. Together these
+    uniquely determine the kept set, so the test is a full functional
+    characterization, not a smoke check."""
+    import datetime as dt
+
+    from supplier_performance_data_pipeline_spark.streaming.stateful import (
+        batch_throttle,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, i, base + dt.timedelta(seconds=s))
+        for i, (u, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+    kept = {
+        r.event_id for r in batch_throttle(df, quiet).collect()
+    }
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, i, ts in rows:
+        by_user.setdefault(u, []).append(
+            (int(ts.timestamp() * 1_000_000), i)
+        )
+    for seq in by_user.values():
+        seq.sort()
+        last = None
+        for us, i in seq:
+            if last is None or us > last + quiet * 1_000_000:
+                assert i in kept, (i, quiet)
+                last = us
+            else:
+                assert i not in kept, (i, quiet)
+
+
+_mix_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # doc_id
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=1, max_value=500),  # size
+    ),
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_mix_rows, frac=st.sampled_from([0.25, 0.5, 1.0]))
+@SLOW
+def test_mixture_resample_matches_python_model(spark, rows, frac):
+    """The kept set equals the Python re-derivation of thresholds +
+    md5 membership (same op chain), and is always a subset of the
+    input — resampling never upsamples."""
+    import hashlib
+
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        GRAIN,
+        mixture_resample,
+    )
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    got = {
+        r.doc_id for r in mixture_resample(df, "source", "n_chars", frac).collect()
+    }
+    totals: dict[str, int] = {}
+    for _, src, n in rows:
+        totals[src] = totals.get(src, 0) + n
+    tot = sum(totals.values())
+    ns = len(totals)
+    thr = {
+        src: int(
+            __import__("math").floor(
+                min(1.0, float(tot) * frac / ns / float(sz)) * GRAIN + 0.5
+            )
+        )
+        for src, sz in totals.items()
+    }
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"42|{doc_id}".encode()).hexdigest()[:14]
+        return int(h, 16) % GRAIN
+
+    want = {d for d, src, _ in rows if bucket(d) < thr[src]}
+    assert got == want
+    assert got <= {d for d, _, _ in rows}
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),
+            st.integers(min_value=0, max_value=300),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    bucket=st.sampled_from([7, 60, 100]),
+)
+@SLOW
+def test_interval_overlap_randomized_vs_brute(spark, ivs, bucket):
+    """Randomized intervals (including empty and reversed ones, which
+    must match nothing) against the nested-loop reference."""
+    import datetime as dt
+    import itertools
+
+    from supplier_performance_data_pipeline_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    left = [(i, ts(a), ts(b)) for i, (a, b) in enumerate(ivs)]
+    right = [
+        (i, ts(a), ts(b)) for i, (a, b) in enumerate(reversed(ivs))
+    ]
+    ldf = spark.createDataFrame(left, "lid int, ls timestamp, le timestamp")
+    rdf = spark.createDataFrame(right, "rid int, rs timestamp, re timestamp")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", bucket
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for (li, ls, le), (ri, rs, re) in itertools.product(left, right)
+        if ls < le and rs < re and ls < re and rs < le
+    )
+    assert got == want
