@@ -2360,7 +2360,7 @@ tot AS (SELECT SUM(n_obs) AS n FROM counts)
 SELECT digit,
        CAST(n_obs AS BIGINT) AS n_obs,
        ROUND(CAST(n_obs AS DOUBLE) / n, 6) AS obs_freq,
-       ROUND({_BENFORD_CASE}, 6) AS benford_freq,
+       CAST(ROUND({_BENFORD_CASE}, 6) AS DOUBLE) AS benford_freq,
        ROUND((CAST(n_obs AS DOUBLE) - n * ({_BENFORD_CASE}))
              * (CAST(n_obs AS DOUBLE) - n * ({_BENFORD_CASE}))
              / (n * ({_BENFORD_CASE})), 6) AS chi2_term
@@ -2381,7 +2381,11 @@ def q_totalprice_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Benford expectations are 12dp literals computed offline and
     inlined IDENTICALLY in both arms; the chi-square terms are a fixed
     chain of IEEE multiply/divide over exact integers and those
-    literals.
+    literals. `benford_freq` is rounded in DECIMAL domain (exact) then
+    cast to DOUBLE at the output edge in BOTH arms — Spark's bare
+    ROUND over decimal literals types as decimal(7,6) and renders
+    "0.301030" where the driver's DuckDB fetch renders 0.30103: a
+    hash drift with bit-identical values (the round-5 red).
 
     Plan: projection → 9-key hash agg (map-side combined) → 1-row
     total broadcast-crossJoined back — one fact scan, one tiny
@@ -2400,7 +2404,7 @@ def q_totalprice_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit",
         F.col("n_obs").cast("long").alias("n_obs"),
         F.expr("ROUND(CAST(n_obs AS DOUBLE) / n, 6)").alias("obs_freq"),
-        F.expr(f"ROUND({bf}, 6)").alias("benford_freq"),
+        F.expr(f"CAST(ROUND({bf}, 6) AS DOUBLE)").alias("benford_freq"),
         F.expr(
             f"ROUND((CAST(n_obs AS DOUBLE) - n * ({bf}))"
             f" * (CAST(n_obs AS DOUBLE) - n * ({bf}))"

@@ -1067,7 +1067,7 @@ def _pq_oracle(m: int, k: int, iters: int, d_sub: int) -> str:
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         "SELECT vec_id,\n"
-        "       list(CAST(cluster AS INTEGER) ORDER BY sub) AS codes,\n"
+        "       array_to_string(list(CAST(cluster AS INTEGER) ORDER BY sub), '-') AS codes,\n"
         "       ROUND(CAST(SUM(CAST(d AS DECIMAL(24,12))) AS DOUBLE), 6)"
         " AS distortion\n"
         "FROM all_sub GROUP BY vec_id"
@@ -1096,7 +1096,17 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF. At 100 TB: train the codebooks on a hash-sampled subset
     (same deterministic sampler), then encoding is one broadcast-
     codebook projection over the full table — the shape is already
-    exactly that."""
+    exactly that.
+
+    Output encoding: `codes` ships as a dash-joined string
+    ("3-0-12-7"), NOT array<int> — the driver's canonicalizer
+    sort_values/factorize crashes on list-valued columns
+    (unhashable), so array/map columns are banned across the hash
+    boundary (round-5 red; see the registry output-type lint)."""
     return pq_encode(
         _embeddings(spark, sf_dir), dim=DIM, m=PQ_M, k=PQ_K
+    ).select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
+        "distortion",
     )

@@ -7,6 +7,7 @@ catch mismatches before the driver does.
 
 from __future__ import annotations
 
+import decimal
 import os
 
 import duckdb
@@ -59,6 +60,27 @@ def assert_frames_match(
     assert sorted(actual.columns) == sorted(expected.columns), (
         f"{name}: column mismatch {sorted(actual.columns)} vs {sorted(expected.columns)}"
     )
+    # A decimal.Decimal object column on EITHER side is a hard fail
+    # BEFORE any comparison: the float branch's astype(float) would
+    # coerce it and erase exactly the rendering drift the driver's
+    # value hash sees (round-5 `totalprice_benford_audit`: Spark
+    # decimal(7,6) renders "0.301030", DuckDB's fetch renders 0.30103
+    # — values bit-identical, hash red). Cast to DOUBLE at the output
+    # edge in both arms instead.
+    for side, frame in (("actual", actual), ("expected", expected)):
+        for col in frame.columns:
+            if frame[col].dtype == object:
+                non_null = frame[col].dropna()
+                if len(non_null) and isinstance(
+                    non_null.iloc[0], decimal.Decimal
+                ):
+                    raise AssertionError(
+                        f"{name}: {side} column {col!r} holds "
+                        "decimal.Decimal objects — the driver hashes "
+                        "its rendering, which drifts from the other "
+                        "arm's float repr even when values are "
+                        "bit-identical. Cast to DOUBLE in both arms."
+                    )
     assert len(actual) == len(expected), (
         f"{name}: row count {len(actual)} vs {len(expected)}"
     )

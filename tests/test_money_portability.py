@@ -193,6 +193,29 @@ def test_exact_gate_catches_one_cent_error():
         assert_frames_match(a, b, "injected_cent_error")
 
 
+def test_exact_gate_rejects_decimal_object_columns():
+    """The round-5 escape hatch, pinned shut: a Spark decimal(7,6)
+    column reaches pandas as decimal.Decimal objects; the gate's old
+    astype(float) coerced them and erased exactly the rendering drift
+    the driver hashes ("0.301030" vs 0.30103 — values bit-identical,
+    driver red). A Decimal column on EITHER side must now be a hard
+    fail before any value comparison."""
+    import decimal
+
+    dec = pd.DataFrame(
+        {"k": ["x"], "benford_freq": [decimal.Decimal("0.301030")]}
+    )
+    flt = pd.DataFrame({"k": ["x"], "benford_freq": [0.30103]})
+    assert float(dec.benford_freq[0]) == flt.benford_freq[0], (
+        "precondition: values are numerically identical — only the "
+        "rendering drifts"
+    )
+    with pytest.raises(AssertionError, match="decimal.Decimal"):
+        assert_frames_match(dec, flt, "decimal_canary")
+    with pytest.raises(AssertionError, match="decimal.Decimal"):
+        assert_frames_match(flt, dec, "decimal_canary_flipped")
+
+
 def test_money_registry_has_no_decimal_cast_left():
     """No registered oracle may quantize money through a DECIMAL cast
     (engine-dependent tie-rounding on .xx5 values) or rescale a

@@ -56,11 +56,15 @@ def _compatible(spark_type: T.DataType, arrow_type: pa.DataType) -> bool:
     ):
         return pa.types.is_timestamp(arrow_type)
     if isinstance(spark_type, T.DecimalType):
-        # scale is what the value hash sees; precision may differ
-        return (
-            pa.types.is_decimal(arrow_type)
-            and arrow_type.scale == spark_type.scale
-        )
+        # Spark-side DECIMAL in an output schema is ALWAYS a sweep
+        # failure: the driver fetches DuckDB via fetchdf (NOT Arrow),
+        # so the oracle side reaches the value hash as float64 while
+        # Spark ships Decimal objects whose rendering drifts
+        # ("0.301030" vs 0.30103) even when values are bit-identical
+        # (round-5 `totalprice_benford_audit`). Scale-matched
+        # decimal-vs-decimal is NOT safe. Cast to DOUBLE (or integer
+        # units) at the output edge.
+        return False
     if isinstance(spark_type, T.BinaryType):
         return pa.types.is_binary(arrow_type) or pa.types.is_large_binary(
             arrow_type
