@@ -62,7 +62,15 @@ def shingle_hash_pairs(
     """(doc_id, hp): per-shingle 56-bit hash pairs (h1, h2) from ONE md5
     per shingle — the K MinHash components are derived arithmetically,
     so signature cost is one digest per shingle instead of K."""
-    ms = shingle_sets(docs, text_col, n).select(
+    return hash_pairs_from_shingles(shingle_sets(docs, text_col, n))
+
+
+def hash_pairs_from_shingles(sh_df: DataFrame) -> DataFrame:
+    """(doc_id, hp) from any (doc_id, shingles) table — the hashing half
+    of ``shingle_hash_pairs``, shared by the word-shingle and
+    char-n-gram MinHash paths (shingling is the only part that
+    differs)."""
+    ms = sh_df.select(
         "doc_id", F.transform(F.col("shingles"), F.md5).alias("ms")
     )
     hp = F.transform(
@@ -85,7 +93,13 @@ def minhash_signatures(
     the two md5 halves, so every engine reproduces the values exactly.
     h1 + (k-1)*h2 < 2^56 * k stays under 2^63 for k ≤ 127: no overflow."""
     assert 1 <= k <= 127, f"minhash k={k} would overflow the long hash"
-    hp_df = shingle_hash_pairs(docs, text_col)
+    return signatures_from_hash_pairs(shingle_hash_pairs(docs, text_col), k)
+
+
+def signatures_from_hash_pairs(hp_df: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """MinHash components over an existing (doc_id, hp) table — see
+    ``minhash_signatures`` for the hash-family contract."""
+    assert 1 <= k <= 127, f"minhash k={k} would overflow the long hash"
     # expr strings, not Column-API loops: K components × a lambda each
     # would cost hundreds of py4j round trips at plan-build time.
     cols = [
@@ -93,6 +107,71 @@ def minhash_signatures(
         for j in range(k)
     ]
     return hp_df.selectExpr("doc_id", *cols)
+
+
+# --- character-n-gram MinHash (cross-lingual / unsegmented scripts) ---------
+
+CHAR_SHINGLE_N = 5
+# 1:1 diacritic fold (translate cannot expand, so ß/æ stay) — applied
+# before lowercasing so both pre-composed cases fold identically. The
+# SAME two constants are interpolated into the DuckDB oracle.
+ACCENT_FROM = "ÁÀÂÄÃÅáàâäãåÉÈÊËéèêëÍÌÎÏíìîïÓÒÔÖÕóòôöõÚÙÛÜúùûüÇçÑñÝýÿ"
+ACCENT_TO = "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOoooooUUUUuuuuCcNnYyy"
+# escaped char class, identical semantics in Java regex and RE2 (\s
+# itself differs: Java includes \x0B, RE2 does not)
+WS_RX = "[ \\t\\n\\r]+"
+
+
+def fold_text(col: Column) -> Column:
+    """Language-agnostic normalization: diacritic fold → lowercase →
+    collapse whitespace runs → trim. Every step is codepoint-exact in
+    both engines (translate is 1:1 codepoint mapping; the whitespace
+    class is spelled explicitly because Java's \\s and RE2's \\s
+    disagree on vertical tab)."""
+    return F.trim(
+        F.regexp_replace(
+            F.lower(F.translate(col, ACCENT_FROM, ACCENT_TO)), WS_RX, " "
+        )
+    )
+
+
+def char_shingle_sets(
+    docs: DataFrame, text_col: str = "text", n: int = CHAR_SHINGLE_N
+) -> DataFrame:
+    """(doc_id, shingles): overlapping character n-grams of the folded
+    text — the CJK-safe shingling. Word-token shingles assume a
+    whitespace-segmented script, so an unsegmented zh document
+    collapses to a handful of giant 'tokens' and near-dups never
+    collide; character n-grams are the standard language-agnostic
+    alternative (and what makes translated-layout / transliterated
+    near-dups detectable at all). Texts shorter than n characters fall
+    back to one whole-text shingle. Both engines index substrings by
+    codepoint, so multi-byte scripts shingle identically."""
+    folded = docs.select("doc_id", fold_text(F.col(text_col)).alias("s"))
+    s = F.col("s")
+    make = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (n - 1)),
+        lambda i: s.substr(i, F.lit(n)),
+    )
+    sh = F.when(F.length(s) >= n, make).otherwise(F.array(s))
+    return folded.select("doc_id", sh.alias("shingles"))
+
+
+def char_ngram_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = CHAR_SHINGLE_N,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs over character n-grams — same banded
+    bucket equi-join scale path as ``near_dup_pairs``, different
+    shingling (see ``char_shingle_sets``). Signatures localCheckpoint
+    once for the same three-way reuse reason."""
+    sigs = signatures_from_hash_pairs(
+        hash_pairs_from_shingles(char_shingle_sets(docs, text_col, n)), k
+    ).localCheckpoint()
+    return _pairs_from_sigs(sigs, k, bands)
 
 
 def _band_exprs(

@@ -13,10 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from supplier_performance_data_pipeline_spark.operators.dedup import (
+    ACCENT_FROM,
+    ACCENT_TO,
+    CHAR_SHINGLE_N,
     LSH_BANDS,
     MINHASH_K,
     P61,
     SHINGLE_N,
+    WS_RX,
+    char_ngram_near_dup_pairs,
     exact_dedup_groups,
     minhash_signatures,
     near_dup_pairs,
@@ -246,6 +251,103 @@ def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-engine consumers (checked in tests/test_dedup_sim_params.py)."""
     return near_dup_pairs(_docs(spark, sf_dir)).select(
         "doc_a", "doc_b", "n_matching_components"
+    )
+
+
+# --- character-n-gram MinHash: cross-lingual / CJK-safe near-dup -----------
+
+_CHAR_FOLD = (
+    f"trim(regexp_replace(translate(lower(text), '{ACCENT_FROM}', "
+    f"'{ACCENT_TO}'), '{WS_RX}', ' ', 'g'))"
+)
+# k=16 in 4 bands of r=4 rows: band-collision threshold t ~ (1/b)^(1/r)
+# = 0.71 estimated Jaccard — r=2 bands at t=0.5 drown a small-vocab
+# corpus in coincidental candidates (measured 11% of all pairs).
+CHAR_MH_K = 16
+CHAR_LSH_BANDS = 4
+_CHAR_PER_BAND = CHAR_MH_K // CHAR_LSH_BANDS
+_CHAR_MH_COLS_SQL = ", ".join(
+    f"list_min(list_transform(ms, m -> ({_H1} + {j} * {_H2}) % {P61})) AS mh{j}"
+    for j in range(CHAR_MH_K)
+)
+_CHAR_BAND_COLS_SQL = ", ".join(
+    "md5(concat_ws('|', "
+    + ", ".join(f"mh{b * _CHAR_PER_BAND + j}" for j in range(_CHAR_PER_BAND))
+    + f")) AS band{b}"
+    for b in range(CHAR_LSH_BANDS)
+)
+_CHAR_SHINGLES = (
+    f"CASE WHEN length(s) >= {CHAR_SHINGLE_N} THEN "
+    f"list_transform(range(0, length(s) - {CHAR_SHINGLE_N - 1}), "
+    f"i -> substr(s, i + 1, {CHAR_SHINGLE_N})) ELSE [s] END"
+)
+
+
+@register(
+    "dedup_char_ngram_crosslingual",
+    oracle=f"""
+WITH norm AS (
+    SELECT doc_id, lang, {_CHAR_FOLD} AS s FROM documents
+),
+csh AS (SELECT doc_id, lang, {_CHAR_SHINGLES} AS shingles FROM norm),
+cms AS (SELECT doc_id, lang,
+               list_transform(shingles, s -> md5(s)) AS ms FROM csh),
+csigs AS (SELECT doc_id, lang, {_CHAR_MH_COLS_SQL} FROM cms),
+cbands AS (SELECT csigs.*, {_CHAR_BAND_COLS_SQL} FROM csigs)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.lang AS lang_a, b.lang AS lang_b,
+       CAST(({" + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(CHAR_MH_K))})
+            AS INTEGER) AS n_matching_components,
+       (a.lang <> b.lang) AS cross_lang
+FROM cbands a JOIN cbands b
+  ON a.doc_id < b.doc_id
+ AND ({" OR ".join(f"a.band{b} = b.band{b}" for b in range(CHAR_LSH_BANDS))})
+""".strip(),
+)
+def q_dedup_char_ngram_crosslingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual / CJK-safe near-dup: MinHash-LSH over CHARACTER
+    5-grams of diacritic-folded, case-folded, whitespace-collapsed
+    text. The word-shingle pipeline (``lsh_near_dup_pairs``) assumes a
+    whitespace-segmented script — an unsegmented zh document yields a
+    handful of giant 'tokens' and its near-dups never share a band;
+    character n-grams are the standard language-agnostic shingling
+    (zh documents are 15% of this corpus), and the fold makes
+    accent/case variants ("Café"/"cafe") collide. Pairs carry both
+    languages plus a cross_lang flag — the translated/transliterated-
+    duplicate screen of a multilingual curation pipeline.
+
+    Plan: same scale path as every MinHash query — one md5 per
+    5-gram, banded signature explode, bucket EQUI-join (never
+    all-pairs; the oracle's OR-join form is viable only at oracle
+    scale), pair dedup, then two id-keyed joins to attach languages.
+    Portability: translate is a 1:1 codepoint map and substr/length
+    are codepoint-indexed in both engines; the whitespace class is
+    spelled explicitly because Java's \\s and RE2's \\s disagree on
+    vertical tab."""
+    docs = _docs(spark, sf_dir)
+    pairs = char_ngram_near_dup_pairs(docs, k=CHAR_MH_K, bands=CHAR_LSH_BANDS)
+    langs = docs.select("doc_id", "lang")
+    return (
+        pairs.join(
+            langs.select(
+                F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            langs.select(
+                F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang_a",
+            "lang_b",
+            "n_matching_components",
+            (F.col("lang_a") != F.col("lang_b")).alias("cross_lang"),
+        )
     )
 
 

@@ -93,6 +93,87 @@ def streaming_user_profiles(
     )
 
 
+# --- event-time TTL state eviction ------------------------------------------
+
+TTL_EVICT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("evicted", T.BooleanType()),
+    ]
+)
+
+_TTL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def streaming_profiles_event_ttl(
+    events: DataFrame, ttl_seconds: int, wm_delay_seconds: int
+) -> DataFrame:
+    """Per-user state with EVENT-TIME TTL eviction — the deterministic
+    sibling of ``streaming_user_profiles``' processing-time expiry
+    (which is wall-clock-dependent and keeps scheduling timeout
+    micro-batches, so drive-to-completion harnesses never settle).
+
+    EventTimeTimeout is driven by the WATERMARK, which is a pure
+    function of the ingested data (max event-time ms − delay ms), so
+    the evicted set is exactly reproducible: a user's state times out
+    in the first micro-batch where it receives no input and
+    ``last_event_ms + ttl_ms < watermark_ms``. On timeout the operator
+    emits a TOMBSTONE row (user_id, n_events at eviction, evicted=TRUE)
+    and removes the state — the emitted rows ARE the eviction proof the
+    equivalence query pins against a batch-derived oracle.
+
+    State scale: 16 bytes per ACTIVE user — the TTL is what makes an
+    unbounded key space safe at 100 TB (idle keys are reclaimed as the
+    watermark passes them); without it state grows with lifetime
+    distinct keys. Timestamp math: Spark's watermark truncates event
+    time to ms (µs//1000) before subtracting the delay, and the
+    timeout fires on strict ``timeout_ms < watermark_ms`` — the batch
+    oracle reproduces both exactly in integer ms."""
+    ttl_ms = ttl_seconds * 1000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "evicted": [True],
+                }
+            )
+            return
+        n, last_us = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = int(pdf["ts_us"].max())
+            last_us = mx if last_us is None or mx > last_us else last_us
+        state.update((n, int(last_us)))
+        # timeout at last event-time + TTL, in the watermark's ms domain
+        state.setTimeoutTimestamp(int(last_us) // 1000 + ttl_ms)
+
+    prepped = (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .withWatermark("ts", f"{wm_delay_seconds} seconds")
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TTL_EVICT_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # --- throttle: keep-relative-to-last-KEPT rate limiting ---------------------
 
 THROTTLE_SCHEMA = T.StructType(
