@@ -128,6 +128,15 @@ def _lloyd_from_base(base: DataFrame, k: int, iters: int, dim: int) -> DataFrame
     shared by ``kmeans_assignments`` (which checkpoints the decode) and
     ``pq_encode`` (which checkpoints ONCE and slices lazily per
     subspace, instead of paying one eager decode job per subspace)."""
+    return _lloyd_with_cents(base, k, iters, dim)[0]
+
+
+def _lloyd_with_cents(
+    base: DataFrame, k: int, iters: int, dim: int
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd iterations returning BOTH the final assignment table and
+    the final centroid table (cluster, cv) — ADC queries need the
+    codebook itself, not just each vector's code."""
     cent = base.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
     )
@@ -135,7 +144,7 @@ def _lloyd_from_base(base: DataFrame, k: int, iters: int, dim: int) -> DataFrame
     for _ in range(iters):
         cent = _update(assign, dim)
         assign = _assign(base, _to_1row(cent))
-    return assign
+    return assign, cent
 
 
 def kmeans_cluster_profile(
@@ -220,4 +229,108 @@ def pq_encode(
             lambda c: c["code"],
         ).alias("codes"),
         F.round(F.sum("d").cast("double"), 6).alias("distortion"),
+    )
+
+
+def ivfpq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    topk: int = 5,
+    m: int = 4,
+    k_pq: int = 16,
+    k_coarse: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    dim: int = DIM_DEFAULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end IVF-PQ approximate nearest neighbors (Jégou, Douze &
+    Schmid, PAMI '11): the coarse k-means quantizer restricts each
+    query to its own inverted list (single-probe IVF — a relational
+    EQUI-join on the coarse cluster, never a driver-side probe list),
+    and candidate distances are ASYMMETRIC DISTANCE COMPUTATION: the
+    query's m subvectors are compared to each subspace codebook once
+    (an n_queries x m x k_pq lookup table), and every candidate's
+    distance is the sum of m table lookups keyed by its PQ codes —
+    the scan touches codes, never raw vectors.
+
+    Determinism: both quantizers are the engine's deterministic
+    Lloyd's; LUT entries are the same left-to-right double fold every
+    ANN oracle uses; the m partial distances are cast to DECIMAL
+    before the per-candidate sum (order-free), so the (adc, vec_id)
+    ranking is total and engine-independent.
+
+    Plan shape: one decode + localCheckpoint of the vectors; coarse
+    assignment localCheckpoints (it feeds both the query and candidate
+    sides of the IVF join); each subspace trains on a lazy slice of
+    the SAME base; LUTs are broadcast (n_queries x k_pq rows); the ADC
+    join chain is candidates ⋈ codes ⋈ broadcast-LUT — all equi-joins
+    keyed by vec_id / (query_id, code). At 100 TB: train both
+    codebooks on a hash-sampled subset, localCheckpoint the tiny
+    centroid tables, and this exact plan encodes + scans the full
+    table with candidate volume bounded by N/k_coarse per query."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
+    ).localCheckpoint()
+    coarse = (
+        _lloyd_from_base(base, k_coarse, iters, dim)
+        .select("vec_id", "cluster")
+        .localCheckpoint()
+    )
+    qc = coarse.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("cluster").alias("qcl")
+    )
+    cand = (
+        qc.join(coarse, F.col("qcl") == F.col("cluster"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qbase = base.filter(F.col("vec_id") < n_queries)
+    lut_pd = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    parts = []
+    for s in range(m):
+        sub = base.select(
+            "vec_id", F.slice(F.col("v"), s * d_sub + 1, d_sub).alias("v")
+        )
+        assign, cent = _lloyd_with_cents(sub, k_pq, iters, d_sub)
+        qsub = qbase.select(
+            F.col("vec_id").alias("query_id"),
+            F.slice(F.col("v"), s * d_sub + 1, d_sub).alias("qv"),
+        )
+        lut = qsub.crossJoin(cent).select(
+            "query_id", F.col("cluster").alias("code"), lut_pd.alias("pd")
+        )
+        parts.append(
+            cand.join(
+                assign.select("vec_id", F.col("cluster").alias("code")),
+                "vec_id",
+            )
+            .join(F.broadcast(lut), ["query_id", "code"])
+            .select(
+                "query_id", "vec_id", F.col("pd").cast(DIST_DEC).alias("pd")
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    adc = allp.groupBy("query_id", "vec_id").agg(F.sum("pd").alias("adc"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+        )
     )
