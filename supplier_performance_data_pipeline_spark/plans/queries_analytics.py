@@ -1945,9 +1945,13 @@ def q_lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials), not five passes; min/max canonicalize through pinned
     types (DATE / DECIMAL scales) so both engines render identical
     strings. The wide one-row aggregate then unpivots to the long
-    (column, stats) form with a zero-cost stack projection. At 100 TB
-    swap exact distinct for approx_count_distinct per column —
-    same plan shape, documented trade."""
+    (column, stats) form with a zero-cost stack projection.
+
+    Scale note: the Expand multiplies the SCAN ×6 (one replica per
+    distinct-counted column plus the base), so at 100 TB this exact
+    profile is the wrong plan — ``lineitem_hll_profile`` is the
+    sketch-based variant with no Expand (fixed-size mergeable buffers),
+    registered and driver-graded alongside this one."""
     li = _t(spark, sf_dir, "lineitem")
     a = li.agg(
         F.count("*").alias("n_rows"),
@@ -1989,6 +1993,83 @@ def q_lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'l_quantity',   n_rows - c_q,  d_q,  mn_q,  mx_q,"
             " 'l_discount',   n_rows - c_d,  d_d,  mn_d,  mx_d)"
             " AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+@register(
+    "lineitem_hll_profile",
+    oracle="""
+WITH a AS (
+    SELECT COUNT(DISTINCT l_returnflag) AS d_rf,
+           COUNT(DISTINCT l_linestatus) AS d_ls,
+           COUNT(DISTINCT l_shipdate) AS d_sd,
+           COUNT(DISTINCT l_quantity) AS d_q,
+           COUNT(DISTINCT l_suppkey) AS d_sk
+    FROM lineitem
+)
+SELECT 'l_returnflag' AS column_name, CAST(d_rf AS BIGINT) AS n_distinct_exact,
+       TRUE AS hll_within_5pct FROM a
+UNION ALL
+SELECT 'l_linestatus', CAST(d_ls AS BIGINT), TRUE FROM a
+UNION ALL
+SELECT 'l_shipdate', CAST(d_sd AS BIGINT), TRUE FROM a
+UNION ALL
+SELECT 'l_quantity', CAST(d_q AS BIGINT), TRUE FROM a
+UNION ALL
+SELECT 'l_suppkey', CAST(d_sk AS BIGINT), TRUE FROM a
+""".strip(),
+)
+def q_lineitem_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB HALF of ``lineitem_column_profile``'s documented
+    trade, driver-graded: five per-column distinct cardinalities in ONE
+    scan via HLL sketches (``hll_sketch_agg``), with NO Expand — the
+    exact profile's five COUNT(DISTINCT)s compile to an Expand that
+    multiplies the scan ×6 and shuffles expanded partials, which is
+    the wrong plan against a 100 TB drop. Sketch buffers are fixed-size
+    and mergeable (the same DataSketches partials
+    ``events_user_sketch_rollup`` re-aggregates across days), so the
+    sketch arm's shuffle is five constant-size buffers per partition
+    regardless of row count.
+
+    Verified like every approx query: the EXACT distinct counts are
+    computed alongside (the verification arm, at driver scale only —
+    precisely the Expand plan the sketch arm exists to retire) and the
+    hashed surface is (exact count, sketch-within-5% flag), since HLL
+    estimates themselves are implementation-specific and would never
+    match another engine bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {
+        "l_returnflag": "rf",
+        "l_linestatus": "ls",
+        "l_shipdate": "sd",
+        "l_quantity": "q",
+        "l_suppkey": "sk",
+    }
+    # hll_sketch_agg accepts int/long/string/binary only — date/double
+    # columns hash via their canonical string rendering (injective, so
+    # the sketched domain is the same one the exact arm counts).
+    sk = li.agg(
+        *[
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(c).cast("string"))
+            ).alias(f"e_{t}")
+            for c, t in cols.items()
+        ]
+    )
+    ex = li.agg(
+        *[F.countDistinct(c).alias(f"d_{t}") for c, t in cols.items()]
+    )
+    joined = ex.crossJoin(F.broadcast(sk))
+    stack = ", ".join(
+        f"'{c}', CAST(d_{t} AS BIGINT), "
+        f"abs(e_{t} - d_{t}) <= 0.05 * d_{t}"
+        for c, t in cols.items()
+    )
+    return joined.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column_name, n_distinct_exact, hll_within_5pct)"
         )
     )
 
@@ -2410,4 +2491,82 @@ def q_totalprice_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * (CAST(n_obs AS DOUBLE) - n * ({bf}))"
             f" / (n * ({bf})), 6)"
         ).alias("chi2_term"),
+    )
+
+
+# --- monthly revenue trend decomposition (centered moving average) ----------
+
+
+@register(
+    "orders_monthly_ma_decomposition",
+    oracle="""
+WITH m AS (
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS cents
+    FROM orders GROUP BY 1
+),
+w AS (
+    SELECT month, n_orders, cents,
+           SUM(cents) OVER win AS wc,
+           COUNT(*) OVER win AS wn
+    FROM m
+    WINDOW win AS (ORDER BY month ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+)
+SELECT month,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       ROUND(CAST(cents AS DOUBLE) / 100.0, 6) AS revenue,
+       ROUND(CAST(wc AS DOUBLE) / (100.0 * wn), 6) AS trend_ma3,
+       ROUND(CAST(cents AS DOUBLE) / 100.0
+             - CAST(wc AS DOUBLE) / (100.0 * wn), 6) AS residual
+FROM w
+""".strip(),
+)
+def q_orders_monthly_ma_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series trend decomposition of monthly order revenue: the
+    classical moving-average decomposition (value = trend + residual)
+    with a CENTERED 3-month window — the no-transcendentals subset of
+    seasonal decomposition (a multiplicative/STL variant needs
+    logs/loess, which the cross-engine determinism contract bans).
+    Residual spikes flag demand anomalies the way the MAD gate flags
+    price outliers.
+
+    Portability: monthly sums are exact DECIMAL cents (THE money
+    recipe); the windowed trend is an exact (decimal sum, count) pair
+    divided ONCE at the output edge, and the residual subtracts the
+    same two doubles both engines derived from identical integers.
+    Edge months average their 2-element window in both engines (ROWS
+    framing, not RANGE).
+
+    Plan: one fact scan → month-keyed hash agg (map-side combined) →
+    a window over the ~month-count aggregate grain. The window is
+    unpartitioned BY DESIGN at aggregate grain (3 years = 36 rows —
+    driver-scale in any engine); the event-grain scan never sees a
+    window."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice").cast("decimal(38,0)")).alias("cents"),
+    )
+    win = Window.orderBy("month").rowsBetween(-1, 1)
+    w = m.select(
+        "month",
+        "n_orders",
+        "cents",
+        F.sum("cents").over(win).alias("wc"),
+        F.count("*").over(win).alias("wn"),
+    )
+    rev = F.col("cents").cast("double") / 100.0
+    trend = F.col("wc").cast("double") / (100.0 * F.col("wn"))
+    return w.select(
+        "month",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(rev, 6).alias("revenue"),
+        F.round(trend, 6).alias("trend_ma3"),
+        F.round(rev - trend, 6).alias("residual"),
     )

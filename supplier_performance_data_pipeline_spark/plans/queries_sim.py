@@ -1215,3 +1215,130 @@ def q_ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=ITERS_DEFAULT,
         dim=DIM,
     )
+
+
+# --- mutual-kNN graph degree structure ---------------------------------------
+
+_KNN_EDGES_CTES = f"""
+{_KNN_PLANES_CTE},
+proj AS (
+    SELECT e.vec_id, e.embedding, pl.p,
+           list_sum(list_transform(range(0, len(e.embedding)),
+               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(pl.hp[i+1] AS DOUBLE))) AS d
+    FROM embeddings e CROSS JOIN knn_planes pl
+),
+buckets AS (
+    SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+),
+base AS (
+    SELECT e.vec_id, e.embedding, b.bucket,
+           sqrt(list_sum(list_transform(range(0, len(e.embedding)),
+               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) AS nrm
+    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+),
+scored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(range(0, len(a.embedding)),
+                 i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+               / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      AND a.nrm > 0 AND b.nrm > 0
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_a ORDER BY cosine_sim DESC, vec_b) AS rank
+    FROM scored
+),
+edges AS (SELECT vec_a, vec_b FROM ranked WHERE rank <= {KNN_K})
+""".strip()
+
+
+@register(
+    "knn_graph_degree_histogram",
+    oracle=f"""
+WITH {_KNN_EDGES_CTES},
+mutual AS (
+    SELECT e1.vec_a AS v FROM edges e1
+    JOIN edges e2 ON e1.vec_a = e2.vec_b AND e1.vec_b = e2.vec_a
+),
+mdeg AS (
+    SELECT em.vec_id, COALESCE(m.c, 0) AS deg
+    FROM embeddings em LEFT JOIN (
+        SELECT v AS vec_id, COUNT(*) AS c FROM mutual GROUP BY v
+    ) m USING (vec_id)
+),
+ideg AS (
+    SELECT em.vec_id, COALESCE(i.c, 0) AS deg
+    FROM embeddings em LEFT JOIN (
+        SELECT vec_b AS vec_id, COUNT(*) AS c FROM edges GROUP BY vec_b
+    ) i USING (vec_id)
+)
+SELECT 'mutual' AS kind, CAST(deg AS INTEGER) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM mdeg GROUP BY deg
+UNION ALL
+SELECT 'in', CAST(deg AS INTEGER), CAST(COUNT(*) AS BIGINT)
+FROM ideg GROUP BY deg
+""".strip(),
+)
+def q_knn_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure of the kNN graph that ``knn_join_top5`` builds — the
+    diagnostic behind graph-based curation (SemDedup pruning,
+    hard-negative mining, graph-diffusion label propagation): per
+    vector, the IN-degree (how often it is someone's top-{k} neighbor
+    — hubs have pathological in-degree in high dimensions) and the
+    MUTUAL degree (edges present in both directions — the symmetric
+    backbone mutual-kNN clustering actually uses), each rolled into a
+    (kind, degree, n_vectors) histogram. Out-degree is ≤{k} by
+    construction and carries no information.
+
+    Plan: the edge list materializes ONCE (localCheckpoint — it feeds
+    both sides of the mutuality self-join and the in-degree agg), the
+    mutual check is an (a,b)=(b,a) EQUI-join on the k·N-row edge list
+    (never the O(N²) pair space), zero-degree vectors come from one
+    left join against the id column, and the histograms are two
+    small-key aggs. At 100 TB the edge list is k·N rows — linear in
+    corpus size, shuffled by id like any fact table."""
+    edges = (
+        knn_join_topk(_embeddings(spark, sf_dir), DIM, KNN_K, n_planes=KNN_PLANES)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    ids = _embeddings(spark, sf_dir).select("vec_id")
+    e2 = edges.select(
+        F.col("vec_a").alias("r_a"), F.col("vec_b").alias("r_b")
+    )
+    mutual = edges.join(
+        e2,
+        (F.col("vec_a") == F.col("r_b")) & (F.col("vec_b") == F.col("r_a")),
+    ).select(F.col("vec_a").alias("vec_id"))
+    mdeg = ids.join(
+        mutual.groupBy("vec_id").agg(F.count("*").alias("c")),
+        "vec_id",
+        "left",
+    ).select(F.coalesce("c", F.lit(0)).alias("deg"))
+    ideg = ids.join(
+        edges.groupBy(F.col("vec_b").alias("vec_id")).agg(
+            F.count("*").alias("c")
+        ),
+        "vec_id",
+        "left",
+    ).select(F.coalesce("c", F.lit(0)).alias("deg"))
+    hist_m = mdeg.groupBy("deg").agg(F.count("*").alias("n_vectors")).select(
+        F.lit("mutual").alias("kind"),
+        F.col("deg").cast("int").alias("degree"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+    )
+    hist_i = ideg.groupBy("deg").agg(F.count("*").alias("n_vectors")).select(
+        F.lit("in").alias("kind"),
+        F.col("deg").cast("int").alias("degree"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+    )
+    return hist_m.unionAll(hist_i)
+
+
+q_knn_graph_degree_histogram.__doc__ = q_knn_graph_degree_histogram.__doc__.format(
+    k=KNN_K
+)
