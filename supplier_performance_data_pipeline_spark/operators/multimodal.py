@@ -431,3 +431,113 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 audio_features.__doc__ = audio_features.__doc__.format(s=RMS_SCALE)
+
+
+# --- perceptual average-hash (aHash) ----------------------------------------
+
+AHASH_THUMB = 64  # 8x8 grayscale thumbnail, the canonical aHash input
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("b0", T.IntegerType()),
+        T.StructField("b1", T.IntegerType()),
+        T.StructField("b2", T.IntegerType()),
+        T.StructField("b3", T.IntegerType()),
+    ]
+)
+
+
+def ahash_bands(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over payloads, emitted as FOUR 16-bit
+    bands instead of one 64-bit value — the bands are the LSH join
+    keys (Manku's pigeonhole: hamming ≤ 3 over 64 bits forces at least
+    one of 4 bands equal), and keeping them as small ints sidesteps
+    the sign bit of a packed 64-bit hash entirely.
+
+    aHash proper: an 8x8 luma thumbnail, bit i = (pixel_i > mean).
+    Here the first 64 payload bytes (zero-padded) stand in for the
+    thumbnail — the decode+resize plug point is ``decode_rgb`` +
+    ``resize_rgb_nearest`` (8x8) + a luma projection for real raster
+    media; the banding, batch shape, and join path are the real scale
+    plumbing either way. The mean test is INTEGER-exact
+    (pixel*64 > sum — no division anywhere), so every engine computes
+    identical bands.
+
+    Arrow path: vectorized per batch via a zero-padded byte matrix;
+    only (id, 4 small ints) leaves Python.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def bands(p) -> tuple[int, int, int, int]:
+            b = bytes(p) if p is not None else b""
+            arr = np.zeros(AHASH_THUMB, dtype=np.int64)
+            raw = np.frombuffer(b[:AHASH_THUMB], dtype=np.uint8)
+            arr[: len(raw)] = raw
+            total = int(arr.sum())
+            bits = (arr * AHASH_THUMB) > total
+            out = []
+            for s in range(4):
+                chunk = bits[s * 16 : (s + 1) * 16]
+                out.append(int((chunk << np.arange(16)).sum()))
+            return tuple(out)
+
+        for pdf in batches:
+            quads = pdf["payload"].map(bands)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "b0": quads.map(lambda t: t[0]),
+                    "b1": quads.map(lambda t: t[1]),
+                    "b2": quads.map(lambda t: t[2]),
+                    "b3": quads.map(lambda t: t[3]),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )
+
+
+def ahash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded near-dup pairs over aHash: explode the 4 bands, equi-join
+    on (band index, value) — only same-band payloads ever meet — then
+    verify the exact 64-bit hamming distance with xor+bit_count over
+    the band ints. ``max_hamming`` ≤ 3 keeps the band pigeonhole exact
+    (no missed pairs); raising it trades recall guarantees for reach,
+    same knob as SimHash's Manku tables."""
+    hb = ahash_bands(media).localCheckpoint()
+    exploded = hb.selectExpr(
+        "media_id",
+        "posexplode(array(b0, b1, b2, b3)) AS (band, v)",
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    left = hb.selectExpr(
+        "media_id AS media_a", *[f"b{s} AS a_b{s}" for s in range(4)]
+    )
+    right = hb.selectExpr(
+        "media_id AS media_b", *[f"b{s} AS b_b{s}" for s in range(4)]
+    )
+    ham = " + ".join(f"bit_count(a_b{s} ^ b_b{s})" for s in range(4))
+    return (
+        cand.join(left, "media_a")
+        .join(right, "media_b")
+        .selectExpr("media_a", "media_b", f"CAST({ham} AS INT) AS hamming")
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -2070,3 +2070,97 @@ def q_streaming_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(name).filter(F.col("user_id") >= 0).select(
         "user_id", "n_events", "evicted"
     )
+
+
+# --- hourly cadence autocorrelation -----------------------------------------
+
+_AC_LAGS = (1, 24)  # adjacent-hour persistence + daily seasonality
+
+
+def _autocorr_oracle(lags: tuple[int, ...]) -> str:
+    arms = []
+    for lag in lags:
+        arms.append(f"""
+SELECT {lag} AS lag_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND((COUNT(*) * SUM(a.x * b.x) - SUM(a.x) * SUM(b.x))
+             / (sqrt(CAST(COUNT(*) * SUM(a.x * a.x) - SUM(a.x) * SUM(a.x)
+                     AS DOUBLE))
+              * sqrt(CAST(COUNT(*) * SUM(b.x * b.x) - SUM(b.x) * SUM(b.x)
+                     AS DOUBLE))), 6) AS autocorr
+FROM hourly a JOIN hourly b ON b.bucket = a.bucket + INTERVAL {lag} HOUR
+""".strip())
+    return (
+        "WITH hourly AS (\n"
+        "    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,\n"
+        "           COUNT(*) AS x\n"
+        "    FROM events WHERE ts IS NOT NULL GROUP BY 1\n"
+        ")\n" + "\nUNION ALL\n".join(arms)
+    )
+
+
+@register(
+    "events_hourly_autocorrelation",
+    oracle=_autocorr_oracle(_AC_LAGS),
+)
+def q_events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence detection over the event stream: Pearson autocorrelation
+    of hourly event counts at lag 1 (adjacent-hour persistence) and lag
+    24 (daily seasonality — the signal a traffic-shaping or
+    anomaly-detection job keys on). Pairs are (t, t+lag) hours that
+    both observed events — the lag alignment is an exact timestamp
+    EQUI-join on the pre-aggregated hourly table, never a window over
+    raw events.
+
+    Portability: counts are integers, so every aggregate (n, Σx, Σy,
+    Σxy, Σx², Σy²) is exact integer math in both engines, and the
+    Pearson formula collapses to ONE double expression at the output
+    edge built from those integers — sqrt/multiply/divide are
+    IEEE-mandated correctly rounded (the no-libm rule: no ln/exp
+    anywhere).
+
+    Plan: one scan → hour-keyed hash agg (map-side combined) → two
+    self-equi-joins on the tiny aggregate table → 1-row aggs. At
+    100 TB only the first agg touches data; the series length is
+    hours, not rows. Scale note: the second-moment sums live in BIGINT
+    (DuckDB promotes to HUGEINT); past ~1e9 events/hour promote them
+    to DECIMAL(38,0) in both arms before the edge expression — same
+    plan, wider agg cells."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("x"))
+    out = None
+    for lag in _AC_LAGS:
+        a = hourly.select(F.col("bucket").alias("ab"), F.col("x").alias("ax"))
+        b = hourly.select(F.col("bucket").alias("bb"), F.col("x").alias("bx"))
+        j = a.join(
+            b, F.col("bb") == F.col("ab") + F.expr(f"INTERVAL {lag} HOURS")
+        )
+        arm = j.agg(
+            F.lit(lag).cast("int").alias("lag_hours"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                (
+                    F.count("*") * F.sum(F.col("ax") * F.col("bx"))
+                    - F.sum("ax") * F.sum("bx")
+                )
+                / (
+                    F.sqrt(
+                        (
+                            F.count("*") * F.sum(F.col("ax") * F.col("ax"))
+                            - F.sum("ax") * F.sum("ax")
+                        ).cast("double")
+                    )
+                    * F.sqrt(
+                        (
+                            F.count("*") * F.sum(F.col("bx") * F.col("bx"))
+                            - F.sum("bx") * F.sum("bx")
+                        ).cast("double")
+                    )
+                ),
+                6,
+            ).alias("autocorr"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out

@@ -337,3 +337,67 @@ def q_multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFram
     return extract_features(
         _image_media(spark, sf_dir), decode_stub=False
     ).select("media_id", "mime", "n_bytes", "feat_mean", "feat_max")
+
+
+from supplier_performance_data_pipeline_spark.operators.multimodal import (  # noqa: E402
+    ahash_near_dup_pairs,
+)
+
+_AHASH_MAX_HAMMING = 3
+
+_AHASH_PIX = (
+    "list_transform(range(0, 64), i -> CASE WHEN i < length(text) "
+    "THEN ascii(substr(text, i + 1, 1)) ELSE 0 END)"
+)
+_AHASH_BAND_COLS = ", ".join(
+    "CAST(list_sum(list_transform(range(0, 16), "
+    f"i -> bit[i + 1 + {s * 16}] * (1 << i))) AS INTEGER) AS b{s}"
+    for s in range(4)
+)
+_AHASH_HAM = " + ".join(f"bit_count(xor(a.b{s}, b.b{s}))" for s in range(4))
+
+
+@register(
+    "multimodal_ahash_near_dup",
+    oracle=f"""
+WITH px AS (
+    SELECT doc_id, {_AHASH_PIX} AS pix FROM documents
+),
+tot AS (SELECT doc_id, pix, list_sum(pix) AS total FROM px),
+bits AS (
+    SELECT doc_id, list_transform(range(0, 64),
+        i -> CASE WHEN pix[i + 1] * 64 > total THEN 1 ELSE 0 END) AS bit
+    FROM tot
+),
+bands AS (SELECT doc_id, {_AHASH_BAND_COLS} FROM bits)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+       CAST({_AHASH_HAM} AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE {_AHASH_HAM} <= {_AHASH_MAX_HAMMING}
+""".strip(),
+)
+def q_multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for raster media —
+    aHash (average hash): 8x8 thumbnail, bit = pixel-above-mean, then
+    hamming-banded candidate generation exactly like SimHash (Manku
+    pigeonhole: hamming ≤ 3 over 64 bits ⇒ one of 4 16-bit bands
+    equal, so the band equi-join misses nothing). The hash rides as 4
+    small-int bands — they ARE the join keys, and no sign-fussy 64-bit
+    value crosses any boundary.
+
+    The thumbnail here is the payload's first 64 bytes (the corpus is
+    honest ASCII stand-in media); for real rasters the documented plug
+    point is decode_rgb → resize_rgb_nearest(8,8) → luma, after which
+    this exact query is unchanged. Bit derivation is integer-only
+    (pixel*64 > sum): no division, bit-identical everywhere.
+
+    Plan: one Arrow mapInPandas pass (batched, 4 ints out per row),
+    band explode → bucket equi-join → exact xor/popcount verify on
+    candidates — the same never-all-pairs shape as every dedup family
+    member. At 100 TB band buckets are the partition key; skewed
+    buckets (constant-ish media) are AQE skew-join territory."""
+    return ahash_near_dup_pairs(
+        _media(spark, sf_dir), max_hamming=_AHASH_MAX_HAMMING
+    )

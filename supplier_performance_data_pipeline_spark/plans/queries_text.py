@@ -1710,3 +1710,87 @@ def q_dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.count("*") - 1).cast("long").alias("n_dropped"),
     )
+
+
+# --- vocabulary growth (Heaps-law curve) ------------------------------------
+
+_VOCAB_BUCKET = 100  # docs per growth checkpoint
+
+
+@register(
+    "corpus_vocabulary_growth",
+    oracle=f"""
+WITH {_TOKS_CTE},
+per_doc AS (SELECT doc_id, len(toks) AS n_toks FROM toks_cte),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM toks_cte),
+first_occ AS (SELECT t, MIN(doc_id) AS d0 FROM tok GROUP BY t),
+new_per_doc AS (SELECT d0 AS doc_id, COUNT(*) AS n_new FROM first_occ GROUP BY d0),
+bucketed AS (
+    SELECT p.doc_id // {_VOCAB_BUCKET} AS bucket,
+           COUNT(*) AS docs,
+           SUM(p.n_toks) AS toks,
+           SUM(COALESCE(n.n_new, 0)) AS news
+    FROM per_doc p LEFT JOIN new_per_doc n USING (doc_id)
+    GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(docs) OVER w AS BIGINT) AS docs_cum,
+       CAST(SUM(toks) OVER w AS BIGINT) AS tokens_cum,
+       CAST(SUM(news) OVER w AS BIGINT) AS vocab_cum
+FROM bucketed
+WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+""".strip(),
+)
+def q_corpus_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct-token
+    count vs cumulative token count at every {B}-document checkpoint
+    (doc_id order = ingest order). The curve is how a corpus audit
+    detects TEMPLATE COLLAPSE (vocab flattens early: boilerplate
+    dominates) or CONTAMINATION SPIKES (vocab jumps: a foreign shard
+    appended) without fitting the K·n^β power law itself — the fit
+    needs log/pow, which the no-libm determinism contract bans; the
+    integer curve IS the deliverable and any client can fit it.
+
+    The cumulative-distinct trick: a token contributes to vocab at
+    exactly its FIRST document (MIN doc_id per token — one hash agg
+    over the exploded token table), so 'vocabulary at checkpoint' is a
+    running SUM of per-bucket first-occurrence counts — no
+    O(checkpoints × corpus) re-counting, no distinct-over-window.
+    Plan: one tokenize pass → token-keyed agg (the only big shuffle) →
+    doc-keyed bucket agg → a running sum over the checkpoint-grain
+    table ({B}-doc buckets; at 100 TB that window is the two-level
+    parallel-prefix shape the sequence-packing query already uses).
+    All-integer outputs: exact in any engine."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).localCheckpoint()
+    per_doc = toks_df.select("doc_id", F.size("toks").alias("n_toks"))
+    tok = toks_df.select("doc_id", F.explode("toks").alias("t"))
+    first_occ = tok.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
+    new_per_doc = first_occ.groupBy("doc_id").agg(
+        F.count("*").alias("n_new")
+    )
+    bucketed = (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .groupBy(F.expr(f"doc_id div {_VOCAB_BUCKET}").alias("bucket"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_toks").alias("toks"),
+            F.sum(F.coalesce("n_new", F.lit(0))).alias("news"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.sum("docs").over(w).cast("long").alias("docs_cum"),
+        F.sum("toks").over(w).cast("long").alias("tokens_cum"),
+        F.sum("news").over(w).cast("long").alias("vocab_cum"),
+    )
+
+
+q_corpus_vocabulary_growth.__doc__ = q_corpus_vocabulary_growth.__doc__.format(
+    B=_VOCAB_BUCKET
+)
