@@ -1,0 +1,253 @@
+"""Operator-level characterizations of the round-6 additions.
+
+The registered queries are differentially gated against DuckDB (the
+parity suite); these tests pin the OPERATOR semantics directly — edge
+inputs, invariants, and partition-invariance — the way
+test_dedup_sim_params / test_stateful_streaming do for earlier rounds.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from supplier_performance_data_pipeline_spark.operators.dedup import (
+    CHAR_SHINGLE_N,
+    char_ngram_near_dup_pairs,
+    char_shingle_sets,
+    fold_text,
+)
+from supplier_performance_data_pipeline_spark.operators.clustering import (
+    ivfpq_adc_topk,
+)
+from supplier_performance_data_pipeline_spark.operators.multimodal import (
+    ahash_bands,
+    ahash_near_dup_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- fold_text / char shingles ----------------------------------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fold_text_folds_accents_case_and_whitespace(spark):
+    df = _docs_df(spark, [(0, "  Café   com  Leção \t\n x ")])
+    out = df.select(fold_text(F.col("text")).alias("s")).collect()[0]["s"]
+    assert out == "cafe com lecao x"
+
+
+def test_fold_text_is_idempotent(spark):
+    df = _docs_df(spark, [(0, "Águila  VIEJA\tnñandú")])
+    once = df.select(fold_text(F.col("text")).alias("s"))
+    twice = once.select(fold_text(F.col("s")).alias("s"))
+    assert once.collect() == twice.collect()
+
+
+def test_char_shingles_count_and_fallback(spark):
+    df = _docs_df(spark, [(0, "abcdefg"), (1, "abc"), (2, "")])
+    rows = {
+        r["doc_id"]: r["shingles"]
+        for r in char_shingle_sets(df).collect()
+    }
+    # len 7 -> 7-5+1 = 3 overlapping 5-grams
+    assert rows[0] == ["abcde", "bcdef", "cdefg"]
+    # shorter than n -> single whole-text shingle
+    assert rows[1] == ["abc"]
+    assert rows[2] == [""]
+
+
+def test_accent_variants_are_char_ngram_duplicates(spark):
+    # Same text up to accents/case/whitespace -> identical folded
+    # string -> identical signature -> a pair with ALL components equal.
+    base = "el gato corre por la casa grande y salta muy alto cada dia"
+    acc = "El Gato  CORRE por la casa GRANDE y salta muy alto cada día".replace(
+        "dia", "día"
+    )
+    df = _docs_df(spark, [(0, base), (1, acc)])
+    pairs = char_ngram_near_dup_pairs(df, k=8, bands=4).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["doc_a"], p["doc_b"]) == (0, 1)
+    assert p["n_matching_components"] == 8
+
+
+def test_char_ngram_pairs_partition_invariant(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    a = sorted(
+        (r["doc_a"], r["doc_b"], r["n_matching_components"])
+        for r in char_ngram_near_dup_pairs(docs, k=8, bands=4).collect()
+    )
+    b = sorted(
+        (r["doc_a"], r["doc_b"], r["n_matching_components"])
+        for r in char_ngram_near_dup_pairs(
+            docs.repartition(7), k=8, bands=4
+        ).collect()
+    )
+    assert a == b
+
+
+# --- IVF-PQ ADC --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_ivfpq_ranks_are_dense_per_query(spark, emb):
+    out = ivfpq_adc_topk(emb, n_queries=4, topk=3).toPandas()
+    for q, grp in out.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        # adc_dist non-decreasing with rank
+        g = grp.sort_values("rank")
+        assert (g["adc_dist"].diff().dropna() >= 0).all()
+    assert set(out["query_id"]) <= set(range(4))
+
+
+def test_ivfpq_candidates_share_coarse_cluster(spark, emb):
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    out = ivfpq_adc_topk(emb, n_queries=4, topk=3).toPandas()
+    coarse = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assignments(emb).select("vec_id", "cluster").collect()
+    }
+    for _, row in out.iterrows():
+        assert coarse[row["query_id"]] == coarse[row["neighbor_id"]]
+        assert row["neighbor_id"] != row["query_id"]
+
+
+def test_ivfpq_partition_invariant(spark, emb):
+    a = sorted(map(tuple, ivfpq_adc_topk(emb, 4, 3).collect()))
+    b = sorted(map(tuple, ivfpq_adc_topk(emb.repartition(7), 4, 3).collect()))
+    assert a == b
+
+
+# --- aHash -------------------------------------------------------------------
+
+
+def _media_df(spark, rows):
+    df = spark.createDataFrame(rows, "media_id long, text string")
+    return df.select(
+        "media_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+
+def test_ahash_bands_are_16bit(spark):
+    media = _media_df(
+        spark, [(0, "hello world " * 10), (1, ""), (2, "x")]
+    )
+    out = ahash_bands(media).toPandas()
+    for s in range(4):
+        assert out[f"b{s}"].between(0, 0xFFFF).all()
+    # empty payload: all pixels 0, 0*64 > 0 is false -> all bands 0
+    empty = out[out.media_id == 1].iloc[0]
+    assert [empty[f"b{s}"] for s in range(4)] == [0, 0, 0, 0]
+
+
+def test_ahash_identical_payloads_pair_at_hamming_zero(spark):
+    media = _media_df(
+        spark,
+        [(0, "the quick brown fox jumps over the lazy dog again and again"),
+         (1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "a completely different payload with other content entirely!!")],
+    )
+    pairs = ahash_near_dup_pairs(media, max_hamming=3).collect()
+    got = {(p["media_a"], p["media_b"]): p["hamming"] for p in pairs}
+    assert got.get((0, 1)) == 0
+
+
+def test_ahash_band_pigeonhole_matches_brute_force(spark):
+    """Banded candidate generation must find EVERY pair at hamming <= 3
+    (Manku pigeonhole) — compare against the brute-force pair scan."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(150)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    banded = sorted(
+        (p["media_a"], p["media_b"], p["hamming"])
+        for p in ahash_near_dup_pairs(media, max_hamming=3).collect()
+    )
+    hb = ahash_bands(media).toPandas().set_index("media_id")
+    brute = []
+    ids = sorted(hb.index)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(
+                bin(int(hb.loc[a, f"b{s}"]) ^ int(hb.loc[b, f"b{s}"])).count(
+                    "1"
+                )
+                for s in range(4)
+            )
+            if h <= 3:
+                brute.append((a, b, h))
+    assert banded == sorted(brute)
+
+
+# --- streaming TTL eviction --------------------------------------------------
+
+
+def test_ttl_eviction_tombstones(spark, tmp_path):
+    """Two-batch replay: user 1 is active only in batch 1 and far
+    before the final watermark -> evicted with its frozen count; user 2
+    stays active through the end -> no tombstone."""
+    import time
+
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_replay_file,
+    )
+    from supplier_performance_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+    )
+    from supplier_performance_data_pipeline_spark.streaming.stateful import (
+        streaming_profiles_event_ttl,
+    )
+
+    def ev_df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+        ).select(
+            "event_id",
+            F.to_timestamp("ts").alias("ts"),
+            "user_id",
+        )
+
+    b0 = ev_df(
+        [
+            (1, "2024-01-01 00:00:00", 1),
+            (2, "2024-01-01 00:30:00", 1),
+            (3, "2024-01-01 00:00:00", 2),
+        ]
+    )
+    # batch 2: user 2 again, 10 days later -> watermark passes user 1's
+    # TTL (6h) by a mile; a final sentinel row triggers the timeout
+    # batch without advancing the watermark further.
+    b1 = ev_df([(4, "2024-01-11 00:00:00", 2)])
+    b2 = ev_df([(5, "2024-01-11 00:00:00", -1)])
+    replay = str(tmp_path / "replay")
+    t0 = time.time() - 50
+    for i, df in enumerate([b0, b1, b2]):
+        write_replay_file(df, replay, f"b{i}.events.file", t0 + i * 5)
+    stream = read_event_stream(spark, replay, glob="*.file",
+                               max_files_per_trigger=1)
+    run_to_memory_sink(
+        streaming_profiles_event_ttl(stream, 21600, 3600),
+        "ttl_unit_sink",
+        "append",
+    )
+    rows = {
+        r["user_id"]: (r["n_events"], r["evicted"])
+        for r in spark.table("ttl_unit_sink").collect()
+        if r["user_id"] >= 0
+    }
+    assert rows == {1: (2, True)}
