@@ -145,6 +145,16 @@ HEADLINE = [
     "price_equi_depth_bins",
     "totalprice_benford_audit",
     "streaming_throttle_equivalence",
+    "streaming_state_ttl_eviction",
+    "dedup_char_ngram_crosslingual",
+    "ann_ivfpq_adc_topk",
+    "lineitem_hll_profile",
+    "orders_monthly_ma_decomposition",
+    "knn_graph_degree_histogram",
+    "events_hourly_autocorrelation",
+    "multimodal_ahash_near_dup",
+    "corpus_vocabulary_growth",
+    "corpus_bpe_first_merges",
 ]
 
 

@@ -1794,3 +1794,76 @@ def q_corpus_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_corpus_vocabulary_growth.__doc__ = q_corpus_vocabulary_growth.__doc__.format(
     B=_VOCAB_BUCKET
 )
+
+
+# --- BPE merge candidates (tokenizer training, step 1) ----------------------
+
+_BPE_TOP = 20
+
+
+@register(
+    "corpus_bpe_first_merges",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT unnest(toks) AS t FROM toks_cte),
+pairs AS (
+    SELECT unnest(list_transform(range(1, length(t)), i -> substr(t, i, 2))) AS pair
+    FROM tok WHERE length(t) >= 2
+),
+counted AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair),
+ranked AS (
+    SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+    FROM counted
+)
+SELECT pair, CAST(n AS BIGINT) AS n_occurrences, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_BPE_TOP}
+""".strip(),
+)
+def q_corpus_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of byte-pair-encoding tokenizer training:
+    count every ADJACENT character pair inside the corpus's word
+    tokens and rank the top {K} merge candidates — the exact statistic
+    the BPE loop (Sennrich '16) greedily merges, and the curation
+    signal for "does this corpus want a new vocab" (a shifted top
+    table vs the tokenizer's existing merges predicts fertility blow-
+    up, which ``tokenizer_fertility_by_lang`` then measures).
+
+    Full BPE training is inherently ITERATIVE (each merge rewrites the
+    symbol stream — at scale that is one pair-count aggregate per
+    merge over a re-encoded corpus, the same fixed-iteration pattern
+    as Lloyd's/PageRank here); step 1 is the distributed-heavy part
+    and is exactly reproducible.
+
+    Plan: tokenize → in-row bigram expansion (no join — substr over a
+    sequence), explode, ONE pair-keyed hash agg with map-side
+    combine, then a top-{K} over the pair-vocabulary-sized count
+    table. Ties break lexicographically so the rank is total."""
+    toks_df = _docs(spark, sf_dir).select(
+        tokens(F.col("text")).alias("toks")
+    )
+    tok = toks_df.select(F.explode("toks").alias("t")).filter(
+        F.length("t") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BPE_TOP)
+        .select(
+            "pair",
+            F.col("n").cast("long").alias("n_occurrences"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+q_corpus_bpe_first_merges.__doc__ = q_corpus_bpe_first_merges.__doc__.format(
+    K=_BPE_TOP
+)

@@ -153,9 +153,13 @@ def streaming_profiles_event_ttl(
             return
         n, last_us = state.get if state.exists else (0, None)
         for pdf in pdfs:
+            if len(pdf) == 0:  # Arrow may deliver empty chunks
+                continue
             n += len(pdf)
             mx = int(pdf["ts_us"].max())
             last_us = mx if last_us is None or mx > last_us else last_us
+        if last_us is None:  # pragma: no cover - data-less non-timeout call
+            return
         state.update((n, int(last_us)))
         # timeout at last event-time + TTL, in the watermark's ms domain
         state.setTimeoutTimestamp(int(last_us) // 1000 + ttl_ms)
