@@ -154,7 +154,11 @@ def char_shingle_sets(
         lambda i: s.substr(i, F.lit(n)),
     )
     sh = F.when(F.length(s) >= n, make).otherwise(F.array(s))
-    return folded.select("doc_id", sh.alias("shingles"))
+    # MinHash is defined on the shingle SET: dedup before hashing —
+    # array_min is unaffected, but every downstream per-element pass
+    # (one md5 + K component mins per shingle) shrinks by the repeat
+    # factor, which is large exactly when n-gram entropy is low.
+    return folded.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 
 def char_ngram_near_dup_pairs(

@@ -260,11 +260,18 @@ _CHAR_FOLD = (
     f"trim(regexp_replace(translate(lower(text), '{ACCENT_FROM}', "
     f"'{ACCENT_TO}'), '{WS_RX}', ' ', 'g'))"
 )
-# k=16 in 4 bands of r=4 rows: band-collision threshold t ~ (1/b)^(1/r)
-# = 0.71 estimated Jaccard — r=2 bands at t=0.5 drown a small-vocab
-# corpus in coincidental candidates (measured 11% of all pairs).
-CHAR_MH_K = 16
-CHAR_LSH_BANDS = 4
+# k=8 in 2 bands of r=4 rows: band-collision threshold t ~ (1/b)^(1/r)
+# = 0.84 estimated Jaccard — a strict near-dup bar. Looser bandings
+# drown this small-shared-vocab corpus in coincidental candidates
+# (r=2/t=0.5: 11% of ALL pairs collide). K stays at 8 because the
+# signature projection is the cost center here (one md5 + K
+# arithmetic mins per DISTINCT 5-gram — ~2.5M shingles at sf0.1, 10x
+# the word-shingle volume); doubling K doubled that pass for little
+# extra precision at this corpus's near-dup density. Real corpora
+# tune r ~ log N per the MMDS s-curve — the same knob every MinHash
+# query exposes.
+CHAR_MH_K = 8
+CHAR_LSH_BANDS = 2
 _CHAR_PER_BAND = CHAR_MH_K // CHAR_LSH_BANDS
 _CHAR_MH_COLS_SQL = ", ".join(
     f"list_min(list_transform(ms, m -> ({_H1} + {j} * {_H2}) % {P61})) AS mh{j}"
@@ -289,19 +296,25 @@ _CHAR_SHINGLES = (
 WITH norm AS (
     SELECT doc_id, lang, {_CHAR_FOLD} AS s FROM documents
 ),
-csh AS (SELECT doc_id, lang, {_CHAR_SHINGLES} AS shingles FROM norm),
+csh AS (SELECT doc_id, lang, list_distinct({_CHAR_SHINGLES}) AS shingles FROM norm),
 cms AS (SELECT doc_id, lang,
                list_transform(shingles, s -> md5(s)) AS ms FROM csh),
 csigs AS (SELECT doc_id, lang, {_CHAR_MH_COLS_SQL} FROM cms),
-cbands AS (SELECT csigs.*, {_CHAR_BAND_COLS_SQL} FROM csigs)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       a.lang AS lang_a, b.lang AS lang_b,
-       CAST(({" + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(CHAR_MH_K))})
-            AS INTEGER) AS n_matching_components,
-       (a.lang <> b.lang) AS cross_lang
-FROM cbands a JOIN cbands b
-  ON a.doc_id < b.doc_id
- AND ({" OR ".join(f"a.band{b} = b.band{b}" for b in range(CHAR_LSH_BANDS))})
+cbands AS (SELECT csigs.*, {_CHAR_BAND_COLS_SQL} FROM csigs),
+pairs AS (
+    SELECT a.doc_id AS doc_a, a.lang AS lang_a, b.lang AS lang_b,
+           ({" + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(CHAR_MH_K))})
+               AS n_match
+    FROM cbands a JOIN cbands b
+      ON a.doc_id < b.doc_id
+     AND ({" OR ".join(f"a.band{b} = b.band{b}" for b in range(CHAR_LSH_BANDS))})
+)
+SELECT lang_a, lang_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN n_match = {CHAR_MH_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_full_signature,
+       (lang_a <> lang_b) AS cross_lang
+FROM pairs GROUP BY lang_a, lang_b
 """.strip(),
 )
 def q_dedup_char_ngram_crosslingual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,42 +325,53 @@ def q_dedup_char_ngram_crosslingual(spark: SparkSession, sf_dir: str) -> DataFra
     handful of giant 'tokens' and its near-dups never share a band;
     character n-grams are the standard language-agnostic shingling
     (zh documents are 15% of this corpus), and the fold makes
-    accent/case variants ("Café"/"cafe") collide. Pairs carry both
-    languages plus a cross_lang flag — the translated/transliterated-
-    duplicate screen of a multilingual curation pipeline.
+    accent/case variants ("Café"/"cafe") collide.
+
+    The driver-checked surface is the LANGUAGE-PAIR MATRIX (the
+    ``near_dup_source_matrix`` pattern): per (lang_a, lang_b), the
+    candidate-pair count, how many match on the FULL signature, and
+    the cross-language flag — the translated/transliterated-duplicate
+    screen of a multilingual curation pipeline. The pair LIST stays on
+    the operator API (``char_ngram_near_dup_pairs``, unit-tested); at
+    this corpus's near-dup density (~0.5M pairs at sf0.1 even at the
+    t≈0.92 banding) registering the raw list would bench the Arrow
+    transfer of the pair table, not the join.
 
     Plan: same scale path as every MinHash query — one md5 per
     5-gram, banded signature explode, bucket EQUI-join (never
     all-pairs; the oracle's OR-join form is viable only at oracle
-    scale), pair dedup, then two id-keyed joins to attach languages.
-    Portability: translate is a 1:1 codepoint map and substr/length
-    are codepoint-indexed in both engines; the whitespace class is
-    spelled explicitly because Java's \\s and RE2's \\s disagree on
-    vertical tab."""
+    scale), pair dedup, two id-keyed joins to attach languages, and a
+    tiny lang-pair agg. Portability: translate is a 1:1 codepoint map
+    and substr/length are codepoint-indexed in both engines; the
+    whitespace class is spelled explicitly because Java's \\s and
+    RE2's \\s disagree on vertical tab."""
     docs = _docs(spark, sf_dir)
     pairs = char_ngram_near_dup_pairs(docs, k=CHAR_MH_K, bands=CHAR_LSH_BANDS)
     langs = docs.select("doc_id", "lang")
+    tagged = pairs.join(
+        langs.select(
+            F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+        ),
+        "doc_a",
+    ).join(
+        langs.select(
+            F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+        ),
+        "doc_b",
+    )
     return (
-        pairs.join(
-            langs.select(
-                F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
-            ),
-            "doc_a",
+        tagged.groupBy("lang_a", "lang_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    F.col("n_matching_components") == CHAR_MH_K, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_full_signature"),
         )
-        .join(
-            langs.select(
-                F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "lang_a",
-            "lang_b",
-            "n_matching_components",
-            (F.col("lang_a") != F.col("lang_b")).alias("cross_lang"),
-        )
+        .withColumn("cross_lang", F.col("lang_a") != F.col("lang_b"))
     )
 
 
