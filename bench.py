@@ -155,6 +155,8 @@ HEADLINE = [
     "multimodal_ahash_near_dup",
     "corpus_vocabulary_growth",
     "corpus_bpe_first_merges",
+    "ann_ivfpq_recall_audit",
+    "embedding_jl_distortion_audit",
 ]
 
 

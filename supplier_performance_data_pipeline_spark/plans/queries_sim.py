@@ -1342,3 +1342,281 @@ def q_knn_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_knn_graph_degree_histogram.__doc__ = q_knn_graph_degree_histogram.__doc__.format(
     k=KNN_K
 )
+
+
+# --- IVF-PQ recall audit (exact L2 ground truth vs ADC ranking) --------------
+
+_L2_B_Q = (
+    "list_sum(list_transform(range(0, {dim}), "
+    "i -> (b.v[i+1] - q.v[i+1]) * (b.v[i+1] - q.v[i+1])))"
+).format(dim=DIM)
+
+
+@register(
+    "ann_ivfpq_recall_audit",
+    oracle=f"""
+WITH approx AS (
+    SELECT query_id, neighbor_id FROM ({{approx}}) t_approx
+),
+bq AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+qv AS (SELECT vec_id AS query_id, v FROM bq WHERE vec_id < {IVFPQ_NQ}),
+ed AS (
+    SELECT q.query_id, b.vec_id, {_L2_B_Q} AS d
+    FROM bq b CROSS JOIN qv q WHERE b.vec_id <> q.query_id
+),
+exact AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY d, vec_id) AS rn
+        FROM ed) t
+    WHERE rn <= {IVFPQ_TOPK}
+),
+ov AS (
+    SELECT e.query_id, COUNT(*) AS c FROM exact e
+    JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.vec_id
+    GROUP BY e.query_id
+),
+ap AS (SELECT query_id, COUNT(*) AS c FROM approx GROUP BY query_id)
+SELECT q.query_id,
+       CAST({IVFPQ_TOPK} AS BIGINT) AS k_requested,
+       CAST(COALESCE(ap.c, 0) AS BIGINT) AS n_adc_results,
+       CAST(COALESCE(ov.c, 0) AS BIGINT) AS n_overlap
+FROM (SELECT query_id FROM qv) q
+LEFT JOIN ap USING (query_id)
+LEFT JOIN ov USING (query_id)
+""".strip(),
+)
+def q_ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{topk} of the end-to-end IVF-PQ ANN against the EXACT
+    squared-L2 top-{topk} per query — the audit that makes
+    ``ann_ivfpq_adc_topk``'s two approximations (single-probe IVF
+    candidate loss + PQ distance quantization) MEASURED rather than
+    assumed, the same verified-metric pattern as ``ann_recall_at_10``
+    and ``knn_join_recall``. Per query: k_requested, how many
+    candidates ADC actually returned (an empty inverted list shows up
+    here, not as silence), and the exact-set overlap.
+
+    Determinism: the exact arm is the shared left-to-right double
+    distance fold with (d, vec_id) total order; the ADC arm is the
+    deterministic IVF-PQ chain; overlap/counts are integers. Plan: the
+    exact arm is one scan x {nq} broadcast query rows -> per-query
+    TakeOrdered window; the audit joins are {nq}x{topk}-row
+    equi-joins. At 100 TB the exact arm is the one deliberate
+    full-scan ranking (it IS the ground truth), run on a hash-sampled
+    query panel exactly like this {nq}-query one."""
+    emb = _embeddings(spark, sf_dir)
+    approx = ivfpq_adc_topk(
+        emb,
+        n_queries=IVFPQ_NQ,
+        topk=IVFPQ_TOPK,
+        m=PQ_M,
+        k_pq=PQ_K,
+        k_coarse=K_DEFAULT,
+        iters=ITERS_DEFAULT,
+        dim=DIM,
+    ).select("query_id", "neighbor_id")
+    base = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> double(x))").alias("v")
+    )
+    qv = base.filter(F.col("vec_id") < IVFPQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ed = (
+        base.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), "
+                "0.0D, (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    exact = (
+        ed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVFPQ_TOPK)
+        .select("query_id", "vec_id")
+    )
+    ov = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["vec_id"] == approx["neighbor_id"]),
+    ).groupBy(exact["query_id"].alias("query_id")).agg(
+        F.count("*").alias("oc")
+    )
+    ap = approx.groupBy("query_id").agg(F.count("*").alias("ac"))
+    return (
+        qv.select("query_id")
+        .join(ap, "query_id", "left")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(IVFPQ_TOPK).cast("long").alias("k_requested"),
+            F.coalesce("ac", F.lit(0)).cast("long").alias("n_adc_results"),
+            F.coalesce("oc", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+
+
+q_ann_ivfpq_recall_audit.__doc__ = q_ann_ivfpq_recall_audit.__doc__.format(
+    topk=IVFPQ_TOPK, nq=IVFPQ_NQ
+)
+
+# The audit oracle embeds the already-registered ADC oracle verbatim so
+# the two queries can never drift apart (same pattern as ann_recall_at_10).
+REGISTRY["ann_ivfpq_recall_audit"] = REGISTRY["ann_ivfpq_recall_audit"].__class__(
+    name="ann_ivfpq_recall_audit",
+    build=REGISTRY["ann_ivfpq_recall_audit"].build,
+    oracle=REGISTRY["ann_ivfpq_recall_audit"].oracle.format(
+        approx=REGISTRY["ann_ivfpq_adc_topk"].oracle
+    ),
+)
+
+
+# --- Johnson-Lindenstrauss random-projection distortion audit ----------------
+
+JL_M = 16  # target dimensionality
+
+
+def _jl_planes() -> list[list[float]]:
+    """The JL projection matrix: hyperplanes 0..JL_M-1 (the SAME
+    deterministic md5-derived generator the LSH family uses), each row
+    unit-normalized DRIVER-SIDE in python floats (IEEE doubles), then
+    inlined as identical literals in both arms."""
+    import math
+
+    rows = []
+    for p in range(JL_M):
+        raw = hyperplane(p, DIM)
+        acc = 0.0
+        for v in raw:
+            acc += float(v) * float(v)
+        nrm = math.sqrt(acc)
+        rows.append([float(v) / nrm for v in raw])
+    return rows
+
+
+_JL_PLANES_VALUES = ", ".join(
+    f"({p}, {row})" for p, row in enumerate(_jl_planes())
+)
+_JL_PLANES_CTE = (
+    f"jl_planes AS (SELECT * FROM (VALUES {_JL_PLANES_VALUES}) t(p, hp))"
+)
+from supplier_performance_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    dot_expr,
+)
+
+_JL_PROJ_ARRAY = (
+    "array("
+    + ", ".join(
+        dot_expr("v", "array(" + ", ".join(f"{float(x)}D" for x in row) + ")")
+        for row in _jl_planes()
+    )
+    + ")"
+)
+
+
+@register(
+    "embedding_jl_distortion_audit",
+    oracle=f"""
+WITH {_JL_PLANES_CTE},
+b AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+proj AS (
+    SELECT b.vec_id, pl.p,
+           list_sum(list_transform(range(0, {DIM}),
+               i -> b.v[i+1] * CAST(pl.hp[i+1] AS DOUBLE))) AS pr
+    FROM b CROSS JOIN jl_planes pl
+),
+pvec AS (SELECT vec_id, list(pr ORDER BY p) AS pv FROM proj GROUP BY vec_id),
+pairs AS (
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           list_sum(list_transform(range(0, {DIM}),
+               i -> (a.v[i+1] - c.v[i+1]) * (a.v[i+1] - c.v[i+1]))) AS orig_d2
+    FROM b a JOIN b c ON c.vec_id = a.vec_id + 1
+),
+pd AS (
+    SELECT p.orig_d2,
+           list_sum(list_transform(range(0, {JL_M}),
+               j -> (pa.pv[j+1] - pb.pv[j+1]) * (pa.pv[j+1] - pb.pv[j+1])))
+               AS proj_d2
+    FROM pairs p
+    JOIN pvec pa ON pa.vec_id = p.id_a
+    JOIN pvec pb ON pb.vec_id = p.id_b
+    WHERE p.orig_d2 > 0
+),
+r AS (SELECT (proj_d2 * {float(DIM)}) / ({float(JL_M)} * orig_d2) AS ratio
+      FROM pd)
+SELECT CAST(FLOOR(ratio * 4) AS INTEGER) AS ratio_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MIN(ratio), 6) AS min_ratio,
+       ROUND(MAX(ratio), 6) AS max_ratio
+FROM r GROUP BY 1
+""".strip(),
+)
+def q_embedding_jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection distortion audit: every
+    {dim}-dim embedding projects to {m} dims through the deterministic
+    unit-normalized hyperplane matrix, and for each consecutive-id pair
+    the audit measures how well projected squared distance preserves
+    the original -- ratio = (proj_d2 * dim) / (m * orig_d2), whose
+    expectation is 1 for unit random rows. The JL lemma bounds the
+    spread of this ratio; the histogram (quarter-wide FLOOR buckets
+    with per-bucket exact MIN/MAX) is the empirical check you run
+    BEFORE trusting a projected index (`ann_lsh_topk`'s sign buckets,
+    SemDedup on compressed vectors) at full scale.
+
+    Determinism: projections and distances are the shared left-to-right
+    double fold; plane literals come from one python generator inlined
+    in both arms; MIN/MAX are order-free; bucket ids are FLOOR (exact).
+    Plan: one scan computes the {m} projections per row (codegen'd
+    fold, no shuffle), pairs form by a vec_id+1 equi-join (linear, not
+    all-pairs), and the histogram is a tiny-key hash agg. At 100 TB:
+    identical shape -- the pair join is id-partitioned, everything else
+    is map-side."""
+    emb = _embeddings(spark, sf_dir)
+    bp = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> double(x))").alias("v"),
+        F.expr(_JL_PROJ_ARRAY).alias("pv"),
+    )
+    rhs = bp.select(
+        F.col("vec_id").alias("r_id"),
+        F.col("v").alias("rv"),
+        F.col("pv").alias("rpv"),
+    )
+    pairs = bp.join(rhs, F.col("r_id") == F.col("vec_id") + F.lit(1))
+    fold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    scored = pairs.select(
+        F.expr(fold.format(a="v", b="rv")).alias("orig_d2"),
+        F.expr(fold.format(a="pv", b="rpv")).alias("proj_d2"),
+    ).filter(F.col("orig_d2") > 0)
+    ratio = (F.col("proj_d2") * F.lit(float(DIM))) / (
+        F.lit(float(JL_M)) * F.col("orig_d2")
+    )
+    return (
+        scored.select(ratio.alias("ratio"))
+        .groupBy(F.floor(F.col("ratio") * 4).cast("int").alias("ratio_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+        )
+    )
+
+
+q_embedding_jl_distortion_audit.__doc__ = (
+    q_embedding_jl_distortion_audit.__doc__.format(dim=DIM, m=JL_M)
+)

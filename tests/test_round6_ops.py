@@ -251,3 +251,129 @@ def test_ttl_eviction_tombstones(spark, tmp_path):
         if r["user_id"] >= 0
     }
     assert rows == {1: (2, True)}
+
+
+# --- IVF-PQ recall audit -----------------------------------------------------
+
+
+def test_ivfpq_recall_audit_invariants(spark):
+    from supplier_performance_data_pipeline_spark.plans.queries_sim import (
+        IVFPQ_NQ,
+        IVFPQ_TOPK,
+        q_ann_ivfpq_recall_audit,
+    )
+
+    out = q_ann_ivfpq_recall_audit(spark, SF).toPandas()
+    # one row per query, even if an inverted list came back empty
+    assert sorted(out["query_id"]) == list(range(IVFPQ_NQ))
+    assert (out["k_requested"] == IVFPQ_TOPK).all()
+    # overlap can never exceed either arm's result size
+    assert (out["n_overlap"] <= out["n_adc_results"]).all()
+    assert (out["n_overlap"] <= out["k_requested"]).all()
+    assert (out["n_overlap"] >= 0).all()
+    assert (out["n_adc_results"] <= IVFPQ_TOPK).all()
+
+
+def test_exact_l2_arm_agrees_with_brute_force(spark, emb):
+    """The audit's ground-truth arm must rank by true squared L2: check
+    query 0's exact top-5 against a NumPy brute force."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.plans.queries_sim import (
+        IVFPQ_TOPK,
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = mat[ids == 0][0]
+    d2 = ((mat - q) ** 2).sum(axis=1)
+    order = sorted(
+        (float(d), int(i)) for d, i in zip(d2, ids) if i != 0
+    )
+    expected = [i for _, i in order[:IVFPQ_TOPK]]
+
+    from pyspark.sql.window import Window
+
+    base = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> double(x))").alias("v")
+    )
+    qv = base.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ed = (
+        base.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), "
+                "0.0D, (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    got = [
+        r["vec_id"]
+        for r in ed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVFPQ_TOPK)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert got == expected
+
+
+# --- JL distortion audit -----------------------------------------------------
+
+
+def test_jl_planes_are_unit_norm():
+    from supplier_performance_data_pipeline_spark.plans.queries_sim import (
+        DIM,
+        JL_M,
+        _jl_planes,
+    )
+
+    rows = _jl_planes()
+    assert len(rows) == JL_M
+    for row in rows:
+        assert len(row) == DIM
+        assert abs(sum(x * x for x in row) - 1.0) < 1e-12
+
+
+def test_jl_audit_buckets_partition_ratios(spark):
+    from supplier_performance_data_pipeline_spark.plans.queries_sim import (
+        q_embedding_jl_distortion_audit,
+    )
+
+    out = q_embedding_jl_distortion_audit(spark, SF).toPandas()
+    n_emb = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    # every consecutive pair lands in exactly one bucket (no zero-distance
+    # drops in this testdata)
+    assert out["n_pairs"].sum() == n_emb - 1
+    for _, r in out.iterrows():
+        lo, hi = r["ratio_bucket"] / 4.0, (r["ratio_bucket"] + 1) / 4.0
+        assert lo <= r["min_ratio"] <= r["max_ratio"]
+        # 6-dp display rounding can push max_ratio to the open edge
+        assert r["max_ratio"] <= hi + 1e-6
+    # the JL scaling is calibrated: the bulk of pairs sit within +/-50%
+    # of ratio 1 (E[ratio]=1, sd ~ sqrt(2/m) ~ 0.35)
+    mid = out[(out["ratio_bucket"] >= 2) & (out["ratio_bucket"] <= 5)]
+    assert mid["n_pairs"].sum() >= 0.6 * out["n_pairs"].sum()
+
+
+def test_jl_audit_partition_invariant(spark):
+    from supplier_performance_data_pipeline_spark.plans.queries_sim import (
+        q_embedding_jl_distortion_audit,
+    )
+
+    a = sorted(map(tuple, q_embedding_jl_distortion_audit(spark, SF).collect()))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = sorted(
+            map(tuple, q_embedding_jl_distortion_audit(spark, SF).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
