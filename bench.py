@@ -157,6 +157,9 @@ HEADLINE = [
     "corpus_bpe_first_merges",
     "ann_ivfpq_recall_audit",
     "embedding_jl_distortion_audit",
+    "corpus_leakage_safe_split",
+    "dedup_cluster_chaining_audit",
+    "embedding_dim_correlations",
 ]
 
 

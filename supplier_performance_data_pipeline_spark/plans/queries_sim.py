@@ -1620,3 +1620,106 @@ def q_embedding_jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFra
 q_embedding_jl_distortion_audit.__doc__ = (
     q_embedding_jl_distortion_audit.__doc__.format(dim=DIM, m=JL_M)
 )
+
+
+# --- dimension correlation audit (PCA/whitening precheck) --------------------
+
+CORR_TOP = 15
+
+
+@register(
+    "embedding_dim_correlations",
+    oracle=f"""
+WITH b AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+px AS (
+    SELECT i.i AS dim_i, j.j AS dim_j,
+           b.v[i.i + 1] AS x, b.v[j.j + 1] AS y
+    FROM b
+    CROSS JOIN (SELECT unnest(range(0, {DIM})) AS i) i
+    CROSS JOIN (SELECT unnest(range(0, {DIM})) AS j) j
+    WHERE j.j > i.i
+),
+s AS (
+    SELECT dim_i, dim_j,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(24,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(24,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * x AS DECIMAL(24,12))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(24,12))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(x * y AS DECIMAL(24,12))) AS DOUBLE) AS sxy
+    FROM px GROUP BY dim_i, dim_j
+),
+c AS (
+    SELECT CAST(dim_i AS INTEGER) AS dim_i, CAST(dim_j AS INTEGER) AS dim_j,
+           (n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+    FROM s
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+)
+SELECT dim_i, dim_j, ROUND(corr, 6) AS corr
+FROM c ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT {CORR_TOP}
+""".strip(),
+)
+def q_embedding_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most-correlated embedding dimension pairs (|Pearson r|) —
+    the precheck before PCA/whitening or PQ subspace assignment: highly
+    correlated dims waste capacity in independent-subspace quantizers
+    (``embedding_pq_codes`` splits dims blockwise and assumes they
+    don't co-vary), and near-duplicate dims signal a degenerate
+    projection head upstream.
+
+    Determinism: the five sufficient statistics per pair accumulate in
+    DECIMAL(24,12) (order-free cross-row sums — the engine-wide recipe
+    every k-means/PQ oracle uses), the Pearson formula is then fixed-
+    order double arithmetic on those exact sums, and the top-{k} order
+    is total (|r| desc, then the pair id). Plan: ONE scan explodes each
+    row to its {pairs} upper-triangle (i,j,x,y) tuples (a flatten of
+    nested transforms, JVM codegen, no Python) and a (dim_i,dim_j)-
+    keyed hash agg — map-side partials make the shuffle {pairs} keys
+    regardless of row count. At 100 TB you run this on the
+    deterministic hash sample (documents_hash_sample's recipe): the
+    d^2 blow-up multiplies the SAMPLE, never the full table —
+    exactly how covariance estimation is done in practice."""
+    emb = _embeddings(spark, sf_dir)
+    px = emb.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {DIM - 2}), "
+                f"i -> transform(sequence(i + 1, {DIM - 1}), "
+                "j -> struct(i AS dim_i, j AS dim_j, "
+                "double(embedding[i]) AS x, double(embedding[j]) AS y))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    dec = "decimal(24,12)"
+    s = px.groupBy("dim_i", "dim_j").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(varx) * F.sqrt(vary)
+    )
+    return (
+        s.filter((varx > 0) & (vary > 0))
+        .select(
+            F.col("dim_i").cast("int").alias("dim_i"),
+            F.col("dim_j").cast("int").alias("dim_j"),
+            F.round(corr, 6).alias("corr"),
+        )
+        .orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j")
+        .limit(CORR_TOP)
+    )
+
+
+q_embedding_dim_correlations.__doc__ = q_embedding_dim_correlations.__doc__.format(
+    k=CORR_TOP, pairs=DIM * (DIM - 1) // 2
+)

@@ -1891,3 +1891,223 @@ def q_corpus_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_corpus_bpe_first_merges.__doc__ = q_corpus_bpe_first_merges.__doc__.format(
     K=_BPE_TOP
 )
+
+
+# --- leakage-safe train/val/test split (cluster-keyed hash assignment) -------
+
+from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    md5_mod,
+    md5_mod_sql,
+)
+
+_SPLIT_SALT = "split7|"
+_SPLIT_TRAIN = 8_000  # /GRAIN -> 80%
+_SPLIT_VAL = 9_000  # next 10%; remainder is test
+
+
+def _split_case_sql(expr: str) -> str:
+    b = md5_mod_sql(expr, _SPLIT_SALT, GRAIN)
+    return (
+        f"CASE WHEN {b} < {_SPLIT_TRAIN} THEN 'train' "
+        f"WHEN {b} < {_SPLIT_VAL} THEN 'val' ELSE 'test' END"
+    )
+
+
+def _split_case(key):
+    b = md5_mod(key, _SPLIT_SALT, GRAIN)
+    return (
+        F.when(b < _SPLIT_TRAIN, "train")
+        .when(b < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+
+
+@register(
+    "corpus_leakage_safe_split",
+    oracle=f"""
+WITH base AS (
+    SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS cluster
+    FROM documents d
+    LEFT JOIN (SELECT * FROM ({REGISTRY["dedup_components"].oracle}) t_comp) c
+      ON c.doc_id = d.doc_id
+),
+asg AS (
+    SELECT doc_id, n_chars, cluster,
+           {_split_case_sql("CAST(cluster AS VARCHAR)")} AS split,
+           {_split_case_sql("CAST(doc_id AS VARCHAR)")} AS naive_split
+    FROM base
+),
+cl AS (
+    SELECT cluster, split, COUNT(*) AS n_docs, SUM(n_chars) AS chars,
+           COUNT(DISTINCT naive_split) AS nns
+    FROM asg GROUP BY cluster, split
+)
+SELECT split,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN nns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS naive_leaky_clusters
+FROM cl GROUP BY split
+""".strip(),
+)
+def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates across
+    splits: the 80/10/10 hash split is keyed by the near-dup CLUSTER id
+    (``dedup_components``' min-doc-id, singletons key by themselves),
+    so every member of a cluster lands in the same split by
+    construction. The ``naive_leaky_clusters`` column quantifies the
+    hazard being avoided: how many of this split's multi-doc clusters
+    the per-DOC hash split would have scattered across >1 split — the
+    train/test contamination mode that inflates eval scores (the reason
+    Dodge et al. '21 / Lee et al. '22 dedup before splitting).
+
+    Determinism: membership is the engine-wide md5_mod recipe over the
+    cluster key, so the oracle reproduces the exact assignment; all
+    outputs are integer counts. Plan: LSH pairs checkpoint once ->
+    star-contraction components -> one broadcast-size left join back to
+    the doc table (components exist only for docs in pairs) -> two
+    integer hash aggs (cluster grain, then split grain). At 100 TB the
+    doc table never shuffles: the component map is the small side, the
+    split is a pure projection, and the leakage audit rides the same
+    cluster-grain agg the dedup report already pays for."""
+    docs = _docs(spark, sf_dir)
+    pairs_df, sigs = near_dup_pairs_cached(docs)
+    pairs = pairs_df.filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    sigs.unpersist()
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    base = (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", "doc_id").alias("cluster"),
+        )
+    )
+    asg = base.select(
+        "doc_id",
+        "n_chars",
+        "cluster",
+        _split_case(F.col("cluster")).alias("split"),
+        _split_case(F.col("doc_id")).alias("naive_split"),
+    )
+    cl = asg.groupBy("cluster", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.countDistinct("naive_split").alias("nns"),
+    )
+    return cl.groupBy("split").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("nns") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("naive_leaky_clusters"),
+    )
+
+
+# --- cluster chaining audit (edge-similarity structure of CC clusters) -------
+
+_EDGES_M_SQL = (
+    f"edges_m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    f"({_CC_MATCHES}) AS m FROM bands a JOIN bands b "
+    "ON a.doc_id < b.doc_id AND ("
+    + " OR ".join(f"a.band{b} = b.band{b}" for b in range(LSH_BANDS))
+    + f") WHERE ({_CC_MATCHES}) >= {CC_MIN_MATCH})"
+)
+
+
+@register(
+    "dedup_cluster_chaining_audit",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+{_MS_CTE},
+{_SIGS_CTE},
+bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs),
+{_CC_CTES_SQL},
+comp AS (SELECT verts.v AS doc_id, COALESCE(mn.m, verts.v) AS component
+         FROM verts LEFT JOIN mn ON verts.v = mn.src),
+{_EDGES_M_SQL},
+csize AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component),
+ce AS (SELECT c.component, e.m FROM edges_m e
+       JOIN comp c ON c.doc_id = e.doc_a),
+cagg AS (SELECT component, COUNT(*) AS n_edges, MIN(m) AS min_m,
+                SUM(m) AS sum_m
+         FROM ce GROUP BY component)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_edges) AS BIGINT) AS n_edges,
+       CAST(MIN(min_m) AS INTEGER) AS min_edge_match,
+       ROUND(CAST(SUM(sum_m) AS DOUBLE)
+             / (CAST(SUM(n_edges) AS DOUBLE) * {MINHASH_K}), 6)
+           AS avg_edge_match,
+       ROUND((2.0 * CAST(SUM(n_edges) AS DOUBLE))
+             / ((CAST(COUNT(*) AS DOUBLE) * sz) * (sz - 1)), 6)
+           AS edge_density
+FROM cagg JOIN csize USING (component)
+GROUP BY sz
+""".strip(),
+)
+def q_dedup_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-CHAINING audit of the transitive near-dup clusters:
+    connected components merge A-B and B-C into one cluster even when A
+    and C share nothing (the known failure mode of
+    transitive-closure dedup at scale — long chains glue unrelated docs
+    and the min-id survivor misrepresents the tail). Per cluster-size
+    band: how many clusters, how many LSH edges, the WEAKEST edge
+    retained (min matching signature components — low means borderline
+    pairs are doing the gluing), the mean edge similarity, and the edge
+    DENSITY 2E/(s(s-1)) — 1.0 is a clique of true duplicates, ~2/s is
+    a chain, exactly the clusters a curation pass should re-verify with
+    exact Jaccard before dropping members.
+
+    Determinism: edges and components are the integer LSH/star-rewrite
+    machinery; per-band stats are integer sums with ONE double division
+    at the output edge (products stay below 2^53, so even the double
+    arithmetic is order-free). Plan: the checkpointed pair list feeds
+    both CC and the edge stats (no second LSH pass); everything after
+    is component-grain then size-grain hash aggs — at 100 TB the edge
+    list is the bounded LSH candidate set, never all-pairs."""
+    docs = _docs(spark, sf_dir)
+    pairs_df, sigs = near_dup_pairs_cached(docs)
+    pairs = pairs_df.filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    sigs.unpersist()
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    csize = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    ce = pairs.join(
+        comp, pairs["doc_a"] == comp["doc_id"]
+    ).select("component", F.col("n_matching_components").alias("m"))
+    cagg = ce.groupBy("component").agg(
+        F.count("*").alias("n_edges"),
+        F.min("m").alias("min_m"),
+        F.sum("m").alias("sum_m"),
+    )
+    joined = cagg.join(csize, "component")
+    return joined.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n_edges").cast("long").alias("n_edges"),
+        F.min("min_m").cast("int").alias("min_edge_match"),
+        F.round(
+            F.sum("sum_m").cast("double")
+            / (F.sum("n_edges").cast("double") * F.lit(MINHASH_K)),
+            6,
+        ).alias("avg_edge_match"),
+        F.round(
+            (F.lit(2.0) * F.sum("n_edges").cast("double"))
+            / (
+                (F.count("*").cast("double") * F.first("sz"))
+                * (F.first("sz") - F.lit(1))
+            ),
+            6,
+        ).alias("edge_density"),
+    )

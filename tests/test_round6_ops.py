@@ -377,3 +377,103 @@ def test_jl_audit_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+# --- leakage-safe split ------------------------------------------------------
+
+
+def test_split_never_leaks_clusters_and_naive_would(spark):
+    """Every near-dup cluster lands in exactly one split; the audit
+    column counts real scatter the naive per-doc hash would cause."""
+    from supplier_performance_data_pipeline_spark.plans.queries_text import (
+        CC_MIN_MATCH,
+        _docs,
+        _split_case,
+        q_corpus_leakage_safe_split,
+    )
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        near_dup_pairs_cached,
+    )
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, SF)
+    pairs_df, sigs = near_dup_pairs_cached(docs)
+    pairs = pairs_df.filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    sigs.unpersist()
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    base = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster")
+    )
+    asg = base.select(
+        "cluster",
+        _split_case(F.col("cluster")).alias("split"),
+        _split_case(F.col("doc_id")).alias("naive_split"),
+    )
+    per_cluster = asg.groupBy("cluster").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.countDistinct("naive_split").alias("n_naive"),
+    )
+    # the cluster-keyed split NEVER scatters a cluster
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    # ... and the naive split really would (matches the audit column)
+    n_leaky = per_cluster.filter(F.col("n_naive") > 1).count()
+    out = q_corpus_leakage_safe_split(spark, SF).toPandas()
+    assert out["naive_leaky_clusters"].sum() == n_leaky
+    # splits partition the corpus
+    assert out["n_docs"].sum() == docs.count()
+    assert set(out["split"]) == {"train", "val", "test"}
+
+
+# --- cluster chaining audit --------------------------------------------------
+
+
+def test_chaining_audit_edge_bounds(spark):
+    from supplier_performance_data_pipeline_spark.plans.queries_text import (
+        q_dedup_cluster_chaining_audit,
+    )
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        MINHASH_K,
+    )
+
+    out = q_dedup_cluster_chaining_audit(spark, SF).toPandas()
+    assert (out["cluster_size"] >= 2).all()
+    for _, r in out.iterrows():
+        s, e, c = r["cluster_size"], r["n_edges"], r["n_clusters"]
+        # spanning-tree lower bound and clique upper bound per cluster
+        assert c * (s - 1) <= e <= c * s * (s - 1) // 2
+        assert 0 < r["edge_density"] <= 1.0 + 1e-9
+        assert r["min_edge_match"] <= round(r["avg_edge_match"] * MINHASH_K) + 1
+        assert 0 < r["avg_edge_match"] <= 1.0
+
+
+# --- dimension correlations --------------------------------------------------
+
+
+def test_dim_correlations_match_numpy(spark, emb):
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.plans.queries_sim import (
+        CORR_TOP,
+        q_embedding_dim_correlations,
+    )
+
+    out = q_embedding_dim_correlations(spark, SF).toPandas()
+    assert len(out) == CORR_TOP
+    assert (out["corr"].abs() <= 1.0).all()
+    # |corr| is non-increasing in output order
+    mat = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    cm = np.corrcoef(mat, rowvar=False)
+    for _, r in out.iterrows():
+        assert abs(cm[int(r["dim_i"]), int(r["dim_j"])] - r["corr"]) < 1e-5
+    # the top entry really is the global argmax of |corr|
+    iu = np.triu_indices(cm.shape[0], k=1)
+    assert abs(np.abs(cm[iu]).max() - abs(out.iloc[0]["corr"])) < 1e-5
