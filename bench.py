@@ -160,6 +160,9 @@ HEADLINE = [
     "corpus_leakage_safe_split",
     "dedup_cluster_chaining_audit",
     "embedding_dim_correlations",
+    "events_kmv_intersection_audit",
+    "events_seasonal_backtest",
+    "supplier_efficiency_frontier",
 ]
 
 

@@ -2164,3 +2164,295 @@ def q_events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFra
         )
         out = arm if out is None else out.unionAll(arm)
     return out
+
+
+# --- KMV/theta distinct-intersection sketch audit ----------------------------
+
+from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    md5_mod as _kmv_md5_mod,
+    md5_mod_sql as _kmv_md5_mod_sql,
+)
+
+KMV_K = 32
+KMV_M = 1 << 40  # hash range; collisions ~ n^2/2M, negligible
+_KMV_SALT = "kmv1|"
+_KMV_BUCKETS = 256  # per-type parallel prefilter fan-out
+
+
+@register(
+    "events_kmv_intersection_audit",
+    oracle=f"""
+WITH uh AS (
+    SELECT DISTINCT event_type,
+           {_kmv_md5_mod_sql("CAST(user_id AS VARCHAR)", _KMV_SALT, KMV_M)} AS h
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+ranked AS (
+    SELECT event_type, h, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY h) AS rn
+    FROM uh
+),
+th AS (
+    SELECT event_type, MAX(CASE WHEN rn = {KMV_K} THEN h END) AS hk,
+           COUNT(*) AS n_h
+    FROM ranked GROUP BY event_type
+),
+theta AS (
+    SELECT event_type,
+           CASE WHEN n_h <= {KMV_K} THEN CAST({KMV_M} AS BIGINT) ELSE hk END
+               AS theta
+    FROM th
+),
+samp AS (
+    SELECT r.event_type, r.h, t.theta
+    FROM ranked r JOIN theta t USING (event_type)
+    WHERE r.h < t.theta
+),
+est AS (
+    SELECT event_type, COUNT(*) AS ns, MAX(theta) AS theta
+    FROM samp GROUP BY event_type
+),
+tmin AS (SELECT MIN(theta) AS tm FROM theta),
+inter AS (
+    SELECT COUNT(*) AS ni FROM samp a JOIN samp b ON a.h = b.h
+    CROSS JOIN tmin
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+      AND a.h < tmin.tm
+),
+ex AS (
+    SELECT COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+               AS nv,
+           COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+               AS np
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+exb AS (
+    SELECT COUNT(*) AS nb FROM (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase') t
+)
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       CAST(ex.nv AS BIGINT) AS n_exact_view,
+       CAST(ex.np AS BIGINT) AS n_exact_purchase,
+       CAST(exb.nb AS BIGINT) AS n_exact_both,
+       ROUND((CAST(ev.ns AS DOUBLE) * {KMV_M}) / ev.theta, 6) AS est_view,
+       ROUND((CAST(ep.ns AS DOUBLE) * {KMV_M}) / ep.theta, 6)
+           AS est_purchase,
+       ROUND((CAST(inter.ni AS DOUBLE) * {KMV_M}) / tmin.tm, 6) AS est_both
+FROM ex
+CROSS JOIN exb CROSS JOIN inter CROSS JOIN tmin
+CROSS JOIN (SELECT * FROM est WHERE event_type = 'view') ev
+CROSS JOIN (SELECT * FROM est WHERE event_type = 'purchase') ep
+""".strip(),
+)
+def q_events_kmv_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch SET OPERATIONS (Beyer et al. SIGMOD '07;
+    Dasgupta et al. theta sketches): the k MINIMUM hash values of each
+    side's distinct-user set summarize it, theta = the k-th minimum is
+    the effective sampling threshold, distinct ~= |{{h < theta}}| * M /
+    theta, and — the part HLL cannot do — the INTERSECTION is estimated
+    from the retained samples below min(theta_a, theta_b). Estimates
+    ship NEXT TO the exact distinct counts (the verified-estimator
+    pattern of `events_user_count_approx` / `lsh_estimator_error`), so
+    the sketch error is measured, not trusted. When a side has <= k
+    distinct users, theta = M and its estimate is exact by
+    construction — the sf0.001 regime exercises exactly that branch.
+
+    Determinism: hashes are the engine-wide md5_mod recipe (pure
+    integers), ranks are total (h is distinct within a type), and the
+    only doubles are the output-edge divisions of exact integers.
+    Plan: distinct (type, h) collapses first (hash agg); the k-minima
+    then come from a TWO-LEVEL tournament — per (type, h mod
+    {buckets}) bucket a windowed top-k over bucket-sized groups, then
+    one tiny window over the <= {buckets}*k survivors — so no engine
+    ever sorts a full type partition (the single-window form would
+    serialize a billion-user type through one task at 100 TB; the
+    k-smallest of per-bucket k-smallest is the same set by a
+    pigeonhole argument). Everything downstream is 1-row aggs."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            _kmv_md5_mod(F.col("user_id"), _KMV_SALT, KMV_M).alias("h"),
+        )
+        .distinct()
+    )
+    n_h = ev.groupBy("event_type").agg(F.count("*").alias("n_h"))
+    w1 = Window.partitionBy(
+        "event_type", F.pmod(F.col("h"), F.lit(_KMV_BUCKETS))
+    ).orderBy("h")
+    cand = (
+        ev.withColumn("brn", F.row_number().over(w1))
+        .filter(F.col("brn") <= KMV_K)
+        .drop("brn")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    ranked = cand.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= KMV_K
+    )
+    th = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk")
+    ).join(n_h, "event_type")
+    theta = th.select(
+        "event_type",
+        F.when(F.col("n_h") <= KMV_K, F.lit(KMV_M))
+        .otherwise(F.col("hk"))
+        .cast("long")
+        .alias("theta"),
+    )
+    samp = (
+        ranked.join(theta, "event_type")
+        .filter(F.col("h") < F.col("theta"))
+        .select("event_type", "h", "theta")
+    )
+    est = samp.groupBy("event_type").agg(
+        F.count("*").alias("ns"), F.max("theta").alias("theta")
+    )
+    tmin = theta.agg(F.min("theta").alias("tm"))
+    inter = (
+        samp.filter(F.col("event_type") == "view")
+        .select("h")
+        .join(
+            samp.filter(F.col("event_type") == "purchase").select(
+                F.col("h").alias("h2")
+            ),
+            F.col("h") == F.col("h2"),
+        )
+        .crossJoin(F.broadcast(tmin))
+        .filter(F.col("h") < F.col("tm"))
+        .agg(F.count("*").alias("ni"))
+    )
+    base = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    ex = base.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("nv"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("np"),
+    )
+    exb = (
+        base.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            base.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count("*").alias("nb"))
+    )
+    ev_est = est.filter(F.col("event_type") == "view").select(
+        F.col("ns").alias("ns_v"), F.col("theta").alias("th_v")
+    )
+    ep_est = est.filter(F.col("event_type") == "purchase").select(
+        F.col("ns").alias("ns_p"), F.col("theta").alias("th_p")
+    )
+    m = float(KMV_M)
+    return (
+        ex.crossJoin(exb)
+        .crossJoin(inter)
+        .crossJoin(tmin)
+        .crossJoin(ev_est)
+        .crossJoin(ep_est)
+        .select(
+            F.lit(KMV_K).cast("long").alias("k"),
+            F.col("nv").cast("long").alias("n_exact_view"),
+            F.col("np").cast("long").alias("n_exact_purchase"),
+            F.col("nb").cast("long").alias("n_exact_both"),
+            F.round(
+                (F.col("ns_v").cast("double") * F.lit(m)) / F.col("th_v"), 6
+            ).alias("est_view"),
+            F.round(
+                (F.col("ns_p").cast("double") * F.lit(m)) / F.col("th_p"), 6
+            ).alias("est_purchase"),
+            F.round(
+                (F.col("ni").cast("double") * F.lit(m)) / F.col("tm"), 6
+            ).alias("est_both"),
+        )
+    )
+
+
+q_events_kmv_intersection_audit.__doc__ = (
+    q_events_kmv_intersection_audit.__doc__.format(buckets=_KMV_BUCKETS)
+)
+
+
+# --- seasonal-naive forecast backtest ----------------------------------------
+
+
+@register(
+    "events_seasonal_backtest",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           SUM(CAST(value AS DECIMAL(18,6))) AS v
+    FROM events GROUP BY 1, 2
+),
+paired AS (
+    SELECT c.event_type, c.v AS actual, p.v AS pred
+    FROM hourly c JOIN hourly p
+      ON p.event_type = c.event_type
+     AND p.hour = c.hour - INTERVAL 24 HOUR
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(CAST(SUM(ABS(actual - pred)) AS DOUBLE) / COUNT(*), 6) AS mae,
+       ROUND(CAST(SUM(actual - pred) AS DOUBLE) / COUNT(*), 6) AS bias,
+       ROUND(CAST(SUM(ABS(actual)) AS DOUBLE) / COUNT(*), 6)
+           AS mean_abs_actual
+FROM paired GROUP BY event_type
+""".strip(),
+)
+def q_events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: predict each hour's per-type
+    value total with the same hour yesterday (the 24-hour-lag
+    persistence model — the baseline every real forecaster must beat),
+    and score MAE, signed bias, and the actual-scale reference
+    (mean|actual|, so MAE is interpretable as a fraction) per event
+    type over the whole history. The join-on-(hour - 24h) form scores
+    only hours whose seasonal ancestor EXISTS — a lag-24-ROWS window
+    would silently pair across gaps.
+
+    Determinism: hourly totals accumulate in DECIMAL(18,6) (the
+    engine-wide hourly-rollup recipe — order-free), differences and
+    ABS stay DECIMAL-exact, and the only doubles are the three
+    output-edge divisions. Plan: one scan -> (type, hour) hash agg;
+    the self-join is an equi-join on the shifted key over the
+    already-aggregated hourly table (hours-per-type rows, tiny vs the
+    event table); final agg is 5 keys. At 100 TB the event scan
+    dominates and happens once; everything after is hour-grain."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    )
+    pred = hourly.select(
+        "event_type",
+        F.expr("hour + INTERVAL 24 HOURS").alias("hour"),
+        F.col("v").alias("pred"),
+    )
+    paired = hourly.join(pred, ["event_type", "hour"]).select(
+        "event_type", F.col("v").alias("actual"), "pred"
+    )
+    return paired.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.round(
+            F.sum(F.abs(F.col("actual") - F.col("pred"))).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sum(F.col("actual") - F.col("pred")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bias"),
+        F.round(
+            F.sum(F.abs(F.col("actual"))).cast("double") / F.count("*"), 6
+        ).alias("mean_abs_actual"),
+    )

@@ -477,3 +477,135 @@ def test_dim_correlations_match_numpy(spark, emb):
     # the top entry really is the global argmax of |corr|
     iu = np.triu_indices(cm.shape[0], k=1)
     assert abs(np.abs(cm[iu]).max() - abs(out.iloc[0]["corr"])) < 1e-5
+
+
+# --- KMV intersection sketch -------------------------------------------------
+
+
+def test_kmv_exact_branch_when_under_k(spark):
+    """sf0.001 has 15 users (< k=32): theta = M and every estimate must
+    equal the exact distinct count by construction."""
+    from supplier_performance_data_pipeline_spark.plans.queries_events import (
+        q_events_kmv_intersection_audit,
+    )
+
+    out = q_events_kmv_intersection_audit(spark, SF).toPandas().iloc[0]
+    assert out["est_view"] == out["n_exact_view"]
+    assert out["est_purchase"] == out["n_exact_purchase"]
+    assert out["est_both"] == out["n_exact_both"]
+
+
+def test_kmv_two_level_tournament_equals_single_window(spark):
+    """The bucketed k-min prefilter must select the same k minima as a
+    single global sort per type."""
+    from pyspark.sql.window import Window
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+    from supplier_performance_data_pipeline_spark.plans.queries_events import (
+        KMV_K,
+        KMV_M,
+        _KMV_BUCKETS,
+        _KMV_SALT,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            md5_mod(F.col("user_id"), _KMV_SALT, KMV_M).alias("h"),
+        )
+        .distinct()
+    )
+    w_global = Window.partitionBy("event_type").orderBy("h")
+    direct = sorted(
+        map(
+            tuple,
+            ev.withColumn("rn", F.row_number().over(w_global))
+            .filter(F.col("rn") <= KMV_K)
+            .select("event_type", "h")
+            .collect(),
+        )
+    )
+    w1 = Window.partitionBy(
+        "event_type", F.pmod(F.col("h"), F.lit(_KMV_BUCKETS))
+    ).orderBy("h")
+    two_level = (
+        ev.withColumn("brn", F.row_number().over(w1))
+        .filter(F.col("brn") <= KMV_K)
+        .drop("brn")
+        .withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    assert sorted(map(tuple, two_level.collect())) == direct
+
+
+# --- seasonal backtest -------------------------------------------------------
+
+
+def test_seasonal_backtest_bounds(spark):
+    from supplier_performance_data_pipeline_spark.plans.queries_events import (
+        q_events_seasonal_backtest,
+    )
+
+    out = q_events_seasonal_backtest(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_types = ev.select("event_type").distinct().count()
+    assert len(out) == n_types
+    assert (out["mae"] >= 0).all()
+    # |bias| <= mae always (triangle inequality on the same pairs)
+    assert (out["bias"].abs() <= out["mae"] + 1e-9).all()
+    # scored hours bounded by the ~29 day window minus the first day
+    assert (out["n_hours"] <= 29 * 24).all()
+    assert (out["n_hours"] > 0).all()
+
+
+# --- Pareto frontier ---------------------------------------------------------
+
+
+def test_frontier_matches_quadratic_reference(spark):
+    """The windowed skyline must equal the O(n^2) dominance definition."""
+    from supplier_performance_data_pipeline_spark.plans.queries_analytics import (
+        q_supplier_efficiency_frontier,
+        _t,
+    )
+    from supplier_performance_data_pipeline_spark.functions.money import (
+        revenue_e4,
+    )
+
+    got = sorted(
+        q_supplier_efficiency_frontier(spark, SF)
+        .toPandas()["supplier_id"]
+        .tolist()
+    )
+    li = _t(spark, SF, "lineitem")
+    orders = _t(spark, SF, "orders")
+    per_s = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(revenue_e4("l_extendedprice", "l_discount")).alias("e4"),
+            F.sum(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            ).alias("dd"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    pts = [
+        (r["l_suppkey"], int(r["e4"]), float(r["dd"]) / r["n"]) for r in per_s
+    ]
+    expected = sorted(
+        s
+        for s, rev, d in pts
+        if not any(
+            (rev2 > rev and d2 <= d) or (rev2 >= rev and d2 < d)
+            for _, rev2, d2 in pts
+        )
+    )
+    assert got == expected
