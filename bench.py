@@ -163,6 +163,8 @@ HEADLINE = [
     "events_kmv_intersection_audit",
     "events_seasonal_backtest",
     "supplier_efficiency_frontier",
+    "events_ab_test_analysis",
+    "events_time_to_purchase_quantiles",
 ]
 
 

@@ -2456,3 +2456,199 @@ def q_events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("actual"))).cast("double") / F.count("*"), 6
         ).alias("mean_abs_actual"),
     )
+
+
+# --- hash-randomized A/B test analysis ---------------------------------------
+
+_AB_SALT = "ab1|"
+
+
+@register(
+    "events_ab_test_analysis",
+    oracle=f"""
+WITH users AS (
+    SELECT DISTINCT user_id FROM events
+),
+pc AS (
+    SELECT user_id, COUNT(*) AS c FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+),
+metric AS (
+    SELECT u.user_id,
+           CASE WHEN {_kmv_md5_mod_sql("CAST(u.user_id AS VARCHAR)", _AB_SALT, 2)} = 0
+                THEN 'A' ELSE 'B' END AS variant,
+           COALESCE(pc.c, 0) AS c
+    FROM users u LEFT JOIN pc ON pc.user_id = u.user_id
+),
+s AS (
+    SELECT variant, COUNT(*) AS n, SUM(c) AS sc,
+           SUM(c * c) AS scc
+    FROM metric GROUP BY variant
+),
+w AS (
+    SELECT a.n AS na, a.sc AS sca, a.scc AS scca,
+           b.n AS nb, b.sc AS scb, b.scc AS sccb
+    FROM (SELECT * FROM s WHERE variant = 'A') a
+    CROSS JOIN (SELECT * FROM s WHERE variant = 'B') b
+)
+SELECT CAST(na AS BIGINT) AS users_a,
+       CAST(nb AS BIGINT) AS users_b,
+       ROUND(CAST(sca AS DOUBLE) / na, 6) AS mean_a,
+       ROUND(CAST(scb AS DOUBLE) / nb, 6) AS mean_b,
+       ROUND(CAST(sca AS DOUBLE) / na - CAST(scb AS DOUBLE) / nb, 6)
+           AS lift,
+       ROUND((CAST(sca AS DOUBLE) / na - CAST(scb AS DOUBLE) / nb)
+             / sqrt(((na * CAST(scca AS DOUBLE) - CAST(sca AS DOUBLE) * sca)
+                     / (CAST(na AS DOUBLE) * (na - 1))) / na
+                  + ((nb * CAST(sccb AS DOUBLE) - CAST(scb AS DOUBLE) * scb)
+                     / (CAST(nb AS DOUBLE) * (nb - 1))) / nb), 6)
+           AS z_score
+FROM w
+""".strip(),
+)
+def q_events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with HASH-randomized assignment: every
+    user deterministically lands in variant A or B via the engine-wide
+    md5_mod recipe (the industry-standard bucketing that makes
+    assignment reproducible across sessions and engines — no stored
+    assignment table), the per-user metric is purchase count
+    (zero-activity users INCLUDED via the left join — dropping them
+    biases the mean), and the readout is the Welch z statistic on the
+    mean difference from exact integer sufficient statistics (n, sum,
+    sum-of-squares per arm).
+
+    Determinism: assignment and the three statistics are pure integers;
+    the mean/variance/z formula is fixed-order double arithmetic on
+    those exact integers (sums below 2^53), sqrt is IEEE-exact. Plan:
+    one scan builds the user universe, one filtered scan counts
+    purchases, both collapse at user grain before anything else; the
+    z computation is a 2-row cross of 1-row aggregates. At 100 TB both
+    aggs are map-side-combinable hash aggs on user_id."""
+    users = _events(spark, sf_dir).select("user_id").distinct()
+    pc = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    metric = users.join(pc, "user_id", "left").select(
+        F.when(
+            _kmv_md5_mod(F.col("user_id"), _AB_SALT, 2) == 0, "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    s = metric.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    a = s.filter(F.col("variant") == "A").select(
+        F.col("n").alias("na"), F.col("sc").alias("sca"),
+        F.col("scc").alias("scca"),
+    )
+    b = s.filter(F.col("variant") == "B").select(
+        F.col("n").alias("nb"), F.col("sc").alias("scb"),
+        F.col("scc").alias("sccb"),
+    )
+    w = a.crossJoin(b)
+    mean_a = F.col("sca").cast("double") / F.col("na")
+    mean_b = F.col("scb").cast("double") / F.col("nb")
+    var_a = (
+        F.col("na") * F.col("scca").cast("double")
+        - F.col("sca").cast("double") * F.col("sca")
+    ) / (F.col("na").cast("double") * (F.col("na") - F.lit(1)))
+    var_b = (
+        F.col("nb") * F.col("sccb").cast("double")
+        - F.col("scb").cast("double") * F.col("scb")
+    ) / (F.col("nb").cast("double") * (F.col("nb") - F.lit(1)))
+    z = (mean_a - mean_b) / F.sqrt(
+        var_a / F.col("na") + var_b / F.col("nb")
+    )
+    return w.select(
+        F.col("na").cast("long").alias("users_a"),
+        F.col("nb").cast("long").alias("users_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_a - mean_b, 6).alias("lift"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# --- time-to-convert quantiles -----------------------------------------------
+
+
+@register(
+    "events_time_to_purchase_quantiles",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view'
+                    THEN CAST(ts AS TIMESTAMP) END) AS fv,
+           MIN(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ts AS TIMESTAMP) END) AS fp
+    FROM events GROUP BY user_id
+),
+deltas AS (
+    SELECT epoch(fp) - epoch(fv) AS delta_s
+    FROM firsts
+    WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users_converted,
+       ROUND(quantile_cont(delta_s, 0.25), 6) AS p25,
+       ROUND(quantile_cont(delta_s, 0.50), 6) AS p50,
+       ROUND(quantile_cont(delta_s, 0.75), 6) AS p75,
+       ROUND(quantile_cont(delta_s, 0.95), 6) AS p95
+FROM deltas
+""".strip(),
+)
+def q_events_time_to_purchase_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user the gap between the FIRST
+    view and the FIRST purchase (users whose first purchase precedes
+    any view are excluded — they converted through another channel),
+    summarized as exact interpolated quantiles of the delta in seconds
+    — the funnel-latency readout behind 'how long does the pipeline
+    have to attribute a conversion'.
+
+    Determinism: firsts are MIN over integer-microsecond timestamps;
+    the delta uses the epoch()/cast('double') bit-parity every
+    timestamp oracle relies on; ONE percentile(col, array(...)) call
+    computes all four quantiles in a single sort buffer (two separate
+    percentile aggs measurably double the sort cost) and matches
+    DuckDB's quantile_cont interpolation exactly. Plan: user-grain
+    conditional-MIN hash agg off one scan, then a single global
+    ordered-set aggregate over converted-user-count rows. At 100 TB
+    swap percentile -> approx_percentile (same call shape, t-digest)."""
+    firsts = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("fv"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("fp"),
+        )
+    )
+    deltas = firsts.filter(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+    ).select(
+        (F.col("fp").cast("double") - F.col("fv").cast("double")).alias(
+            "delta_s"
+        )
+    )
+    pct = F.expr("percentile(delta_s, array(0.25D, 0.50D, 0.75D, 0.95D))")
+    return deltas.agg(
+        F.count("*").cast("long").alias("n_users_converted"),
+        pct.alias("pcts"),
+    ).select(
+        "n_users_converted",
+        F.round(F.col("pcts")[0], 6).alias("p25"),
+        F.round(F.col("pcts")[1], 6).alias("p50"),
+        F.round(F.col("pcts")[2], 6).alias("p75"),
+        F.round(F.col("pcts")[3], 6).alias("p95"),
+    )

@@ -609,3 +609,57 @@ def test_frontier_matches_quadratic_reference(spark):
         )
     )
     assert got == expected
+
+
+# --- A/B analysis ------------------------------------------------------------
+
+
+def test_ab_assignment_is_deterministic_partition(spark):
+    """Every user lands in exactly one variant and the arms partition
+    the user universe; z matches a NumPy Welch computation."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.plans.queries_events import (
+        _AB_SALT,
+        q_events_ab_test_analysis,
+    )
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = q_events_ab_test_analysis(spark, SF).toPandas().iloc[0]
+    n_users = ev.select("user_id").distinct().count()
+    assert out["users_a"] + out["users_b"] == n_users
+    rows = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("c")
+        )
+        .select(md5_mod(F.col("user_id"), _AB_SALT, 2).alias("v"), "c")
+        .collect()
+    )
+    a = np.array([r["c"] for r in rows if r["v"] == 0], dtype=np.float64)
+    b = np.array([r["c"] for r in rows if r["v"] == 1], dtype=np.float64)
+    za = (a.mean() - b.mean()) / np.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert abs(out["z_score"] - za) < 1e-6
+    assert abs(out["lift"] - (a.mean() - b.mean())) < 1e-6
+
+
+# --- time-to-purchase quantiles ----------------------------------------------
+
+
+def test_time_to_purchase_quantiles_monotone_and_bounded(spark):
+    from supplier_performance_data_pipeline_spark.plans.queries_events import (
+        q_events_time_to_purchase_quantiles,
+    )
+
+    out = q_events_time_to_purchase_quantiles(spark, SF).toPandas().iloc[0]
+    assert out["n_users_converted"] > 0
+    assert 0 <= out["p25"] <= out["p50"] <= out["p75"] <= out["p95"]
+    # the window is 30 days; no delta can exceed it
+    assert out["p95"] <= 30 * 86400
