@@ -1965,12 +1965,13 @@ def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: membership is the engine-wide md5_mod recipe over the
     cluster key, so the oracle reproduces the exact assignment; all
     outputs are integer counts. Plan: LSH pairs checkpoint once ->
-    star-contraction components -> one broadcast-size left join back to
-    the doc table (components exist only for docs in pairs) -> two
-    integer hash aggs (cluster grain, then split grain). At 100 TB the
-    doc table never shuffles: the component map is the small side, the
-    split is a pure projection, and the leakage audit rides the same
-    cluster-grain agg the dedup report already pays for."""
+    star-contraction components -> one doc_id equi-join back to the
+    doc table (components exist only for docs in pairs; the join is a
+    plain shuffle join — at high duplication rates the component map
+    is corpus-sized, so no broadcast hint: AQE may still pick one when
+    it IS small) -> two integer hash aggs (cluster grain, then split
+    grain). The leakage audit rides the same cluster-grain agg the
+    dedup report already pays for."""
     docs = _docs(spark, sf_dir)
     pairs_df, sigs = near_dup_pairs_cached(docs)
     pairs = pairs_df.filter(
@@ -1982,7 +1983,7 @@ def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (
         docs.select("doc_id", "n_chars")
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .select(
             "doc_id",
             "n_chars",
