@@ -165,6 +165,7 @@ HEADLINE = [
     "supplier_efficiency_frontier",
     "events_ab_test_analysis",
     "events_time_to_purchase_quantiles",
+    "dedup_detector_agreement",
 ]
 
 

@@ -2621,7 +2621,7 @@ WHERE NOT (COALESCE(fr.m1 <= s.avg_delay, FALSE)
 def q_supplier_efficiency_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto FRONTIER (skyline operator, Borzsony et al. ICDE '01):
     the suppliers not dominated on (revenue UP, average
-    commit-to-receipt delay DOWN) — supplier s is dominated iff some
+    order-to-ship delay DOWN) — supplier s is dominated iff some
     s' has strictly more revenue with no worse delay, or no less
     revenue with strictly better delay. The sort-based skyline: group
     to DISTINCT revenue values first (so a ROWS frame expresses the

@@ -1556,7 +1556,7 @@ pd AS (
 ),
 r AS (SELECT (proj_d2 * {float(DIM)}) / ({float(JL_M)} * orig_d2) AS ratio
       FROM pd)
-SELECT CAST(FLOOR(ratio * 4) AS INTEGER) AS ratio_bucket,
+SELECT CAST(floor(ratio * 4) AS INTEGER) AS ratio_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(MIN(ratio), 6) AS min_ratio,
        ROUND(MAX(ratio), 6) AS max_ratio

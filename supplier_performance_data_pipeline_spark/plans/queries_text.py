@@ -2112,3 +2112,95 @@ def q_dedup_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("edge_density"),
     )
+
+
+# --- detector agreement: MinHash-LSH vs SimHash ------------------------------
+
+
+@register(
+    "dedup_detector_agreement",
+    oracle=f"""
+WITH mh AS (
+    SELECT doc_a, doc_b FROM ({{mh}}) t_mh
+    WHERE n_matching_components >= {CC_MIN_MATCH}
+),
+sh AS (
+    SELECT doc_a, doc_b FROM ({{sh}}) t_sh
+),
+u AS (
+    SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+           m.doc_a IS NOT NULL AS in_m,
+           s.doc_a IS NOT NULL AS in_s
+    FROM mh m FULL JOIN sh s
+      ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+)
+SELECT CAST(SUM(CASE WHEN in_m AND NOT in_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_minhash_only,
+       CAST(SUM(CASE WHEN in_s AND NOT in_m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_simhash_only,
+       CAST(SUM(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both
+FROM u
+""".strip(),
+)
+def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-detector AGREEMENT audit: the MinHash-LSH near-dup pair
+    set (at the CC retention threshold, jaccard_est >= 0.5) against
+    the SimHash banded-Hamming pair set, partitioned into
+    minhash-only / simhash-only / both. The two detectors measure
+    different similarities (set-Jaccard of shingles vs weighted
+    bit-consensus of the token multiset), so their disagreement region
+    is exactly where a curation pipeline should spend exact-Jaccard
+    verification budget — large one-sided counts mean the thresholds
+    are mis-calibrated relative to each other.
+
+    Determinism: both pair sets are the already-verified integer
+    machinery; the partition counts are a full outer equi-join on the
+    (doc_a, doc_b) key plus integer sums. The oracle embeds both
+    registered oracles verbatim (the composition pattern of
+    ann_recall_at_10) so the three queries can never drift. Plan: two
+    bounded candidate joins (never all-pairs), one pair-keyed outer
+    join, one 1-row agg. At 100 TB pair volume is the LSH candidate
+    bound on each side; the outer join shuffles pair-grain rows only."""
+    mh = (
+        q_lsh_near_dup_pairs(spark, sf_dir)
+        .filter(F.col("n_matching_components") >= CC_MIN_MATCH)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_m"))
+    )
+    sh = q_simhash_hamming_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_s")
+    )
+    u = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    return u.agg(
+        F.sum(
+            F.when(
+                F.col("in_m").isNotNull() & F.col("in_s").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_minhash_only"),
+        F.sum(
+            F.when(
+                F.col("in_s").isNotNull() & F.col("in_m").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_simhash_only"),
+        F.sum(
+            F.when(
+                F.col("in_m").isNotNull() & F.col("in_s").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    )
+
+
+REGISTRY["dedup_detector_agreement"] = QuerySpec(
+    name="dedup_detector_agreement",
+    build=REGISTRY["dedup_detector_agreement"].build,
+    oracle=REGISTRY["dedup_detector_agreement"].oracle.format(
+        mh=REGISTRY["lsh_near_dup_pairs"].oracle,
+        sh=REGISTRY["simhash_hamming_pairs"].oracle,
+    ),
+)

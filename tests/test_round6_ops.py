@@ -663,3 +663,34 @@ def test_time_to_purchase_quantiles_monotone_and_bounded(spark):
     assert 0 <= out["p25"] <= out["p50"] <= out["p75"] <= out["p95"]
     # the window is 30 days; no delta can exceed it
     assert out["p95"] <= 30 * 86400
+
+
+# --- detector agreement ------------------------------------------------------
+
+
+def test_detector_agreement_counts_reconcile(spark):
+    """The three partition counts must reconcile exactly with the two
+    underlying pair sets."""
+    from supplier_performance_data_pipeline_spark.plans.queries_text import (
+        CC_MIN_MATCH,
+        q_dedup_detector_agreement,
+        q_lsh_near_dup_pairs,
+        q_simhash_hamming_pairs,
+    )
+
+    out = q_dedup_detector_agreement(spark, SF).toPandas().iloc[0]
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_lsh_near_dup_pairs(spark, SF)
+        .filter(F.col("n_matching_components") >= CC_MIN_MATCH)
+        .collect()
+    }
+    sh = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_simhash_hamming_pairs(spark, SF)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert out["n_both"] == len(mh & sh)
+    assert out["n_minhash_only"] == len(mh - sh)
+    assert out["n_simhash_only"] == len(sh - mh)
