@@ -166,6 +166,7 @@ HEADLINE = [
     "events_ab_test_analysis",
     "events_time_to_purchase_quantiles",
     "dedup_detector_agreement",
+    "shingle_jaccard_prefix_join",
 ]
 
 

@@ -340,3 +340,98 @@ def ngram_jaccard(
             F.round(inter / F.nullif(union, F.lit(0.0)), 6).alias("jaccard"),
         )
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """EXACT set-similarity self-join with PREFIX FILTERING (the
+    AllPairs / PPJoin family — Bayardo, Ma & Srikant WWW '07;
+    Chaudhuri, Ganti & Kaushik ICDE '06): all document pairs whose
+    n-token shingle sets have Jaccard >= num/den, with a COMPLETENESS
+    guarantee MinHash-LSH lacks (LSH misses pairs probabilistically;
+    prefix filtering provably cannot).
+
+    Shingles sort by global document frequency (rarest first, ties by
+    value — a total order); a doc of set size L keeps the first
+    L - ceil(t*L) + 1 as its PREFIX. Any pair with J >= t shares
+    >= ceil(t*max(LA, LB)) shingles, and by the prefix lemma their
+    prefixes must intersect — so the candidate join runs on prefixes
+    only (rare shingles -> tiny buckets), and the exact intersection
+    count verifies. The threshold test is INTEGER cross-multiplication
+    (den*|A∩B| >= num*(|A|+|B|-|A∩B|)) — no float compare anywhere.
+
+    Plan: distinct (doc, shingle) explode -> df counts (hash agg) ->
+    per-doc rank window (doc-grain partitions) -> prefix equi-join ->
+    candidate-bounded verify join + pair-grain agg. At 100 TB the
+    verify join is candidates x set size; PPJoin's positional/suffix
+    pruning bolts onto the same shape if candidates ever dominate."""
+    from pyspark.sql.window import Window
+
+    dt = shingle_sets(docs, text_col, n).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("tok")
+    )
+    gf = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    dl = dt.groupBy("doc_id").agg(F.count("*").alias("len"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pos = dt.join(gf, "tok").withColumn("pos", F.row_number().over(w))
+    plen = F.expr(
+        f"len - (({threshold_num} * len + {threshold_den - 1}) "
+        f"div {threshold_den}) + 1"
+    )
+    pfx = (
+        pos.join(dl, "doc_id")
+        .filter(F.col("pos") <= plen)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        pfx.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(
+            pfx.select(
+                F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b")
+            ),
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = dt.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("t_a"))
+    tb = dt.select(F.col("doc_id").alias("b_id"), F.col("tok").alias("t_b"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("b_id"))
+            & (F.col("t_a") == F.col("t_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    la = dl.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("la"))
+    lb = dl.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("lb"))
+    return (
+        inter.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(
+            F.lit(threshold_den) * F.col("ni")
+            >= F.lit(threshold_num)
+            * (F.col("la") + F.col("lb") - F.col("ni"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("ni").cast("long").alias("n_common"),
+            F.col("la").cast("long").alias("len_a"),
+            F.col("lb").cast("long").alias("len_b"),
+            F.round(
+                F.col("ni").cast("double")
+                / (F.col("la") + F.col("lb") - F.col("ni")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

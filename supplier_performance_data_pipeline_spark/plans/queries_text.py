@@ -2204,3 +2204,68 @@ REGISTRY["dedup_detector_agreement"] = QuerySpec(
         sh=REGISTRY["simhash_hamming_pairs"].oracle,
     ),
 )
+
+
+# --- exact set-similarity join with prefix filtering -------------------------
+
+from supplier_performance_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    jaccard_prefix_join,
+)
+
+_PPJ_NUM, _PPJ_DEN = 3, 5  # Jaccard threshold 0.6
+
+
+@register(
+    "shingle_jaccard_prefix_join",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+dt AS (
+    SELECT DISTINCT doc_id, unnest(shingles) AS tok FROM sh_cte
+),
+gf AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM dt GROUP BY doc_id),
+pos AS (
+    SELECT d.doc_id, d.tok, ROW_NUMBER() OVER (
+        PARTITION BY d.doc_id ORDER BY g.df, d.tok) AS pos
+    FROM dt d JOIN gf g USING (tok)
+),
+pfx AS (
+    SELECT p.doc_id, p.tok FROM pos p JOIN dl USING (doc_id)
+    WHERE p.pos <= dl.len
+        - (({_PPJ_NUM} * dl.len + {_PPJ_DEN - 1}) // {_PPJ_DEN}) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+    FROM cand c
+    JOIN dt ta ON ta.doc_id = c.doc_a
+    JOIN dt tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.ni AS BIGINT) AS n_common,
+       CAST(la.len AS BIGINT) AS len_a,
+       CAST(lb.len AS BIGINT) AS len_b,
+       ROUND(CAST(i.ni AS DOUBLE) / (la.len + lb.len - i.ni), 6) AS jaccard
+FROM inter i
+JOIN dl la ON la.doc_id = i.doc_a
+JOIN dl lb ON lb.doc_id = i.doc_b
+WHERE {_PPJ_DEN} * i.ni >= {_PPJ_NUM} * (la.len + lb.len - i.ni)
+""".strip(),
+)
+def q_shingle_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.6 pairs over 3-token shingle SETS via prefix
+    filtering — the provably-COMPLETE exact counterpart to the
+    probabilistic ``lsh_near_dup_pairs``: LSH misses true pairs with
+    probability (1-s^r)^b, the prefix filter misses none (see
+    operators/dedup.py::jaccard_prefix_join for the lemma and plan;
+    completeness is also brute-force-verified in tests). Integer
+    cross-multiplied threshold, integer intersection counts, one
+    double division at the output edge."""
+    return jaccard_prefix_join(
+        _docs(spark, sf_dir), _PPJ_NUM, _PPJ_DEN
+    )

@@ -694,3 +694,49 @@ def test_detector_agreement_counts_reconcile(spark):
     assert out["n_both"] == len(mh & sh)
     assert out["n_minhash_only"] == len(mh - sh)
     assert out["n_simhash_only"] == len(sh - mh)
+
+
+# --- prefix-filter exact similarity join -------------------------------------
+
+
+def test_prefix_join_complete_vs_brute_force(spark):
+    """The prefix filter must find EXACTLY the brute-force Jaccard>=0.6
+    pair set — completeness is the whole point vs LSH."""
+    from fractions import Fraction
+
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        jaccard_prefix_join,
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sets = {
+        r["doc_id"]: set(r["shingles"])
+        for r in shingle_sets(docs).collect()
+    }
+    ids = sorted(sets)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and Fraction(inter, union) >= Fraction(3, 5):
+                expected.add((a, b))
+    out = jaccard_prefix_join(docs).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert got == expected
+    # and the reported counts are the true intersections
+    for r in out:
+        assert r["n_common"] == len(sets[r["doc_a"]] & sets[r["doc_b"]])
+        assert r["len_a"] == len(sets[r["doc_a"]])
+
+
+def test_prefix_join_partition_invariant(spark):
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, jaccard_prefix_join(docs).collect()))
+    b = sorted(map(tuple, jaccard_prefix_join(docs.repartition(7)).collect()))
+    assert a == b
