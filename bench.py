@@ -167,6 +167,7 @@ HEADLINE = [
     "events_time_to_purchase_quantiles",
     "dedup_detector_agreement",
     "shingle_jaccard_prefix_join",
+    "embedding_pca_top_component",
 ]
 
 

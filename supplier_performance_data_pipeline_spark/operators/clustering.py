@@ -334,3 +334,119 @@ def ivfpq_adc_topk(
             F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
         )
     )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    dim: int = DIM_DEFAULT,
+    iters: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding covariance via
+    deterministic POWER ITERATION — the whitening/compression
+    primitive (PCA) expressed relationally, with every reduction
+    order-free or left-to-right so the result is bit-reproducible
+    across engines and partitionings.
+
+    The (scaled) covariance M_ij = n*S_xy - S_x*S_y builds from
+    DECIMAL-exact sufficient statistics (one explode of the full i x j
+    grid, (i,j)-keyed hash agg with map-side partials — the
+    dim-correlation recipe); scaling by 1/n^2 is dropped because
+    eigenvectors are scale-invariant (the eigenvalue column reports
+    the SCALED spectrum of M, stated in its name). Iterations are
+    matvecs: each of the 64 matrix rows is an ordered array, u = M v
+    is a left-to-right fold per row, and normalization folds the
+    ordered u array — no cross-row double sum anywhere. v0 = all-ones
+    (fixed), so even the sign of the result is deterministic. After
+    `iters` rounds the Rayleigh product v . (M v) estimates the top
+    eigenvalue of M (convergence rate depends on the eigengap; on
+    isotropic data the VECTOR may wander but every engine wanders
+    identically, which is what the differential gate needs).
+
+    Plan: one scan -> dim^2-key agg; the 64-row matrix localCheckpoints
+    (each iteration re-reads it); every iteration is a broadcast
+    crossJoin of a 1-row vector against 64 rows plus a 64-row agg —
+    driver never sees data. At 100 TB: identical, with the sufficient
+    statistics computed over the deterministic hash sample like any
+    covariance estimate."""
+    px = emb.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {dim - 1}), "
+                f"i -> transform(sequence(0, {dim - 1}), "
+                f"j -> struct(i AS i, j AS j, "
+                f"double({vec_col}[i]) AS x, double({vec_col}[j]) AS y))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    dec = "decimal(24,12)"
+    s = px.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    m = s.select(
+        "i",
+        "j",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("mij"),
+    )
+    rows = (
+        m.groupBy("i")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "mij"))),
+                lambda c: c["mij"],
+            ).alias("row")
+        )
+        .localCheckpoint()
+    )
+    ones = "array(" + ", ".join(["1.0D"] * dim) + ")"
+    v = emb.sparkSession.range(1).select(F.expr(ones).alias("v"))
+    matvec = F.expr(
+        "aggregate(zip_with(row, v, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    for _ in range(iters):
+        u = rows.crossJoin(F.broadcast(v)).select("i", matvec.alias("u"))
+        uarr = u.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "u"))),
+                lambda c: c["u"],
+            ).alias("uarr")
+        )
+        v = uarr.select(
+            "uarr",
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(uarr, y -> y * y), "
+                    "0.0D, (acc, x) -> acc + x)"
+                )
+            ).alias("nrm"),
+        ).select(
+            F.expr("transform(uarr, x -> x / nrm)").alias("v")
+        )
+    u_fin = rows.crossJoin(F.broadcast(v)).select("i", matvec.alias("u"))
+    ua = u_fin.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "u"))),
+            lambda c: c["u"],
+        ).alias("uarr")
+    )
+    lam = ua.crossJoin(F.broadcast(v)).select(
+        F.expr(
+            "aggregate(zip_with(v, uarr, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        ).alias("lam")
+    )
+    dims = emb.sparkSession.range(dim).select(F.col("id").cast("int").alias("dim"))
+    return (
+        dims.crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "dim",
+            F.round(F.expr("v[dim]"), 6).alias("loading"),
+            F.round("lam", 6).alias("scaled_eigenvalue"),
+        )
+    )

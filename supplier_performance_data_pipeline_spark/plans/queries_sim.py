@@ -1723,3 +1723,92 @@ def q_embedding_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_embedding_dim_correlations.__doc__ = q_embedding_dim_correlations.__doc__.format(
     k=CORR_TOP, pairs=DIM * (DIM - 1) // 2
 )
+
+
+# --- PCA top component (deterministic power iteration) -----------------------
+
+from supplier_performance_data_pipeline_spark.operators.clustering import (  # noqa: E402
+    pca_top_component,
+)
+
+PCA_ITERS = 6
+
+
+def _pca_oracle(dim: int, iters: int) -> str:
+    ones = "[" + ", ".join(["1.0"] * dim) + "]"
+    mv = (
+        "list_sum(list_transform(range(0, {d}), "
+        "k -> r.row[k+1] * p.v[k+1]))"
+    ).format(d=dim)
+    ctes = [
+        "b AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""px AS (
+    SELECT i.i, j.j, b.v[i.i + 1] AS x, b.v[j.j + 1] AS y
+    FROM b
+    CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) i
+    CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) j
+)""",
+        """s AS (
+    SELECT i, j, COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(24,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(24,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(24,12))) AS DOUBLE) AS sxy
+    FROM px GROUP BY i, j
+)""",
+        "mm AS (SELECT i, j, n * sxy - sx * sy AS mij FROM s)",
+        "rows_m AS (SELECT i, list(mij ORDER BY j) AS row FROM mm GROUP BY i)",
+        f"v_0 AS (SELECT {ones} AS v)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"u_{t} AS (SELECT r.i, {mv} AS u "
+            f"FROM rows_m r CROSS JOIN v_{t - 1} p)"
+        )
+        ctes.append(f"a_{t} AS (SELECT list(u ORDER BY i) AS uarr FROM u_{t})")
+        ctes.append(
+            f"v_{t} AS (SELECT list_transform(uarr, x -> x / "
+            "sqrt(list_sum(list_transform(uarr, y -> y * y)))) AS v "
+            f"FROM a_{t})"
+        )
+    ctes.append(
+        f"u_f AS (SELECT r.i, {mv} AS u "
+        f"FROM rows_m r CROSS JOIN v_{iters} p)"
+    )
+    ctes.append("a_f AS (SELECT list(u ORDER BY i) AS uarr FROM u_f)")
+    ctes.append(
+        f"lam AS (SELECT list_sum(list_transform(range(0, {dim}), "
+        f"k -> p.v[k+1] * a.uarr[k+1])) AS lam "
+        f"FROM v_{iters} p CROSS JOIN a_f a)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(d.k AS INTEGER) AS dim,\n"
+        "       ROUND(p.v[d.k + 1], 6) AS loading,\n"
+        "       ROUND(lam.lam, 6) AS scaled_eigenvalue\n"
+        f"FROM (SELECT unnest(range(0, {dim})) AS k) d\n"
+        f"CROSS JOIN v_{iters} p CROSS JOIN lam"
+    )
+
+
+@register(
+    "embedding_pca_top_component",
+    oracle=_pca_oracle(DIM, PCA_ITERS),
+)
+def q_embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by
+    deterministic power iteration ({iters} matvec rounds from the
+    all-ones start) — the PCA/whitening primitive, built entirely from
+    the engine's portable reductions: DECIMAL sufficient statistics
+    for the scaled covariance M = n*Sxy - Sx*Sy, ordered-array folds
+    for every matvec and norm, and a Rayleigh product for the (scaled)
+    top eigenvalue. See operators/clustering.py::pca_top_component for
+    the plan and the scale notes."""
+    return pca_top_component(
+        _embeddings(spark, sf_dir), dim=DIM, iters=PCA_ITERS
+    )
+
+
+q_embedding_pca_top_component.__doc__ = (
+    q_embedding_pca_top_component.__doc__.format(iters=PCA_ITERS)
+)

@@ -740,3 +740,55 @@ def test_prefix_join_partition_invariant(spark):
     a = sorted(map(tuple, jaccard_prefix_join(docs).collect()))
     b = sorted(map(tuple, jaccard_prefix_join(docs.repartition(7)).collect()))
     assert a == b
+
+
+# --- PCA power iteration -----------------------------------------------------
+
+
+def test_pca_matches_numpy_power_iteration(spark, emb):
+    """The relational power iteration must reproduce the identical
+    NumPy computation (same M, same v0, same number of rounds)."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        pca_top_component,
+    )
+    from supplier_performance_data_pipeline_spark.plans.queries_sim import (
+        PCA_ITERS,
+    )
+
+    out = (
+        pca_top_component(emb, iters=PCA_ITERS)
+        .toPandas()
+        .sort_values("dim")
+    )
+    mat = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    n = mat.shape[0]
+    sx = mat.sum(axis=0)
+    m = n * (mat.T @ mat) - np.outer(sx, sx)
+    v = np.ones(mat.shape[1])
+    for _ in range(PCA_ITERS):
+        u = m @ v
+        v = u / np.sqrt((u * u).sum())
+    lam = v @ (m @ v)
+    # folds vs BLAS accumulate differently -> compare at analytic, not
+    # bitwise, tolerance
+    assert np.allclose(out["loading"].to_numpy(), v, atol=1e-6)
+    assert abs(out["scaled_eigenvalue"].iloc[0] - lam) / abs(lam) < 1e-9
+    # unit norm
+    assert abs((out["loading"] ** 2).sum() - 1.0) < 1e-4
+
+
+def test_pca_partition_invariant(spark, emb):
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        pca_top_component,
+    )
+
+    a = sorted(map(tuple, pca_top_component(emb, iters=3).collect()))
+    b = sorted(
+        map(tuple, pca_top_component(emb.repartition(7), iters=3).collect())
+    )
+    assert a == b
