@@ -996,3 +996,66 @@ def test_sequence_packing_prefix_is_two_level(spark, specs):
     assert plan.count("Exchange SinglePartition") == 1
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+# --- round-6 session additions ----------------------------------------------
+
+
+def test_ivfpq_recall_audit_no_cartesian_and_broadcast_queries(spark, specs):
+    plan = plan_of(spark, specs, "ann_ivfpq_recall_audit")
+    assert "CartesianProduct" not in plan
+    # the 8 query vectors reach the exact arm via broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_jl_audit_single_scan_pair_join(spark, specs):
+    plan = plan_of(spark, specs, "embedding_jl_distortion_audit")
+    assert "CartesianProduct" not in plan
+    # pair formation is an equi-join on vec_id+1, then one small agg
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_leakage_split_no_cartesian(spark, specs):
+    plan = plan_of(spark, specs, "corpus_leakage_safe_split")
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_correlations_is_scan_explode_agg(spark, specs):
+    plan = plan_of(spark, specs, "embedding_dim_correlations")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # the i<j grid explode
+    # partial aggregation before the (dim_i, dim_j) shuffle
+    assert "partial" in plan.lower()
+
+
+def test_kmv_audit_no_cartesian_beyond_onerow(spark, specs):
+    plan = plan_of(spark, specs, "events_kmv_intersection_audit")
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_backtest_single_fact_scan_agg(spark, specs):
+    plan = plan_of(spark, specs, "events_seasonal_backtest")
+    assert "CartesianProduct" not in plan
+    # the seasonal self-join runs on the hourly AGGREGATE, not raw events
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_frontier_window_over_distinct_revenue(spark, specs):
+    plan = plan_of(spark, specs, "supplier_efficiency_frontier")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # supplier dim broadcasts
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_join_no_cartesian(spark, specs):
+    plan = plan_of(spark, specs, "shingle_jaccard_prefix_join")
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_checkpointed_matrix_feeds_iterations(spark, specs):
+    plan = plan_of(spark, specs, "embedding_pca_top_component")
+    assert "CartesianProduct" not in plan
+    # iterations read the checkpointed 64-row matrix, not the raw scan:
+    # at most one parquet scan survives in the final plan
+    assert plan.count("FileScan parquet") <= 1
