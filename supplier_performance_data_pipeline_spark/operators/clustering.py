@@ -43,6 +43,25 @@ from pyspark.sql import functions as F
 K_DEFAULT = 4
 ITERS_DEFAULT = 2
 DIM_DEFAULT = 64
+
+
+def spread_for_fanout(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a NARROW input to full parallelism BEFORE a
+    multiplicative explode (dim^2 grids, shingle fan-outs).
+
+    A small table is one row group -> ONE scan task, so without this the
+    entire exploded workload (millions of tuples plus their per-tuple
+    DECIMAL casts) runs single-threaded — measured 24s -> ~2s on the
+    dim-correlation grid at sf0.1. The explicit partition count keeps
+    AQE from coalescing the tiny pre-explode shuffle back to one
+    partition (coalescing decides on PRE-explode bytes, which are ~0.5MB
+    here; the post-explode work is what needs the spread). At 100 TB the
+    scan is already wide and this adds one cheap shuffle of the narrow
+    side; downstream aggs are order-free so placement never changes
+    results.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys) if keys else df.repartition(n)
 # Row distance (≤ dim × O(1) squares) cast to DECIMAL(24,12) before the
 # cross-row inertia sum; per-dim components round to DECIMAL(20,10)
 # before the centroid sums.
@@ -350,9 +369,12 @@ def pca_top_component(
     across engines and partitionings.
 
     The (scaled) covariance M_ij = n*S_xy - S_x*S_y builds from
-    DECIMAL-exact sufficient statistics (one explode of the full i x j
-    grid, (i,j)-keyed hash agg with map-side partials — the
-    dim-correlation recipe); scaling by 1/n^2 is dropped because
+    DECIMAL-exact sufficient statistics: per-dim sums from a DIM-tuple
+    explode, S_xy from the UPPER-TRIANGLE explode only (mirrored by
+    symmetry — commutative double products make the mirror
+    bit-identical to the full grid), all after spread_for_fanout so a
+    one-row-group scan can't serialize the fan-out; scaling by 1/n^2 is
+    dropped because
     eigenvectors are scale-invariant (the eigenvalue column reports
     the SCALED spectrum of M, stated in its name). Iterations are
     matvecs: each of the 64 matrix rows is an ordered array, u = M v
@@ -370,27 +392,66 @@ def pca_top_component(
     driver never sees data. At 100 TB: identical, with the sufficient
     statistics computed over the deterministic hash sample like any
     covariance estimate."""
-    px = emb.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(0, {dim - 1}), "
-                f"i -> transform(sequence(0, {dim - 1}), "
-                f"j -> struct(i AS i, j AS j, "
-                f"double({vec_col}[i]) AS x, double({vec_col}[j]) AS y))))"
-            )
-        ).alias("p")
-    ).select("p.*")
+    spread = spread_for_fanout(emb, id_col)
     dec = "decimal(24,12)"
-    s = px.groupBy("i", "j").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    # Per-dim sums once (the per-(i,j)-group sx/sy and count are the
+    # same order-free DECIMAL addend sets for every pair a dim appears
+    # in), sxy on the upper triangle only, mirrored by symmetry —
+    # identical values to the naive full-grid form at ~1/6 the decimal
+    # work per exploded tuple.
+    dsum = (
+        spread.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}), "
+                    f"i -> struct(i AS d, double({vec_col}[i]) AS x))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        )
     )
-    m = s.select(
+    tri = (
+        spread.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {dim - 1}), "
+                    f"i -> transform(sequence(i, {dim - 1}), "
+                    f"j -> struct(i AS i, j AS j, "
+                    f"double({vec_col}[i]) * double({vec_col}[j]) AS xy))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xy").cast(dec)).cast("double").alias("sxy"))
+    )
+    s = tri.join(
+        F.broadcast(
+            dsum.select(
+                F.col("d").alias("i"), F.col("n"), F.col("sx").alias("sx_i")
+            )
+        ),
+        "i",
+    ).join(
+        F.broadcast(dsum.select(F.col("d").alias("j"), F.col("sx").alias("sx_j"))),
+        "j",
+    )
+    m_tri = s.select(
         "i",
         "j",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("mij"),
+        (F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j")).alias(
+            "mij"
+        ),
+    )
+    m = m_tri.union(
+        m_tri.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "mij"
+        )
     )
     rows = (
         m.groupBy("i")
@@ -427,6 +488,12 @@ def pca_top_component(
         ).select(
             F.expr("transform(uarr, x -> x / nrm)").alias("v")
         )
+        # Truncate the iteration lineage at the 1-row vector: without
+        # this every later reference to v (the next matvec, the final
+        # Rayleigh product, the output projection — v is consumed 3x
+        # after the loop) re-executes ALL prior iterations' shuffle
+        # stages. Measured: ~27s -> covariance-build + 6 tiny jobs.
+        v = v.localCheckpoint()
     u_fin = rows.crossJoin(F.broadcast(v)).select("i", matvec.alias("u"))
     ua = u_fin.agg(
         F.transform(

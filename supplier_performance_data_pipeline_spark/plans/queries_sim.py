@@ -361,6 +361,7 @@ from supplier_performance_data_pipeline_spark.operators.clustering import (  # n
     ITERS_DEFAULT,
     K_DEFAULT,
     kmeans_cluster_profile,
+    spread_for_fanout,
 )
 
 
@@ -1675,37 +1676,78 @@ def q_embedding_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(24,12) (order-free cross-row sums — the engine-wide recipe
     every k-means/PQ oracle uses), the Pearson formula is then fixed-
     order double arithmetic on those exact sums, and the top-{k} order
-    is total (|r| desc, then the pair id). Plan: ONE scan explodes each
-    row to its {pairs} upper-triangle (i,j,x,y) tuples (a flatten of
-    nested transforms, JVM codegen, no Python) and a (dim_i,dim_j)-
-    keyed hash agg — map-side partials make the shuffle {pairs} keys
+    is total (|r| desc, then the pair id). Plan: the narrow scan spreads
+    to full parallelism first (spread_for_fanout — a one-row-group table
+    would otherwise run the whole fan-out single-threaded), per-dim
+    sufficient stats come from a DIM-tuple explode (64 keys), and ONLY
+    sxy rides the {pairs}-tuple upper-triangle explode — one decimal
+    cast+sum per tuple instead of five, since the per-pair sx/sy/sxx/
+    syy group sums are the same order-free addend sets as the per-dim
+    sums and a 64-row broadcast join supplies them bit-identically.
+    Map-side partials make the shuffle {pairs} keys
     regardless of row count. At 100 TB you run this on the
     deterministic hash sample (documents_hash_sample's recipe): the
     d^2 blow-up multiplies the SAMPLE, never the full table —
     exactly how covariance estimation is done in practice."""
     emb = _embeddings(spark, sf_dir)
-    px = emb.select(
+    spread = spread_for_fanout(emb, "vec_id")
+    dec = "decimal(24,12)"
+    # The per-pair group sums sx/sy/sxx/syy and the group count are the
+    # SAME order-free DECIMAL sums for every pair a dimension appears in
+    # (each row contributes x_i once per group) — so compute them ONCE
+    # per dimension (DIM tuples/row) and broadcast-join onto the pair
+    # grid, leaving only sxy (one decimal cast+sum) on the DIM^2/2
+    # fan-out. Identical addend sets -> bit-identical values; the
+    # oracle keeps the naive per-pair form.
+    dstats = (
+        spread.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {DIM - 1}), "
+                    "i -> struct(i AS d, double(embedding[i]) AS x))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast(dec))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    px = spread.select(
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(0, {DIM - 2}), "
                 f"i -> transform(sequence(i + 1, {DIM - 1}), "
                 "j -> struct(i AS dim_i, j AS dim_j, "
-                "double(embedding[i]) AS x, double(embedding[j]) AS y))))"
+                "double(embedding[i]) * double(embedding[j]) AS xy))))"
             )
         ).alias("p")
     ).select("p.*")
-    dec = "decimal(24,12)"
-    s = px.groupBy("dim_i", "dim_j").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    pair_sxy = px.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("xy").cast(dec)).cast("double").alias("sxy")
     )
-    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    left = dstats.select(
+        F.col("d").alias("dim_i"),
+        F.col("n"),
+        F.col("sx").alias("sx_i"),
+        F.col("sxx").alias("sxx_i"),
+    )
+    right = dstats.select(
+        F.col("d").alias("dim_j"),
+        F.col("sx").alias("sx_j"),
+        F.col("sxx").alias("sxx_j"),
+    )
+    s = pair_sxy.join(F.broadcast(left), "dim_i").join(
+        F.broadcast(right), "dim_j"
+    )
+    varx = F.col("n") * F.col("sxx_i") - F.col("sx_i") * F.col("sx_i")
+    vary = F.col("n") * F.col("sxx_j") - F.col("sx_j") * F.col("sx_j")
+    corr = (F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j")) / (
         F.sqrt(varx) * F.sqrt(vary)
     )
     return (
