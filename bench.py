@@ -168,6 +168,10 @@ HEADLINE = [
     "dedup_detector_agreement",
     "shingle_jaccard_prefix_join",
     "embedding_pca_top_component",
+    "revenue_rollup_grouping_sets",
+    "embedding_label_noise_margin",
+    "shingle_containment_join",
+    "events_markov_backtest",
 ]
 
 

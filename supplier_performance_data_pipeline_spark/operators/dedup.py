@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from supplier_performance_data_pipeline_spark.operators.textops import tokens
+from supplier_performance_data_pipeline_spark.sources.readers import spread_scan
 
 MINHASH_K = 8  # signature length (default; every op takes k= explicitly)
 LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each (default)
@@ -46,7 +47,11 @@ def shingle_sets(
     full regexp split per array element (interpreted HOF eval has no
     subexpression cache), which is quadratic in document length.
     """
-    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    # spread_scan: a one-row-group local scan would hash every shingle
+    # single-threaded; no-op when the scan is already wide (100 TB).
+    toks = spread_scan(docs, "doc_id").select(
+        "doc_id", tokens(F.col(text_col)).alias("toks")
+    )
     t = F.col("toks")
     make = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
@@ -147,7 +152,9 @@ def char_shingle_sets(
     near-dups detectable at all). Texts shorter than n characters fall
     back to one whole-text shingle. Both engines index substrings by
     codepoint, so multi-byte scripts shingle identically."""
-    folded = docs.select("doc_id", fold_text(F.col(text_col)).alias("s"))
+    folded = spread_scan(docs, "doc_id").select(
+        "doc_id", fold_text(F.col(text_col)).alias("s")
+    )
     s = F.col("s")
     make = F.transform(
         F.sequence(F.lit(1), F.length(s) - (n - 1)),
@@ -303,7 +310,7 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Plan shape: explode tokens → single hash agg per doc with 32
     conditional sums (map-side partial agg applies; no window, no UDF).
     """
-    tok = docs.select(
+    tok = spread_scan(docs, "doc_id").select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
@@ -342,6 +349,48 @@ def ngram_jaccard(
     )
 
 
+def _prefix_index(
+    docs: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    text_col: str,
+    n: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared prefix-filter scaffolding for the set-similarity joins:
+    returns (dt, dl, pfx) — the distinct (doc_id, tok) shingle table
+    (checkpointed), per-doc set sizes, and each doc's PREFIX tokens
+    (the first L - ceil(t*L) + 1 by global-df-rarest-first order, t =
+    num/den). Jaccard and containment joins differ only in which sides
+    of the candidate join use the prefix and in the verify inequality.
+    """
+    from pyspark.sql.window import Window
+
+    # dt is consumed FIVE times (df counts, lengths, rank input, both
+    # verify sides) — materialize once or the tokenize+shingle+explode
+    # pipeline re-executes per consumer (measured ~5x on the local
+    # fixture; at 100 TB the checkpoint is the standard reuse move for
+    # a corpus-scale intermediate, same as the LSH signature tables).
+    dt = (
+        shingle_sets(docs, text_col, n)
+        .select("doc_id", F.explode(F.array_distinct("shingles")).alias("tok"))
+        .localCheckpoint()
+    )
+    gf = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    dl = dt.groupBy("doc_id").agg(F.count("*").alias("len"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pos = dt.join(gf, "tok").withColumn("pos", F.row_number().over(w))
+    plen = F.expr(
+        f"len - (({threshold_num} * len + {threshold_den - 1}) "
+        f"div {threshold_den}) + 1"
+    )
+    pfx = (
+        pos.join(dl, "doc_id")
+        .filter(F.col("pos") <= plen)
+        .select("doc_id", "tok")
+    )
+    return dt, dl, pfx
+
+
 def jaccard_prefix_join(
     docs: DataFrame,
     threshold_num: int = 3,
@@ -370,24 +419,7 @@ def jaccard_prefix_join(
     candidate-bounded verify join + pair-grain agg. At 100 TB the
     verify join is candidates x set size; PPJoin's positional/suffix
     pruning bolts onto the same shape if candidates ever dominate."""
-    from pyspark.sql.window import Window
-
-    dt = shingle_sets(docs, text_col, n).select(
-        "doc_id", F.explode(F.array_distinct("shingles")).alias("tok")
-    )
-    gf = dt.groupBy("tok").agg(F.count("*").alias("df"))
-    dl = dt.groupBy("doc_id").agg(F.count("*").alias("len"))
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    pos = dt.join(gf, "tok").withColumn("pos", F.row_number().over(w))
-    plen = F.expr(
-        f"len - (({threshold_num} * len + {threshold_den - 1}) "
-        f"div {threshold_den}) + 1"
-    )
-    pfx = (
-        pos.join(dl, "doc_id")
-        .filter(F.col("pos") <= plen)
-        .select("doc_id", "tok")
-    )
+    dt, dl, pfx = _prefix_index(docs, threshold_num, threshold_den, text_col, n)
     cand = (
         pfx.select(F.col("doc_id").alias("doc_a"), "tok")
         .join(
@@ -433,5 +465,83 @@ def jaccard_prefix_join(
                 / (F.col("la") + F.col("lb") - F.col("ni")),
                 6,
             ).alias("jaccard"),
+        )
+    )
+
+
+def containment_prefix_join(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT join with prefix filtering: ordered pairs
+    (contained, container) where |A∩B| / |A| >= num/den — the
+    ASYMMETRIC dedup class Jaccard misses entirely (a paragraph quoted
+    inside a 100x longer page has tiny Jaccard but containment ~1),
+    which is how partial-duplicate / quotation / version-supersede
+    detection is done in corpus curation.
+
+    Prefix lemma, containment form: if |A∩B| >= ceil(t*|A|), at most
+    |A| - ceil(t*|A|) of A's tokens miss B, so among A's FIRST
+    |A| - ceil(t*|A|) + 1 tokens (global-df-rarest-first, the same
+    total order as ``jaccard_prefix_join``) at least one is in B.
+    Only the CONTAINED side is prefix-restricted; the container side
+    has no size bound, so candidates join A-prefix tokens against the
+    full (doc, tok) table — still bucket-bounded because prefixes hold
+    each doc's RAREST tokens by construction. Verify is the exact
+    intersection count with an integer cross-multiplied threshold
+    (den*ni >= num*|A|); self-pairs are excluded, both directions can
+    legitimately appear (identical sets contain each other).
+
+    Plan: shared ``_prefix_index`` scaffolding (checkpointed shingle
+    table, df-ranked prefixes) -> prefix-vs-all candidate equi-join ->
+    candidate-bounded verify join + pair-grain agg. At 100 TB a global
+    df cap on join tokens (drop candidates generated by stop-shingles)
+    bolts onto the same shape if container-side buckets ever dominate."""
+    dt, dl, pfx = _prefix_index(docs, threshold_num, threshold_den, text_col, n)
+    cand = (
+        pfx.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(
+            dt.select(
+                F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b")
+            ),
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("doc_a") != F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = dt.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("t_a"))
+    tb = dt.select(F.col("doc_id").alias("b_id"), F.col("tok").alias("t_b"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("b_id"))
+            & (F.col("t_a") == F.col("t_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    la = dl.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("la"))
+    lb = dl.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("lb"))
+    return (
+        inter.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(
+            F.lit(threshold_den) * F.col("ni")
+            >= F.lit(threshold_num) * F.col("la")
+        )
+        .select(
+            F.col("doc_a").alias("doc_contained"),
+            F.col("doc_b").alias("doc_container"),
+            F.col("ni").cast("long").alias("n_common"),
+            F.col("la").cast("long").alias("len_contained"),
+            F.col("lb").cast("long").alias("len_container"),
+            F.round(
+                F.col("ni").cast("double") / F.col("la"), 6
+            ).alias("containment"),
         )
     )

@@ -2694,3 +2694,68 @@ def q_supplier_efficiency_frontier(spark: SparkSession, sf_dir: str) -> DataFram
             F.round("avg_delay", 6).alias("avg_delay_days"),
         )
     )
+
+
+# --- ROLLUP / grouping-sets surface (subtotals + grand total) -----------------
+
+from supplier_performance_data_pipeline_spark.functions.money import (  # noqa: E402
+    revenue_e4_sql as _rev_e4_sql,
+)
+
+
+@register(
+    "revenue_rollup_grouping_sets",
+    oracle=f"""
+WITH per AS (
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           SUM({_rev_e4_sql("l_extendedprice", "l_discount")}) AS rev
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT COALESCE(l_returnflag, 'ALL') AS return_flag,
+       COALESCE(l_linestatus, 'ALL') AS line_status,
+       CAST(CAST(l_returnflag IS NULL AS INTEGER)
+            + CAST(l_linestatus IS NULL AS INTEGER) AS INTEGER)
+           AS grouping_level,
+       CAST(SUM(n_items) AS BIGINT) AS n_items,
+       CAST(SUM(rev) AS DOUBLE) / 10000 AS revenue
+FROM per
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".strip(),
+)
+def q_revenue_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): leaf cells, per-flag
+    subtotals, and the grand total in ONE result — the grouping-sets
+    operator family (Spark ``rollup``/``cube``/GROUPING SETS; the
+    Expand-based plan), reported with an explicit ``grouping_level``
+    so every row's grain is self-describing (0 = leaf, 1 = flag
+    subtotal, 2 = grand total; NULL group keys surface as 'ALL').
+
+    Scale shape: the rollup runs over the PRE-AGGREGATED leaf table
+    (6 rows), not the fact table — Expand multiplies its input by the
+    number of grouping sets, so expanding a 100 TB scan x3 is the
+    wrong plan when the leaf grain is tiny and DECIMAL sums
+    re-aggregate exactly (order-free). Money follows THE contract:
+    integer e4 units summed in DECIMAL(38,0), one double division at
+    the output edge; COUNT rolls up as a SUM of leaf counts
+    (bit-identical by associativity of integer addition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev4 = revenue_e4("l_extendedprice", "l_discount")
+    per = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"), F.sum(rev4).alias("rev")
+    )
+    rolled = per.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("n_items").cast("long").alias("n_items"),
+        F.sum("rev").alias("rev"),
+    )
+    level = (
+        F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)
+        + F.when(F.col("l_linestatus").isNull(), 1).otherwise(0)
+    ).cast("int")
+    return rolled.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+        level.alias("grouping_level"),
+        "n_items",
+        (F.col("rev").cast("double") / F.lit(10000)).alias("revenue"),
+    )

@@ -2652,3 +2652,120 @@ def q_events_time_to_purchase_quantiles(spark: SparkSession, sf_dir: str) -> Dat
         F.round(F.col("pcts")[2], 6).alias("p75"),
         F.round(F.col("pcts")[3], 6).alias("p95"),
     )
+
+
+# --- Markov next-event backtest (train/test user split) -----------------------
+
+from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    md5_mod,
+)
+
+_MKV_SALT = "markov|"
+_MKV_M = 5  # 1-in-5 users held out
+
+
+@register(
+    "events_markov_backtest",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+),
+labeled AS (
+    SELECT event_type, next_type,
+           {md5_mod_sql("user_id", _MKV_SALT, _MKV_M)} AS b
+    FROM seq WHERE next_type IS NOT NULL
+),
+tc AS (
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM labeled WHERE b > 0 GROUP BY 1, 2
+),
+pred AS (
+    SELECT event_type, next_type AS predicted_next FROM (
+        SELECT event_type, next_type, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY n DESC, next_type) AS rn
+        FROM tc
+    ) t WHERE rn = 1
+)
+SELECT l.event_type AS cur_event,
+       p.predicted_next,
+       CAST(COUNT(*) AS BIGINT) AS n_test_transitions,
+       CAST(SUM(CASE WHEN l.next_type = p.predicted_next
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN l.next_type = p.predicted_next
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+           AS accuracy
+FROM labeled l JOIN pred p ON p.event_type = l.event_type
+WHERE l.b = 0
+GROUP BY 1, 2
+""".strip(),
+)
+def q_events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event predictor on HELD-
+    OUT USERS: train the argmax-transition table on 4/5 of users (the
+    portable md5_mod split — user-level, so no within-sequence leakage),
+    predict each held-out transition, and report per-current-event
+    accuracy — the eval loop that turns
+    ``events_type_transition_matrix`` from a statistic into a model.
+
+    Determinism: sequences order by (ts, event_id) (total), the argmax
+    breaks count ties on next_type asc, membership is the engine-wide
+    md5_mod recipe, counts are integers, one double division at the
+    edge. Plan: ONE user-keyed window pass materializes the labeled
+    transition table (localCheckpoint — both the train agg and the test
+    scoring read it; without it the fact-scale window recomputes per
+    consumer); train counts collapse to a 5x5 table, the 5-row argmax
+    broadcast-joins onto held-out transitions, and scoring is one
+    cur-event-keyed agg. At 100 TB the only fact-scale shuffles are the
+    window sort and the two tiny-key aggs."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    labeled = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .select(
+            "event_type",
+            "next_type",
+            md5_mod(F.col("user_id"), _MKV_SALT, _MKV_M).alias("b"),
+        )
+        .localCheckpoint()
+    )
+    tc = (
+        labeled.filter(F.col("b") > 0)
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), "next_type"
+    )
+    pred = (
+        tc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("next_type").alias("predicted_next"))
+    )
+    hit = F.when(
+        F.col("next_type") == F.col("predicted_next"), 1
+    ).otherwise(0)
+    return (
+        labeled.filter(F.col("b") == 0)
+        .join(F.broadcast(pred), "event_type")
+        .groupBy(
+            F.col("event_type").alias("cur_event"), "predicted_next"
+        )
+        .agg(
+            F.count("*").alias("n_test_transitions"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            F.round(
+                F.sum(hit).cast("double") / F.count("*"), 6
+            ).alias("accuracy"),
+        )
+    )

@@ -23,6 +23,7 @@ from supplier_performance_data_pipeline_spark.operators.similarity import (
 )
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.session import tune_session
+from supplier_performance_data_pipeline_spark.sources.readers import spread_scan
 
 DIM = 64
 TOP_K = 10
@@ -1853,4 +1854,139 @@ def q_embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame
 
 q_embedding_pca_top_component.__doc__ = (
     q_embedding_pca_top_component.__doc__.format(iters=PCA_ITERS)
+)
+
+
+# --- label-noise suspects by centroid margin ---------------------------------
+
+NOISE_TOP = 20
+
+
+@register(
+    "embedding_label_noise_margin",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+ex AS (
+    SELECT label, generate_subscripts(v, 1) AS dimp, unnest(v) AS x FROM b
+),
+centl AS (
+    SELECT label, dimp,
+           CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+    FROM ex GROUP BY label, dimp
+),
+cents AS (
+    SELECT label AS clabel, array_agg(c ORDER BY dimp) AS cv
+    FROM centl GROUP BY label
+),
+dist AS (
+    SELECT b.vec_id, b.label, c.clabel,
+           list_sum(list_transform(range(0, {{dim}}),
+               i -> (b.v[i+1] - c.cv[i+1]) * (b.v[i+1] - c.cv[i+1]))) AS d
+    FROM b CROSS JOIN cents c
+),
+own AS (SELECT vec_id, label, d AS d_own FROM dist WHERE clabel = label),
+other AS (
+    SELECT vec_id, clabel AS pred_label, d AS d_other FROM (
+        SELECT vec_id, clabel, d, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        FROM dist WHERE clabel <> label
+    ) t WHERE rn = 1
+)
+SELECT ow.vec_id,
+       CAST(ow.label AS INTEGER) AS label,
+       CAST(o.pred_label AS INTEGER) AS pred_label,
+       ROUND(ow.d_own, 6) AS d_own,
+       ROUND(o.d_other, 6) AS d_other,
+       ROUND(ow.d_own - o.d_other, 6) AS margin
+FROM own ow JOIN other o USING (vec_id)
+WHERE ow.d_own > o.d_other
+ORDER BY ow.d_own - o.d_other DESC, ow.vec_id
+LIMIT {{top}}
+""".strip().format(dim=DIM, top=NOISE_TOP),
+)
+def q_embedding_label_noise_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} LABEL-NOISE suspects by centroid margin — vectors
+    strictly closer to another label's centroid than to their own
+    (margin = d_own - d_nearest_other > 0), ranked worst-first: the
+    confident-mislabel mining step (Confident Learning family,
+    Northcutt et al.) a labeled-embedding curation pipeline runs before
+    training, and the per-vector drill-down of
+    ``embedding_centroid_confusion``'s off-diagonal mass.
+
+    Determinism: centroids are the engine-wide DECIMAL-sum recipe (one
+    double division per cell); distances are the shared left-to-right
+    fold; ranking uses the UNROUNDED margin (bit-identical doubles)
+    with vec_id tie-break. Plan: decoded vectors localCheckpoint once;
+    centroids collapse to a broadcast 1-row array; own/other distances
+    are a shuffle-free projection (array filter + argmin over structs);
+    TakeOrderedAndProject caps the output at {top}. At 100 TB:
+    identical — label count is tiny, so the only shuffle is the
+    centroid agg."""
+    emb = _embeddings(spark, sf_dir)
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> double(x))").alias("v"),
+    ).localCheckpoint()
+    ex = base.select("label", F.posexplode("v").alias("dim", "x"))
+    centl = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    cents = centl.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("cv")
+    )
+    cents_1row = cents.agg(
+        F.expr("collect_list(struct(label AS lbl, cv AS cv)) AS cents")
+    )
+    fold = (
+        "aggregate(zip_with(v, {cv}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    d_own = F.expr(
+        fold.format(cv="element_at(filter(cents, s -> s.lbl = label), 1).cv")
+    )
+    best_other = F.expr(
+        "array_min(transform(filter(cents, s -> s.lbl != label), "
+        "s -> struct("
+        + fold.format(cv="s.cv")
+        + " AS d, s.lbl AS pred)))"
+    )
+    scored = (
+        base.crossJoin(F.broadcast(cents_1row))
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            d_own.alias("d_own"),
+            best_other["d"].alias("d_other"),
+            best_other["pred"].cast("int").alias("pred_label"),
+        )
+        .filter(F.col("d_own") > F.col("d_other"))
+    )
+    return (
+        scored.orderBy(
+            (F.col("d_own") - F.col("d_other")).desc(), "vec_id"
+        )
+        .limit(NOISE_TOP)
+        .select(
+            "vec_id",
+            "label",
+            "pred_label",
+            F.round("d_own", 6).alias("d_own"),
+            F.round("d_other", 6).alias("d_other"),
+            F.round(F.col("d_own") - F.col("d_other"), 6).alias("margin"),
+        )
+    )
+
+
+q_embedding_label_noise_margin.__doc__ = (
+    q_embedding_label_noise_margin.__doc__.format(top=NOISE_TOP)
 )

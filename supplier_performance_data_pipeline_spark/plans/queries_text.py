@@ -42,6 +42,7 @@ from supplier_performance_data_pipeline_spark.operators.textops import (
 )
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.session import tune_session
+from supplier_performance_data_pipeline_spark.sources.readers import spread_scan
 
 # --- DuckDB dialect fragments (mirror textops/dedup exactly) ---------------
 
@@ -2268,4 +2269,70 @@ def q_shingle_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame
     double division at the output edge."""
     return jaccard_prefix_join(
         _docs(spark, sf_dir), _PPJ_NUM, _PPJ_DEN
+    )
+
+
+# --- exact set-containment join (asymmetric partial-duplicate detection) ------
+
+from supplier_performance_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    containment_prefix_join,
+)
+
+_CTJ_NUM, _CTJ_DEN = 4, 5  # containment threshold 0.8
+
+
+@register(
+    "shingle_containment_join",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+dt AS (
+    SELECT DISTINCT doc_id, unnest(shingles) AS tok FROM sh_cte
+),
+gf AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM dt GROUP BY doc_id),
+pos AS (
+    SELECT d.doc_id, d.tok, ROW_NUMBER() OVER (
+        PARTITION BY d.doc_id ORDER BY g.df, d.tok) AS pos
+    FROM dt d JOIN gf g USING (tok)
+),
+pfx AS (
+    SELECT p.doc_id, p.tok FROM pos p JOIN dl USING (doc_id)
+    WHERE p.pos <= dl.len
+        - (({_CTJ_NUM} * dl.len + {_CTJ_DEN - 1}) // {_CTJ_DEN}) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pfx a JOIN dt b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+    FROM cand c
+    JOIN dt ta ON ta.doc_id = c.doc_a
+    JOIN dt tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a AS doc_contained, i.doc_b AS doc_container,
+       CAST(i.ni AS BIGINT) AS n_common,
+       CAST(la.len AS BIGINT) AS len_contained,
+       CAST(lb.len AS BIGINT) AS len_container,
+       ROUND(CAST(i.ni AS DOUBLE) / la.len, 6) AS containment
+FROM inter i
+JOIN dl la ON la.doc_id = i.doc_a
+JOIN dl lb ON lb.doc_id = i.doc_b
+WHERE {_CTJ_DEN} * i.ni >= {_CTJ_NUM} * la.len
+""".strip(),
+)
+def q_shingle_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-CONTAINMENT >= 0.8 ordered pairs over 3-token shingle
+    sets — the asymmetric dedup class ``shingle_jaccard_prefix_join``
+    cannot express (a short doc quoted inside a much longer one has
+    near-zero Jaccard but containment ~1): quotation / partial-
+    duplicate / version-supersede detection for corpus curation. See
+    operators/dedup.py::containment_prefix_join for the containment
+    form of the prefix lemma (only the contained side is prefix-
+    restricted) and the scale notes. Integer cross-multiplied
+    threshold; one double division at the output edge."""
+    return containment_prefix_join(
+        _docs(spark, sf_dir), _CTJ_NUM, _CTJ_DEN
     )

@@ -35,6 +35,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a scan to cluster parallelism ONLY when its file
+    layout is narrower than the cluster.
+
+    Parquet row groups are the unit of scan parallelism; a table written
+    as one file/one row group (the local fixtures) runs every map-side
+    transform before the first shuffle — shingling, MinHash, n-gram
+    explodes — in ONE task. At 100 TB the scan already has thousands of
+    splits, `getNumPartitions() >= parallelism` holds, and this is a
+    no-op: it never adds a full-table shuffle on a wide scan (which WOULD
+    be a scale bug). Hash-partitioning by the row key keeps the spread
+    deterministic; downstream reductions are order-free by the engine's
+    partition-invariance contract (tests sweep local[3]/7-shuffle).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:

@@ -792,3 +792,211 @@ def test_pca_partition_invariant(spark, emb):
         map(tuple, pca_top_component(emb.repartition(7), iters=3).collect())
     )
     assert a == b
+
+
+# --- containment prefix join --------------------------------------------------
+
+
+def test_containment_join_complete_vs_brute_force(spark):
+    """The containment prefix filter must find EXACTLY the brute-force
+    |A∩B|/|A| >= 0.8 ordered-pair set (self-pairs excluded)."""
+    from fractions import Fraction
+
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        containment_prefix_join,
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sets = {
+        r["doc_id"]: set(r["shingles"])
+        for r in shingle_sets(docs).collect()
+    }
+    ids = sorted(sets)
+    expected = set()
+    for a in ids:
+        for b in ids:
+            if a == b or not sets[a]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if Fraction(inter, len(sets[a])) >= Fraction(4, 5):
+                expected.add((a, b))
+    out = containment_prefix_join(docs).collect()
+    got = {(r["doc_contained"], r["doc_container"]) for r in out}
+    assert got == expected
+    for r in out:
+        inter = len(sets[r["doc_contained"]] & sets[r["doc_container"]])
+        assert r["n_common"] == inter
+        assert r["len_contained"] == len(sets[r["doc_contained"]])
+        assert r["len_container"] == len(sets[r["doc_container"]])
+
+
+def test_containment_join_catches_asymmetric_quote(spark):
+    """A short doc quoted inside a much longer one: containment finds
+    the ordered pair, Jaccard at the same threshold cannot."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        containment_prefix_join,
+        jaccard_prefix_join,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} next{i} more{i}" for i in range(40))
+    df = _docs_df(spark, [(1, quote), (2, filler + " " + quote)])
+    got = {
+        (r["doc_contained"], r["doc_container"])
+        for r in containment_prefix_join(df, 4, 5).collect()
+    }
+    assert (1, 2) in got and (2, 1) not in got
+    jac = jaccard_prefix_join(df, 4, 5).collect()
+    assert jac == []  # symmetric Jaccard misses the quotation entirely
+
+
+def test_containment_join_partition_invariant(spark):
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        containment_prefix_join,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, containment_prefix_join(docs).collect()))
+    b = sorted(
+        map(tuple, containment_prefix_join(docs.repartition(7)).collect())
+    )
+    assert a == b
+
+
+# --- rollup grouping sets ------------------------------------------------------
+
+
+def test_rollup_levels_reconcile(spark):
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    specs = load_all()
+    rows = specs["revenue_rollup_grouping_sets"].build(spark, SF).collect()
+    leaf = {
+        (r["return_flag"], r["line_status"]): r
+        for r in rows
+        if r["grouping_level"] == 0
+    }
+    sub = {r["return_flag"]: r for r in rows if r["grouping_level"] == 1}
+    grand = [r for r in rows if r["grouping_level"] == 2]
+    assert len(grand) == 1 and grand[0]["return_flag"] == "ALL"
+    assert all(r["line_status"] == "ALL" for r in sub.values())
+    # subtotals and the grand total reconcile with the leaves exactly
+    for flag, s in sub.items():
+        leaves = [v for (f, _), v in leaf.items() if f == flag]
+        assert s["n_items"] == sum(v["n_items"] for v in leaves)
+        assert s["revenue"] == pytest.approx(
+            sum(v["revenue"] for v in leaves), abs=1e-6
+        )
+    assert grand[0]["n_items"] == sum(v["n_items"] for v in leaf.values())
+
+
+def test_rollup_leaves_match_direct_groupby(spark):
+    from supplier_performance_data_pipeline_spark.functions.money import (
+        revenue_e4,
+    )
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    specs = load_all()
+    rows = specs["revenue_rollup_grouping_sets"].build(spark, SF).collect()
+    leaf = {
+        (r["return_flag"], r["line_status"]): (r["n_items"], r["revenue"])
+        for r in rows
+        if r["grouping_level"] == 0
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    direct = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["n"],
+            float(r["rev"]) / 10000,
+        )
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(revenue_e4("l_extendedprice", "l_discount")).alias("rev"),
+        )
+        .collect()
+    }
+    assert leaf == direct
+
+
+# --- label-noise margin --------------------------------------------------------
+
+
+def test_label_noise_margin_matches_numpy(spark, emb):
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    specs = load_all()
+    rows = specs["embedding_label_noise_margin"].build(spark, SF).collect()
+    pdf = emb.toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    labels = pdf["label"].to_numpy()
+    vec_ids = pdf["vec_id"].to_numpy()
+    cents = {
+        lbl: X[labels == lbl].mean(axis=0) for lbl in np.unique(labels)
+    }
+    by_id = {v: i for i, v in enumerate(vec_ids)}
+    for r in rows:
+        x = X[by_id[r["vec_id"]]]
+        d_own = float(((x - cents[r["label"]]) ** 2).sum())
+        d_pred = float(((x - cents[r["pred_label"]]) ** 2).sum())
+        assert r["d_own"] == pytest.approx(d_own, rel=1e-6)
+        assert r["d_other"] == pytest.approx(d_pred, rel=1e-6)
+        assert r["margin"] > 0  # strictly closer to the other centroid
+        assert r["pred_label"] != r["label"]
+        # pred really is the NEAREST other centroid
+        best = min(
+            float(((x - c) ** 2).sum())
+            for lbl, c in cents.items()
+            if lbl != r["label"]
+        )
+        assert r["d_other"] == pytest.approx(best, rel=1e-6)
+    # ranked worst-first
+    margins = [r["margin"] for r in rows]
+    assert margins == sorted(margins, reverse=True)
+
+
+# --- Markov backtest ------------------------------------------------------------
+
+
+def test_markov_backtest_matches_pandas_reference(spark):
+    import hashlib
+
+    import pandas as pd  # noqa: F811
+
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    specs = load_all()
+    rows = specs["events_markov_backtest"].build(spark, SF).collect()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ev["next"] = ev.groupby("user_id")["event_type"].shift(-1)
+    ev = ev.dropna(subset=["next"])
+
+    def bucket(uid):
+        h = hashlib.md5(f"markov|{uid}".encode()).hexdigest()[:14]
+        return int(h, 16) % 5
+
+    ev["b"] = ev["user_id"].map(bucket)
+    train = ev[ev["b"] > 0]
+    test = ev[ev["b"] == 0]
+    tc = (
+        train.groupby(["event_type", "next"]).size().reset_index(name="n")
+    )
+    pred = {
+        cur: g.sort_values(["n", "next"], ascending=[False, True])[
+            "next"
+        ].iloc[0]
+        for cur, g in tc.groupby("event_type")
+    }
+    for r in rows:
+        sub = test[test["event_type"] == r["cur_event"]]
+        assert r["predicted_next"] == pred[r["cur_event"]]
+        assert r["n_test_transitions"] == len(sub)
+        assert r["n_correct"] == int(
+            (sub["next"] == pred[r["cur_event"]]).sum()
+        )
+        assert 0.0 <= r["accuracy"] <= 1.0
