@@ -172,6 +172,7 @@ HEADLINE = [
     "embedding_label_noise_margin",
     "shingle_containment_join",
     "events_markov_backtest",
+    "events_value_ks_drift",
 ]
 
 

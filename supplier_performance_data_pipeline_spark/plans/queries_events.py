@@ -2769,3 +2769,149 @@ def q_events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# --- Kolmogorov-Smirnov drift statistic (exact-ECDF twin of the PSI) ----------
+
+_KS_BLOCKS = 64  # value-range blocks for the two-level ECDF prefix
+
+
+@register(
+    "events_value_ks_drift",
+    oracle="""
+WITH e AS (
+    SELECT value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT (MIN(us) + MAX(us)) // 2 AS cutoff FROM e),
+sided AS (
+    SELECT value, (us <= cutoff) AS is_before FROM e CROSS JOIN b
+),
+pv AS (
+    SELECT value,
+           SUM(CASE WHEN is_before THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN is_before THEN 0 ELSE 1 END) AS nb
+    FROM sided GROUP BY value
+),
+cums AS (
+    SELECT value,
+           SUM(na) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+           SUM(nb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+    FROM pv
+),
+tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM pv)
+SELECT CAST(ta AS BIGINT) AS n_before,
+       CAST(tb AS BIGINT) AS n_after,
+       CAST(abs(ca * tb - cb * ta) AS BIGINT) AS ks_numerator,
+       ROUND(CAST(abs(ca * tb - cb * ta) AS DOUBLE)
+             / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS ks_stat,
+       value AS ks_at_value
+FROM cums CROSS JOIN tot
+WHERE ta > 0 AND tb > 0
+ORDER BY abs(ca * tb - cb * ta) DESC, value
+LIMIT 1
+""".strip(),
+)
+def q_events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the first
+    and second time halves of the event stream — the EXACT-ECDF twin of
+    ``events_value_drift_psi`` (PSI bins and can hide within-bin moves;
+    KS is the sup-distance over the full empirical CDFs, the other
+    standard drift monitor). KS stays INTEGER until the edge: at every
+    distinct value v the deviation is |CA(v)*NB - CB(v)*NA| (exact
+    BIGINT cross-multiplication; exact while each side is < ~3e9 rows —
+    past that, bin first), the max picks the supremum, and the single
+    double division happens once in the output row. ``ks_at_value``
+    (tie-break: smallest value) localizes WHERE the CDFs diverge most.
+
+    Plan: cumulative counts over distinct values use the lateness
+    histogram's two-level PARALLEL PREFIX — value-range blocks (the PSI
+    bucket map, monotone in v) aggregate map-side, a window over the
+    {b}-row block table carries the cross-block offsets, and the
+    within-block cumulative is a window PARTITIONED by block — no
+    unpartitioned window ever touches value grain. The distinct-value
+    table materializes once (localCheckpoint) because the block table,
+    the intra-block pass, and the totals all read it. TakeOrdered
+    returns the single sup row."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    e = ev.select("value", F.unix_micros(F.col("ts")).alias("us"))
+    b = e.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("cutoff"),
+    )
+    sided = e.crossJoin(F.broadcast(b)).select(
+        "value",
+        F.coalesce(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    * _KS_BLOCKS
+                    / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+                ),
+                F.lit(_KS_BLOCKS - 1),
+            ).cast("int"),
+            F.lit(0),
+        ).alias("block"),
+        (F.col("us") <= F.col("cutoff")).alias("is_before"),
+    )
+    pv = (
+        sided.groupBy("block", "value")
+        .agg(
+            F.sum(F.when(F.col("is_before"), 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("is_before"), 0).otherwise(1)).alias("nb"),
+        )
+        .localCheckpoint()
+    )
+    blocks = pv.groupBy("block").agg(
+        F.sum("na").alias("ba"), F.sum("nb").alias("bb")
+    )
+    wprev = Window.orderBy("block").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = blocks.select(
+        "block",
+        F.coalesce(F.sum("ba").over(wprev), F.lit(0)).alias("pa"),
+        F.coalesce(F.sum("bb").over(wprev), F.lit(0)).alias("pb"),
+    )
+    wib = (
+        Window.partitionBy("block")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = pv.join(F.broadcast(prev), "block").select(
+        "value",
+        (F.col("pa") + F.sum("na").over(wib)).alias("ca"),
+        (F.col("pb") + F.sum("nb").over(wib)).alias("cb"),
+    )
+    tot = blocks.agg(F.sum("ba").alias("ta"), F.sum("bb").alias("tb"))
+    d_num = F.abs(
+        F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")
+    )
+    scored = (
+        cums.crossJoin(F.broadcast(tot))
+        .filter((F.col("ta") > 0) & (F.col("tb") > 0))
+        .select("value", "ta", "tb", d_num.alias("d_num"))
+    )
+    return (
+        scored.orderBy(F.desc("d_num"), "value")
+        .limit(1)
+        .select(
+            F.col("ta").cast("long").alias("n_before"),
+            F.col("tb").cast("long").alias("n_after"),
+            F.col("d_num").cast("long").alias("ks_numerator"),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("ta").cast("double") * F.col("tb").cast("double")),
+                6,
+            ).alias("ks_stat"),
+            F.col("value").alias("ks_at_value"),
+        )
+    )
+
+
+q_events_value_ks_drift.__doc__ = q_events_value_ks_drift.__doc__.format(
+    b=_KS_BLOCKS
+)

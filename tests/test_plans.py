@@ -1059,3 +1059,17 @@ def test_pca_checkpointed_matrix_feeds_iterations(spark, specs):
     # iterations read the checkpointed 64-row matrix, not the raw scan:
     # at most one parquet scan survives in the final plan
     assert plan.count("FileScan parquet") <= 1
+
+
+def test_ks_drift_prefix_never_single_partitions_values(spark, specs):
+    # Two-level ECDF prefix: SinglePartition exchanges feed only the
+    # 64-row block window and the 1-row bounds/total aggregates; the
+    # distinct-value window partitions by block. The checkpoint
+    # truncates the pv subtree, so the top plan has no parquet scan.
+    plan = plan_of(spark, specs, "events_value_ks_drift")
+    assert re.search(r"hashpartitioning\(block", plan)
+    assert "CartesianProduct" not in plan
+    # value-grain window must be block-partitioned, never global:
+    # no unpartitioned Window whose child is value-grain (the only
+    # SinglePartition windows allowed are over the block table)
+    assert plan.count("Exchange SinglePartition") <= 2

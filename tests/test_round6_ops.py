@@ -1000,3 +1000,31 @@ def test_markov_backtest_matches_pandas_reference(spark):
             (sub["next"] == pred[r["cur_event"]]).sum()
         )
         assert 0.0 <= r["accuracy"] <= 1.0
+
+
+# --- KS drift -------------------------------------------------------------------
+
+
+def test_ks_drift_matches_brute_force(spark):
+    import pandas as pd  # noqa: F811
+
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    specs = load_all()
+    row = specs["events_value_ks_drift"].build(spark, SF).collect()[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet").dropna(subset=["value"])
+    us = ev["ts"].astype("int64") // 1000  # ns -> us
+    cutoff = (us.min() + us.max()) // 2
+    a = ev.loc[us <= cutoff, "value"].to_numpy()
+    b = ev.loc[us > cutoff, "value"].to_numpy()
+    na, nb = len(a), len(b)
+    assert row["n_before"] == na and row["n_after"] == nb
+    best = (-1, None)
+    for v in sorted(set(ev["value"])):
+        d = abs(int((a <= v).sum()) * nb - int((b <= v).sum()) * na)
+        if d > best[0]:
+            best = (d, v)
+    assert row["ks_numerator"] == best[0]
+    assert row["ks_at_value"] == best[1]
+    assert row["ks_stat"] == pytest.approx(best[0] / (na * nb), abs=1e-6)
+    assert 0.0 <= row["ks_stat"] <= 1.0
