@@ -173,6 +173,9 @@ HEADLINE = [
     "shingle_containment_join",
     "events_markov_backtest",
     "events_value_ks_drift",
+    "knn_graph_kcore_audit",
+    "customer_revenue_gini",
+    "orders_theil_sen_trend",
 ]
 
 

@@ -2759,3 +2759,183 @@ def q_revenue_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFram
         "n_items",
         (F.col("rev").cast("double") / F.lit(10000)).alias("revenue"),
     )
+
+
+# --- Gini concentration of customer revenue (two-level rank prefix) -----------
+
+from supplier_performance_data_pipeline_spark.functions.money import (  # noqa: E402
+    cents_sql as _cents_sql,
+)
+
+_GINI_BLOCKS = 64
+
+
+@register(
+    "customer_revenue_gini",
+    oracle=f"""
+WITH x AS (
+    SELECT c.c_custkey,
+           COALESCE(SUM({_cents_sql("o.o_totalprice")}), 0) AS v
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+),
+r AS (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY v, c_custkey) AS i FROM x
+),
+s AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(v AS DECIMAL(38,0))) AS t,
+           SUM(CAST(i * v AS DECIMAL(38,0))) AS s
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(t AS DOUBLE) / 100 AS total_revenue,
+       ROUND((2 * CAST(s AS DOUBLE) - (n + 1) * CAST(t AS DOUBLE))
+             / (n * CAST(t AS DOUBLE)), 6) AS gini
+FROM s WHERE t > 0
+""".strip(),
+)
+def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue (zero-order
+    customers included) — the revenue-concentration statistic next to
+    the nation-level HHI: G = (2*SUM(rank*x) - (n+1)*SUM(x)) / (n*SUM(x))
+    over ascending-sorted integer-cents revenues. Every term is exact
+    until the single double division: x is THE cents recipe, rank*x is
+    a BIGINT product (exact while rank*cents < 2^63 — rebucket first
+    past ~1e9 customers x 1e9 cents), and both sums accumulate in
+    DECIMAL(38,0). Ties in x are rank-order-invariant (equal values
+    contribute i*x + j*x either way), so the (v, custkey) total order
+    is for determinism of the plan, not the value.
+
+    Plan: global ranks WITHOUT a global window — the KS/lateness
+    two-level prefix: revenue-range blocks (monotone in v) carry
+    cross-block row-count offsets through a {b}-row window, intra-block
+    ranks are a block-partitioned row_number, and the three sufficient
+    statistics reduce in one order-free agg. At 100 TB the customer
+    table shuffles twice (block map, block window is dimension-sized) —
+    never a SinglePartition sort of the grain."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders")
+    v = (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)).alias("v")
+        )
+    )
+    bounds = v.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    bv = v.crossJoin(F.broadcast(bounds)).select(
+        "c_custkey",
+        "v",
+        F.coalesce(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn")).cast("double")
+                    * _GINI_BLOCKS
+                    / F.nullif(
+                        (F.col("mx") - F.col("mn")).cast("double"),
+                        F.lit(0.0),
+                    )
+                ),
+                F.lit(_GINI_BLOCKS - 1),
+            ).cast("int"),
+            F.lit(0),
+        ).alias("block"),
+    )
+    blocks = bv.groupBy("block").agg(F.count("*").alias("n_b"))
+    wprev = Window.orderBy("block").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = blocks.select(
+        "block", F.coalesce(F.sum("n_b").over(wprev), F.lit(0)).alias("off")
+    )
+    wib = Window.partitionBy("block").orderBy("v", "c_custkey")
+    r = bv.join(F.broadcast(prev), "block").select(
+        "v", (F.col("off") + F.row_number().over(wib)).alias("i")
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("t"),
+        F.sum((F.col("i") * F.col("v")).cast("decimal(38,0)")).alias("s"),
+    )
+    sd = F.col("s").cast("double")
+    td = F.col("t").cast("double")
+    return s.filter(F.col("t") > 0).select(
+        F.col("n").cast("long").alias("n_customers"),
+        (td / F.lit(100)).alias("total_revenue"),
+        F.round(
+            (F.lit(2) * sd - (F.col("n") + 1) * td) / (F.col("n") * td), 6
+        ).alias("gini"),
+    )
+
+
+q_customer_revenue_gini.__doc__ = q_customer_revenue_gini.__doc__.format(
+    b=_GINI_BLOCKS
+)
+
+
+# --- Theil-Sen robust monthly revenue trend -----------------------------------
+
+
+@register(
+    "orders_theil_sen_trend",
+    oracle=f"""
+WITH monthly AS (
+    SELECT CAST(YEAR(CAST(l_shipdate AS DATE)) * 12
+                + MONTH(CAST(l_shipdate AS DATE)) AS BIGINT) AS mi,
+           SUM({_rev_e4_sql("l_extendedprice", "l_discount")}) AS rev
+    FROM lineitem GROUP BY 1
+),
+slopes AS (
+    SELECT CAST(b.rev - a.rev AS DOUBLE)
+           / (10000.0 * (b.mi - a.mi)) AS slope
+    FROM monthly a JOIN monthly b ON b.mi > a.mi
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_months,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5), 6) AS median_slope
+FROM slopes
+""".strip(),
+)
+def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly shipped revenue: the median of
+    all pairwise month-over-month slopes — the outlier-resistant
+    alternative to least-squares the seasonal/backtest family needs
+    when single months spike (a one-month promo shifts an OLS fit but
+    not the pairwise-slope median). Slopes are exact-integer
+    differences (DECIMAL e4 revenue, integer month index year*12+month)
+    with ONE double division each; the median is the shared exact
+    interpolating percentile both engines implement identically.
+
+    Plan: one fact shuffle down to the month grain, then the pair
+    self-join and median run on a CALENDAR-BOUNDED table (~84 months of
+    TPC-H dates — the month table cannot grow with data volume, so the
+    O(months^2) pair set is a constant ~3.5k rows at ANY scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    monthly = li.groupBy(
+        (F.year(d) * 12 + F.month(d)).cast("long").alias("mi")
+    ).agg(F.sum(revenue_e4("l_extendedprice", "l_discount")).alias("rev"))
+    a = monthly.select(F.col("mi").alias("mi_a"), F.col("rev").alias("rev_a"))
+    b = monthly.select(F.col("mi").alias("mi_b"), F.col("rev").alias("rev_b"))
+    slopes = a.join(b, F.col("mi_b") > F.col("mi_a")).select(
+        (
+            (F.col("rev_b") - F.col("rev_a")).cast("double")
+            / (F.lit(10000.0) * (F.col("mi_b") - F.col("mi_a")))
+        ).alias("slope")
+    )
+    n_months = monthly.agg(F.count("*").cast("long").alias("n_months"))
+    return (
+        slopes.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5D)"), 6).alias(
+                "median_slope"
+            ),
+        )
+        .crossJoin(F.broadcast(n_months))
+        .select("n_months", "n_pairs", "median_slope")
+    )

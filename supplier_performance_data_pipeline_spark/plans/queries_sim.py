@@ -1990,3 +1990,127 @@ def q_embedding_label_noise_margin(spark: SparkSession, sf_dir: str) -> DataFram
 q_embedding_label_noise_margin.__doc__ = (
     q_embedding_label_noise_margin.__doc__.format(top=NOISE_TOP)
 )
+
+
+# --- k-core peel audit over the mutual-kNN graph ------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    ctes = [
+        _KNN_EDGES_CTES,
+        """m0 AS MATERIALIZED (
+    SELECT e1.vec_a AS src, e1.vec_b AS dst
+    FROM edges e1 JOIN edges e2
+      ON e1.vec_a = e2.vec_b AND e1.vec_b = e2.vec_a
+    WHERE e1.vec_a < e1.vec_b
+)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM "
+            f"(SELECT src AS u FROM m{r} "
+            f"UNION ALL SELECT dst FROM m{r}) GROUP BY u)"
+        )
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT u FROM d{r} WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"m{r + 1} AS MATERIALIZED (SELECT m.src, m.dst FROM m{r} m "
+            f"JOIN k{r} a ON m.src = a.u JOIN k{r} b ON m.dst = b.u)"
+        )
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS round, "
+        f"CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes, "
+        f"CAST(COUNT(*) // 2 AS BIGINT) AS n_edges FROM "
+        f"(SELECT src AS u FROM m{r} UNION ALL SELECT dst FROM m{r})"
+        for r in range(rounds + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "knn_graph_kcore_audit",
+    oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS),
+)
+def q_knn_graph_kcore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core peeling of the MUTUAL-kNN graph, {rounds} rounds —
+    (round, surviving nodes, surviving edges) per peel: the density/
+    navigability audit of an ANN graph index (a thin or fragmenting
+    core predicts disconnected greedy search) and the graph-curation
+    primitive behind coreness-weighted sampling. The co-supply graph is
+    near-complete on this data (every supplier shares an order), so the
+    mutual-kNN backbone is the graph where peeling has real dynamics.
+
+    Semantics: round 0 is the mutual graph itself (canonical src<dst
+    pairs — an edge exists iff BOTH directed kNN edges exist); each
+    round drops nodes with degree < {k} and the edges touching them;
+    equal consecutive rows mean the peel has converged to the {k}-core
+    (fixed-round unrolling, the PCA/pagerank pattern — convergence is
+    visible in the output instead of asserted). Everything is integer
+    counts; no floats anywhere.
+
+    Plan: the directed edge list builds once (the knn_join machinery),
+    the mutual backbone localCheckpoints, and each round is a degree
+    agg + two semi-joins, re-checkpointed to truncate lineage (the CC
+    discipline). At 100 TB: edges are k*N rows; every round shuffles
+    the shrinking edge set by endpoint — the standard distributed
+    k-core schedule."""
+    edges = (
+        knn_join_topk(
+            _embeddings(spark, sf_dir), DIM, KNN_K, n_planes=KNN_PLANES
+        )
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    rev = edges.select(
+        F.col("vec_a").alias("r_a"), F.col("vec_b").alias("r_b")
+    )
+    m = (
+        edges.join(
+            rev,
+            (F.col("vec_a") == F.col("r_b"))
+            & (F.col("vec_b") == F.col("r_a")),
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .localCheckpoint()
+    )
+
+    def counts(r: int, e) -> DataFrame:
+        ends = e.select(F.explode(F.array("src", "dst")).alias("u"))
+        return ends.agg(
+            F.countDistinct("u").cast("long").alias("n_nodes"),
+            F.expr("count(*) div 2").cast("long").alias("n_edges"),
+        ).select(
+            F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges"
+        )
+
+    out = counts(0, m)
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            m.select(F.col("src").alias("u"))
+            .unionAll(m.select(F.col("dst").alias("u")))
+            .groupBy("u")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("u")
+        m = (
+            m.join(
+                keep.select(F.col("u").alias("src")), "src", "left_semi"
+            )
+            .join(keep.select(F.col("u").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        out = out.unionAll(counts(r, m))
+    return out
+
+
+q_knn_graph_kcore_audit.__doc__ = q_knn_graph_kcore_audit.__doc__.format(
+    k=KCORE_K, rounds=KCORE_ROUNDS
+)

@@ -1028,3 +1028,116 @@ def test_ks_drift_matches_brute_force(spark):
     assert row["ks_at_value"] == best[1]
     assert row["ks_stat"] == pytest.approx(best[0] / (na * nb), abs=1e-6)
     assert 0.0 <= row["ks_stat"] <= 1.0
+
+
+# --- k-core peel audit -----------------------------------------------------------
+
+
+def test_kcore_peel_matches_brute_force(spark):
+    """Each round's counts must equal a brute-force peel of the mutual
+    graph, and the series must be monotone non-increasing."""
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        knn_join_topk,
+    )
+    from supplier_performance_data_pipeline_spark.plans.queries_sim import (
+        DIM,
+        KCORE_K,
+        KCORE_ROUNDS,
+        KNN_K,
+        KNN_PLANES,
+    )
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    specs = load_all()
+    rows = {
+        r["round"]: (r["n_nodes"], r["n_edges"])
+        for r in specs["knn_graph_kcore_audit"].build(spark, SF).collect()
+    }
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    directed = {
+        (r["vec_a"], r["vec_b"])
+        for r in knn_join_topk(emb, DIM, KNN_K, n_planes=KNN_PLANES)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    edges = {
+        (a, b) for (a, b) in directed if (b, a) in directed and a < b
+    }
+    for r in range(KCORE_ROUNDS + 1):
+        nodes = {u for e in edges for u in e}
+        assert rows[r] == (len(nodes), len(edges))
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {u for u, d in deg.items() if d >= KCORE_K}
+        edges = {(a, b) for (a, b) in edges if a in keep and b in keep}
+    counts = [rows[r] for r in range(KCORE_ROUNDS + 1)]
+    assert counts == sorted(counts, reverse=True)
+
+
+# --- Gini / Theil-Sen -------------------------------------------------------------
+
+
+def test_gini_matches_brute_force(spark):
+    import math
+
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    specs = load_all()
+    row = specs["customer_revenue_gini"].build(spark, SF).collect()[0]
+    cust = pd.read_parquet(f"{SF}/customer.parquet")[["c_custkey"]]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    orders["cents"] = (
+        (orders["o_totalprice"] * 100 + 0.5).apply(math.floor).astype("int64")
+    )
+    per = (
+        cust.merge(
+            orders.groupby("o_custkey")["cents"].sum().rename("v"),
+            left_on="c_custkey",
+            right_index=True,
+            how="left",
+        )["v"]
+        .fillna(0)
+        .astype("int64")
+        .sort_values()
+        .reset_index(drop=True)
+    )
+    n, t = len(per), int(per.sum())
+    s = int((per * pd.RangeIndex(1, n + 1)).sum())
+    assert row["n_customers"] == n
+    assert row["total_revenue"] == pytest.approx(t / 100, abs=1e-6)
+    assert row["gini"] == pytest.approx(
+        (2 * s - (n + 1) * t) / (n * t), abs=1e-6
+    )
+    assert 0.0 <= row["gini"] < 1.0
+
+
+def test_theil_sen_matches_brute_force(spark):
+    import math
+    import statistics
+
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    specs = load_all()
+    row = specs["orders_theil_sen_trend"].build(spark, SF).collect()[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cents = (li["l_extendedprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    pct = (li["l_discount"] * 100 + 0.5).apply(math.floor).astype("int64")
+    li = li.assign(e4=cents * (100 - pct))
+    d = pd.to_datetime(li["l_shipdate"])
+    li = li.assign(mi=d.dt.year * 12 + d.dt.month)
+    monthly = li.groupby("mi")["e4"].sum().sort_index()
+    ms = list(monthly.items())
+    slopes = [
+        (rb - ra) / (10000.0 * (mb - ma))
+        for i, (ma, ra) in enumerate(ms)
+        for (mb, rb) in ms[i + 1:]
+    ]
+    assert row["n_months"] == len(ms)
+    assert row["n_pairs"] == len(slopes)
+    assert row["median_slope"] == pytest.approx(
+        statistics.median(slopes), abs=1e-6
+    )
