@@ -176,6 +176,8 @@ HEADLINE = [
     "knn_graph_kcore_audit",
     "customer_revenue_gini",
     "orders_theil_sen_trend",
+    "events_user_growth_accounting",
+    "embedding_mmr_selection",
 ]
 
 

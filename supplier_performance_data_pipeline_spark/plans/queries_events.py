@@ -2915,3 +2915,72 @@ def q_events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_events_value_ks_drift.__doc__ = q_events_value_ks_drift.__doc__.format(
     b=_KS_BLOCKS
 )
+
+
+# --- growth accounting: DAU / new users / cumulative uniques ------------------
+
+
+@register(
+    "events_user_growth_accounting",
+    oracle="""
+WITH e AS (
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events
+),
+dau AS (
+    SELECT day, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY day
+),
+first_seen AS (
+    SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id
+),
+new_u AS (
+    SELECT first_day AS day, COUNT(*) AS new_users
+    FROM first_seen GROUP BY first_day
+)
+SELECT d.day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+           ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumulative_users
+FROM dau d LEFT JOIN new_u n ON n.day = d.day
+""".strip(),
+)
+def q_events_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting over the event stream: per day, the DAU, the
+    NEW users (first-ever appearance that day), and the cumulative
+    unique-user count — the standard product-growth triple. The trick
+    is that a naive 'cumulative COUNT(DISTINCT)' needs the full user
+    set per day; first-appearance attribution makes it one integer
+    running sum instead: cum(day) = sum of new_users over days <= day,
+    exactly because each user is counted once, on their first day.
+
+    Plan: two fact-keyed aggs (day-grain distinct via user,day; user-
+    grain min) and a LEFT join of two day-grain tables; the running sum
+    is an unpartitioned window over the CALENDAR-BOUNDED day table —
+    the monthly_revenue_growth exemption (a post-aggregate series the
+    calendar caps, never fact grain). All integers, no floats."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    dau = e.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_u = first_seen.groupBy(
+        F.col("first_day").alias("day")
+    ).agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    joined = dau.join(new_u, "day", "left").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.coalesce("new_users", F.lit(0)).alias("nu"),
+    )
+    return joined.select(
+        "day",
+        "dau",
+        F.col("nu").cast("long").alias("new_users"),
+        F.sum("nu").over(w).cast("long").alias("cumulative_users"),
+    )

@@ -2114,3 +2114,190 @@ def q_knn_graph_kcore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_knn_graph_kcore_audit.__doc__ = q_knn_graph_kcore_audit.__doc__.format(
     k=KCORE_K, rounds=KCORE_ROUNDS
 )
+
+
+# --- maximal marginal relevance (diverse top-k selection) ---------------------
+
+MMR_CAND = 20
+MMR_SELECT = 5
+_MMR_LAM = "0.7"
+_MMR_ONE_MINUS = "0.3"
+
+_DOT_AB = (
+    "list_sum(list_transform(range(0, {d}), "
+    "i -> {a}[i+1] * {b}[i+1]))"
+)
+
+
+def _mmr_oracle(dim: int, n_cand: int, n_sel: int) -> str:
+    dot_vq = _DOT_AB.format(d=dim, a="n.v", b="q.qv")
+    dot_rs = _DOT_AB.format(d=dim, a="r.v", b="s.v")
+    ctes = [
+        "b AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        (
+            "n AS (SELECT vec_id, v, sqrt("
+            + _DOT_AB.format(d=dim, a="v", b="v")
+            + ") AS nrm FROM b)"
+        ),
+        "q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0)",
+        f"""cand AS MATERIALIZED (
+    SELECT vec_id, v, nrm, rel FROM (
+        SELECT n.vec_id, n.v, n.nrm,
+               {dot_vq} / (n.nrm * q.qn) AS rel,
+               ROW_NUMBER() OVER (
+                   ORDER BY {dot_vq} / (n.nrm * q.qn) DESC, n.vec_id) AS rn
+        FROM n CROSS JOIN q WHERE n.vec_id <> 0 AND n.nrm > 0
+    ) t WHERE rn <= {n_cand}
+)""",
+        f"""sel_1 AS MATERIALIZED (
+    SELECT 1 AS rank, vec_id, v, nrm, rel, 0.0 AS max_sim,
+           {_MMR_LAM} * rel AS mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rn
+        FROM cand
+    ) t WHERE rn = 1
+)""",
+    ]
+    for t in range(2, n_sel + 1):
+        ctes.append(
+            f"""ms_{t} AS (
+    SELECT r.vec_id, r.rel,
+           MAX({dot_rs} / (r.nrm * s.nrm)) AS mx
+    FROM cand r CROSS JOIN sel_{t - 1} s
+    WHERE r.vec_id NOT IN (SELECT vec_id FROM sel_{t - 1})
+    GROUP BY r.vec_id, r.rel
+)"""
+        )
+        ctes.append(
+            f"""sel_{t} AS MATERIALIZED (
+    SELECT * FROM sel_{t - 1}
+    UNION ALL
+    SELECT {t} AS rank, c.vec_id, c.v, c.nrm, c.rel, p.mx AS max_sim,
+           {_MMR_LAM} * c.rel - {_MMR_ONE_MINUS} * p.mx AS mmr
+    FROM (
+        SELECT vec_id, mx, ROW_NUMBER() OVER (
+            ORDER BY {_MMR_LAM} * rel - {_MMR_ONE_MINUS} * mx DESC,
+                     vec_id) AS rn
+        FROM ms_{t}
+    ) p JOIN cand c ON c.vec_id = p.vec_id
+    WHERE p.rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+       ROUND(rel, 6) AS relevance,
+       ROUND(max_sim, 6) AS max_sim_to_selected,
+       ROUND(mmr, 6) AS mmr_score
+FROM sel_{n_sel}"""
+    )
+
+
+@register(
+    "embedding_mmr_selection",
+    oracle=_mmr_oracle(DIM, MMR_CAND, MMR_SELECT),
+)
+def q_embedding_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein '98):
+    greedily pick {s} of the top-{c} cosine candidates for query
+    vec_id=0, each step maximizing 0.7*relevance - 0.3*max-similarity-
+    to-already-selected — the diversity-aware retrieval/curation
+    primitive (dedup-at-selection-time: a plain top-k returns {s}
+    near-copies of the same neighborhood; MMR spends the budget on
+    coverage). Greedy argmax ties break on vec_id; every similarity is
+    the shared left-to-right double fold, so both engines walk the
+    identical selection path.
+
+    Plan: norms + candidate relevances are one scan + broadcast-query
+    projection, the top-{c} candidate pool localCheckpoints (every
+    step reads it), and each greedy step is candidates x selected
+    (<= {c} x {s} rows), an argmax TakeOrdered(1), and a 1-row append —
+    {s} tiny jobs after one fact-scale pass. At 100 TB the candidate
+    pool still bounds all iteration cost; only the initial top-{c}
+    scan sees the data."""
+    emb = _embeddings(spark, sf_dir)
+    fold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    n = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> double(x))").alias("v"),
+    ).select(
+        "vec_id",
+        "v",
+        F.sqrt(F.expr(fold.format(a="v", b="v"))).alias("nrm"),
+    )
+    q = (
+        n.filter(F.col("vec_id") == 0)
+        .select(F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    )
+    rel = F.expr(fold.format(a="v", b="qv")) / (F.col("nrm") * F.col("qn"))
+    cand = (
+        n.crossJoin(F.broadcast(q))
+        .filter((F.col("vec_id") != 0) & (F.col("nrm") > 0))
+        .select("vec_id", "v", "nrm", rel.alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_CAND)
+        .localCheckpoint()
+    )
+    sel = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            "v",
+            "nrm",
+            "rel",
+            F.lit(0.0).alias("max_sim"),
+            (F.lit(0.7) * F.col("rel")).alias("mmr"),
+        )
+    )
+    sim = F.expr(fold.format(a="v", b="sv")) / (F.col("nrm") * F.col("sn"))
+    for t in range(2, MMR_SELECT + 1):
+        sel = sel.localCheckpoint()
+        rem = cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+        ms = (
+            rem.crossJoin(
+                F.broadcast(
+                    sel.select(
+                        F.col("v").alias("sv"), F.col("nrm").alias("sn")
+                    )
+                )
+            )
+            .select("vec_id", sim.alias("sim"))
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("mx"))
+        )
+        pick = (
+            ms.join(cand, "vec_id")
+            .select(
+                F.lit(t).alias("rank"),
+                "vec_id",
+                "v",
+                "nrm",
+                "rel",
+                F.col("mx").alias("max_sim"),
+                (
+                    F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("mx")
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.round("rel", 6).alias("relevance"),
+        F.round("max_sim", 6).alias("max_sim_to_selected"),
+        F.round("mmr", 6).alias("mmr_score"),
+    )
+
+
+q_embedding_mmr_selection.__doc__ = q_embedding_mmr_selection.__doc__.format(
+    s=MMR_SELECT, c=MMR_CAND
+)

@@ -1141,3 +1141,73 @@ def test_theil_sen_matches_brute_force(spark):
     assert row["median_slope"] == pytest.approx(
         statistics.median(slopes), abs=1e-6
     )
+
+
+# --- growth accounting / MMR -------------------------------------------------------
+
+
+def test_growth_accounting_matches_pandas(spark):
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    specs = load_all()
+    rows = {
+        str(r["day"]): (r["dau"], r["new_users"], r["cumulative_users"])
+        for r in specs["events_user_growth_accounting"].build(spark, SF).collect()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    dau = ev.groupby("day")["user_id"].nunique()
+    first = ev.groupby("user_id")["day"].min()
+    new_u = first.value_counts().sort_index()
+    cum = 0
+    for day in sorted(dau.index):
+        nu = int(new_u.get(day, 0))
+        cum += nu
+        assert rows[str(day)] == (int(dau[day]), nu, cum)
+    # all users appear exactly once as new
+    assert cum == ev["user_id"].nunique()
+
+
+def test_mmr_matches_numpy_greedy(spark, emb):
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.plans.queries_sim import (
+        MMR_CAND,
+        MMR_SELECT,
+    )
+    from supplier_performance_data_pipeline_spark.plans.registry import load_all
+
+    specs = load_all()
+    rows = sorted(
+        specs["embedding_mmr_selection"].build(spark, SF).collect(),
+        key=lambda r: r["rank"],
+    )
+    pdf = emb.toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    nrm = np.sqrt((X**2).sum(axis=1))
+    qi = int(np.where(ids == 0)[0][0])
+    rel = (X @ X[qi]) / (nrm * nrm[qi])
+    mask = (ids != 0) & (nrm > 0)
+    order = sorted(np.where(mask)[0], key=lambda i: (-rel[i], ids[i]))
+    cand = order[:MMR_CAND]
+    selected = []
+    for t in range(MMR_SELECT):
+        best = None
+        for i in cand:
+            if i in selected:
+                continue
+            mx = max(
+                ((X[i] @ X[j]) / (nrm[i] * nrm[j]) for j in selected),
+                default=0.0,
+            )
+            score = 0.7 * rel[i] - 0.3 * mx
+            key = (-score, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, mx)
+        selected.append(best[1])
+        r = rows[t]
+        assert r["vec_id"] == ids[best[1]]
+        assert r["relevance"] == pytest.approx(rel[best[1]], abs=1e-6)
+        assert r["max_sim_to_selected"] == pytest.approx(best[2], abs=1e-6)
+    assert rows[0]["max_sim_to_selected"] == 0.0
