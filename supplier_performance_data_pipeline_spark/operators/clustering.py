@@ -52,16 +52,18 @@ def spread_for_fanout(df: DataFrame, *keys: str) -> DataFrame:
     A small table is one row group -> ONE scan task, so without this the
     entire exploded workload (millions of tuples plus their per-tuple
     DECIMAL casts) runs single-threaded — measured 24s -> ~2s on the
-    dim-correlation grid at sf0.1. The explicit partition count keeps
-    AQE from coalescing the tiny pre-explode shuffle back to one
-    partition (coalescing decides on PRE-explode bytes, which are ~0.5MB
-    here; the post-explode work is what needs the spread). At 100 TB the
-    scan is already wide and this adds one cheap shuffle of the narrow
-    side; downstream aggs are order-free so placement never changes
-    results.
+    dim-correlation grid at sf0.1. Delegates to readers.spread_scan,
+    which no-ops when the input is already at least cluster-wide: an
+    unconditional repartition here would COALESCE a thousands-of-splits
+    100 TB scan down to core count — the exact one-task hazard this
+    helper exists to prevent, inverted. Downstream aggs are order-free
+    so placement never changes results.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, *keys) if keys else df.repartition(n)
+    from supplier_performance_data_pipeline_spark.sources.readers import (
+        spread_scan,
+    )
+
+    return spread_scan(df, *keys)
 # Row distance (≤ dim × O(1) squares) cast to DECIMAL(24,12) before the
 # cross-row inertia sum; per-dim components round to DECIMAL(20,10)
 # before the centroid sums.

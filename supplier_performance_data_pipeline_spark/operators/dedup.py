@@ -118,8 +118,11 @@ def signatures_from_hash_pairs(hp_df: DataFrame, k: int = MINHASH_K) -> DataFram
 
 CHAR_SHINGLE_N = 5
 # 1:1 diacritic fold (translate cannot expand, so ß/æ stay) — applied
-# before lowercasing so both pre-composed cases fold identically. The
-# SAME two constants are interpolated into the DuckDB oracle.
+# AFTER lowercasing, in both engines, so uppercase accents outside the
+# map (e.g. Ÿ, whose lowercase ÿ IS mapped) still fold; the uppercase
+# map entries are kept as belt-and-braces. The SAME two constants are
+# interpolated into the DuckDB oracle, in the same lower→translate
+# order (tests/test_round6_ops.py pins the order cross-engine).
 ACCENT_FROM = "ÁÀÂÄÃÅáàâäãåÉÈÊËéèêëÍÌÎÏíìîïÓÒÔÖÕóòôöõÚÙÛÜúùûüÇçÑñÝýÿ"
 ACCENT_TO = "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOoooooUUUUuuuuCcNnYyy"
 # escaped char class, identical semantics in Java regex and RE2 (\s
@@ -128,14 +131,17 @@ WS_RX = "[ \\t\\n\\r]+"
 
 
 def fold_text(col: Column) -> Column:
-    """Language-agnostic normalization: diacritic fold → lowercase →
+    """Language-agnostic normalization: lowercase → diacritic fold →
     collapse whitespace runs → trim. Every step is codepoint-exact in
     both engines (translate is 1:1 codepoint mapping; the whitespace
     class is spelled explicitly because Java's \\s and RE2's \\s
-    disagree on vertical tab)."""
+    disagree on vertical tab). Order matters: lower() runs BEFORE
+    translate() so uppercase accents missing from the 1:1 map but whose
+    lowercase form is mapped (Ÿ→ÿ→y) still fold — and the DuckDB oracle
+    applies the identical lower-then-translate order."""
     return F.trim(
         F.regexp_replace(
-            F.lower(F.translate(col, ACCENT_FROM, ACCENT_TO)), WS_RX, " "
+            F.translate(F.lower(col), ACCENT_FROM, ACCENT_TO), WS_RX, " "
         )
     )
 
@@ -391,6 +397,32 @@ def _prefix_index(
     return dt, dl, pfx
 
 
+def _pair_overlap_stats(
+    cand: DataFrame, dt: DataFrame, dl: DataFrame
+) -> DataFrame:
+    """Shared verify step of the prefix-filtered joins: for candidate
+    (doc_a, doc_b) pairs, the exact intersection count and both set
+    sizes — (doc_a, doc_b, ni, la, lb). The Jaccard and containment
+    joins differ only in the threshold inequality and projection they
+    apply on top; the verify join itself must stay identical (PPJoin
+    positional pruning, when added, lands HERE once for both)."""
+    ta = dt.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("t_a"))
+    tb = dt.select(F.col("doc_id").alias("b_id"), F.col("tok").alias("t_b"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("b_id"))
+            & (F.col("t_a") == F.col("t_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    la = dl.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("la"))
+    lb = dl.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("lb"))
+    return inter.join(la, "doc_a").join(lb, "doc_b")
+
+
 def jaccard_prefix_join(
     docs: DataFrame,
     threshold_num: int = 3,
@@ -432,23 +464,8 @@ def jaccard_prefix_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ta = dt.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("t_a"))
-    tb = dt.select(F.col("doc_id").alias("b_id"), F.col("tok").alias("t_b"))
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(
-            tb,
-            (F.col("doc_b") == F.col("b_id"))
-            & (F.col("t_a") == F.col("t_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ni"))
-    )
-    la = dl.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("la"))
-    lb = dl.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("lb"))
     return (
-        inter.join(la, "doc_a")
-        .join(lb, "doc_b")
+        _pair_overlap_stats(cand, dt, dl)
         .filter(
             F.lit(threshold_den) * F.col("ni")
             >= F.lit(threshold_num)
@@ -513,23 +530,8 @@ def containment_prefix_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ta = dt.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("t_a"))
-    tb = dt.select(F.col("doc_id").alias("b_id"), F.col("tok").alias("t_b"))
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(
-            tb,
-            (F.col("doc_b") == F.col("b_id"))
-            & (F.col("t_a") == F.col("t_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ni"))
-    )
-    la = dl.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("la"))
-    lb = dl.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("lb"))
     return (
-        inter.join(la, "doc_a")
-        .join(lb, "doc_b")
+        _pair_overlap_stats(cand, dt, dl)
         .filter(
             F.lit(threshold_den) * F.col("ni")
             >= F.lit(threshold_num) * F.col("la")

@@ -18,7 +18,6 @@ from supplier_performance_data_pipeline_spark.operators.textops import tokens
 from supplier_performance_data_pipeline_spark.plans.queries_text import _TOKS_CTE
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.session import tune_session
-from supplier_performance_data_pipeline_spark.sources.readers import spread_scan
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,7 +28,6 @@ from supplier_performance_data_pipeline_spark.operators.sampling import (
 from supplier_performance_data_pipeline_spark.operators.textops import TOKEN_SPLIT_RX
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.session import tune_session
-from supplier_performance_data_pipeline_spark.sources.readers import spread_scan
 
 _TOKS = (
     "list_filter(regexp_split_to_array(lower(text), "

@@ -2185,7 +2185,8 @@ _KMV_BUCKETS = 256  # per-type parallel prefilter fan-out
 WITH uh AS (
     SELECT DISTINCT event_type,
            {_kmv_md5_mod_sql("CAST(user_id AS VARCHAR)", _KMV_SALT, KMV_M)} AS h
-    FROM events WHERE event_type IN ('view', 'purchase')
+    FROM events
+    WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL
 ),
 ranked AS (
     SELECT event_type, h, ROW_NUMBER() OVER (
@@ -2272,9 +2273,14 @@ def q_events_kmv_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFra
     pigeonhole argument). Everything downstream is 1-row aggs."""
     from pyspark.sql.window import Window
 
+    # NULL user_id never reaches the hash (md5_mod's engine twins
+    # disagree on NULL: Spark concat propagates, DuckDB concat skips).
     ev = (
         _events(spark, sf_dir)
-        .filter(F.col("event_type").isin("view", "purchase"))
+        .filter(
+            F.col("event_type").isin("view", "purchase")
+            & F.col("user_id").isNotNull()
+        )
         .select(
             "event_type",
             _kmv_md5_mod(F.col("user_id"), _KMV_SALT, KMV_M).alias("h"),
@@ -2467,7 +2473,7 @@ _AB_SALT = "ab1|"
     "events_ab_test_analysis",
     oracle=f"""
 WITH users AS (
-    SELECT DISTINCT user_id FROM events
+    SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
 ),
 pc AS (
     SELECT user_id, COUNT(*) AS c FROM events
@@ -2523,8 +2529,18 @@ def q_events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan builds the user universe, one filtered scan counts
     purchases, both collapse at user grain before anything else; the
     z computation is a 2-row cross of 1-row aggregates. At 100 TB both
-    aggs are map-side-combinable hash aggs on user_id."""
-    users = _events(spark, sf_dir).select("user_id").distinct()
+    aggs are map-side-combinable hash aggs on user_id.
+
+    NULL user_id is filtered in BOTH arms before hashing: md5_mod's
+    engine twins disagree on NULL (Spark concat propagates NULL →
+    variant 'B'; DuckDB concat skips NULL args → a real hash), so an
+    anonymous event must never reach the bucketing hash."""
+    users = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
     pc = (
         _events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -2672,7 +2688,7 @@ WITH seq AS (
            LEAD(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
            ) AS next_type
-    FROM events
+    FROM events WHERE user_id IS NOT NULL
 ),
 labeled AS (
     SELECT event_type, next_type,
@@ -2720,10 +2736,15 @@ def q_events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer); train counts collapse to a 5x5 table, the 5-row argmax
     broadcast-joins onto held-out transitions, and scoring is one
     cur-event-keyed agg. At 100 TB the only fact-scale shuffles are the
-    window sort and the two tiny-key aggs."""
+    window sort and the two tiny-key aggs.
+
+    NULL user_id is filtered in BOTH arms before hashing: md5_mod's
+    engine twins disagree on NULL (Spark concat propagates NULL so the
+    anonymous sequence drops out of both folds; DuckDB concat skips
+    NULL args and assigns it a real fold)."""
     from pyspark.sql.window import Window
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     labeled = (
         ev.select(

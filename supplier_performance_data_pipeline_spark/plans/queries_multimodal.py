@@ -345,9 +345,17 @@ from supplier_performance_data_pipeline_spark.operators.multimodal import (  # n
 
 _AHASH_MAX_HAMMING = 3
 
+# Pixel i = i-th UTF-8 BYTE of the payload (not the i-th character's
+# codepoint): the Spark arm hashes payload bytes, so the oracle must
+# too or any non-ASCII document diverges (é is TWO pixels, 0xC3 0xA9).
+# DuckDB can't index a BLOB directly, so go through hex(): byte i is
+# hex digit pair (2i+1, 2i+2), each decoded via strpos over the
+# uppercase hex alphabet — integer-exact, no codepoint model at all.
 _AHASH_PIX = (
-    "list_transform(range(0, 64), i -> CASE WHEN i < length(text) "
-    "THEN ascii(substr(text, i + 1, 1)) ELSE 0 END)"
+    "list_transform(range(0, 64), i -> CASE WHEN i < nb "
+    "THEN (strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1) * 16 "
+    "+ (strpos('0123456789ABCDEF', substr(hx, 2 * i + 2, 1)) - 1) "
+    "ELSE 0 END)"
 )
 _AHASH_BAND_COLS = ", ".join(
     "CAST(list_sum(list_transform(range(0, 16), "
@@ -360,8 +368,13 @@ _AHASH_HAM = " + ".join(f"bit_count(xor(a.b{s}, b.b{s}))" for s in range(4))
 @register(
     "multimodal_ahash_near_dup",
     oracle=f"""
-WITH px AS (
-    SELECT doc_id, {_AHASH_PIX} AS pix FROM documents
+WITH raw AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents
+),
+px AS (
+    SELECT doc_id, {_AHASH_PIX} AS pix FROM raw
 ),
 tot AS (SELECT doc_id, pix, list_sum(pix) AS total FROM px),
 bits AS (

@@ -23,7 +23,6 @@ from supplier_performance_data_pipeline_spark.operators.similarity import (
 )
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.session import tune_session
-from supplier_performance_data_pipeline_spark.sources.readers import spread_scan
 
 DIM = 64
 TOP_K = 10
@@ -1221,40 +1220,15 @@ def q_ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- mutual-kNN graph degree structure ---------------------------------------
 
-_KNN_EDGES_CTES = f"""
-{_KNN_PLANES_CTE},
-proj AS (
-    SELECT e.vec_id, e.embedding, pl.p,
-           list_sum(list_transform(range(0, len(e.embedding)),
-               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(pl.hp[i+1] AS DOUBLE))) AS d
-    FROM embeddings e CROSS JOIN knn_planes pl
-),
-buckets AS (
-    SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
-                                 ELSE 0 END) AS BIGINT) AS bucket
-    FROM proj GROUP BY vec_id
-),
-base AS (
-    SELECT e.vec_id, e.embedding, b.bucket,
-           sqrt(list_sum(list_transform(range(0, len(e.embedding)),
-               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) AS nrm
-    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
-),
-scored AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_sum(list_transform(range(0, len(a.embedding)),
-                 i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
-               / (a.nrm * b.nrm), 6) AS cosine_sim
-    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-      AND a.nrm > 0 AND b.nrm > 0
-),
-ranked AS (
-    SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY vec_a ORDER BY cosine_sim DESC, vec_b) AS rank
-    FROM scored
-),
-edges AS (SELECT vec_a, vec_b FROM ranked WHERE rank <= {KNN_K})
-""".strip()
+# The edge set IS the registered knn_join_top5 oracle, embedded
+# verbatim as a subquery — the same anti-drift composition as
+# knn_join_recall / ann_recall_at_10, so a tweak to the kNN operator's
+# oracle can never silently diverge from the graph these audits read.
+_KNN_EDGES_CTES = (
+    "edges AS (SELECT vec_a, vec_b FROM (\n"
+    + REGISTRY["knn_join_top5"].oracle
+    + "\n) knn_top5)"
+)
 
 
 @register(

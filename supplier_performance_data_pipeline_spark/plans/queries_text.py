@@ -42,7 +42,6 @@ from supplier_performance_data_pipeline_spark.operators.textops import (
 )
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.session import tune_session
-from supplier_performance_data_pipeline_spark.sources.readers import spread_scan
 
 # --- DuckDB dialect fragments (mirror textops/dedup exactly) ---------------
 
@@ -2216,10 +2215,14 @@ from supplier_performance_data_pipeline_spark.operators.dedup import (  # noqa: 
 _PPJ_NUM, _PPJ_DEN = 3, 5  # Jaccard threshold 0.6
 
 
-@register(
-    "shingle_jaccard_prefix_join",
-    oracle=f"""
-WITH {_TOKS_CTE},
+def _prefix_index_ctes(num: int, den: int) -> str:
+    """DuckDB twin of operators/dedup.py::_prefix_index, shared by the
+    Jaccard and containment oracles exactly as the Spark joins share
+    the scaffolding: distinct shingle table, df counts, set sizes, and
+    the per-doc prefix at threshold num/den. The two oracles differ
+    only in their cand CTE and threshold — this fragment must stay
+    one copy or the oracles drift from each other."""
+    return f"""{_TOKS_CTE},
 {_SHINGLES_CTE},
 dt AS (
     SELECT DISTINCT doc_id, unnest(shingles) AS tok FROM sh_cte
@@ -2234,19 +2237,30 @@ pos AS (
 pfx AS (
     SELECT p.doc_id, p.tok FROM pos p JOIN dl USING (doc_id)
     WHERE p.pos <= dl.len
-        - (({_PPJ_NUM} * dl.len + {_PPJ_DEN - 1}) // {_PPJ_DEN}) + 1
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
-),
-inter AS (
+        - (({num} * dl.len + {den - 1}) // {den}) + 1
+)"""
+
+
+# Exact intersection count per candidate pair — the shared verify step
+# (twin of operators/dedup.py::_pair_overlap_stats).
+_PREFIX_INTER_CTE = """inter AS (
     SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
     FROM cand c
     JOIN dt ta ON ta.doc_id = c.doc_a
     JOIN dt tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
     GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+
+@register(
+    "shingle_jaccard_prefix_join",
+    oracle=f"""
+WITH {_prefix_index_ctes(_PPJ_NUM, _PPJ_DEN)},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+{_PREFIX_INTER_CTE}
 SELECT i.doc_a, i.doc_b,
        CAST(i.ni AS BIGINT) AS n_common,
        CAST(la.len AS BIGINT) AS len_a,
@@ -2284,34 +2298,12 @@ _CTJ_NUM, _CTJ_DEN = 4, 5  # containment threshold 0.8
 @register(
     "shingle_containment_join",
     oracle=f"""
-WITH {_TOKS_CTE},
-{_SHINGLES_CTE},
-dt AS (
-    SELECT DISTINCT doc_id, unnest(shingles) AS tok FROM sh_cte
-),
-gf AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
-dl AS (SELECT doc_id, COUNT(*) AS len FROM dt GROUP BY doc_id),
-pos AS (
-    SELECT d.doc_id, d.tok, ROW_NUMBER() OVER (
-        PARTITION BY d.doc_id ORDER BY g.df, d.tok) AS pos
-    FROM dt d JOIN gf g USING (tok)
-),
-pfx AS (
-    SELECT p.doc_id, p.tok FROM pos p JOIN dl USING (doc_id)
-    WHERE p.pos <= dl.len
-        - (({_CTJ_NUM} * dl.len + {_CTJ_DEN - 1}) // {_CTJ_DEN}) + 1
-),
+WITH {_prefix_index_ctes(_CTJ_NUM, _CTJ_DEN)},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM pfx a JOIN dt b ON a.tok = b.tok AND a.doc_id <> b.doc_id
 ),
-inter AS (
-    SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
-    FROM cand c
-    JOIN dt ta ON ta.doc_id = c.doc_a
-    JOIN dt tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-    GROUP BY c.doc_a, c.doc_b
-)
+{_PREFIX_INTER_CTE}
 SELECT i.doc_a AS doc_contained, i.doc_b AS doc_container,
        CAST(i.ni AS BIGINT) AS n_common,
        CAST(la.len AS BIGINT) AS len_contained,

@@ -42,6 +42,34 @@ def test_fold_text_folds_accents_case_and_whitespace(spark):
     assert out == "cafe com lecao x"
 
 
+def test_fold_text_order_matches_oracle_cross_engine(spark):
+    # lower() must run BEFORE translate() in BOTH engines: 'Ÿ' is not
+    # in the 1:1 accent map but its lowercase 'ÿ' is, so translate-
+    # then-lower would leave 'ÿ' while the oracle folds to 'y'. Pin
+    # the Spark arm against the literal DuckDB fragment.
+    import duckdb
+
+    from supplier_performance_data_pipeline_spark.plans.queries_text import (
+        _CHAR_FOLD,
+    )
+
+    samples = ["L'HAŸ  les Roses", "Café ÑANDÚ\t x", "Ÿÿ ÉeÈ  ÇA"]
+    df = _docs_df(spark, list(enumerate(samples)))
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", fold_text(F.col("text")).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        exp = con.execute(
+            f"SELECT {_CHAR_FOLD} FROM (SELECT ? AS text)", [s]
+        ).fetchone()[0]
+        assert got[i] == exp, (s, got[i], exp)
+    assert got[0] == "l'hay les roses"
+
+
 def test_fold_text_is_idempotent(spark):
     df = _docs_df(spark, [(0, "Águila  VIEJA\tnñandú")])
     once = df.select(fold_text(F.col("text")).alias("s"))
@@ -191,6 +219,38 @@ def test_ahash_band_pigeonhole_matches_brute_force(spark):
             if h <= 3:
                 brute.append((a, b, h))
     assert banded == sorted(brute)
+
+
+def test_ahash_oracle_matches_on_non_ascii_payloads(spark, tmp_path):
+    """The oracle models pixels as UTF-8 BYTES (via hex(encode())), the
+    same thing the Spark arm hashes — a non-ASCII doc ('é' = TWO
+    pixels 0xC3 0xA9, CJK = three) must produce identical pairs in
+    both engines. ASCII fixtures can't catch a codepoint-model drift;
+    this corpus does."""
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        REGISTRY,
+        load_all,
+    )
+    from tests.oracle_utils import assert_frames_match, run_oracle
+
+    load_all()
+
+    rows = [
+        (0, "L'Haÿ-les-Roses café déjà vu — naïve façade, ça brûle! ÿ"),
+        (1, "L'Haÿ-les-Roses café déjà vu — naïve façade, ça brûle! ÿ"),
+        (2, "日本語のテキストです。これは知覚ハッシュの試験データです。"),
+        (3, "日本語のテキストです。これは知覚ハッシュの試験データです。"),
+        (4, "plain ascii filler that matches nothing else in this set.."),
+    ]
+    sf = str(tmp_path)
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{sf}/documents.parquet", index=False
+    )
+    spec = REGISTRY["multimodal_ahash_near_dup"]
+    got = spec.build(spark, sf).toPandas()
+    exp = run_oracle(sf, spec.oracle)
+    assert len(got) >= 2  # both duplicate pairs actually met
+    assert_frames_match(got, exp, "multimodal_ahash_near_dup[non-ascii]")
 
 
 # --- streaming TTL eviction --------------------------------------------------
