@@ -178,6 +178,10 @@ HEADLINE = [
     "orders_theil_sen_trend",
     "events_user_growth_accounting",
     "embedding_mmr_selection",
+    "embedding_hard_negatives",
+    "dedup_edit_distance_verify",
+    "events_ams_f2_audit",
+    "dedup_sorted_neighborhood",
 ]
 
 

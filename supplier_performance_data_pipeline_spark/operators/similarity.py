@@ -284,6 +284,7 @@ def knn_join_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Approximate k-NN JOIN: for EVERY vector, its top-``k`` nearest
     same-bucket neighbors by exact cosine — the batch form of ANN that
@@ -307,31 +308,47 @@ def knn_join_topk(
     (``nrm > 0``): cosine against a zero vector is 0/0 = NaN, and
     Spark's descending sort ranks NaN above every real similarity, so
     an unguarded degenerate vector would surface as the TOP neighbor
-    of its whole bucket."""
+    of its whole bucket.
+
+    ``exclude_label_col`` flips the join into HARD-NEGATIVE MINING
+    (the contrastive-training data op): candidates must carry a
+    DIFFERENT label than the anchor, so the top-k are the most-similar
+    wrong-class vectors — the pairs a contrastive loss learns most
+    from. The output then also carries ``label_a``/``label_b``."""
     from pyspark.sql.window import Window
 
     v = _as_double(F.col(vec_col))
-    base = embeddings.select(F.col(id_col).alias("vid"), v.alias("v")).select(
+    lbl = [F.col(exclude_label_col).alias("lbl")] if exclude_label_col else []
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), v.alias("v"), *lbl
+    ).select(
         "vid",
         "v",
         F.expr(lsh_bucket_expr("v", dim, n_planes)).alias("bucket"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        *(["lbl"] if exclude_label_col else []),
     ).filter(F.col("nrm") > 0.0)
+    la = [F.col("lbl").alias("label_a")] if exclude_label_col else []
+    lb = [F.col("lbl").alias("label_b")] if exclude_label_col else []
     a = base.select(
         F.col("vid").alias("vec_a"), F.col("v").alias("va"),
-        "bucket", F.col("nrm").alias("na"),
+        "bucket", F.col("nrm").alias("na"), *la,
     )
     b = base.select(
         F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
-        "bucket", F.col("nrm").alias("nb"),
+        "bucket", F.col("nrm").alias("nb"), *lb,
     )
+    pair_filter = F.col("vec_a") != F.col("vec_b")
+    if exclude_label_col:
+        pair_filter = pair_filter & (F.col("label_a") != F.col("label_b"))
     cos = F.round(
         dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
+    out_lbls = ["label_a", "label_b"] if exclude_label_col else []
     scored = (
         a.join(b, "bucket")
-        .filter(F.col("vec_a") != F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine_sim"))
+        .filter(pair_filter)
+        .select("vec_a", "vec_b", *out_lbls, cos.alias("cosine_sim"))
     )
     w = Window.partitionBy("vec_a").orderBy(
         F.desc("cosine_sim"), F.asc("vec_b")

@@ -3005,3 +3005,99 @@ def q_events_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("nu").cast("long").alias("new_users"),
         F.sum("nu").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+# --- AMS tug-of-war F2 sketch audit ------------------------------------------
+
+_AMS_K = 16  # independent +/-1 estimators; relative error ~ 1/sqrt(K)
+_AMS_SALT = "ams"
+
+
+@register(
+    "events_ams_f2_audit",
+    oracle=f"""
+WITH cu AS (
+    SELECT user_id, COUNT(*) AS c FROM events
+    WHERE user_id IS NOT NULL GROUP BY user_id
+),
+s AS (
+    SELECT js.j,
+           CAST(SUM((1 - 2 * {md5_mod_sql("concat(js.j, '|', CAST(cu.user_id AS VARCHAR))", _AMS_SALT, 2)}) * cu.c) AS BIGINT) AS sj
+    FROM cu CROSS JOIN (SELECT unnest(range(0, {_AMS_K})) AS j) js
+    GROUP BY js.j
+),
+est AS (
+    SELECT CAST(SUM(sj * sj) AS BIGINT) AS tot, COUNT(*) AS k FROM s
+),
+ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2 FROM cu)
+SELECT CAST(ex.f2 AS BIGINT) AS exact_f2,
+       CAST(est.k AS BIGINT) AS n_estimators,
+       ROUND(CAST(est.tot AS DOUBLE) / est.k, 6) AS est_f2_mean,
+       ROUND(abs(CAST(est.tot AS DOUBLE) / est.k - ex.f2)
+             / CAST(ex.f2 AS DOUBLE), 6) AS rel_error
+FROM ex CROSS JOIN est
+""".strip(),
+)
+def q_events_ams_f2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS "tug-of-war" sketch (Alon, Matias & Szegedy STOC '96) for
+    the SECOND FREQUENCY MOMENT of per-user activity — F2 = Σ c_u²,
+    the statistic behind self-join size estimation, skew detection,
+    and repeat-rate monitoring. Each of {k} estimators hashes every
+    user to a ±1 sign (the engine-wide md5_mod recipe over a per-
+    estimator salt), accumulates S_j = Σ sign_j(u)·c_u, and E[S_j²] =
+    F2; the audit ships the estimate NEXT TO the exact F2 (the
+    verified-estimator pattern of the KMV/CM/HLL family) so sketch
+    error is measured, not trusted.
+
+    Determinism: signs and sums are pure integers (|S_j| ≤ Σc < 2^31,
+    S_j² fits BIGINT comfortably); the two output-edge divisions are
+    the only doubles. NULL user_id is filtered before hashing (the
+    engine-concat-on-NULL rule). Plan: one user-grain hash agg, then a
+    {k}-way explode of the (user, count) table — K rows per user, all
+    map-side — into a {k}-group agg; everything after is 1-row. At
+    100 TB this is the textbook mergeable sketch: per-partition
+    partial sums combine associatively, and the user-grain agg is the
+    only fact-scale shuffle."""
+    cu = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    j = F.explode(F.array(*[F.lit(i) for i in range(_AMS_K)])).alias("j")
+    signed = cu.select("user_id", "c", j).select(
+        "j",
+        (
+            (
+                F.lit(1)
+                - F.lit(2)
+                * md5_mod(
+                    F.concat_ws(
+                        "", F.col("j").cast("string"), F.lit("|"),
+                        F.col("user_id").cast("string"),
+                    ),
+                    _AMS_SALT,
+                    2,
+                )
+            )
+            * F.col("c")
+        ).alias("t"),
+    )
+    s = signed.groupBy("j").agg(F.sum("t").cast("long").alias("sj"))
+    est = s.agg(
+        F.sum(F.col("sj") * F.col("sj")).cast("long").alias("tot"),
+        F.count("*").alias("k"),
+    )
+    ex = cu.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2"))
+    mean = F.col("tot").cast("double") / F.col("k")
+    return ex.crossJoin(est).select(
+        F.col("f2").cast("long").alias("exact_f2"),
+        F.col("k").cast("long").alias("n_estimators"),
+        F.round(mean, 6).alias("est_f2_mean"),
+        F.round(
+            F.abs(mean - F.col("f2")) / F.col("f2").cast("double"), 6
+        ).alias("rel_error"),
+    )
+
+
+q_events_ams_f2_audit.__doc__ = q_events_ams_f2_audit.__doc__.format(k=_AMS_K)

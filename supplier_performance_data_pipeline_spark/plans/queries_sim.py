@@ -658,10 +658,21 @@ _KNN_PLANES_CTE = (
 )
 
 
-@register(
-    "knn_join_top5",
-    oracle=f"""
-WITH {_KNN_PLANES_CTE},
+def _knn_scored_ctes(with_label: bool = False) -> str:
+    """The planes→proj→buckets→base→scored CTE chain of the kNN-join
+    oracle, generated ONCE for both its consumers (the plain kNN join
+    and the hard-negative variant) so the two can never drift. With
+    ``with_label`` the base carries each vector's label and the
+    candidate join additionally requires labels to DIFFER — the
+    hard-negative semantics; everything else is textually identical."""
+    lbl_base = ", e.label" if with_label else ""
+    lbl_out = (
+        "\n           a.label AS label_a, b.label AS label_b,"
+        if with_label
+        else ""
+    )
+    lbl_join = " AND a.label <> b.label" if with_label else ""
+    return f"""{_KNN_PLANES_CTE},
 proj AS (
     SELECT e.vec_id, e.embedding, pl.p,
            list_sum(list_transform(range(0, len(e.embedding)),
@@ -674,19 +685,25 @@ buckets AS (
     FROM proj GROUP BY vec_id
 ),
 base AS (
-    SELECT e.vec_id, e.embedding, b.bucket,
+    SELECT e.vec_id, e.embedding, b.bucket{lbl_base},
            sqrt(list_sum(list_transform(range(0, len(e.embedding)),
                i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) AS nrm
     FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
 ),
 scored AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,{lbl_out}
            ROUND(list_sum(list_transform(range(0, len(a.embedding)),
                  i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
                / (a.nrm * b.nrm), 6) AS cosine_sim
-    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id{lbl_join}
       AND a.nrm > 0 AND b.nrm > 0
-),
+)"""
+
+
+@register(
+    "knn_join_top5",
+    oracle=f"""
+WITH {_knn_scored_ctes()},
 ranked AS (
     SELECT *, CAST(ROW_NUMBER() OVER (
         PARTITION BY vec_a ORDER BY cosine_sim DESC, vec_b) AS INTEGER) AS rank
@@ -2275,3 +2292,60 @@ def q_embedding_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_embedding_mmr_selection.__doc__ = q_embedding_mmr_selection.__doc__.format(
     s=MMR_SELECT, c=MMR_CAND
 )
+
+
+# --- hard-negative mining (contrastive-training data op) ----------------------
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=f"""
+WITH {_knn_scored_ctes(with_label=True)},
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_a ORDER BY cosine_sim DESC, vec_b) AS rn
+    FROM scored
+)
+SELECT vec_a AS anchor_id,
+       label_a AS anchor_label,
+       vec_b AS negative_id,
+       label_b AS negative_label,
+       cosine_sim
+FROM ranked WHERE rn = 1
+""".strip(),
+)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: each anchor's
+    single most-similar vector carrying a DIFFERENT label — the
+    near-miss wrong-class examples a contrastive/triplet loss learns
+    most from (and the standard retrieval-training companion of the
+    kNN join; e.g. DPR's BM25 hard negatives, here by embedding).
+
+    Implementation is ``knn_join_topk(exclude_label_col='label')`` —
+    the SAME bucketed candidate join as ``knn_join_top5`` with the
+    label-inequality predicate pushed into the pair filter, so
+    candidates never include same-class vectors and the per-anchor
+    window ranks only true negatives. The oracle is generated from the
+    same CTE chain as the registered kNN-join oracle
+    (``_knn_scored_ctes``), parameterized by the label predicate, so
+    the two surfaces cannot drift. NULL labels drop out in both
+    engines identically (NULL <> x is NULL -> filtered).
+
+    Determinism: ranked on (ROUNDED cosine DESC, vec_b ASC) — a total
+    order; one double division per pair at the output edge. Plan:
+    bucket equi-join (never all-pairs), per-anchor window over few
+    candidates; at 100 TB identical scale posture to the kNN join —
+    bucket-partitioned shuffle, AQE skew-join on hot buckets."""
+    return knn_join_topk(
+        _embeddings(spark, sf_dir),
+        DIM,
+        1,
+        n_planes=KNN_PLANES,
+        exclude_label_col="label",
+    ).select(
+        F.col("vec_a").alias("anchor_id"),
+        F.col("label_a").alias("anchor_label"),
+        F.col("vec_b").alias("negative_id"),
+        F.col("label_b").alias("negative_label"),
+        "cosine_sim",
+    )

@@ -2328,3 +2328,237 @@ def q_shingle_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_prefix_join(
         _docs(spark, sf_dir), _CTJ_NUM, _CTJ_DEN
     )
+
+
+# --- edit-distance verification of LSH candidates (fuzzy dedup) ---------------
+
+# ASCII projection before the distance: Spark's levenshtein counts
+# CHARACTERS while DuckDB's counts BYTES, so any non-ASCII char makes
+# the raw distances disagree ('café' vs 'cafe': 1 char edit, 2 byte
+# edits). Stripping non-ASCII (identical regex in Java and RE2) makes
+# byte == char and the DP integer-exact in both engines; CJK-heavy
+# near-dups are the char-n-gram detector's job, not this verifier's.
+_ED_ASCII = "[^\\x01-\\x7F]"
+
+
+@register(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+WITH cand AS (
+    SELECT doc_a, doc_b FROM ({{pairs}}) p
+    WHERE p.n_matching_components >= {CC_MIN_MATCH}
+),
+t AS (
+    SELECT doc_id,
+           regexp_replace(text, '{_ED_ASCII}', '', 'g') AS atext
+    FROM documents
+),
+d AS (
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(ta.atext, tb.atext) AS ed,
+           length(ta.atext) AS la, length(tb.atext) AS lb
+    FROM cand c
+    JOIN t ta ON ta.doc_id = c.doc_a
+    JOIN t tb ON tb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(ed AS INTEGER) AS edit_distance,
+       CAST(la AS BIGINT) AS len_a,
+       CAST(lb AS BIGINT) AS len_b,
+       CASE WHEN GREATEST(la, lb) = 0 THEN 1.0
+            ELSE ROUND(1.0 - CAST(ed AS DOUBLE) / GREATEST(la, lb), 6)
+       END AS edit_similarity
+FROM d
+""".strip(),
+)
+def q_dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE verification of the MinHash-LSH candidates — the
+    second-opinion verifier fuzzy dedup pipelines run after set-based
+    candidate generation: token-set detectors are blind to word ORDER
+    and to sub-token edits, so a pair with high estimated Jaccard can
+    still be a heavy rewrite. Levenshtein on the candidate pairs (never
+    all-pairs — the DP is O(len²) per pair, affordable only because LSH
+    bounds the pair count) gives the character-level ground truth:
+    ``edit_similarity`` = 1 − d/max(len), 1.0 for identical texts.
+
+    Cross-engine: both texts are ASCII-projected first (see _ED_ASCII
+    note — Spark counts chars, DuckDB counts bytes; after projection
+    the distances are the same integers), the oracle embeds the
+    registered lsh_near_dup_pairs oracle verbatim (anti-drift
+    composition), and the only double is the output-edge division.
+
+    Plan: candidate join (bounded by the LSH pair count) + two
+    broadcast-size text joins at sf; at 100 TB the text join shuffles
+    on doc_id and the per-pair DP runs JVM-side in whole-stage codegen
+    — no Python anywhere. Skewed mega-clusters bound the verifier the
+    same way they bound the exact-Jaccard verify."""
+    pairs = q_lsh_near_dup_pairs(spark, sf_dir).filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).select("doc_a", "doc_b")
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _ED_ASCII, "").alias("atext"),
+    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("atext").alias("ta"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("atext").alias("tb"))
+    ed = F.levenshtein(F.col("ta"), F.col("tb"))
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ed.cast("int").alias("edit_distance"),
+            F.length("ta").cast("long").alias("len_a"),
+            F.length("tb").cast("long").alias("len_b"),
+            F.when(mx == 0, F.lit(1.0))
+            .otherwise(
+                F.round(F.lit(1.0) - ed.cast("double") / mx, 6)
+            )
+            .alias("edit_similarity"),
+        )
+    )
+
+
+REGISTRY["dedup_edit_distance_verify"] = QuerySpec(
+    name="dedup_edit_distance_verify",
+    build=REGISTRY["dedup_edit_distance_verify"].build,
+    oracle=REGISTRY["dedup_edit_distance_verify"].oracle.format(
+        pairs=REGISTRY["lsh_near_dup_pairs"].oracle
+    ),
+)
+
+
+# --- sorted-neighborhood blocking (the third candidate-generation family) -----
+
+_SNM_WINDOW = 3  # pair each doc with the next w docs in sort order
+_SNM_BLK = 2  # block key: first chars of the folded text
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+dt AS (
+    SELECT DISTINCT doc_id, unnest(shingles) AS tok FROM sh_cte
+),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM dt GROUP BY doc_id),
+f AS (SELECT doc_id, {_CHAR_FOLD} AS s FROM documents),
+r AS (
+    SELECT doc_id, s, substr(s, 1, {_SNM_BLK}) AS blk,
+           ROW_NUMBER() OVER (
+               PARTITION BY substr(s, 1, {_SNM_BLK}) ORDER BY s, doc_id
+           ) AS rn
+    FROM f
+),
+cand AS (
+    SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+           GREATEST(a.doc_id, b.doc_id) AS doc_b,
+           CAST(b.rn - a.rn AS INTEGER) AS window_dist
+    FROM r a JOIN r b
+      ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW}
+),
+{_PREFIX_INTER_CTE}
+SELECT c.doc_a, c.doc_b, c.window_dist,
+       CAST(i.ni AS BIGINT) AS n_common,
+       CAST(la.len AS BIGINT) AS len_a,
+       CAST(lb.len AS BIGINT) AS len_b,
+       ROUND(CAST(i.ni AS DOUBLE) / (la.len + lb.len - i.ni), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN dl la ON la.doc_id = c.doc_a
+JOIN dl lb ON lb.doc_id = c.doc_b
+""".strip(),
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo SIGMOD '95) —
+    the third candidate-generation family next to LSH (probabilistic)
+    and prefix filtering (exact): sort records by a fuzzy key (the
+    folded text), pair each record with its next w={w} neighbors in
+    sort order, verify with exact shingle-set Jaccard. Near-identical
+    texts sort adjacent, so a TINY candidate budget (≤ w·N pairs,
+    linear!) catches prefix-sharing near-dups that differ too much for
+    banding thresholds — and the per-pair cost bound is what big
+    record-linkage systems prize about SNM.
+
+    Candidates only EMIT if the pair shares ≥ 1 shingle (the verify
+    join is the intersection count — identical inner-join semantics in
+    both engines). Determinism: folded-text sort is UTF-8 binary order
+    in both engines with doc_id as total tie-break; counts are
+    integers; one double division at the edge.
+
+    Plan: the sort is a WINDOW PARTITIONED BY the {b}-char block key —
+    never a global sort: blocks are the scale unit (the classic SNM
+    multi-pass variant = several block keys), so at 100 TB each block
+    sorts locally after one hash shuffle, and the window-distance
+    self-join is a block-bounded equi-join. Verify reuses the shared
+    shingle table + intersection machinery of the prefix-join family."""
+    from pyspark.sql.window import Window
+
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        _pair_overlap_stats,
+        fold_text,
+        shingle_sets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    dt = (
+        shingle_sets(docs)
+        .select(
+            "doc_id", F.explode(F.array_distinct("shingles")).alias("tok")
+        )
+        .localCheckpoint()
+    )
+    dl = dt.groupBy("doc_id").agg(F.count("*").alias("len"))
+    f = docs.select("doc_id", fold_text(F.col("text")).alias("s"))
+    blk = F.substring("s", 1, _SNM_BLK)
+    w = Window.partitionBy("blk").orderBy("s", "doc_id")
+    r = f.select("doc_id", "s", blk.alias("blk")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    a = r.select(
+        F.col("doc_id").alias("id_a"), "blk", F.col("rn").alias("rn_a")
+    )
+    b = r.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("rn_b") - F.col("rn_a")).between(1, _SNM_WINDOW),
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            (F.col("rn_b") - F.col("rn_a")).cast("int").alias("window_dist"),
+        )
+    )
+    stats = _pair_overlap_stats(
+        cand.select("doc_a", "doc_b").distinct(), dt, dl
+    )
+    return (
+        cand.join(stats, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "window_dist",
+            F.col("ni").cast("long").alias("n_common"),
+            F.col("la").cast("long").alias("len_a"),
+            F.col("lb").cast("long").alias("len_b"),
+            F.round(
+                F.col("ni").cast("double")
+                / (F.col("la") + F.col("lb") - F.col("ni")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+q_dedup_sorted_neighborhood.__doc__ = q_dedup_sorted_neighborhood.__doc__.format(
+    w=_SNM_WINDOW, b=_SNM_BLK
+)

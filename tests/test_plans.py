@@ -1089,3 +1089,39 @@ def test_ks_drift_prefix_never_single_partitions_values(spark, specs):
     # no unpartitioned Window whose child is value-grain (the only
     # SinglePartition windows allowed are over the block table)
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_hard_negatives_bucket_join_no_cartesian(spark, specs):
+    plan = plan_of(spark, specs, "embedding_hard_negatives")
+    assert "CartesianProduct" not in plan
+    # candidates meet on the hyperplane bucket, ranked by a window
+    # PARTITIONED by the anchor — never a global sort
+    assert "Window" in plan
+    assert "hashpartitioning(vec_a" in plan
+
+
+def test_edit_distance_verify_jvm_side_no_cartesian(spark, specs):
+    plan = plan_of(spark, specs, "dedup_edit_distance_verify")
+    assert "CartesianProduct" not in plan
+    # the DP runs JVM-side inside codegen — no Arrow/Python operators
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "levenshtein" in plan
+
+
+def test_ams_f2_partial_aggregates_before_shuffle(spark, specs):
+    plan = plan_of(spark, specs, "events_ams_f2_audit")
+    assert "CartesianProduct" not in plan
+    # the user-grain agg and the 16-group sign agg both map-side combine
+    assert plan.count("partial_sum") >= 1 or plan.count("partial_count") >= 1
+    # fact scan happens at most twice (exact arm + sketch arm share cu)
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_sorted_neighborhood_blocked_window_not_global(spark, specs):
+    plan = plan_of(spark, specs, "dedup_sorted_neighborhood")
+    assert "CartesianProduct" not in plan
+    # the SNM sort is a window over the block key, never an
+    # unpartitioned global window (no SinglePartition feeding a Window)
+    assert "hashpartitioning(blk" in plan
+    m = re.findall(r"Exchange SinglePartition", plan)
+    assert len(m) == 0

@@ -1271,3 +1271,133 @@ def test_mmr_matches_numpy_greedy(spark, emb):
         assert r["relevance"] == pytest.approx(rel[best[1]], abs=1e-6)
         assert r["max_sim_to_selected"] == pytest.approx(best[2], abs=1e-6)
     assert rows[0]["max_sim_to_selected"] == 0.0
+
+
+# --- hard-negative mining ----------------------------------------------------
+
+
+def test_hard_negatives_are_cross_label_top1(spark):
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        REGISTRY,
+        load_all,
+    )
+
+    load_all()
+    out = REGISTRY["embedding_hard_negatives"].build(spark, SF).toPandas()
+    assert len(out) > 0
+    # hard negatives are, by definition, wrong-class
+    assert (out.anchor_label != out.negative_label).all()
+    # exactly one negative per anchor
+    assert out.anchor_id.is_unique
+    # the mined negative is NEVER more similar than the anchor's best
+    # same-bucket neighbor overall (it's a filtered subset of those)
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        knn_join_topk,
+    )
+    from supplier_performance_data_pipeline_spark.plans.queries_sim import (
+        DIM,
+        KNN_PLANES,
+        _embeddings,
+    )
+
+    best = (
+        knn_join_topk(_embeddings(spark, SF), DIM, 1, n_planes=KNN_PLANES)
+        .toPandas()
+        .set_index("vec_a")["cosine_sim"]
+    )
+    assert (out.set_index("anchor_id").cosine_sim
+            <= best.reindex(out.anchor_id).values + 1e-12).all()
+
+
+# --- AMS F2 ------------------------------------------------------------------
+
+
+def test_ams_f2_exact_moment_matches_pandas(spark):
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        REGISTRY,
+        load_all,
+    )
+
+    load_all()
+    out = REGISTRY["events_ams_f2_audit"].build(spark, SF).toPandas()
+    assert len(out) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    c = ev[ev.user_id.notna()].groupby("user_id").size()
+    assert int(out.exact_f2.iloc[0]) == int((c * c).sum())
+    assert int(out.n_estimators.iloc[0]) == 16
+    # mean of squares of integer sums: non-negative, and rel_error is
+    # consistent with the two shipped values
+    m = float(out.est_f2_mean.iloc[0])
+    f2 = float(out.exact_f2.iloc[0])
+    assert m >= 0
+    assert abs(float(out.rel_error.iloc[0]) - round(abs(m - f2) / f2, 6)) < 1e-9
+
+
+# --- edit-distance verify ----------------------------------------------------
+
+
+def test_edit_distance_identical_texts_score_one(spark):
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        REGISTRY,
+        load_all,
+    )
+
+    load_all()
+    out = REGISTRY["dedup_edit_distance_verify"].build(spark, SF).toPandas()
+    assert len(out) > 0
+    docs = pd.read_parquet(f"{SF}/documents.parquet").set_index("doc_id")
+    ascii_of = lambda s: "".join(ch for ch in s if 0 < ord(ch) < 128)
+    for r in out.head(25).itertuples():
+        ta, tb = ascii_of(docs.loc[r.doc_a, "text"]), ascii_of(
+            docs.loc[r.doc_b, "text"]
+        )
+        if ta == tb:
+            assert r.edit_distance == 0 and r.edit_similarity == 1.0
+        assert r.len_a == len(ta) and r.len_b == len(tb)
+        assert 0 <= r.edit_distance <= max(r.len_a, r.len_b)
+    # d <= max(len) always (substitute everything + insert the rest),
+    # so the similarity is a true [0, 1] score on every pair
+    assert out.edit_similarity.between(0.0, 1.0).all()
+    # cross-check a handful against Python's own DP
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for r in out.head(5).itertuples():
+        ta, tb = ascii_of(docs.loc[r.doc_a, "text"]), ascii_of(
+            docs.loc[r.doc_b, "text"]
+        )
+        assert r.edit_distance == lev(ta, tb)
+
+
+# --- sorted neighborhood -----------------------------------------------------
+
+
+def test_sorted_neighborhood_window_and_jaccard_consistency(spark):
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        REGISTRY,
+        load_all,
+    )
+
+    load_all()
+    out = REGISTRY["dedup_sorted_neighborhood"].build(spark, SF).toPandas()
+    assert len(out) > 0
+    assert out.window_dist.between(1, 3).all()
+    assert (out.n_common >= 1).all()
+    jac = out.n_common / (out.len_a + out.len_b - out.n_common)
+    assert (abs(out.jaccard - jac.round(6)) < 1e-9).all()
+    # SNM must catch exact duplicates (identical folded text sorts
+    # adjacent): every identical-text pair inside a block appears
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    dup_groups = docs.groupby("text").doc_id.apply(list)
+    dups = [g for g in dup_groups if len(g) > 1]
+    if dups:
+        pairs = set(zip(out.doc_a, out.doc_b))
+        a, b = sorted(dups[0])[:2]
+        assert (a, b) in pairs
