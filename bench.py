@@ -182,6 +182,7 @@ HEADLINE = [
     "dedup_edit_distance_verify",
     "events_ams_f2_audit",
     "dedup_sorted_neighborhood",
+    "hybrid_rrf_retrieval",
 ]
 
 

@@ -2562,3 +2562,216 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dedup_sorted_neighborhood.__doc__ = q_dedup_sorted_neighborhood.__doc__.format(
     w=_SNM_WINDOW, b=_SNM_BLK
 )
+
+
+# --- hybrid retrieval: BM25 + embedding cosine fused by RRF -------------------
+
+_RRF_TERMS = ["hash", "vector", "stream"]  # the fixed lexical query
+_RRF_QVEC = 0  # query embedding = vec_id 0 (ids align with doc_ids)
+_RRF_K = 60  # the canonical RRF dampening constant
+_RRF_POOL = 50  # per-arm candidate list depth fused (top-k per arm)
+_RRF_TOP = 10
+
+_RRF_DOT = (
+    "list_sum(list_transform(range(0, len(e.embedding)), "
+    "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)))"
+)
+_RRF_NRM = (
+    "sqrt(list_sum(list_transform(range(0, len({t}.embedding)), "
+    "i -> CAST({t}.embedding[i+1] AS DOUBLE) * CAST({t}.embedding[i+1] AS DOUBLE))))"
+)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, unnest(toks) AS term FROM toks_cte),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tf GROUP BY doc_id),
+n AS (SELECT COUNT(*) AS n_docs,
+             CAST(CAST(SUM(len(toks)) AS BIGINT) AS DOUBLE)
+                 / COUNT(*) AS avgdl
+      FROM toks_cte),
+qtf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tf
+    WHERE term IN ({_in_list(_RRF_TERMS)}) GROUP BY doc_id, term
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+lex AS (
+    SELECT qtf.doc_id,
+           CAST(SUM(CAST(FLOOR(ROUND(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * (dl / avgdl))),
+               6) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+    FROM qtf JOIN dfc USING (term) JOIN dl ON dl.doc_id = qtf.doc_id
+    CROSS JOIN n
+    GROUP BY qtf.doc_id
+),
+lexr AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+        AS INTEGER) AS lex_rank
+    FROM lex QUALIFY lex_rank <= {_RRF_POOL}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+sem AS (
+    SELECT e.vec_id AS doc_id,
+           ROUND({_RRF_DOT} / ({_RRF_NRM.format(t='e')} * {_RRF_NRM.format(t='q')}), 6)
+               AS cos
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {_RRF_QVEC} AND {_RRF_NRM.format(t='e')} > 0
+      AND {_RRF_NRM.format(t='q')} > 0
+),
+semr AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+        AS INTEGER) AS sem_rank
+    FROM sem QUALIFY sem_rank <= {_RRF_POOL}
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           COALESCE(l.lex_rank, 0) AS lex_rank,
+           COALESCE(s.sem_rank, 0) AS sem_rank,
+           ROUND(
+               (CASE WHEN l.lex_rank IS NOT NULL
+                     THEN 1.0 / ({_RRF_K} + l.lex_rank) ELSE 0.0 END)
+               + (CASE WHEN s.sem_rank IS NOT NULL
+                       THEN 1.0 / ({_RRF_K} + s.sem_rank) ELSE 0.0 END),
+               6) AS rrf_score
+    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOP}
+""".strip(),
+)
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL with Reciprocal-Rank Fusion (Cormack, Clarke &
+    Büttcher SIGIR '09) — the standard modern search stack in one
+    query: a lexical arm (summed BM25 of the fixed query terms over the
+    inverted tf index) and a semantic arm (cosine against a fixed query
+    embedding) each produce a top-{pool} ranked list, and RRF fuses
+    them by Σ 1/({k}+rank) — rank-space fusion needs no score
+    calibration between arms, which is exactly why RRF won.
+
+    Determinism: per-term BM25 values are rounded then scaled to exact
+    MICRO-SCORE integers before the per-doc SUM (double addition is
+    not associative; integer addition is — the money-recipe move), so
+    both engines rank identical BIGINTs; the semantic arm ranks the
+    ROUNDED cosine (kNN-join precedent); ranks are integers; the RRF
+    sum is two fixed-order divisions at the output edge. Docs outside
+    an arm's pool carry rank 0 (sentinel, no NULLs cross the driver
+    boundary).
+
+    Plan: the tf explode collapses to doc-grain for dl and filters to
+    THREE terms for the lexical scores (predicate inside the explode —
+    the inverted-index probe); each arm's pool is a top-k
+    (TakeOrderedAndProject, never a full sort), the pools are
+    {pool}-row driver-independent sets, and fusion is a {pool}x{pool}
+    outer join of two tiny lists. At 100 TB the only fact-scale work
+    is the tf agg and one embedding scan; per-query cost after
+    indexing is bucket-probe sized, and a real system would swap the
+    fixed query for a parameter without changing the plan shape."""
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        dot,
+    )
+    from supplier_performance_data_pipeline_spark.operators.textops import (
+        tokens,
+    )
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).localCheckpoint()
+    tf = toks.select("doc_id", F.explode("toks").alias("term"))
+    dl = tf.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n = toks.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.size("toks")).cast("long").cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    qtf = (
+        tf.filter(F.col("term").isin(_RRF_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    per_term = F.round(
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        6,
+    )
+    micro = F.floor(per_term * 1000000 + 0.5).cast("long")
+    lex = (
+        qtf.join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", micro.alias("ms"))
+        .groupBy("doc_id")
+        .agg(F.sum("ms").cast("long").alias("s"))
+    )
+    wl = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    lexr = (
+        lex.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+        .withColumn("lex_rank", F.row_number().over(wl).cast("int"))
+        .select("doc_id", "lex_rank")
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ev = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    qv = F.broadcast(
+        ev.filter(
+            (F.col("vec_id") == _RRF_QVEC) & (F.col("nrm") > 0)
+        ).select(F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    )
+    sem = (
+        ev.filter((F.col("vec_id") != _RRF_QVEC) & (F.col("nrm") > 0))
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6
+            ).alias("cos"),
+        )
+    )
+    ws = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    semr = (
+        sem.orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+        .withColumn("sem_rank", F.row_number().over(ws).cast("int"))
+        .select(F.col("doc_id").alias("sdoc"), "sem_rank")
+    )
+    fused = lexr.join(
+        semr, lexr.doc_id == semr.sdoc, "full_outer"
+    ).select(
+        F.coalesce("doc_id", "sdoc").alias("doc_id"),
+        F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).cast("int").alias("sem_rank"),
+        F.round(
+            F.when(
+                F.col("lex_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("sem_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOP)
+
+
+q_hybrid_rrf_retrieval.__doc__ = q_hybrid_rrf_retrieval.__doc__.format(
+    pool=_RRF_POOL, k=_RRF_K
+)

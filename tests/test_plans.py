@@ -1125,3 +1125,13 @@ def test_sorted_neighborhood_blocked_window_not_global(spark, specs):
     assert "hashpartitioning(blk" in plan
     m = re.findall(r"Exchange SinglePartition", plan)
     assert len(m) == 0
+
+
+def test_hybrid_rrf_pools_are_topk_not_full_sorts(spark, specs):
+    plan = plan_of(spark, specs, "hybrid_rrf_retrieval")
+    assert "CartesianProduct" not in plan
+    # each arm's candidate pool is a top-k (TakeOrderedAndProject),
+    # never a full global sort of the corpus
+    assert "TakeOrderedAndProject" in plan
+    # the query embedding attaches as a broadcast, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1401,3 +1401,45 @@ def test_sorted_neighborhood_window_and_jaccard_consistency(spark):
         pairs = set(zip(out.doc_a, out.doc_b))
         a, b = sorted(dups[0])[:2]
         assert (a, b) in pairs
+
+
+# --- hybrid RRF retrieval ----------------------------------------------------
+
+
+def test_hybrid_rrf_score_consistency(spark):
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        REGISTRY,
+        load_all,
+    )
+    from supplier_performance_data_pipeline_spark.plans.queries_text import (
+        _RRF_K,
+        _RRF_POOL,
+        _RRF_TERMS,
+        _RRF_TOP,
+    )
+
+    load_all()
+    out = REGISTRY["hybrid_rrf_retrieval"].build(spark, SF).toPandas()
+    assert len(out) == _RRF_TOP
+    assert out.lex_rank.between(0, _RRF_POOL).all()
+    assert out.sem_rank.between(0, _RRF_POOL).all()
+    # the fused score is exactly the RRF formula over the shipped ranks
+    # (rank 0 = absent from that arm's pool)
+    expect = (
+        out.lex_rank.map(lambda r: 1.0 / (_RRF_K + r) if r > 0 else 0.0)
+        + out.sem_rank.map(lambda r: 1.0 / (_RRF_K + r) if r > 0 else 0.0)
+    ).round(6)
+    assert (abs(out.rrf_score - expect) < 1e-9).all()
+    # fused order is score-desc with doc_id tiebreak
+    assert (
+        out.sort_values(
+            ["rrf_score", "doc_id"], ascending=[False, True]
+        ).doc_id.tolist()
+        == out.doc_id.tolist()
+    )
+    # the lexical arm actually retrieves: the top fused docs that carry
+    # a lex_rank contain at least one query term
+    docs = pd.read_parquet(f"{SF}/documents.parquet").set_index("doc_id")
+    for r in out[out.lex_rank > 0].head(5).itertuples():
+        text = docs.loc[r.doc_id, "text"].lower()
+        assert any(t in text for t in _RRF_TERMS)
