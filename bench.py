@@ -183,6 +183,7 @@ HEADLINE = [
     "events_ams_f2_audit",
     "dedup_sorted_neighborhood",
     "hybrid_rrf_retrieval",
+    "dedup_incremental_candidates",
 ]
 
 

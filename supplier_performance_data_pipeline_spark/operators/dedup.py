@@ -232,6 +232,42 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_between(
+    probe: DataFrame,
+    index: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Banded LSH candidates of PROBE docs against an INDEX — the
+    incremental-ingest shape: a new batch is deduplicated against the
+    existing corpus without ever re-pairing index-vs-index (which at
+    100 TB is almost all of the quadratic work and has already been
+    done). Same (band, band_hash) bucket equi-join as
+    ``lsh_candidate_pairs``; the pair is ORDERED (probe, index), no
+    doc_id inequality needed because the sides are disjoint."""
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.selectExpr(
+            "doc_id",
+            f"posexplode(array({', '.join(_band_exprs(k=k, bands=bands))}))"
+            " AS (band, band_hash)",
+        )
+
+    a = banded(probe).alias("a")
+    b = banded(index).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -2775,3 +2775,91 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_hybrid_rrf_retrieval.__doc__ = q_hybrid_rrf_retrieval.__doc__.format(
     pool=_RRF_POOL, k=_RRF_K
 )
+
+
+# --- incremental dedup: new batch vs existing index ---------------------------
+
+from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    md5_mod as _incr_md5_mod,
+    md5_mod_sql as _incr_md5_mod_sql,
+)
+
+_INCR_SALT = "incr|"
+_INCR_MOD = 10  # bucket 0 (~10%) plays the newly-arrived batch
+
+_INCR_IS_BATCH = (
+    f"CASE WHEN {_incr_md5_mod_sql('CAST(doc_id AS VARCHAR)', _INCR_SALT, _INCR_MOD)} = 0 "
+    "THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "dedup_incremental_candidates",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+{_MS_CTE},
+{_SIGS_CTE},
+bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs),
+m AS (SELECT bands.*, {_INCR_IS_BATCH} AS is_batch FROM bands)
+SELECT a.doc_id AS batch_doc, b.doc_id AS index_doc,
+       CAST(({" + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K))})
+            AS INTEGER) AS n_matching_components
+FROM m a JOIN m b
+  ON a.is_batch = 1 AND b.is_batch = 0
+ AND ({" OR ".join(f"a.band{b} = b.band{b}" for b in range(LSH_BANDS))})
+""".strip(),
+)
+def q_dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production ingest shape: a newly-arrived
+    batch (hash bucket 0, ~{pct}% of docs, the engine-wide md5_mod
+    membership so the split reproduces everywhere) is checked against
+    the EXISTING index only. Index-vs-index pairs are never generated —
+    at 100 TB that is almost all of the quadratic candidate work and it
+    was already paid when those docs arrived; per-ingest cost is
+    O(batch x bucket-overlap), which is what makes continuous corpus
+    ingestion affordable.
+
+    Output: ordered (batch_doc, index_doc) candidates with the exact
+    integer matching-component count (same verified surface as
+    ``lsh_near_dup_pairs`` — the double ratio stays in-engine).
+
+    Plan: ONE signature pass for all docs (localCheckpoint, consumed by
+    both sides' band explodes and the component-count join), banded
+    bucket equi-join probe-vs-index (operators/dedup.py::
+    lsh_candidate_pairs_between), then the k-component verify join. At
+    100 TB the index's banded table is the persistent artifact (written
+    once, bucketed by band hash); each batch shuffles only itself."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs_between,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_docs(spark, sf_dir)).localCheckpoint()
+    is_batch = _incr_md5_mod(F.col("doc_id"), _INCR_SALT, _INCR_MOD) == 0
+    probe = sigs.filter(is_batch)
+    index = sigs.filter(~is_batch)
+    cand = lsh_candidate_pairs_between(probe, index)
+    a = probe.selectExpr(
+        "doc_id AS doc_a", *[f"mh{j} AS a_mh{j}" for j in range(MINHASH_K)]
+    )
+    b = index.selectExpr(
+        "doc_id AS doc_b", *[f"mh{j} AS b_mh{j}" for j in range(MINHASH_K)]
+    )
+    matches = " + ".join(
+        f"if(a_mh{j} = b_mh{j}, 1, 0)" for j in range(MINHASH_K)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .selectExpr(
+            "doc_a AS batch_doc",
+            "doc_b AS index_doc",
+            f"cast(({matches}) AS int) AS n_matching_components",
+        )
+    )
+
+
+q_dedup_incremental_candidates.__doc__ = (
+    q_dedup_incremental_candidates.__doc__.format(pct=100 // _INCR_MOD)
+)

@@ -1135,3 +1135,11 @@ def test_hybrid_rrf_pools_are_topk_not_full_sorts(spark, specs):
     assert "TakeOrderedAndProject" in plan
     # the query embedding attaches as a broadcast, not a shuffle join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_incremental_candidates_never_pair_index_with_index(spark, specs):
+    plan = plan_of(spark, specs, "dedup_incremental_candidates")
+    assert "CartesianProduct" not in plan
+    # probe-vs-index is a band-bucket equi-join over a checkpointed
+    # signature table: no parquet re-scan survives in the final plan
+    assert plan.count("FileScan parquet") == 0

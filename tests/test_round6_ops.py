@@ -1443,3 +1443,52 @@ def test_hybrid_rrf_score_consistency(spark):
     for r in out[out.lex_rank > 0].head(5).itertuples():
         text = docs.loc[r.doc_id, "text"].lower()
         assert any(t in text for t in _RRF_TERMS)
+
+
+# --- incremental dedup candidates --------------------------------------------
+
+
+def test_incremental_candidates_subset_of_full_pairs(spark):
+    """Probe-vs-index candidates must be exactly the full-corpus LSH
+    pairs that straddle the batch/index split — no extra pairs, none
+    lost (the pigeonhole doesn't care which side a doc is on)."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        REGISTRY,
+        load_all,
+    )
+    from supplier_performance_data_pipeline_spark.plans.queries_text import (
+        _INCR_MOD,
+        _INCR_SALT,
+    )
+
+    load_all()
+    out = REGISTRY["dedup_incremental_candidates"].build(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = near_dup_pairs(docs).toPandas()
+    member = (
+        docs.select(
+            "doc_id",
+            (md5_mod(F.col("doc_id"), _INCR_SALT, _INCR_MOD) == 0).alias(
+                "is_batch"
+            ),
+        )
+        .toPandas()
+        .set_index("doc_id")["is_batch"]
+    )
+    straddle = {
+        (r.doc_a, r.doc_b, r.n_matching_components)
+        for r in full.itertuples()
+        if member[r.doc_a] != member[r.doc_b]
+    }
+    got = set()
+    for r in out.itertuples():
+        assert member[r.batch_doc] and not member[r.index_doc]
+        a, b = sorted((r.batch_doc, r.index_doc))
+        got.add((a, b, r.n_matching_components))
+    assert got == straddle
