@@ -2599,7 +2599,7 @@ qtf AS (
 dfc AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
 lex AS (
     SELECT qtf.doc_id,
-           CAST(SUM(CAST(FLOOR(ROUND(
+           CAST(SUM(CAST(floor(ROUND(
                ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
                * (tf * ({_BM25_K1} + 1.0))
                / (tf + {_BM25_K1}
