@@ -184,6 +184,13 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "hybrid_rrf_retrieval",
     "dedup_incremental_candidates",
+    "dedup_duplicate_spans",
+    "supplier_on_time_eb_shrinkage",
+    "knn_vote_confusion",
+    "corpus_quality_curriculum",
+    "tokenizer_oov_rate",
+    "part_orc_roundtrip",
+    "customer_jsonl_roundtrip",
 ]
 
 

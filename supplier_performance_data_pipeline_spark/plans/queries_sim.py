@@ -2349,3 +2349,99 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label_b").alias("negative_label"),
         "cosine_sim",
     )
+
+
+# --- kNN majority-vote label audit (confusion over the kNN graph) -----------
+
+
+@register(
+    "knn_vote_confusion",
+    oracle="""
+WITH knn AS ({knn}),
+votes AS (
+    SELECT k.vec_a, CAST(eb.label AS INTEGER) AS nb_label, COUNT(*) AS cnt
+    FROM knn k JOIN embeddings eb ON eb.vec_id = k.vec_b
+    GROUP BY k.vec_a, eb.label
+),
+pred AS (
+    SELECT vec_a, nb_label AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_a ORDER BY cnt DESC, nb_label) AS rn
+        FROM votes) WHERE rn = 1
+)
+SELECT CAST(ea.label AS INTEGER) AS true_label,
+       p.pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM pred p JOIN embeddings ea ON ea.vec_id = p.vec_a
+GROUP BY ea.label, p.pred_label
+""".strip(),
+)
+def q_knn_vote_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN MAJORITY-VOTE label audit: predict every vector's label by a
+    majority vote of its top-{k} approximate neighbors (the kNN join
+    above), then cross-tabulate predicted vs true labels. The
+    off-diagonal mass is the label-noise signal kNN-based cleaning
+    (Confident Learning's model-free cousin) acts on — a vector whose
+    neighborhood consistently votes another class is a relabel/review
+    candidate, and the confusion matrix shows WHICH class pairs bleed
+    into each other. Complements `embedding_label_noise_margin`
+    (centroid-margin evidence) with neighborhood-vote evidence — the
+    two disagree exactly on multi-modal classes, which is why both
+    exist.
+
+    Determinism: vote counts are integers; ties break toward the
+    smallest label (both arms); the neighbor lists themselves are the
+    deterministic rounded-cosine ranking proven by `knn_join_top5`.
+
+    Plan at scale: the kNN join is the bucketed candidate equi-join
+    (never all-pairs); the vote is a hash aggregation on (query, label)
+    with map-side partials; both label attachments are equi-joins on
+    vec_id against the embeddings table projected to TWO columns
+    (pruned scan); the final confusion grid is label² rows — tiny."""
+    from pyspark.sql.window import Window
+
+    emb = _embeddings(spark, sf_dir)
+    lab = emb.select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    knn = knn_join_topk(emb, DIM, KNN_K, n_planes=KNN_PLANES)
+    votes = (
+        knn.join(
+            lab.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("label").alias("nb_label"),
+            ),
+            "vec_b",
+        )
+        .groupBy("vec_a", "nb_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.desc("cnt"), F.asc("nb_label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_a", F.col("nb_label").alias("pred_label"))
+    )
+    return (
+        pred.join(
+            lab.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("label").alias("true_label"),
+            ),
+            "vec_a",
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+
+
+q_knn_vote_confusion.__doc__ = q_knn_vote_confusion.__doc__.format(k=KNN_K)
+REGISTRY["knn_vote_confusion"] = REGISTRY["knn_vote_confusion"].__class__(
+    name="knn_vote_confusion",
+    build=REGISTRY["knn_vote_confusion"].build,
+    oracle=REGISTRY["knn_vote_confusion"].oracle.format(
+        knn=REGISTRY["knn_join_top5"].oracle
+    ),
+)

@@ -42,6 +42,7 @@ from supplier_performance_data_pipeline_spark.operators.textops import (
 )
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.session import tune_session
+from supplier_performance_data_pipeline_spark.sources.readers import spread_scan
 
 # --- DuckDB dialect fragments (mirror textops/dedup exactly) ---------------
 
@@ -2862,4 +2863,336 @@ def q_dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFram
 
 q_dedup_incremental_candidates.__doc__ = (
     q_dedup_incremental_candidates.__doc__.format(pct=100 // _INCR_MOD)
+)
+
+
+# --- span-level exact substring dedup (Lee et al. '22, relationalized) -------
+
+_SPAN_K = 5  # token k-gram length that marks a duplicated span
+
+_SPAN_GRAM_SQL = "concat_ws(' ', " + ", ".join(
+    f"toks[i + {j + 1}]" for j in range(_SPAN_K)
+) + ")"
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+WITH {_TOKS_CTE},
+g AS (
+    SELECT doc_id, len(toks) AS n_tok, i AS pos, {_SPAN_GRAM_SQL} AS gram
+    FROM toks_cte,
+         UNNEST(range(0, CASE WHEN len(toks) >= {_SPAN_K}
+                              THEN len(toks) - {_SPAN_K - 1} ELSE 0 END)) AS u(i)
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+p AS (SELECT g.doc_id, g.n_tok, g.pos FROM g JOIN d USING (gram)),
+b AS (
+    SELECT doc_id, n_tok, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     > {_SPAN_K}
+                THEN 1 ELSE 0 END AS brk
+    FROM p
+),
+s AS (
+    SELECT doc_id, n_tok, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS span_id
+    FROM b
+),
+spans AS (
+    SELECT doc_id, MAX(n_tok) AS n_tok, span_id,
+           MIN(pos) AS sp, MAX(pos) + {_SPAN_K - 1} AS ep
+    FROM s GROUP BY doc_id, span_id
+)
+SELECT doc_id,
+       CAST(MAX(n_tok) AS BIGINT) AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(ep - sp + 1) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(SUM(ep - sp + 1) AS DOUBLE) / MAX(n_tok), 6) AS dup_token_frac
+FROM spans GROUP BY doc_id
+""".strip(),
+)
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level exact substring dedup (Lee et al. '22, "Deduplicating
+    Training Data Makes Language Models Better", relationalized): mark
+    every token {k}-gram that occurs in >= 2 distinct documents, then
+    merge each document's marked gram starts into MAXIMAL covered spans
+    (classic gaps-and-islands: a new span starts when the next start
+    exceeds the previous start by more than {k}) and report per-doc
+    duplicated-token coverage. This is the missing grain between
+    doc-level dedup (exact/MinHash/SimHash families above) and nothing:
+    boilerplate headers and quoted passages duplicate SPANS inside
+    otherwise-unique documents, and span coverage is the signal used to
+    cut them.
+
+    Determinism: gram equality is exact string equality over the shared
+    tokenizer; positions/counts are integers; one double division at
+    the output edge, rounded to 6 in both arms AFTER the integer sums.
+
+    Plan at scale: grams explode one row per token (same volume as the
+    shingle table every MinHash query already builds); the duplicated-
+    gram cut is ONE hash shuffle (groupBy gram, count distinct docs >=
+    2 with map-side partial aggregation), and the island merge is a
+    window PARTITIONED BY doc_id — bounded by document length, never
+    global. The paper's suffix array finds spans across arbitrary
+    boundaries; the k-gram relaxation is the standard relational
+    approximation (spans shorter than {k} tokens are not marked). At
+    100 TB, substitute a 128-bit gram fingerprint for the gram string
+    before the shuffle (md5 halves, as the MinHash family does) so the
+    shuffle carries 16 bytes instead of the text."""
+    from pyspark.sql.window import Window
+
+    toks = spread_scan(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    t = F.col("toks")
+    grams = F.when(
+        F.size(t) >= _SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (_SPAN_K - 1)),
+            lambda i: F.array_join(F.slice(t, i, _SPAN_K), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    p = g.join(dup, "gram").select("doc_id", "n_tok", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > _SPAN_K, F.lit(1)
+    ).otherwise(F.lit(0))
+    sp = p.withColumn("brk", brk).withColumn(
+        "span_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = sp.groupBy("doc_id", "span_id").agg(
+        F.max("n_tok").alias("n_tok"),
+        F.min("pos").alias("sp"),
+        (F.max("pos") + (_SPAN_K - 1)).alias("ep"),
+    )
+    covered = F.sum(F.col("ep") - F.col("sp") + 1)
+    return spans.groupBy("doc_id").agg(
+        F.max("n_tok").cast("long").alias("n_tok"),
+        F.count("*").cast("long").alias("n_dup_spans"),
+        covered.cast("long").alias("dup_tokens"),
+        F.round(covered.cast("double") / F.max("n_tok"), 6).alias(
+            "dup_token_frac"
+        ),
+    )
+
+
+q_dedup_duplicate_spans.__doc__ = q_dedup_duplicate_spans.__doc__.format(
+    k=_SPAN_K
+)
+
+
+# --- quality-curriculum staging (distributed NTILE over the quality score) ---
+
+_CURR_STAGES = 4  # curriculum stages (quality-ascending quartiles)
+_CURR_BUCKETS = 20  # coarse score-range blocks for the two-level rank
+
+
+@register(
+    "corpus_quality_curriculum",
+    oracle="""
+WITH prof AS (
+    SELECT doc_id, n_tokens, quality_score FROM ({profile}) p
+),
+staged AS (
+    SELECT *, NTILE({k}) OVER (ORDER BY quality_score, doc_id) AS stage
+    FROM prof
+)
+SELECT CAST(stage AS INTEGER) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(quality_score) AS min_quality,
+       MAX(quality_score) AS max_quality,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_n_tokens
+FROM staged GROUP BY stage
+""".strip(),
+)
+def q_corpus_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ascending CURRICULUM staging: split the corpus into
+    {k} equal-depth stages by quality score (low-quality bulk first,
+    highest-quality last — the curriculum/annealing data-ordering
+    used for LM training runs) and profile each stage. Equal-DEPTH is
+    the point: fixed thresholds would put 90% of a crawl in stage 1.
+
+    The oracle says NTILE; the Spark arm must NOT (a global NTILE
+    window is a SinglePartition collapse of the whole corpus). Instead
+    the global rank is the two-level parallel construction the packing
+    / ECDF / lateness queries already use — score-range blocks (b =
+    floor(score*{B}), clamped) give per-block counts, running block
+    offsets over the {B}-row block table are the only single-partition
+    window, and the intra-block rank windows on the block key. The
+    NTILE bucket is then pure arithmetic on (rank, N): with q = N div
+    {k}, r = N mod {k}, the first r stages take q+1 rows — exactly the
+    SQL-standard NTILE split, reproduced from the distributed rank.
+    Determinism: scores are rounded to 6dp BEFORE ranking (both arms),
+    doc_id breaks ties totally; stage profiles are min/max (order-free)
+    and one integer-sum division at the edge.
+
+    Scale note: {B} score-range blocks bound the running-offset window
+    at {B} rows regardless of corpus size; score skew (many identical
+    scores) lands in one block's rank window — raise {B} or sub-block
+    by a doc_id range for a pathological single-score corpus."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    t = F.col("toks")
+    prof = toks_df.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.round(quality_score_t(F.col("text"), t), 6).alias("q"),
+    )
+    blk = F.least(
+        F.floor(F.col("q") * _CURR_BUCKETS), F.lit(_CURR_BUCKETS - 1)
+    ).cast("long")
+    e = prof.withColumn("blk", blk)
+    blocks = e.groupBy("blk").agg(F.count(F.lit(1)).alias("bn"))
+    wprev = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = blocks.select(
+        "blk", F.coalesce(F.sum("bn").over(wprev), F.lit(0)).alias("off")
+    )
+    wint = Window.partitionBy("blk").orderBy("q", "doc_id")
+    ranked = e.join(F.broadcast(prev), "blk").withColumn(
+        "rnk", F.col("off") + F.row_number().over(wint)
+    )
+    n_total = prof.agg(F.count(F.lit(1)).alias("n"))
+    k = F.lit(_CURR_STAGES)
+    qq = F.expr(f"n div {_CURR_STAGES}")
+    rr = F.col("n") % k
+    big = rr * (qq + 1)  # rows living in the (q+1)-sized leading stages
+    stage = (
+        F.when(
+            F.col("rnk") <= big,
+            F.expr(f"(rnk - 1) div ((n div {_CURR_STAGES}) + 1)"),
+        ).otherwise(
+            rr
+            + F.expr(
+                f"(rnk - (n % {_CURR_STAGES}) * ((n div {_CURR_STAGES}) + 1)"
+                f" - 1) div (n div {_CURR_STAGES})"
+            )
+        )
+        + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("stage", stage.cast("int"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_n_tokens"),
+        )
+    )
+
+
+q_corpus_quality_curriculum.__doc__ = q_corpus_quality_curriculum.__doc__.format(
+    k=_CURR_STAGES, B=_CURR_BUCKETS
+)
+REGISTRY["corpus_quality_curriculum"] = REGISTRY[
+    "corpus_quality_curriculum"
+].__class__(
+    name="corpus_quality_curriculum",
+    build=REGISTRY["corpus_quality_curriculum"].build,
+    oracle=REGISTRY["corpus_quality_curriculum"].oracle.format(
+        profile=REGISTRY["text_profile"].oracle, k=_CURR_STAGES
+    ),
+)
+
+
+# --- out-of-vocabulary rate against a corpus-derived top-V vocabulary --------
+
+_OOV_VOCAB_SIZE = 16  # the synthetic corpus has ~31 distinct tokens;
+# 16 keeps roughly half the stream out-of-vocab so the audit is non-vacuous
+# at every test SF (at corpus scale this is the 32k-ish BPE budget knob)
+
+
+@register(
+    "tokenizer_oov_rate",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tok AS (
+    SELECT d.lang, u.tok
+    FROM toks_cte t
+    JOIN documents d ON d.doc_id = t.doc_id,
+    UNNEST(t.toks) AS u(tok)
+),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+        ORDER BY c DESC, tok LIMIT {_OOV_VOCAB_SIZE}
+    )
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.lang
+""".strip(),
+)
+def q_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against a top-{V}
+    corpus-frequency vocabulary — the coverage audit run before
+    committing a tokenizer vocab: a language whose OOV rate is high
+    under the shared vocab will fragment into UNK/byte-fallback tokens
+    and train badly (the multilingual "vocabulary tax";
+    `tokenizer_fertility_by_lang` measures the fragmentation itself,
+    this measures the coverage gap that causes it). Vocabulary ties at
+    the size-{V} boundary break by token string — a total order, so
+    both engines pick the identical vocab.
+
+    Plan at scale: token counts are one map-side-combined hash agg;
+    the top-{V} cut is TakeOrderedAndProject over the AGGREGATED count
+    table (never a global sort of the token stream); membership
+    attaches as a BROADCAST left join ({V} rows); the per-language
+    rollup partial-aggregates. The token explode is the same volume
+    the tf-idf/vocab queries already scan."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_OOV_VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(
+                F.sum(oov).cast("double") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+q_tokenizer_oov_rate.__doc__ = q_tokenizer_oov_rate.__doc__.format(
+    V=_OOV_VOCAB_SIZE
 )

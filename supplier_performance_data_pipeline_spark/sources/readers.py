@@ -84,3 +84,17 @@ def _exists(spark: SparkSession, path: str) -> bool:
     # Local paths only in this deployment; existence guardrail mirrors the
     # reference's fail-fast checks (src/load_duckdb.py:24-27).
     return os.path.exists(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC source; optional explicit schema (ORC is self-describing,
+    but pinning the schema keeps the read contract independent of
+    whatever the writer last emitted — same discipline as read_csv)."""
+    if not _exists(spark, path):
+        raise FileNotFoundError(f"input not found: {path}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -234,3 +234,15 @@ def write_replay_file(
     _os.replace(src, dst)
     _os.utime(dst, (mtime, mtime))
     return dst
+
+
+def write_orc(
+    df: DataFrame, path: str, coalesce: int | None = None
+) -> None:
+    """Overwrite-mode ORC sink — the columnar interchange format for
+    Hive-ecosystem consumers (predicate pushdown + column pruning work
+    through Spark's native ORC reader exactly as for parquet, so a
+    table landed here stays scan-efficient at 100 TB)."""
+    if coalesce:
+        df = df.coalesce(coalesce)
+    df.write.mode("overwrite").orc(path)

@@ -1143,3 +1143,66 @@ def test_incremental_candidates_never_pair_index_with_index(spark, specs):
     # probe-vs-index is a band-bucket equi-join over a checkpointed
     # signature table: no parquet re-scan survives in the final plan
     assert plan.count("FileScan parquet") == 0
+
+
+def test_duplicate_spans_gram_cut_one_shuffle_doc_window(spark, specs):
+    plan = plan_of(spark, specs, "dedup_duplicate_spans")
+    assert "CartesianProduct" not in plan
+    # duplicated-gram cut shuffles on the gram; island merge windows on
+    # doc_id — never an unpartitioned global window over gram rows
+    assert "hashpartitioning(gram" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "Exchange SinglePartition" not in plan
+    # stays JVM-side (tokenize/slice/join are codegen'd HOF exprs)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_eb_shrinkage_broadcasts_global_rate(spark, specs):
+    plan = plan_of(spark, specs, "supplier_on_time_eb_shrinkage")
+    assert "CartesianProduct" not in plan
+    # the 1-row global-rate aggregate attaches as a broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+    # per-supplier counts partial-aggregate before their shuffle
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the only SinglePartition exchanges are the 1-row global agg and
+    # the dimension-grain rank window — never a fact-grain collapse
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_knn_vote_confusion_bucket_join_jvm_side(spark, specs):
+    plan = plan_of(spark, specs, "knn_vote_confusion")
+    assert "CartesianProduct" not in plan
+    # votes aggregate and rank per query vector
+    assert "hashpartitioning(vec_a" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_curriculum_rank_is_two_level_not_global_ntile(spark, specs):
+    plan = plan_of(spark, specs, "corpus_quality_curriculum")
+    assert "CartesianProduct" not in plan
+    # intra-block rank windows on the score-range block key; the only
+    # SinglePartition exchanges feed the 20-row block-offset window and
+    # the 1-row corpus count — never the doc-grain rows
+    assert "hashpartitioning(blk" in plan
+    assert "ntile" not in plan.lower()
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_oov_vocab_is_topk_and_broadcast(spark, specs):
+    plan = plan_of(spark, specs, "tokenizer_oov_rate")
+    assert "CartesianProduct" not in plan
+    # vocab cut is top-k over the aggregated counts, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # membership attaches as a broadcast join
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_orc_roundtrip_scans_orc(spark, specs):
+    plan = plan_of(spark, specs, "part_orc_roundtrip")
+    assert "FileScan orc" in plan
+
+
+def test_jsonl_roundtrip_scans_json(spark, specs):
+    plan = plan_of(spark, specs, "customer_jsonl_roundtrip")
+    assert "FileScan json" in plan
