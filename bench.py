@@ -191,6 +191,8 @@ HEADLINE = [
     "tokenizer_oov_rate",
     "part_orc_roundtrip",
     "customer_jsonl_roundtrip",
+    "corpus_sampling_temperature",
+    "knn_graph_label_propagation",
 ]
 
 

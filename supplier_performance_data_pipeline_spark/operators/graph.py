@@ -402,3 +402,64 @@ def triangle_count(
         .crossJoin(ce.agg(F.count("*").alias("n_edges")))
         .crossJoin(tri)
     )
+
+
+# --- label propagation (community detection) --------------------------------
+
+LPA_ITERS = 3
+
+
+def label_propagation(
+    edges: DataFrame, iters: int = LPA_ITERS, broadcast_nodes: bool = True
+) -> DataFrame:
+    """Synchronous LABEL PROPAGATION (Raghavan et al. 2007, made
+    deterministic): every node starts labeled with its own id; each
+    round every node adopts the label held by the MOST of its
+    neighbors, ties broken toward the SMALLEST label. The classic
+    algorithm breaks ties randomly and updates asynchronously — both
+    nondeterministic; the min-label synchronous variant is reproducible
+    on any engine and any partitioning, which is what a cross-engine
+    hash contract needs. Communities are NOT connected components:
+    LPA splits a connected graph along low-conductance cuts (a dense
+    cluster out-votes a bridge edge), which is the community-detection
+    signal CC can't express.
+
+    ``edges`` must be DIRECTED-SYMMETRIC (u, v) with both orientations
+    present (the caller symmetrizes, as for pagerank). Counts are
+    integers end-to-end — no float anywhere, so no rounding contract
+    is even needed.
+
+    Plan at scale: per round, one equi-join of the edge table against
+    the node-sized label table (broadcast under ``broadcast_nodes`` —
+    the same dimension-vs-fact shape as pagerank's rank join; flip the
+    knob off when nodes outgrow the driver), one hash aggregation on
+    (node, label) with map-side partials, and a node-grain window for
+    the argmax. ``localCheckpoint`` truncates lineage per round —
+    without it the plan doubles each iteration (the CC/pagerank
+    discipline, operators/graph.py:110).
+    """
+    from pyspark.sql.window import Window
+
+    labels = (
+        edges.select(F.col("u").alias("s"))
+        .distinct()
+        .withColumn("lbl", F.col("s"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        side = labels.select(F.col("s").alias("u"), "lbl")
+        if broadcast_nodes:
+            side = F.broadcast(side)
+        cnt = (
+            edges.join(side, "u")
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("s"), "lbl")
+            .localCheckpoint()
+        )
+    return labels

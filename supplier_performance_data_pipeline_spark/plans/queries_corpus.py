@@ -718,3 +718,65 @@ def q_corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_corpus_sequence_packing.__doc__ = q_corpus_sequence_packing.__doc__.format(
     b=_PACK_BUDGET, blk=_PACK_QBLOCK
 )
+
+
+# --- temperature-scaled language-sampling weights (tau = 0.5 via sqrt) -------
+
+
+@register(
+    "corpus_sampling_temperature",
+    oracle=f"""
+WITH {_TOKS_CTE},
+per_lang AS (
+    SELECT d.lang, CAST(SUM(len(t.toks)) AS BIGINT) AS n_tokens
+    FROM toks_cte t JOIN documents d ON d.doc_id = t.doc_id
+    GROUP BY d.lang
+),
+g AS (
+    SELECT SUM(n_tokens) AS tot, SUM(sqrt(n_tokens)) AS z FROM per_lang
+)
+SELECT p.lang, p.n_tokens,
+       ROUND(CAST(p.n_tokens AS DOUBLE) / g.tot, 6) AS p_raw,
+       ROUND(sqrt(p.n_tokens) / g.z, 6) AS p_temp,
+       ROUND((sqrt(p.n_tokens) / g.z)
+             / (CAST(p.n_tokens AS DOUBLE) / g.tot), 6) AS upsample_factor
+FROM per_lang p CROSS JOIN g
+""".strip(),
+)
+def q_corpus_sampling_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEMPERATURE-scaled language sampling weights, tau = 0.5: the
+    multilingual rebalance rule (XLM-R / mT5 style) samples language l
+    with probability proportional to p_l^tau instead of its raw share
+    p_l, up-weighting low-resource languages without flattening to
+    uniform. tau = 0.5 is chosen deliberately — p^0.5 is sqrt, which is
+    IEEE-754 correctly-rounded on every engine, so the cross-engine
+    contract stays exact where a libm pow() call would drift (the same
+    no-libm discipline as the priority-sampling operator). The
+    upsample factor p_temp/p_raw is the expected epoch multiplier each
+    language's data sees under the temperature-adjusted sampler.
+
+    Plan at scale: per-language token counts are one map-side-combined
+    hash agg over a doc-keyed projection (len(toks), no explode); the
+    language table is vocabulary-sized, so the normalizing constant is
+    a 1-row aggregate broadcast back — the bounds-CTE shape."""
+    docs = _docs(spark, sf_dir)
+    per_lang = (
+        docs.select("lang", F.size(tokens(F.col("text"))).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    g = per_lang.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.sum(F.sqrt(F.col("n_tokens"))).alias("z"),
+    )
+    p_raw = F.col("n_tokens").cast("double") / F.col("tot")
+    p_temp = F.sqrt(F.col("n_tokens")) / F.col("z")
+    return per_lang.crossJoin(F.broadcast(g)).select(
+        "lang",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 6).alias("upsample_factor"),
+    )

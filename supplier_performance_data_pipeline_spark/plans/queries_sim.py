@@ -2445,3 +2445,104 @@ REGISTRY["knn_vote_confusion"] = REGISTRY["knn_vote_confusion"].__class__(
         knn=REGISTRY["knn_join_top5"].oracle
     ),
 )
+
+
+# --- community detection over the kNN graph (label propagation) -------------
+
+from supplier_performance_data_pipeline_spark.operators.graph import (  # noqa: E402
+    LPA_ITERS,
+    label_propagation,
+)
+
+
+def _lpa_ctes(iters: int) -> str:
+    """Unrolled deterministic-LPA iterations for the DuckDB oracle —
+    same min-label synchronous update as operators/graph.py::
+    label_propagation (integer counts, ROW_NUMBER argmax)."""
+    ctes = [
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT vec_a AS u, vec_b AS v FROM knn "
+        "UNION ALL SELECT vec_b, vec_a FROM knn))",
+        "l_0 AS (SELECT DISTINCT u AS s, u AS lbl FROM sym)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"c_{t} AS (SELECT sym.v, l.lbl, COUNT(*) AS c "
+            f"FROM sym JOIN l_{t} l ON sym.u = l.s GROUP BY sym.v, l.lbl)"
+        )
+        ctes.append(
+            f"l_{t + 1} AS (SELECT v AS s, lbl FROM ("
+            "SELECT v, lbl, ROW_NUMBER() OVER ("
+            f"PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM c_{t}"
+            ") WHERE rn = 1)"
+        )
+    return ",\n".join(ctes)
+
+
+@register(
+    "knn_graph_label_propagation",
+    oracle=f"""
+WITH knn AS MATERIALIZED ({{knn}}),
+{_lpa_ctes(LPA_ITERS)},
+sizes AS (
+    SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+    FROM l_{LPA_ITERS} GROUP BY lbl
+)
+SELECT l.s AS vec_id, CAST(l.lbl AS BIGINT) AS community, sz.community_size
+FROM l_{LPA_ITERS} l JOIN sizes sz ON sz.lbl = l.lbl
+""".strip(),
+)
+def q_knn_graph_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMMUNITY DETECTION over the symmetrized kNN graph via
+    deterministic label propagation ({it} synchronous rounds, min-label
+    tie-break — see operators/graph.py::label_propagation for why the
+    classic random-tie LPA is replaced by the reproducible variant).
+    Communities over a kNN graph are the graph-native counterpart of
+    k-means cluster assignment: no centroids, no metric assumptions
+    beyond the neighbor lists, and they feed the same curation moves
+    (per-community caps, community-stratified eval splits) the k-means
+    communities do. The co-supply supplier graph CANNOT host this
+    query: it is complete at every driver SF (every supplier pair
+    shares orders), and LPA on a complete graph collapses to one
+    community — the kNN graph has the sparse local structure community
+    detection needs.
+
+    All-integer contract: ids, vote counts, community sizes — no float
+    anywhere past the (already-proven) kNN neighbor lists.
+
+    Plan at scale: the kNN join is the bucketed candidate equi-join;
+    symmetrize+distinct is one shuffle on the pair; each LPA round is
+    edge ⋈ broadcast(node-labels) → (node, label) hash agg → node-grain
+    window, with per-round localCheckpoint lineage cuts (the pagerank
+    discipline). Rounds are a fixed constant — no driver-side
+    convergence loop over data."""
+    emb = _embeddings(spark, sf_dir)
+    knn = knn_join_topk(emb, DIM, KNN_K, n_planes=KNN_PLANES)
+    fwd = knn.select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+    rev = knn.select(F.col("vec_b").alias("u"), F.col("vec_a").alias("v"))
+    edges = fwd.unionAll(rev).distinct().localCheckpoint()
+    labels = label_propagation(edges, LPA_ITERS)
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
+        F.col("s").alias("vec_id"),
+        F.col("lbl").cast("long").alias("community"),
+        "community_size",
+    )
+
+
+q_knn_graph_label_propagation.__doc__ = (
+    q_knn_graph_label_propagation.__doc__.format(it=LPA_ITERS)
+)
+REGISTRY["knn_graph_label_propagation"] = REGISTRY[
+    "knn_graph_label_propagation"
+].__class__(
+    name="knn_graph_label_propagation",
+    build=REGISTRY["knn_graph_label_propagation"].build,
+    oracle=REGISTRY["knn_graph_label_propagation"].oracle.format(
+        knn=REGISTRY["knn_join_top5"].oracle
+    ),
+)

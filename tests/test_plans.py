@@ -1106,6 +1106,10 @@ def test_edit_distance_verify_jvm_side_no_cartesian(spark, specs):
     # the DP runs JVM-side inside codegen — no Arrow/Python operators
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "levenshtein" in plan
+    # the CPU-heavy DP stage must keep its explicit round-robin fan-out
+    # (AQE coalesces the byte-tiny pair table to one task otherwise —
+    # the 20s-vs-2s cliff measured at sf0.1)
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_ams_f2_partial_aggregates_before_shuffle(spark, specs):
@@ -1206,3 +1210,24 @@ def test_orc_roundtrip_scans_orc(spark, specs):
 def test_jsonl_roundtrip_scans_json(spark, specs):
     plan = plan_of(spark, specs, "customer_jsonl_roundtrip")
     assert "FileScan json" in plan
+
+
+def test_sampling_temperature_broadcast_norm_no_explode(spark, specs):
+    plan = plan_of(spark, specs, "corpus_sampling_temperature")
+    assert "CartesianProduct" not in plan
+    # the normalizer attaches as a 1-row broadcast; token counts come
+    # from size() on the doc-keyed projection — no explode of the
+    # token stream anywhere in this query
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Generate explode" not in plan
+
+
+def test_lpa_rounds_are_checkpointed_and_broadcast(spark, specs):
+    plan = plan_of(spark, specs, "knn_graph_label_propagation")
+    assert "CartesianProduct" not in plan
+    # lineage is cut per round (each round ran eagerly through its own
+    # localCheckpoint during build): the final plan hangs off the
+    # checkpointed node-label RDD only — no re-derivation of the kNN
+    # join, no parquet rescans surviving to the result plan
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan
