@@ -444,6 +444,15 @@ def _pair_overlap_stats(
     positional pruning, when added, lands HERE once for both)."""
     ta = dt.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("t_a"))
     tb = dt.select(F.col("doc_id").alias("b_id"), F.col("tok").alias("t_b"))
+    # The candidate table is small in BYTES but each row fans out by
+    # |set| in the verify join — work AQE's size-based coalescing can't
+    # see, so it squeezes the pairs onto a handful of tasks and one
+    # mega-cluster doc straggles. REPARTITION_BY_NUM (round-robin)
+    # survives both the redundant-exchange pruning and AQE coalescing,
+    # spreading the probe side over every core (same fix, same reason
+    # as the edit-distance verifier in plans/queries_text.py).
+    spark = cand.sparkSession
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
     inter = (
         cand.join(ta, "doc_a")
         .join(
