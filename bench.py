@@ -193,6 +193,7 @@ HEADLINE = [
     "customer_jsonl_roundtrip",
     "corpus_sampling_temperature",
     "knn_graph_label_propagation",
+    "events_range_frame_velocity",
 ]
 
 

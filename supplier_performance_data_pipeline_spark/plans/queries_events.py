@@ -3101,3 +3101,92 @@ def q_events_ams_f2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_events_ams_f2_audit.__doc__ = q_events_ams_f2_audit.__doc__.format(k=_AMS_K)
+
+
+# --- time-RANGE window frame: trailing-window activity per user -------------
+
+from supplier_performance_data_pipeline_spark.functions.money import (  # noqa: E402
+    cents,
+    cents_sql,
+)
+
+_RANGE_FRAME_SECS = 21600  # trailing 6 hours (sparse per-user streams
+# at demo SF need the wider frame for multi-event windows to be common)
+
+
+@register(
+    "events_range_frame_velocity",
+    oracle=f"""
+WITH base AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch(ts) AS BIGINT) AS ep,
+           {cents_sql("value")} AS vc
+    FROM events
+),
+wnd AS (
+    SELECT event_id, user_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+           SUM(vc) OVER w AS sc
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                 RANGE BETWEEN {_RANGE_FRAME_SECS} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n_in_window,
+       CAST(sc AS DOUBLE) / 100 AS value_in_window
+FROM wnd WHERE event_type = 'purchase'
+""".strip(),
+)
+def q_events_range_frame_velocity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-RANGE window frame — the velocity feature real-time risk
+    and recommendation systems attach to conversion events: for every
+    purchase, how many events (and how much value) the SAME user
+    produced in the trailing 6-hour window, computed over the user's FULL event
+    stream with a RANGE frame on epoch seconds. ROWS frames (the rest
+    of the window surface) count physical rows; the RANGE frame is the
+    time-semantic sibling — peers at the same timestamp are included
+    symmetrically no matter the partition order, which is exactly what
+    makes it deterministic under duplicate timestamps where a ROWS
+    frame would not be.
+
+    Money discipline: values sum as integer cents inside the frame
+    (order-free), ONE double division at the output edge — a float
+    frame-sum would be reduction-order-dependent across engines.
+
+    Plan at scale: one shuffle on user_id, per-user sort, single pass
+    with a sliding two-pointer frame (Spark's WindowExec evicts rows
+    falling out of range incrementally — no per-row rescan); the
+    purchase filter projects AFTER the window so the frame sees every
+    event. User-grain partitions bound memory; no SinglePartition
+    anywhere."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ep"),
+        cents("value").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-_RANGE_FRAME_SECS, 0)
+    )
+    wnd = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+        F.sum("vc").over(w).alias("sc"),
+    )
+    return wnd.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "n_in_window",
+        (F.col("sc").cast("double") / F.lit(100)).alias(
+            "value_in_window"
+        ),
+    )

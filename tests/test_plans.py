@@ -1231,3 +1231,14 @@ def test_lpa_rounds_are_checkpointed_and_broadcast(spark, specs):
     # join, no parquet rescans surviving to the result plan
     assert "Scan ExistingRDD" in plan
     assert "FileScan parquet" not in plan
+
+
+def test_range_frame_single_user_shuffle(spark, specs):
+    plan = plan_of(spark, specs, "events_range_frame_velocity")
+    assert "CartesianProduct" not in plan
+    # one user-keyed exchange feeding the range-frame window; the
+    # purchase filter must NOT push below the window (the frame sees
+    # every event)
+    assert "hashpartitioning(user_id" in plan
+    assert shuffles(plan) == 1
+    assert "specifiedwindowframe(RangeFrame" in plan
