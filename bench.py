@@ -194,6 +194,11 @@ HEADLINE = [
     "corpus_sampling_temperature",
     "knn_graph_label_propagation",
     "events_range_frame_velocity",
+    "minhash_bbit_estimator_audit",
+    "supplier_hits_authority",
+    "orders_poisson_bootstrap_ci",
+    "events_engagement_auc",
+    "events_engagement_gains",
 ]
 
 

@@ -463,3 +463,92 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+# --- HITS (hubs & authorities) -----------------------------------------------
+
+HITS_ITERS = 3
+# Scores round to 12dp after each L1-normalized half-step; sums are
+# exact DECIMAL over the rounded operands — the same determinism
+# contract as PageRank (reduction-order-free across engines and
+# partitionings), applied to Kleinberg's mutual-reinforcement loop.
+HITS_SCALE = 12
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = HITS_ITERS,
+    broadcast_nodes: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-iteration HITS (Kleinberg, JACM'99) over a directed edge
+    list (u, v): hub scores on the u side, authority scores on the v
+    side — the bipartite sibling of ``pagerank`` (power iteration on
+    A^T A instead of the stochastic matrix). Returns
+    ``(authorities (v, a), hubs (u, h))`` after ``iters`` rounds from
+    the uniform hub start.
+
+    Normalization is L1 per half-step (any fixed norm yields the same
+    ranking as the classic L2; L1 keeps the arithmetic to one scalar
+    division of two exact DECIMAL sums — no sqrt, whose libm rounding
+    differs across engines). Determinism: scores carry at most
+    HITS_SCALE dp, per-target sums are exact DECIMAL(28,12) adds of
+    those rounded values, the normalizing total is the exact DECIMAL
+    sum of the per-target sums, and each new score is ONE double
+    division of two exact operands, rounded back to HITS_SCALE.
+
+    Scale: hub/authority tables are node-sized and broadcast onto the
+    edge scan (``broadcast_nodes=False`` past broadcast scale — same
+    escape hatch as PageRank); the only data-scale exchanges per round
+    are the two endpoint-keyed sum aggs. Score tables localCheckpoint
+    each half-step: lineage truncation, same as the PageRank rounds.
+    Every hub has out-degree >= 1 and every authority in-degree >= 1
+    by construction (the node sets ARE the edge endpoints), so no
+    zero-mass rows ever appear and no outer joins are needed."""
+    e = edges.select("u", "v").localCheckpoint()
+    hubs = e.select("u").distinct()
+    nh = hubs.agg(F.count("*").alias("n"))
+    h = (
+        hubs.crossJoin(F.broadcast(nh))
+        .select(
+            "u",
+            F.round(F.lit(1.0) / F.col("n"), HITS_SCALE).alias("h"),
+        )
+        .localCheckpoint()
+    )
+    a = None
+    for _ in range(iters):
+        asum = (
+            e.join(_nodes_side(h, broadcast_nodes), "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("h").cast("decimal(28,12)")).alias("sm"))
+        )
+        atot = asum.agg(F.sum("sm").alias("tot"))
+        a = (
+            asum.crossJoin(F.broadcast(atot))
+            .select(
+                "v",
+                F.round(
+                    F.col("sm").cast("double") / F.col("tot").cast("double"),
+                    HITS_SCALE,
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        hsum = (
+            e.join(_nodes_side(a, broadcast_nodes), "v")
+            .groupBy("u")
+            .agg(F.sum(F.col("a").cast("decimal(28,12)")).alias("sm"))
+        )
+        htot = hsum.agg(F.sum("sm").alias("tot"))
+        h = (
+            hsum.crossJoin(F.broadcast(htot))
+            .select(
+                "u",
+                F.round(
+                    F.col("sm").cast("double") / F.col("tot").cast("double"),
+                    HITS_SCALE,
+                ).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return a, h

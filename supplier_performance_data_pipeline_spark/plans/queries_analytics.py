@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from supplier_performance_data_pipeline_spark.functions.money import (
     percent_units,
     cents,
+    cents_sql,
     revenue_e4,
 )
 from supplier_performance_data_pipeline_spark.functions.scalar import round_doubles
@@ -2939,3 +2940,175 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_months))
         .select("n_months", "n_pairs", "median_slope")
     )
+
+
+# --- Poisson-bootstrap CI for mean order value ------------------------------
+
+from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    md5_mod,
+    md5_mod_sql,
+)
+
+_BOOT_R = 100  # bootstrap replicates
+_BOOT_SALT = "boot1|"
+_BOOT_GRAIN = 10**12
+# Poisson(1) CDF at 1e12 grain, GENERATED once from math.exp (the
+# literal ints below are the shared cross-engine contract; the draw is
+# k = #{i: h >= T_i} so P(k=0) = T_0/grain, P(k<=1) = T_1/grain, ...,
+# capped at 8 where the residual mass is ~1e-8).
+_BOOT_CDF = [
+    367879441171, 735758882343, 919698602929, 981011843124,
+    996340153173, 999405815182, 999916758851, 999989750803,
+]
+# nearest-rank CI bounds for R replicates: ceil(0.025*R), ceil(0.975*R)
+_BOOT_LO_RANK = 3
+_BOOT_HI_RANK = 98
+
+
+def _boot_k_sql(h: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {h} >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_CDF
+    )
+
+
+@register(
+    "orders_poisson_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (SELECT r FROM range(0, {_BOOT_R}) t(r)),
+draws AS (
+    SELECT r.r,
+           {_boot_k_sql(md5_mod_sql(
+               "concat(r.r, '|', o.o_orderkey)", _BOOT_SALT, _BOOT_GRAIN))}
+               AS w,
+           {cents_sql("o.o_totalprice")} AS vc
+    FROM orders o CROSS JOIN reps r
+),
+rep_means AS (
+    SELECT r,
+           ROUND(CAST(SUM(w * vc) AS DOUBLE)
+                 / NULLIF(CAST(SUM(w) AS DOUBLE), 0.0) / 100, 6) AS m
+    FROM draws GROUP BY r
+),
+ranked AS (
+    SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk FROM rep_means
+),
+point AS (
+    SELECT ROUND(CAST(SUM({cents_sql("o_totalprice")}) AS DOUBLE)
+                 / COUNT(*) / 100, 6) AS point_mean
+    FROM orders
+)
+SELECT CAST({_BOOT_R} AS BIGINT) AS n_replicates,
+       point.point_mean,
+       ROUND(CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE)
+             / {_BOOT_R}, 6) AS boot_mean,
+       MAX(CASE WHEN rk = {_BOOT_LO_RANK} THEN m END) AS ci_low,
+       MAX(CASE WHEN rk = {_BOOT_HI_RANK} THEN m END) AS ci_high
+FROM ranked CROSS JOIN point
+GROUP BY point.point_mean
+""".strip(),
+)
+def q_orders_poisson_bootstrap_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google '12) confidence
+    interval for mean order value — the resampling pattern that works
+    at 100 TB because it never materializes a resample: each of the
+    {R} replicates weights every order by an independent Poisson(1)
+    draw, so one scan computes ALL replicate sums as a (replicate x
+    weighted-sum) agg, and the data never shuffles at fact grain more
+    than once. Classic bootstrap (sample n WITH replacement per
+    replicate) needs global coordination; the Poisson approximation
+    doesn't, which is exactly why it's the distributed-systems
+    standard.
+
+    Determinism: the Poisson draw inverts the CDF at integer grain —
+    h = md5(salt || replicate || orderkey) mod 1e12 against PRECOMPUTED
+    integer thresholds (shared literals in both arms), so both engines
+    draw the identical weight for every (replicate, order). Replicate
+    means are ONE double division of two exact integer sums (cents,
+    weights), rounded to 6; the bootstrap mean is an exact DECIMAL sum
+    of those rounded means; the CI bounds are nearest-rank order
+    statistics (ranks {lo}/{hi} of {R}) picked by ROW_NUMBER with a
+    replicate-id tie-break — never interpolated percentiles, whose
+    conventions differ across engines.
+
+    Plan: fact scan x {R}-way explode (map-side, no shuffle), one
+    replicate-keyed agg ({R} groups), then the CI is a {R}-row sort.
+    The md5-per-(order, replicate) is the dominant cost and it's
+    embarrassingly parallel."""
+    tune_session(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("vc")
+    )
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(_BOOT_R - 1))
+    ).alias("r")
+    h = md5_mod(
+        F.concat_ws(
+            "",
+            F.col("r").cast("string"),
+            F.lit("|"),
+            F.col("o_orderkey").cast("string"),
+        ),
+        _BOOT_SALT,
+        _BOOT_GRAIN,
+    )
+    w = None
+    for t in _BOOT_CDF:
+        term = F.when(h >= t, 1).otherwise(0)
+        w = term if w is None else w + term
+    draws = o.select("o_orderkey", "vc", reps).select(
+        "r", w.alias("w"), "vc"
+    )
+    rep_means = draws.groupBy("r").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("vc")).cast("double")
+            / F.nullif(F.sum("w").cast("double"), F.lit(0.0))
+            / F.lit(100),
+            6,
+        ).alias("m")
+    )
+    from pyspark.sql.window import Window
+
+    ranked = rep_means.select(
+        "m",
+        F.row_number()
+        .over(Window.orderBy(F.asc("m"), F.asc("r")))
+        .alias("rk"),
+    )
+    point = _t(spark, sf_dir, "orders").agg(
+        F.round(
+            F.sum(cents("o_totalprice")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100),
+            6,
+        ).alias("point_mean")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("point_mean")
+        .agg(
+            F.lit(_BOOT_R).cast("long").alias("n_replicates"),
+            F.round(
+                F.sum(F.col("m").cast("decimal(18,6)")).cast("double")
+                / F.lit(_BOOT_R),
+                6,
+            ).alias("boot_mean"),
+            F.max(
+                F.when(F.col("rk") == _BOOT_LO_RANK, F.col("m"))
+            ).alias("ci_low"),
+            F.max(
+                F.when(F.col("rk") == _BOOT_HI_RANK, F.col("m"))
+            ).alias("ci_high"),
+        )
+        .select(
+            "n_replicates", "point_mean", "boot_mean", "ci_low", "ci_high"
+        )
+    )
+
+
+q_orders_poisson_bootstrap_ci.__doc__ = (
+    q_orders_poisson_bootstrap_ci.__doc__.format(
+        R=_BOOT_R, lo=_BOOT_LO_RANK, hi=_BOOT_HI_RANK
+    )
+)

@@ -3190,3 +3190,256 @@ def q_events_range_frame_velocity(
             "value_in_window"
         ),
     )
+
+
+# --- exact ROC-AUC of engagement predicting purchase -------------------------
+
+_AUC_SCORE_TYPES = ("view", "click")  # engagement signal = the score
+
+
+@register(
+    "events_engagement_auc",
+    oracle=f"""
+WITH users AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type IN {_AUC_SCORE_TYPES}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+per_score AS (
+    SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS p
+    FROM users GROUP BY s
+),
+cum AS (
+    SELECT s, n, p,
+           COALESCE(SUM(n) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_lower
+    FROM per_score
+),
+agg AS (
+    SELECT SUM(p * (2 * cum_lower + n + 1)) AS rank2,
+           SUM(p) AS n_pos, SUM(n) AS n_users
+    FROM cum
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_users - n_pos AS BIGINT) AS n_neg,
+       ROUND(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / NULLIF(CAST(2 * n_pos * (n_users - n_pos) AS DOUBLE), 0.0),
+             6) AS auc,
+       ROUND(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / NULLIF(CAST(n_pos * (n_users - n_pos) AS DOUBLE), 0.0)
+             - 1.0, 6) AS gini
+FROM agg
+""".strip(),
+)
+def q_events_engagement_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of an engagement score (view+click count per
+    user) predicting conversion (the user purchased) — the model-eval
+    primitive every propensity/ranking pipeline needs, computed via the
+    Mann-Whitney rank-sum identity instead of threshold sweeping:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), with TIED
+    scores handled by average ranks (the textbook correction — a naive
+    ROW_NUMBER rank is order-dependent under ties and would not be
+    reproducible, let alone correct).
+
+    Integer discipline end-to-end: the tied-rank sum is computed on the
+    SCORE-GRAIN table as p * (2*cum_lower + n + 1) — everything doubled
+    to keep half-integer average ranks in BIGINT — and the only doubles
+    are the two output-edge divisions (AUC and its Gini twin 2*AUC-1).
+
+    Plan at scale: one user-grain agg over the fact scan (the only
+    data-scale shuffle), then a score-grain table (cardinality =
+    distinct score values, bounded ~1e4 for count scores) where the
+    unpartitioned cumulative window is a deliberate, documented
+    SinglePartition over a TINY input — the same two-level pattern as
+    the ECDF/KS machinery. At 100 TB nothing changes: the rank
+    statistic never materializes per-user ranks."""
+    ev = _events(spark, sf_dir)
+    users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type").isin(*_AUC_SCORE_TYPES), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    per_score = users.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.select(
+        "s",
+        "n",
+        "p",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_lower"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("p") * (2 * F.col("cum_lower") + F.col("n") + 1)
+        ).alias("rank2"),
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_users"),
+    )
+    num = F.col("rank2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    n_neg = F.col("n_users") - F.col("n_pos")
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        F.round(
+            num.cast("double")
+            / F.nullif(
+                (2 * F.col("n_pos") * n_neg).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("auc"),
+        F.round(
+            num.cast("double")
+            / F.nullif((F.col("n_pos") * n_neg).cast("double"), F.lit(0.0))
+            - 1.0,
+            6,
+        ).alias("gini"),
+    )
+
+
+# --- decile gains table for the same engagement score ------------------------
+
+_GAINS_BUCKETS = 10
+
+
+@register(
+    "events_engagement_gains",
+    oracle=f"""
+WITH users AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type IN {_AUC_SCORE_TYPES}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+ranked AS (
+    SELECT s, y,
+           ROW_NUMBER() OVER (ORDER BY s DESC, user_id) AS rn,
+           COUNT(*) OVER () AS nt
+    FROM users
+),
+bucketed AS (
+    SELECT CAST(((rn - 1) * {_GAINS_BUCKETS}) // nt AS BIGINT) AS decile,
+           s, y
+    FROM ranked
+),
+per_decile AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(MIN(s) AS BIGINT) AS min_score
+    FROM bucketed GROUP BY decile
+),
+tot AS (SELECT SUM(n_pos) AS tp FROM per_decile)
+SELECT decile, n_users, n_pos, min_score,
+       ROUND(CAST(n_pos AS DOUBLE) / n_users, 6) AS pos_rate,
+       ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / NULLIF(CAST(tp AS DOUBLE), 0.0), 6)
+           AS cum_capture
+FROM per_decile CROSS JOIN tot
+""".strip(),
+)
+def q_events_engagement_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains table for the engagement->conversion score — the
+    campaign-targeting readout next to ``events_engagement_auc``: rank
+    users by score, cut into {B} equal-population buckets, and report
+    per-bucket conversion plus the cumulative capture curve ("the top
+    2 deciles hold X% of all converters"). Equal-POPULATION buckets by
+    explicit FLOOR integer division ((rn-1)*{B}) div n — never NTILE, whose
+    remainder-distribution convention is engine-specific lore, and the
+    rank's (score DESC, user_id) total order makes tie placement
+    deterministic in both engines.
+
+    Plan: user-grain agg (the only fact-scale shuffle), then the
+    ranking window over the user table. The ROW_NUMBER over a total
+    order is the one deliberate SinglePartition — it runs on the
+    USER-grain table, not the event stream; at larger scale the same
+    readout composes from the two-level parallel-prefix rank the
+    lateness histogram uses, and this query pins the semantics that
+    rewrite must preserve. Cumulative capture is a {B}-row window."""
+    ev = _events(spark, sf_dir)
+    users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type").isin(*_AUC_SCORE_TYPES), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wrank = Window.orderBy(F.desc("s"), F.asc("user_id"))
+    ranked = users.select(
+        "s",
+        "y",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nt"),
+    )
+    bucketed = ranked.select(
+        F.expr(f"((rn - 1) * {_GAINS_BUCKETS}) div nt")
+        .cast("long")
+        .alias("decile"),
+        "s",
+        "y",
+    )
+    per_decile = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.min("s").cast("long").alias("min_score"),
+    )
+    tot = per_decile.agg(F.sum("n_pos").alias("tp"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_pos",
+            "min_score",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_users"), 6
+            ).alias("pos_rate"),
+            F.round(
+                F.sum("n_pos").over(wcum).cast("double")
+                / F.nullif(F.col("tp").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("cum_capture"),
+        )
+    )
+
+
+q_events_engagement_gains.__doc__ = q_events_engagement_gains.__doc__.format(
+    B=_GAINS_BUCKETS
+)

@@ -1418,3 +1418,110 @@ def q_orders_open_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFram
     return g.select(
         "day", F.sum("delta").over(w).cast("long").alias("n_open")
     )
+
+
+# --- HITS hubs & authorities over the customer->supplier purchase graph -----
+
+from supplier_performance_data_pipeline_spark.operators.graph import (  # noqa: E402
+    HITS_ITERS,
+    HITS_SCALE,
+    hits_scores,
+)
+
+_HITS_TOP = 20
+
+
+def _hits_ctes(iters: int) -> list[str]:
+    """HITS half-steps unrolled for DuckDB — the same rounded scores /
+    exact DECIMAL sums / L1 normalization as operators/graph.py::
+    hits_scores, so the float mutual-reinforcement loop hash-matches
+    across engines. AS MATERIALIZED for every CTE referenced more than
+    once — the lineage cut the Spark side makes with localCheckpoint."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS u, "
+        "l.l_suppkey AS v FROM orders o "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey)",
+        "hubs AS MATERIALIZED (SELECT DISTINCT u FROM e)",
+        "nh AS (SELECT COUNT(*) AS n FROM hubs)",
+        f"h_0 AS MATERIALIZED (SELECT u, "
+        f"ROUND(CAST(1.0 AS DOUBLE) / n, {HITS_SCALE}) AS h "
+        "FROM hubs CROSS JOIN nh)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"as_{t} AS MATERIALIZED (SELECT e.v, "
+            "SUM(CAST(h.h AS DECIMAL(28,12))) AS sm "
+            f"FROM e JOIN h_{t} h ON e.u = h.u GROUP BY e.v)"
+        )
+        ctes.append(f"at_{t} AS (SELECT SUM(sm) AS tot FROM as_{t})")
+        ctes.append(
+            f"a_{t} AS MATERIALIZED (SELECT v, "
+            "ROUND(CAST(sm AS DOUBLE) / CAST(tot AS DOUBLE), "
+            f"{HITS_SCALE}) AS a FROM as_{t} CROSS JOIN at_{t})"
+        )
+        ctes.append(
+            f"hs_{t} AS MATERIALIZED (SELECT e.u, "
+            "SUM(CAST(a.a AS DECIMAL(28,12))) AS sm "
+            f"FROM e JOIN a_{t} a ON e.v = a.v GROUP BY e.u)"
+        )
+        ctes.append(f"ht_{t} AS (SELECT SUM(sm) AS tot FROM hs_{t})")
+        ctes.append(
+            f"h_{t + 1} AS MATERIALIZED (SELECT u, "
+            "ROUND(CAST(sm AS DOUBLE) / CAST(tot AS DOUBLE), "
+            f"{HITS_SCALE}) AS h FROM hs_{t} CROSS JOIN ht_{t})"
+        )
+    return ctes
+
+
+@register(
+    "supplier_hits_authority",
+    oracle=(
+        "WITH "
+        + ",\n".join(_hits_ctes(HITS_ITERS))
+        + f"""
+SELECT v AS s_suppkey, ROUND(a, 6) AS authority
+FROM a_{HITS_ITERS - 1} ORDER BY a DESC, v LIMIT {_HITS_TOP}
+"""
+    ).strip(),
+)
+def q_supplier_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authority scores (Kleinberg, JACM'99) over the bipartite
+    customer->supplier purchase graph: which suppliers are endorsed by
+    the customers who buy most broadly — the mutual-reinforcement
+    centrality that complements PageRank's random-walk centrality
+    (PageRank runs on the supplier co-supply projection; HITS runs on
+    the RAW bipartite graph, so it never pays the quadratic projection
+    join). Top-20 authorities after {iters} fixed iterations.
+
+    The edge build is one orders x lineitem equi-join projected to the
+    distinct (custkey, suppkey) pairs; per half-step the node-sized
+    score table broadcasts onto the edge scan and the only data-scale
+    exchange is the endpoint-keyed exact DECIMAL sum. L1 normalization
+    = one scalar division per half-step (no sqrt, no libm divergence);
+    every score carries 12dp, so the oracle's unrolled CTEs match
+    bit-for-bit at any iteration count. At 100 TB: edges localCheckpoint
+    once, score tables are node-sized, and the broadcast has the same
+    ``broadcast_nodes=False`` escape hatch as PageRank."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.select(F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("u"))
+        .join(li.select(F.col("l_orderkey").alias("k"),
+                        F.col("l_suppkey").alias("v")), "k")
+        .select("u", "v")
+        .distinct()
+    )
+    auth, _hubs = hits_scores(edges)
+    return (
+        auth.orderBy(F.desc("a"), F.asc("v"))
+        .limit(_HITS_TOP)
+        .select(
+            F.col("v").alias("s_suppkey"),
+            F.round("a", 6).alias("authority"),
+        )
+    )
+
+
+q_supplier_hits_authority.__doc__ = q_supplier_hits_authority.__doc__.format(
+    iters=HITS_ITERS
+)

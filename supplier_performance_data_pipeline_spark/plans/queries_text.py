@@ -3205,3 +3205,159 @@ def q_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_tokenizer_oov_rate.__doc__ = q_tokenizer_oov_rate.__doc__.format(
     V=_OOV_VOCAB_SIZE
 )
+
+
+# --- b-bit MinHash estimator audit (Li & Koenig, WWW'10) --------------------
+
+_BBIT_CUT = 0.5  # the near-dup decision threshold under audit
+
+
+@register(
+    "minhash_bbit_estimator_audit",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+{_MS_CTE},
+{_SIGS_CTE},
+bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ({" + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K))})
+               AS n_match,
+           ({" + ".join(f"CASE WHEN a.mh{j} % 2 = b.mh{j} % 2 THEN 1 ELSE 0 END" for j in range(MINHASH_K))})
+               AS n_bit
+    FROM bands a JOIN bands b
+      ON a.doc_id < b.doc_id
+     AND ({" OR ".join(f"a.band{b} = b.band{b}" for b in range(LSH_BANDS))})
+),
+sh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh_cte),
+per_pair AS (
+    SELECT CAST(n_match AS DOUBLE) / {MINHASH_K} AS est_full,
+           2.0 * (CAST(n_bit AS DOUBLE) / {MINHASH_K}) - 1.0 AS est_bbit,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / NULLIF(CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE),
+                        0.0) AS exact
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b
+)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(est_full - exact), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS full_mean_abs_err,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(est_bbit - exact), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS bbit_mean_abs_err,
+       MAX(ROUND(ABS(est_bbit - exact), 6)) AS bbit_max_abs_err,
+       CAST(SUM(CASE WHEN est_bbit >= {_BBIT_CUT} AND exact >= {_BBIT_CUT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pos,
+       CAST(SUM(CASE WHEN est_bbit >= {_BBIT_CUT} AND exact < {_BBIT_CUT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN est_bbit < {_BBIT_CUT} AND exact >= {_BBIT_CUT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+FROM per_pair
+""".strip(),
+)
+def q_minhash_bbit_estimator_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b-bit MinHash (Li & Koenig, WWW'10) estimator audit: keep only
+    the LOWEST BIT of each signature component — a 64x storage cut at
+    the same k — and measure what that costs. For b=1 the bit-agreement
+    rate A relates to Jaccard J as E[A] = (1+J)/2, so the unbiased
+    estimator is 2A-1; the audit compares it against BOTH the
+    full-component estimate and the exact shingle Jaccard on every LSH
+    candidate pair, plus the 0.5-cut confusion counts the full
+    estimator's audit (``lsh_estimator_error``) tracks. At 100 TB the
+    b-bit table is what you actually ship to the pair-verification
+    stage: 8 bits/doc instead of 64 bytes/doc, and this query measures
+    the accuracy price of that compression instead of trusting the
+    paper's asymptotics.
+
+    Plan: signatures materialize once (scoped persist, unpersisted
+    before return) and feed the band-bucket equi-join; bit agreement is
+    integer arithmetic on the SAME join — no second shuffle; exact
+    Jaccard joins distinct-shingle sets onto only the candidate pairs.
+    Determinism: estimates are doubles derived from exact integers,
+    per-pair errors ROUNDED to 6 before a DECIMAL sum; confusion
+    counts are integers; the raw (unclamped) 2A-1 estimator is kept —
+    negative estimates are informative in an audit."""
+    docs = _docs(spark, sf_dir)
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    sigs = minhash_signatures(docs, "text", MINHASH_K).persist()
+    pairs = lsh_candidate_pairs(sigs, MINHASH_K, LSH_BANDS)
+    a = sigs.selectExpr(
+        "doc_id AS doc_a", *[f"mh{j} AS a_mh{j}" for j in range(MINHASH_K)]
+    )
+    b = sigs.selectExpr(
+        "doc_id AS doc_b", *[f"mh{j} AS b_mh{j}" for j in range(MINHASH_K)]
+    )
+    n_match = " + ".join(
+        f"if(a_mh{j} = b_mh{j}, 1, 0)" for j in range(MINHASH_K)
+    )
+    n_bit = " + ".join(
+        f"if(a_mh{j} % 2 = b_mh{j} % 2, 1, 0)" for j in range(MINHASH_K)
+    )
+    cand = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"({n_match}) / cast({MINHASH_K} as double) AS est_full",
+            f"2.0d * (({n_bit}) / cast({MINHASH_K} as double)) - 1.0d"
+            " AS est_bbit",
+        )
+        .localCheckpoint()
+    )
+    sigs.unpersist()
+    exact = ngram_jaccard(
+        cand.select("doc_a", "doc_b"), docs
+    ).withColumnRenamed("jaccard", "exact")
+    cut = _BBIT_CUT
+    per_pair = cand.join(exact, ["doc_a", "doc_b"]).select(
+        "est_full",
+        "est_bbit",
+        "exact",
+        F.round(F.abs(F.col("est_full") - F.col("exact")), 6).alias(
+            "err_full"
+        ),
+        F.round(F.abs(F.col("est_bbit") - F.col("exact")), 6).alias(
+            "err_bbit"
+        ),
+    )
+    return per_pair.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("err_full").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("full_mean_abs_err"),
+        F.round(
+            F.sum(F.col("err_bbit").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bbit_mean_abs_err"),
+        F.max("err_bbit").alias("bbit_max_abs_err"),
+        F.sum(
+            F.when((F.col("est_bbit") >= cut) & (F.col("exact") >= cut), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both_pos"),
+        F.sum(
+            F.when((F.col("est_bbit") >= cut) & (F.col("exact") < cut), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(
+            F.when((F.col("est_bbit") < cut) & (F.col("exact") >= cut), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_neg"),
+    )
