@@ -2955,7 +2955,7 @@ _BOOT_GRAIN = 10**12
 # Poisson(1) CDF at 1e12 grain, GENERATED once from math.exp (the
 # literal ints below are the shared cross-engine contract; the draw is
 # k = #{i: h >= T_i} so P(k=0) = T_0/grain, P(k<=1) = T_1/grain, ...,
-# capped at 8 where the residual mass is ~1e-8).
+# capped at 8 where the residual mass is ~1e-5).
 _BOOT_CDF = [
     367879441171, 735758882343, 919698602929, 981011843124,
     996340153173, 999405815182, 999916758851, 999989750803,

@@ -3201,11 +3201,11 @@ _AUC_SCORE_TYPES = ("view", "click")  # engagement signal = the score
     "events_engagement_auc",
     oracle=f"""
 WITH users AS (
-    SELECT user_id,
+    SELECT user_id, CAST(ts AS DATE) AS d,
            CAST(SUM(CASE WHEN event_type IN {_AUC_SCORE_TYPES}
                     THEN 1 ELSE 0 END) AS BIGINT) AS s,
            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
-    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id, CAST(ts AS DATE)
 ),
 per_score AS (
     SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
@@ -3224,7 +3224,7 @@ agg AS (
            SUM(p) AS n_pos, SUM(n) AS n_users
     FROM cum
 )
-SELECT CAST(n_users AS BIGINT) AS n_users,
+SELECT CAST(n_users AS BIGINT) AS n_units,
        CAST(n_pos AS BIGINT) AS n_pos,
        CAST(n_users - n_pos AS BIGINT) AS n_neg,
        ROUND(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
@@ -3238,7 +3238,7 @@ FROM agg
 )
 def q_events_engagement_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT ROC-AUC of an engagement score (view+click count per
-    user) predicting conversion (the user purchased) — the model-eval
+    USER-DAY) predicting same-day conversion — the model-eval
     primitive every propensity/ranking pipeline needs, computed via the
     Mann-Whitney rank-sum identity instead of threshold sweeping:
     AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), with TIED
@@ -3261,7 +3261,7 @@ def q_events_engagement_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     users = (
         ev.filter(F.col("user_id").isNotNull())
-        .groupBy("user_id")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
         .agg(
             F.sum(
                 F.when(F.col("event_type").isin(*_AUC_SCORE_TYPES), 1)
@@ -3297,7 +3297,7 @@ def q_events_engagement_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("rank2") - F.col("n_pos") * (F.col("n_pos") + 1)
     n_neg = F.col("n_users") - F.col("n_pos")
     return agg.select(
-        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_users").cast("long").alias("n_units"),
         F.col("n_pos").cast("long").alias("n_pos"),
         n_neg.cast("long").alias("n_neg"),
         F.round(
@@ -3325,15 +3325,15 @@ _GAINS_BUCKETS = 10
     "events_engagement_gains",
     oracle=f"""
 WITH users AS (
-    SELECT user_id,
+    SELECT user_id, CAST(ts AS DATE) AS d,
            CAST(SUM(CASE WHEN event_type IN {_AUC_SCORE_TYPES}
                     THEN 1 ELSE 0 END) AS BIGINT) AS s,
            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
-    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id, CAST(ts AS DATE)
 ),
 ranked AS (
     SELECT s, y,
-           ROW_NUMBER() OVER (ORDER BY s DESC, user_id) AS rn,
+           ROW_NUMBER() OVER (ORDER BY s DESC, user_id, d) AS rn,
            COUNT(*) OVER () AS nt
     FROM users
 ),
@@ -3343,14 +3343,14 @@ bucketed AS (
     FROM ranked
 ),
 per_decile AS (
-    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_units,
            CAST(SUM(y) AS BIGINT) AS n_pos,
            CAST(MIN(s) AS BIGINT) AS min_score
     FROM bucketed GROUP BY decile
 ),
 tot AS (SELECT SUM(n_pos) AS tp FROM per_decile)
-SELECT decile, n_users, n_pos, min_score,
-       ROUND(CAST(n_pos AS DOUBLE) / n_users, 6) AS pos_rate,
+SELECT decile, n_units, n_pos, min_score,
+       ROUND(CAST(n_pos AS DOUBLE) / n_units, 6) AS pos_rate,
        ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS DOUBLE) / NULLIF(CAST(tp AS DOUBLE), 0.0), 6)
@@ -3379,7 +3379,7 @@ def q_events_engagement_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     users = (
         ev.filter(F.col("user_id").isNotNull())
-        .groupBy("user_id")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
         .agg(
             F.sum(
                 F.when(F.col("event_type").isin(*_AUC_SCORE_TYPES), 1)
@@ -3394,7 +3394,7 @@ def q_events_engagement_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    wrank = Window.orderBy(F.desc("s"), F.asc("user_id"))
+    wrank = Window.orderBy(F.desc("s"), F.asc("user_id"), F.asc("d"))
     ranked = users.select(
         "s",
         "y",
@@ -3413,7 +3413,7 @@ def q_events_engagement_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
     per_decile = bucketed.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
         F.sum("y").cast("long").alias("n_pos"),
         F.min("s").cast("long").alias("min_score"),
     )
@@ -3425,11 +3425,11 @@ def q_events_engagement_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_decile.crossJoin(F.broadcast(tot))
         .select(
             "decile",
-            "n_users",
+            "n_units",
             "n_pos",
             "min_score",
             F.round(
-                F.col("n_pos").cast("double") / F.col("n_users"), 6
+                F.col("n_pos").cast("double") / F.col("n_units"), 6
             ).alias("pos_rate"),
             F.round(
                 F.sum("n_pos").over(wcum).cast("double")

@@ -1492,3 +1492,142 @@ def test_incremental_candidates_subset_of_full_pairs(spark):
         a, b = sorted((r.batch_doc, r.index_doc))
         got.add((a, b, r.n_matching_components))
     assert got == straddle
+
+
+# --- HITS operator invariants -------------------------------------------------
+
+
+def test_hits_l1_norm_and_known_graph(spark):
+    """On the 4-node bipartite fixture, both score tables are
+    L1-normalized (sum = 1 within the 12dp rounding grain) and the
+    hub/authority ordering matches the hand-computed fixed point:
+    hub u1 points at both authorities, u2 at one, so a(v1) > a(v2)
+    and h(u1) > h(u2) at every iteration count."""
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        hits_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "u long, v long"
+    )
+    auth, hubs = hits_scores(edges)
+    a = {r.v: r.a for r in auth.collect()}
+    h = {r.u: r.h for r in hubs.collect()}
+    assert abs(sum(a.values()) - 1.0) < 1e-9
+    assert abs(sum(h.values()) - 1.0) < 1e-9
+    assert a[10] > a[20]
+    assert h[1] > h[2]
+
+
+def test_hits_partition_invariance(spark):
+    """Scores are identical at 1 and 16 input partitions — the DECIMAL
+    sum / rounded-score contract means reduction order can't leak."""
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        hits_scores,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    edges = (
+        o.select(F.col("o_orderkey").alias("k"),
+                 F.col("o_custkey").alias("u"))
+        .join(li.select(F.col("l_orderkey").alias("k"),
+                        F.col("l_suppkey").alias("v")), "k")
+        .select("u", "v")
+        .distinct()
+    )
+    a1, _ = hits_scores(edges.coalesce(1))
+    a16, _ = hits_scores(edges.repartition(16))
+    p1 = {r.v: r.a for r in a1.collect()}
+    p16 = {r.v: r.a for r in a16.collect()}
+    assert p1 == p16
+
+
+# --- Poisson bootstrap: threshold regeneration guard --------------------------
+
+
+def test_bootstrap_cdf_literals_match_generator():
+    """The _BOOT_CDF integer literals ARE the cross-engine contract
+    (both arms embed them); this regenerates them from math.exp and
+    fails if the literals ever drift from the distribution they claim
+    to encode."""
+    import math
+
+    from supplier_performance_data_pipeline_spark.plans.queries_analytics import (
+        _BOOT_CDF,
+        _BOOT_GRAIN,
+    )
+
+    cdf, term, expect = 0.0, math.exp(-1.0), []
+    for i in range(len(_BOOT_CDF)):
+        cdf += term
+        expect.append(round(cdf * _BOOT_GRAIN))
+        term /= i + 1
+    assert _BOOT_CDF == expect
+    # residual mass beyond the 8-threshold cap is P(X > 7) ~ 1.02e-5
+    assert _BOOT_GRAIN - _BOOT_CDF[-1] < 2e7
+
+
+def test_bootstrap_weights_are_poisson_ish(spark):
+    """The hash-threshold draw should produce weights with mean ~1 and
+    the Poisson(1) zero fraction ~1/e — a distribution sanity check on
+    the inverse-CDF arithmetic (a broken threshold comparison would
+    show up as a mean far from 1 long before a parity diff localizes
+    it)."""
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+    from supplier_performance_data_pipeline_spark.plans.queries_analytics import (
+        _BOOT_CDF,
+        _BOOT_GRAIN,
+        _BOOT_SALT,
+    )
+
+    ids = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+    h = md5_mod(F.col("k"), _BOOT_SALT, _BOOT_GRAIN)
+    w = None
+    for t in _BOOT_CDF:
+        term = F.when(h >= t, 1).otherwise(0)
+        w = term if w is None else w + term
+    stats = ids.select(w.alias("w")).agg(
+        F.avg("w").alias("mean"),
+        F.avg(F.when(F.col("w") == 0, 1.0).otherwise(0.0)).alias("p0"),
+    ).collect()[0]
+    assert abs(stats.mean - 1.0) < 0.05
+    assert abs(stats.p0 - 0.367879) < 0.02
+
+
+# --- exact AUC: cross-check against the quadratic definition ------------------
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """The rank-sum AUC must equal the O(n^2) definition
+    P(score_pos > score_neg) + 0.5 * P(tie) on a small labeled
+    fixture with heavy ties."""
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        REGISTRY,
+        load_all,
+    )
+
+    load_all()
+    row = REGISTRY["events_engagement_auc"].build(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev[ev.user_id.notna()]
+    ev["d"] = ev.ts.dt.date
+    g = ev.groupby(["user_id", "d"]).agg(
+        s=("event_type", lambda t: t.isin(["view", "click"]).sum()),
+        y=("event_type", lambda t: (t == "purchase").max()),
+    )
+    pos = sorted(g[g.y].s.tolist())
+    neg = sorted(g[~g.y].s.tolist())
+    wins = ties = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                wins += 1
+            elif p == n:
+                ties += 1
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert abs(row.auc - expect) < 1e-6
+    assert abs(row.gini - (2 * expect - 1)) < 1e-6
