@@ -199,6 +199,7 @@ HEADLINE = [
     "orders_poisson_bootstrap_ci",
     "events_engagement_auc",
     "events_engagement_gains",
+    "events_km_time_to_purchase",
 ]
 
 

@@ -3119,7 +3119,7 @@ _RANGE_FRAME_SECS = 21600  # trailing 6 hours (sparse per-user streams
     oracle=f"""
 WITH base AS (
     SELECT event_id, user_id, event_type,
-           CAST(epoch(ts) AS BIGINT) AS ep,
+           epoch_us(ts) AS ep,
            {cents_sql("value")} AS vc
     FROM events
 ),
@@ -3129,7 +3129,8 @@ wnd AS (
            SUM(vc) OVER w AS sc
     FROM base
     WINDOW w AS (PARTITION BY user_id ORDER BY ep
-                 RANGE BETWEEN {_RANGE_FRAME_SECS} PRECEDING AND CURRENT ROW)
+                 RANGE BETWEEN CAST({_RANGE_FRAME_SECS} AS BIGINT) * 1000000
+                 PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id, n_in_window,
        CAST(sc AS DOUBLE) / 100 AS value_in_window
@@ -3143,7 +3144,10 @@ def q_events_range_frame_velocity(
     and recommendation systems attach to conversion events: for every
     purchase, how many events (and how much value) the SAME user
     produced in the trailing 6-hour window, computed over the user's FULL event
-    stream with a RANGE frame on epoch seconds. ROWS frames (the rest
+    stream with a RANGE frame on exact integer epoch-microseconds
+    (seconds-rounding drifts cross-engine on sub-second timestamps:
+    DuckDB's epoch() CAST rounds, Spark's long cast truncates). ROWS
+    frames (the rest
     of the window surface) count physical rows; the RANGE frame is the
     time-semantic sibling — peers at the same timestamp are included
     symmetrically no matter the partition order, which is exactly what
@@ -3167,13 +3171,13 @@ def q_events_range_frame_velocity(
         "event_id",
         "user_id",
         "event_type",
-        F.col("ts").cast("long").alias("ep"),
+        F.unix_micros("ts").alias("ep"),
         cents("value").alias("vc"),
     )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ep")
-        .rangeBetween(-_RANGE_FRAME_SECS, 0)
+        .rangeBetween(-_RANGE_FRAME_SECS * 1_000_000, 0)
     )
     wnd = base.select(
         "event_id",
@@ -3442,4 +3446,182 @@ def q_events_engagement_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_events_engagement_gains.__doc__ = q_events_engagement_gains.__doc__.format(
     B=_GAINS_BUCKETS
+)
+
+
+# --- Kaplan-Meier time-to-conversion within the user-day ---------------------
+
+_KM_LOG_SCALE = 12  # per-term LN rounding before the exact DECIMAL sum
+
+
+@register(
+    "events_km_time_to_purchase",
+    oracle=f"""
+WITH ud AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           MIN(epoch_us(ts)) AS t0,
+           MAX(epoch_us(ts)) AS t_last,
+           MIN(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(ts) END) AS t_buy
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+subj AS (
+    SELECT CASE WHEN t_buy IS NOT NULL THEN (t_buy - t0) // 60000000
+           ELSE (t_last - t0) // 60000000 END AS dur,
+           CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END AS ev
+    FROM ud
+),
+grid AS (
+    SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(SUM(1 - ev) AS BIGINT) AS c
+    FROM subj GROUP BY dur
+),
+tot AS (SELECT COUNT(*) AS n FROM subj),
+risk AS (
+    SELECT dur, d, c,
+           n - COALESCE(SUM(d + c) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+    FROM grid CROSS JOIN tot
+),
+terms AS (
+    SELECT dur, d, c, n_risk,
+           CASE WHEN n_risk - d > 0 THEN
+               CAST(ROUND(LN(CAST(n_risk - d AS DOUBLE) / n_risk),
+                          {_KM_LOG_SCALE}) AS DECIMAL(28,12))
+           END AS lg,
+           CASE WHEN n_risk - d = 0 THEN 1 ELSE 0 END AS hit0
+    FROM risk
+),
+surv AS (
+    SELECT dur, d, c, n_risk,
+           CASE WHEN SUM(hit0) OVER (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(EXP(CAST(SUM(lg) OVER (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)), 6) END AS survival
+    FROM terms
+)
+SELECT CAST(dur AS BIGINT) AS t_minutes,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_events, c AS n_censored, survival
+FROM surv WHERE d > 0
+""".strip(),
+)
+def q_events_km_time_to_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase within a
+    user-day, right-CENSORED at the day's last observed event when no
+    purchase happens — the estimator every churn/conversion-latency
+    analysis needs, and the one naive "average time to purchase among
+    converters" gets wrong (it throws away censored subjects and biases
+    the latency down). Subjects are user-days (same grain as the
+    engagement AUC/gains family); durations are whole minutes from the
+    day's first event, floored from exact integer epoch-microseconds
+    (seconds-grain epochs drift cross-engine on sub-second
+    timestamps).
+
+    Determinism with libm in the loop: each KM factor (n_i - d_i)/n_i
+    is an exact rational; its LN rounds to {S}dp BEFORE entering the
+    exact DECIMAL cumulative sum (libm's 1-ulp cross-engine wiggle is
+    ~1e-16 relative — three orders below the rounding grain), and the
+    final EXP is one double call on an exact operand, rounded to 6dp
+    with 1e9x margin. A factor of zero (everyone at risk converts at
+    the last event time) short-circuits to survival 0.0 via an integer
+    flag, never LN(0).
+
+    Plan: one user-day agg over the fact scan (the only data-scale
+    shuffle), then every window runs on the DURATION-GRAIN grid —
+    bounded by 1440 minutes/day, a deliberate documented
+    SinglePartition over a tiny table (the ECDF/KS pattern). Output
+    rows are the event times only, per KM convention; censored-only
+    times participate in n_risk but print nothing."""
+    ev = _events(spark, sf_dir)
+    ud = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("t0"),
+            F.max(F.unix_micros("ts")).alias("t_last"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.unix_micros("ts"),
+                )
+            ).alias("t_buy"),
+        )
+    )
+    subj = ud.select(
+        F.when(
+            F.col("t_buy").isNotNull(),
+            F.expr("(t_buy - t0) div 60000000"),
+        )
+        .otherwise(F.expr("(t_last - t0) div 60000000"))
+        .alias("dur"),
+        F.when(F.col("t_buy").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grid = subj.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    terms = risk.select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.when(
+            F.col("n_risk") - F.col("d") > 0,
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                ),
+                _KM_LOG_SCALE,
+            ).cast("decimal(28,12)"),
+        ).alias("lg"),
+        F.when(F.col("n_risk") - F.col("d") == 0, 1).otherwise(0).alias(
+            "hit0"
+        ),
+    )
+    surv = terms.select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.when(F.sum("hit0").over(wcum) > 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("lg").over(wcum).cast("double")), 6)
+        )
+        .alias("survival"),
+    )
+    return surv.filter(F.col("d") > 0).select(
+        F.col("dur").cast("long").alias("t_minutes"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        "survival",
+    )
+
+
+q_events_km_time_to_purchase.__doc__ = (
+    q_events_km_time_to_purchase.__doc__.format(S=_KM_LOG_SCALE)
 )
