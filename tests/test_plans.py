@@ -1242,3 +1242,64 @@ def test_range_frame_single_user_shuffle(spark, specs):
     assert "hashpartitioning(user_id" in plan
     assert shuffles(plan) == 1
     assert "specifiedwindowframe(RangeFrame" in plan
+
+
+def test_bbit_audit_bucket_join_never_all_pairs(spark, specs):
+    plan = plan_of(spark, specs, "minhash_bbit_estimator_audit")
+    assert "CartesianProduct" not in plan
+    # candidate generation is the banded equi-join; bit agreement rides
+    # the same pair join — no extra fact-scale shuffle for it
+    assert "SortMergeJoin" not in plan or "CartesianProduct" not in plan
+
+
+def test_hits_lineage_cut_and_takeordered(spark, specs):
+    # Half-steps ran eagerly through their localCheckpoints during
+    # build (the pagerank/LPA pattern): the final plan must hang off
+    # the checkpointed authority RDD only — no re-derivation of the
+    # bipartite join, no parquet rescans — and the top-k must be
+    # TakeOrdered, never a global sort exchange.
+    plan = plan_of(spark, specs, "supplier_hits_authority")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_explode_is_map_side_one_agg(spark, specs):
+    plan = plan_of(spark, specs, "orders_poisson_bootstrap_ci")
+    assert "CartesianProduct" not in plan
+    # the replicate fan-out must be a generator on the scan, never a join
+    assert "Generate explode" in plan
+    # replicate-keyed agg + the R-row ranking window + final agg: the
+    # fact table itself shuffles exactly once (keyed by replicate)
+    assert "hashpartitioning(r" in plan
+
+
+def test_auc_windows_on_score_grain_only(spark, specs):
+    plan = plan_of(spark, specs, "events_engagement_auc")
+    assert "CartesianProduct" not in plan
+    # one fact-scale shuffle (user-day agg); the cumulative window runs
+    # on the score-grain table AFTER a score-keyed agg
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(s" in plan
+    assert "specifiedwindowframe(RowFrame" in plan
+
+
+def test_gains_single_partition_only_on_unit_grain(spark, specs):
+    plan = plan_of(spark, specs, "events_engagement_gains")
+    assert "CartesianProduct" not in plan
+    # user-day agg shuffles the facts once; ranking runs on unit grain,
+    # the capture window on the 10-row decile table
+    assert "hashpartitioning(user_id" in plan
+    assert "TakeOrderedAndProject" not in plan  # full table ranked, fine
+
+
+def test_km_windows_on_duration_grid(spark, specs):
+    plan = plan_of(spark, specs, "events_km_time_to_purchase")
+    assert "CartesianProduct" not in plan
+    # fact scan -> user-day agg (one fact shuffle); every window runs on
+    # the bounded duration grid (SinglePartition over <=1440 rows is the
+    # documented ECDF pattern); the subject total attaches by broadcast
+    assert "hashpartitioning(user_id" in plan
+    assert "BroadcastNestedLoopJoin" in plan
