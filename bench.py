@@ -200,6 +200,8 @@ HEADLINE = [
     "events_engagement_auc",
     "events_engagement_gains",
     "events_km_time_to_purchase",
+    "price_quantity_ols",
+    "customer_revenue_theil",
 ]
 
 

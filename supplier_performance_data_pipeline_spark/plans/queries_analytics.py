@@ -3112,3 +3112,303 @@ q_orders_poisson_bootstrap_ci.__doc__ = (
         R=_BOOT_R, lo=_BOOT_LO_RANK, hi=_BOOT_HI_RANK
     )
 )
+
+
+# --- closed-form OLS: extendedprice on quantity per return flag --------------
+
+
+@register(
+    "price_quantity_ols",
+    oracle=f"""
+WITH pts AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS x,
+           {cents_sql("l_extendedprice")} AS y
+    FROM lineitem
+),
+s AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+           SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+           SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+           SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+           SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+    FROM pts GROUP BY l_returnflag
+),
+d AS (
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+           CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n,
+           CAST(n * syy - sy * sy AS DOUBLE) AS vary_n,
+           CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+    FROM s
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_points,
+       ROUND(cov_n / varx_n / 100, 6) AS slope_dollars_per_unit,
+       ROUND((syd - cov_n / varx_n * sxd) / n / 100, 6)
+           AS intercept_dollars,
+       ROUND(cov_n * cov_n / (varx_n * vary_n), 6) AS r2
+FROM d ORDER BY l_returnflag
+""".strip(),
+)
+def q_price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple OLS regression of line price on quantity per
+    return flag — slope, intercept, and R² from the five sufficient
+    moments (n, Σx, Σy, Σxy, Σx², Σy²), the single-pass formulation
+    that scales to any data size because the moments are mergeable
+    partial aggregates (one scan, one 3-group agg, map-side combined).
+    The iterative sibling is ``orders_theil_sen_trend``; this is the
+    parametric baseline every feature-importance sanity check starts
+    from.
+
+    Determinism: x (whole TPC-H quantities) and y (integer cents) are
+    exact; all six moments accumulate in DECIMAL(38,0) — order-free —
+    and the slope/intercept/R² combinations are a handful of double
+    ops on those exact operands, rounded to 6 at the edge. The n*Σxy −
+    ΣxΣy cross terms stay inside DECIMAL(38,0) (~1e25 at sf100); only
+    R²'s square of that difference would overflow, so it's formed in
+    double AFTER the exact subtraction."""
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        cents("l_extendedprice").alias("y"),
+    )
+    s = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    d = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("cov_n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("varx_n"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("vary_n"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    return d.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_points"),
+        F.round(F.col("cov_n") / F.col("varx_n") / 100, 6).alias(
+            "slope_dollars_per_unit"
+        ),
+        F.round(
+            (F.col("syd") - F.col("cov_n") / F.col("varx_n") * F.col("sxd"))
+            / F.col("n")
+            / 100,
+            6,
+        ).alias("intercept_dollars"),
+        F.round(
+            F.col("cov_n") * F.col("cov_n")
+            / (F.col("varx_n") * F.col("vary_n")),
+            6,
+        ).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+# --- Theil inequality index with between/within-nation decomposition ---------
+
+_THEIL_TERM_SCALE = 12
+
+
+@register(
+    "customer_revenue_theil",
+    oracle=f"""
+WITH x AS (
+    SELECT c.c_custkey, c.c_nationkey,
+           COALESCE(SUM({cents_sql("o.o_totalprice")}), 0) AS v
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_nationkey
+),
+g AS (SELECT COUNT(*) AS n, SUM(CAST(v AS DECIMAL(38,0))) AS t FROM x),
+tot_terms AS (
+    SELECT CASE WHEN v > 0 THEN
+        CAST(ROUND((CAST(v AS DOUBLE) / (CAST(t AS DOUBLE) / n))
+                   * LN(CAST(v AS DOUBLE) / (CAST(t AS DOUBLE) / n)),
+                   {_THEIL_TERM_SCALE}) AS DECIMAL(28,12)) END AS term
+    FROM x CROSS JOIN g
+),
+nat AS (
+    SELECT c_nationkey, COUNT(*) AS ng,
+           SUM(CAST(v AS DECIMAL(38,0))) AS tg
+    FROM x GROUP BY c_nationkey
+),
+btw_terms AS (
+    SELECT CASE WHEN tg > 0 THEN
+        CAST(ROUND((CAST(tg AS DOUBLE) / CAST(t AS DOUBLE))
+                   * LN((CAST(tg AS DOUBLE) / ng)
+                        / (CAST(t AS DOUBLE) / n)),
+                   {_THEIL_TERM_SCALE}) AS DECIMAL(28,12)) END AS term
+    FROM nat CROSS JOIN g
+),
+within_grp AS (
+    SELECT x.c_nationkey,
+        CAST(ROUND(CASE WHEN v > 0 THEN
+            (CAST(v AS DOUBLE) / (CAST(tg AS DOUBLE) / ng))
+            * LN(CAST(v AS DOUBLE) / (CAST(tg AS DOUBLE) / ng))
+            ELSE 0.0 END, {_THEIL_TERM_SCALE}) AS DECIMAL(28,12)) AS term,
+        ng, tg
+    FROM x JOIN nat ON x.c_nationkey = nat.c_nationkey
+    WHERE tg > 0
+),
+theil_g AS (
+    SELECT c_nationkey,
+           ROUND(CAST(SUM(term) AS DOUBLE) / ANY_VALUE(ng),
+                 {_THEIL_TERM_SCALE}) AS tg_theil,
+           ANY_VALUE(tg) AS tg
+    FROM within_grp GROUP BY c_nationkey
+),
+within AS (
+    SELECT SUM(CAST(ROUND((CAST(tg AS DOUBLE) / CAST(t AS DOUBLE))
+                          * tg_theil, {_THEIL_TERM_SCALE})
+               AS DECIMAL(28,12))) AS w
+    FROM theil_g CROSS JOIN g
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(CAST((SELECT SUM(term) FROM tot_terms) AS DOUBLE) / n, 6)
+           AS theil_total,
+       ROUND(CAST((SELECT SUM(term) FROM btw_terms) AS DOUBLE), 6)
+           AS theil_between,
+       ROUND(CAST((SELECT w FROM within) AS DOUBLE), 6) AS theil_within
+FROM g
+""".strip(),
+)
+def q_customer_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer revenue WITH the
+    between/within-nation decomposition — the property that makes Theil
+    the inequality measure for segmented analysis (Gini doesn't
+    decompose additively; the engine's ``customer_revenue_gini`` gives
+    the headline number, this query explains WHERE the concentration
+    lives: across nations or inside them).
+
+    Determinism (the PSI/BM25 libm recipe): every LN term is computed
+    on doubles derived from exact integer cents, ROUNDED to {S}dp, and
+    summed as exact DECIMAL; group Theils round again before the
+    share-weighted within-sum. Zero-revenue customers contribute the
+    standard 0*ln(0) = 0 limit via CASE, never LN(0). Within-group
+    means use each nation's exact (tg, ng) — no double accumulates
+    across rows anywhere.
+
+    Plan: one customer-grain agg (the only fact-scale shuffle — orders
+    pre-aggregate map-side), then nation-grain (25 rows) and scalar
+    CTEs, all broadcast. At 100 TB the customer table is the largest
+    intermediate and it's already the grain the Gini/RFM family
+    materializes."""
+    tune_session(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    x = (
+        c.select("c_custkey", "c_nationkey")
+        .join(
+            o.select(
+                F.col("o_custkey").alias("c_custkey"),
+                cents("o_totalprice").alias("vc"),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.coalesce(F.sum("vc"), F.lit(0)).alias("v"))
+    )
+    g = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("t"),
+    )
+    xd = x.crossJoin(F.broadcast(g))
+    mu = F.col("t").cast("double") / F.col("n")
+    ratio = F.col("v").cast("double") / mu
+    tot = xd.select(
+        F.when(
+            F.col("v") > 0,
+            F.round(ratio * F.log(ratio), _THEIL_TERM_SCALE).cast(
+                "decimal(28,12)"
+            ),
+        ).alias("term")
+    ).agg(F.sum("term").alias("tsum"))
+    nat = x.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("tg"),
+    )
+    natd = nat.crossJoin(F.broadcast(g))
+    share = F.col("tg").cast("double") / F.col("t").cast("double")
+    mug = F.col("tg").cast("double") / F.col("ng")
+    btw = natd.select(
+        F.when(
+            F.col("tg") > 0,
+            F.round(
+                share * F.log(mug / mu), _THEIL_TERM_SCALE
+            ).cast("decimal(28,12)"),
+        ).alias("term")
+    ).agg(F.sum("term").alias("bsum"))
+    wg = x.join(F.broadcast(nat), "c_nationkey").filter(F.col("tg") > 0)
+    ratio_g = F.col("v").cast("double") / (
+        F.col("tg").cast("double") / F.col("ng")
+    )
+    theil_g = (
+        wg.select(
+            "c_nationkey",
+            "ng",
+            "tg",
+            F.round(
+                F.when(F.col("v") > 0, ratio_g * F.log(ratio_g)).otherwise(
+                    0.0
+                ),
+                _THEIL_TERM_SCALE,
+            )
+            .cast("decimal(28,12)")
+            .alias("term"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(
+                F.sum("term").cast("double") / F.any_value("ng"),
+                _THEIL_TERM_SCALE,
+            ).alias("tg_theil"),
+            F.any_value("tg").alias("tg"),
+        )
+    )
+    within = (
+        theil_g.crossJoin(F.broadcast(g))
+        .select(
+            F.round(
+                (F.col("tg").cast("double") / F.col("t").cast("double"))
+                * F.col("tg_theil"),
+                _THEIL_TERM_SCALE,
+            )
+            .cast("decimal(28,12)")
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("wsum"))
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btw))
+        .crossJoin(F.broadcast(within))
+        .select(
+            F.col("n").cast("long").alias("n_customers"),
+            F.round(F.col("tsum").cast("double") / F.col("n"), 6).alias(
+                "theil_total"
+            ),
+            F.round(F.col("bsum").cast("double"), 6).alias("theil_between"),
+            F.round(F.col("wsum").cast("double"), 6).alias("theil_within"),
+        )
+    )
+
+
+q_customer_revenue_theil.__doc__ = q_customer_revenue_theil.__doc__.format(
+    S=_THEIL_TERM_SCALE
+)

@@ -1303,3 +1303,21 @@ def test_km_windows_on_duration_grid(spark, specs):
     # documented ECDF pattern); the subject total attaches by broadcast
     assert "hashpartitioning(user_id" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ols_is_one_scan_one_agg(spark, specs):
+    # Five sufficient moments in ONE aggregate over ONE pruned scan —
+    # the mergeable-partials shape that makes closed-form OLS scale.
+    plan = plan_of(spark, specs, "price_quantity_ols")
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "ReadSchema" in plan and "l_returnflag" in plan
+
+
+def test_theil_single_fact_shuffle_broadcast_scalars(spark, specs):
+    plan = plan_of(spark, specs, "customer_revenue_theil")
+    assert "CartesianProduct" not in plan
+    # nation/global tables attach by broadcast; the customer-grain agg
+    # is the only fact-scale exchange family (custkey/nationkey keyed)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
