@@ -202,6 +202,7 @@ HEADLINE = [
     "events_km_time_to_purchase",
     "price_quantity_ols",
     "customer_revenue_theil",
+    "documents_rake_keywords",
 ]
 
 

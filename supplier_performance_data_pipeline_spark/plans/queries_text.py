@@ -3361,3 +3361,169 @@ def q_minhash_bbit_estimator_audit(
         .cast("long")
         .alias("n_false_neg"),
     )
+
+
+# --- RAKE keyword extraction (Rose et al. '10) --------------------------------
+
+_RAKE_MIN_LEN = 2  # single words flood the ranking; phrases only
+_RAKE_MAX_LEN = 4
+_RAKE_TOP = 25
+
+
+@register(
+    "documents_rake_keywords",
+    oracle=f"""
+WITH {_TOKS_CTE},
+pos_toks AS (
+    SELECT doc_id, i AS pos, toks[i + 1] AS tok,
+           CASE WHEN toks[i + 1] IN ({_in_list(QUALITY_STOPWORDS)})
+                THEN 1 ELSE 0 END AS is_stop
+    FROM toks_cte, UNNEST(range(0, len(toks))) AS u(i)
+),
+seg AS (
+    SELECT doc_id, pos, tok, is_stop,
+           SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS phrase_id
+    FROM pos_toks
+),
+words AS (
+    SELECT doc_id, phrase_id, pos, tok FROM seg WHERE is_stop = 0
+),
+plen AS (
+    SELECT doc_id, phrase_id, COUNT(*) AS n_words
+    FROM words GROUP BY doc_id, phrase_id
+),
+wstat AS (
+    SELECT tok, COUNT(*) AS freq,
+           SUM(n_words) AS degree
+    FROM words JOIN plen USING (doc_id, phrase_id)
+    GROUP BY tok
+),
+wscore AS (
+    SELECT tok, CAST(ROUND(CAST(degree AS DOUBLE) / freq, 6)
+                AS DECIMAL(18,6)) AS ws
+    FROM wstat
+),
+phrases AS (
+    SELECT w.doc_id, w.phrase_id,
+           string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           SUM(ws) AS score
+    FROM words w JOIN wscore s ON w.tok = s.tok
+    GROUP BY w.doc_id, w.phrase_id
+    HAVING COUNT(*) BETWEEN {_RAKE_MIN_LEN} AND {_RAKE_MAX_LEN}
+),
+dedup AS (
+    SELECT phrase, ANY_VALUE(n_words) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MAX(score) AS score
+    FROM phrases GROUP BY phrase
+)
+SELECT phrase, n_words, n_occurrences,
+       CAST(score AS DOUBLE) AS rake_score
+FROM dedup
+ORDER BY score DESC, phrase
+LIMIT {_RAKE_TOP}
+""".strip(),
+)
+def q_documents_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. '10): candidate phrases are
+    the maximal stopword-free token runs; each word scores
+    degree/frequency (degree = summed length of every phrase it appears
+    in — co-occurrence + self); a phrase scores the sum of its member
+    word scores. Top-{K} multi-word phrases corpus-wide — the unsupervised
+    keyword surface a corpus card / topic drill-down starts from, and a
+    different extraction family from the engine's TF-IDF / BM25 /
+    collocation-PMI rankings (RAKE rewards words that live in LONG
+    specific phrases, not rare words).
+
+    Determinism: phrase segmentation is an integer cumulative sum of
+    stopword flags per document (window bounded by doc length); word
+    scores are ONE double division of exact integers ROUNDED to 6 and
+    summed as exact DECIMAL per phrase — identical phrase text implies
+    identical score, so the text-grain dedup can take MAX(score)
+    without drift. Ordering ties break on the phrase string.
+
+    Plan at scale: token explode (the volume every shingle query
+    already handles) -> doc-partitioned segmentation window -> two
+    hash aggs (phrase grain, then word grain) -> word-score equi-join
+    back -> phrase-text agg -> TakeOrdered top-{K}. No window is ever
+    unpartitioned; the word-stat table is vocabulary-sized."""
+    from pyspark.sql.window import Window
+
+    toks = spread_scan(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    pt = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(F.col("tok").isin(*QUALITY_STOPWORDS), 1)
+        .otherwise(0)
+        .alias("is_stop"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    words = (
+        pt.withColumn("phrase_id", F.sum("is_stop").over(w))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "phrase_id", "pos", "tok")
+    )
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("n_words")
+    )
+    wstat = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("degree"),
+        )
+    )
+    wscore = wstat.select(
+        "tok",
+        F.round(F.col("degree").cast("double") / F.col("freq"), 6)
+        .cast("decimal(18,6)")
+        .alias("ws"),
+    )
+    phrases = (
+        words.join(wscore, "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x.tok,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ws").alias("score"),
+        )
+        .filter(
+            F.col("n_words").between(_RAKE_MIN_LEN, _RAKE_MAX_LEN)
+        )
+    )
+    dedup = phrases.groupBy("phrase").agg(
+        F.any_value("n_words").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("score").alias("score"),
+    )
+    return (
+        dedup.orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(_RAKE_TOP)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.col("score").cast("double").alias("rake_score"),
+        )
+    )
+
+
+q_documents_rake_keywords.__doc__ = q_documents_rake_keywords.__doc__.format(
+    K=_RAKE_TOP
+)

@@ -1321,3 +1321,11 @@ def test_theil_single_fact_shuffle_broadcast_scalars(spark, specs):
     # is the only fact-scale exchange family (custkey/nationkey keyed)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rake_windows_doc_partitioned_topk_takeordered(spark, specs):
+    plan = plan_of(spark, specs, "documents_rake_keywords")
+    assert "CartesianProduct" not in plan
+    # segmentation window rides the doc partition, never unpartitioned
+    assert "hashpartitioning(doc_id" in plan
+    assert "TakeOrderedAndProject" in plan
