@@ -3122,7 +3122,7 @@ q_orders_poisson_bootstrap_ci.__doc__ = (
     oracle=f"""
 WITH pts AS (
     SELECT l_returnflag,
-           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_quantity) AS BIGINT) AS x,
            {cents_sql("l_extendedprice")} AS y
     FROM lineitem
 ),
@@ -3162,8 +3162,9 @@ def q_price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     parametric baseline every feature-importance sanity check starts
     from.
 
-    Determinism: x (whole TPC-H quantities) and y (integer cents) are
-    exact; all six moments accumulate in DECIMAL(38,0) — order-free —
+    Determinism: x (whole TPC-H quantities — FLOORed, because a bare
+    BIGINT cast truncates in Spark but rounds in DuckDB on fractional
+    input) and y (integer cents) are exact; all six moments accumulate in DECIMAL(38,0) — order-free —
     and the slope/intercept/R² combinations are a handful of double
     ops on those exact operands, rounded to 6 at the edge. The n*Σxy −
     ΣxΣy cross terms stay inside DECIMAL(38,0) (~1e25 at sf100); only
@@ -3172,7 +3173,7 @@ def q_price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     pts = li.select(
         "l_returnflag",
-        F.col("l_quantity").cast("long").alias("x"),
+        F.floor("l_quantity").cast("long").alias("x"),
         cents("l_extendedprice").alias("y"),
     )
     s = pts.groupBy("l_returnflag").agg(
