@@ -2944,9 +2944,8 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Poisson-bootstrap CI for mean order value ------------------------------
 
-from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402
-    md5_mod,
-    md5_mod_sql,
+from supplier_performance_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    P61,
 )
 
 _BOOT_R = 100  # bootstrap replicates
@@ -2975,13 +2974,23 @@ def _boot_k_sql(h: str) -> str:
     "orders_poisson_bootstrap_ci",
     oracle=f"""
 WITH reps AS (SELECT r FROM range(0, {_BOOT_R}) t(r)),
+hp AS (
+    SELECT md5(concat('{_BOOT_SALT}', o_orderkey)) AS m,
+           {cents_sql("o_totalprice")} AS vc
+    FROM orders
+),
+seeds AS (
+    SELECT CAST(concat('0x', substr(m, 1, 14)) AS BIGINT) AS h1,
+           CAST(concat('0x', substr(m, 15, 14)) AS BIGINT) AS h2,
+           vc
+    FROM hp
+),
 draws AS (
     SELECT r.r,
-           {_boot_k_sql(md5_mod_sql(
-               "concat(r.r, '|', o.o_orderkey)", _BOOT_SALT, _BOOT_GRAIN))}
+           {_boot_k_sql(f"(((h1 + r.r * h2) % {P61}) % {_BOOT_GRAIN})")}
                AS w,
-           {cents_sql("o.o_totalprice")} AS vc
-    FROM orders o CROSS JOIN reps r
+           vc
+    FROM seeds CROSS JOIN reps r
 ),
 rep_means AS (
     SELECT r,
@@ -3021,10 +3030,15 @@ def q_orders_poisson_bootstrap_ci(
     doesn't, which is exactly why it's the distributed-systems
     standard.
 
-    Determinism: the Poisson draw inverts the CDF at integer grain —
-    h = md5(salt || replicate || orderkey) mod 1e12 against PRECOMPUTED
-    integer thresholds (shared literals in both arms), so both engines
-    draw the identical weight for every (replicate, order). Replicate
+    Determinism: the Poisson draw inverts the CDF at integer grain
+    against PRECOMPUTED integer thresholds (shared literals in both
+    arms), so both engines draw the identical weight for every
+    (replicate, order). The per-replicate uniform comes from the SAME
+    affine family MinHash uses — ONE md5 per order split into 56-bit
+    halves (h1, h2), replicate r drawing (h1 + r*h2) mod P61 mod 1e12 —
+    because an md5 per (order, replicate) made the hash 100x the query
+    (14s at sf0.1; the family costs one digest plus integer ops and
+    keeps the pairwise-independence the estimator needs). Replicate
     means are ONE double division of two exact integer sums (cents,
     weights), rounded to 6; the bootstrap mean is an exact DECIMAL sum
     of those rounded means; the CI bounds are nearest-rank order
@@ -3034,30 +3048,33 @@ def q_orders_poisson_bootstrap_ci(
 
     Plan: fact scan x {R}-way explode (map-side, no shuffle), one
     replicate-keyed agg ({R} groups), then the CI is a {R}-row sort.
-    The md5-per-(order, replicate) is the dominant cost and it's
+    One md5 per ORDER (not per draw) is the dominant cost and it's
     embarrassingly parallel."""
     tune_session(spark)
+    digest = F.md5(
+        F.concat(F.lit(_BOOT_SALT), F.col("o_orderkey").cast("string"))
+    )
     o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", cents("o_totalprice").alias("vc")
+        cents("o_totalprice").alias("vc"),
+        F.conv(F.substring(digest, 1, 14), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(digest, 15, 14), 16, 10)
+        .cast("long")
+        .alias("h2"),
     )
     reps = F.explode(
         F.sequence(F.lit(0), F.lit(_BOOT_R - 1))
     ).alias("r")
-    h = md5_mod(
-        F.concat_ws(
-            "",
-            F.col("r").cast("string"),
-            F.lit("|"),
-            F.col("o_orderkey").cast("string"),
-        ),
-        _BOOT_SALT,
-        _BOOT_GRAIN,
+    h = F.pmod(
+        F.pmod(F.col("h1") + F.col("r") * F.col("h2"), F.lit(P61)),
+        F.lit(_BOOT_GRAIN),
     )
     w = None
     for t in _BOOT_CDF:
         term = F.when(h >= t, 1).otherwise(0)
         w = term if w is None else w + term
-    draws = o.select("o_orderkey", "vc", reps).select(
+    draws = o.select("vc", "h1", "h2", reps).select(
         "r", w.alias("w"), "vc"
     )
     rep_means = draws.groupBy("r").agg(

@@ -1574,17 +1574,25 @@ def test_bootstrap_weights_are_poisson_ish(spark):
     the inverse-CDF arithmetic (a broken threshold comparison would
     show up as a mean far from 1 long before a parity diff localizes
     it)."""
-    from supplier_performance_data_pipeline_spark.operators.sampling import (
-        md5_mod,
-    )
+    from supplier_performance_data_pipeline_spark.operators.dedup import P61
     from supplier_performance_data_pipeline_spark.plans.queries_analytics import (
         _BOOT_CDF,
         _BOOT_GRAIN,
         _BOOT_SALT,
     )
 
-    ids = spark.range(20000).select(F.col("id").cast("string").alias("k"))
-    h = md5_mod(F.col("k"), _BOOT_SALT, _BOOT_GRAIN)
+    # mirror the SHIPPED affine-family draw: one md5 per key, replicate
+    # r = key % 100 drawing (h1 + r*h2) mod P61 mod grain
+    digest = F.md5(F.concat(F.lit(_BOOT_SALT), (F.col("id") / 100).cast("long").cast("string")))
+    ids = spark.range(20000).select(
+        F.conv(F.substring(digest, 1, 14), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(digest, 15, 14), 16, 10).cast("long").alias("h2"),
+        F.pmod(F.col("id"), F.lit(100)).alias("r"),
+    )
+    h = F.pmod(
+        F.pmod(F.col("h1") + F.col("r") * F.col("h2"), F.lit(P61)),
+        F.lit(_BOOT_GRAIN),
+    )
     w = None
     for t in _BOOT_CDF:
         term = F.when(h >= t, 1).otherwise(0)
