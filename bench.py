@@ -222,6 +222,21 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).collect()
 
+    # Host-speed calibration: a fixed, data-independent, CPU-bound JVM
+    # workload timed min-of-2. Round-over-round comparisons on shared
+    # hosts are otherwise confounded by co-tenant load / CPU frequency
+    # (round 6 measured the SAME code 40% slower than its own earlier
+    # record on an idle-but-slower host); the ratio of calibration
+    # times is the honest normalizer for per-query deltas.
+    cal = float("inf")
+    for _ in range(2):
+        c0 = time.perf_counter()
+        spark.range(300_000_000, numPartitions=32).selectExpr(
+            "sum(id * id) AS s"
+        ).collect()
+        cal = min(cal, time.perf_counter() - c0)
+    cal = round(cal, 4)
+
     # Best-of-N with a wall-clock bound: a single sample is hostage to
     # transient host load (we see 1.5x swings between identical runs,
     # and the FIRST run of a query also pays its codegen/JIT), so every
@@ -269,12 +284,19 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "host_calibration_sec": cal,
     }
     prev = _previous_round_bench()
     if prev is not None:
         prev_times = prev.get("queries", {})
+        prev_cal = prev.get("host_calibration_sec")
         out["vs_prev_round"] = {
             "round_file": prev["__file__"],
+            # >1 means this round's host is slower by that factor; scale
+            # prev-round times by this before reading per-query deltas.
+            "host_speed_ratio": (
+                round(cal / prev_cal, 4) if prev_cal else None
+            ),
             "prev_partial": bool(prev.get("partial_tail_recovery")),
             "total_delta_sec": round(total - prev.get("value", 0.0), 4),
             "per_query_delta_sec": {
