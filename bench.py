@@ -231,8 +231,9 @@ def main() -> None:
     cal = float("inf")
     for _ in range(2):
         c0 = time.perf_counter()
-        spark.range(300_000_000, numPartitions=32).selectExpr(
-            "sum(id * id) AS s"
+        spark.range(2_000_000_000, numPartitions=32).selectExpr(
+            # overflow-safe under ANSI: (id*31) <= 6.2e10, mod-sum <= 2e15
+            "sum((id * 31) % 1000003) AS s"
         ).collect()
         cal = min(cal, time.perf_counter() - c0)
     cal = round(cal, 4)
