@@ -203,6 +203,8 @@ HEADLINE = [
     "price_quantity_ols",
     "customer_revenue_theil",
     "documents_rake_keywords",
+    "customer_cohort_ltv",
+    "supplier_entity_resolution",
 ]
 
 

@@ -3430,3 +3430,268 @@ def q_customer_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_customer_revenue_theil.__doc__ = q_customer_revenue_theil.__doc__.format(
     S=_THEIL_TERM_SCALE
 )
+
+
+# --- customer cohort LTV curve ------------------------------------------------
+
+
+@register(
+    "customer_cohort_ltv",
+    oracle=f"""
+WITH o AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS om,
+           {cents_sql("o_totalprice")} AS vc
+    FROM orders
+),
+firsts AS (
+    SELECT o_custkey, MIN(om) AS cohort_m FROM o GROUP BY o_custkey
+),
+cohort_sizes AS (
+    SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_cohort
+    FROM firsts GROUP BY cohort_m
+),
+cells AS (
+    SELECT f.cohort_m, o.om - f.cohort_m AS age_months,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           SUM(o.vc) AS rev_c
+    FROM o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY f.cohort_m, o.om - f.cohort_m
+),
+cum AS (
+    SELECT cohort_m, age_months, n_active, rev_c,
+           SUM(rev_c) OVER (PARTITION BY cohort_m ORDER BY age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+    FROM cells
+)
+SELECT make_date(CAST((cohort_m - 1) // 12 AS INTEGER),
+                 CAST((cohort_m - 1) % 12 + 1 AS INTEGER), 1)
+           AS cohort_month,
+       CAST(age_months AS BIGINT) AS age_months,
+       n_cohort AS n_cohort_customers,
+       n_active,
+       CAST(rev_c AS DOUBLE) / 100 AS revenue,
+       ROUND(CAST(cum_c AS DOUBLE) / 100 / n_cohort, 6)
+           AS cum_ltv_per_customer
+FROM cum JOIN cohort_sizes USING (cohort_m)
+""".strip(),
+)
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    month, revenue accumulated by cohort age in months, normalized per
+    cohort member — THE growth-analytics readout next to the events
+    table's cohort retention (that one counts activity; this one
+    follows the money and answers "how much is a customer acquired in
+    month M worth after K months").
+
+    Integer discipline: months are year*12+month integers (no date
+    arithmetic conventions to drift), revenue accumulates as exact
+    integer cents, and the per-customer normalization is one double
+    division at the edge. The cumulative window partitions by cohort
+    and runs over at most the calendar span in months.
+
+    Plan: first-order table = one customer-grain agg; the cells agg is
+    the only other fact-scale shuffle (cohort x age grain after an
+    equi-join with the broadcastable firsts table — customer-grain,
+    dimension-sized relative to orders). At 100 TB the firsts table is
+    the thing to bucket or broadcast per AQE; nothing else grows."""
+    tune_session(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("om"),
+        cents("o_totalprice").alias("vc"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("om").alias("cohort_m"))
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    cells = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_m", (F.col("om") - F.col("cohort_m")).alias("age_months")
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_active"),
+            F.sum("vc").alias("rev_c"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wcum = Window.partitionBy("cohort_m").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.withColumn("cum_c", F.sum("rev_c").over(wcum))
+    return cum.join(sizes, "cohort_m").select(
+        F.make_date(
+            ((F.col("cohort_m") - 1) / 12).cast("int"),
+            (F.pmod(F.col("cohort_m") - 1, F.lit(12)) + 1).cast("int"),
+            F.lit(1),
+        ).alias("cohort_month"),
+        F.col("age_months").cast("long").alias("age_months"),
+        F.col("n_cohort").alias("n_cohort_customers"),
+        "n_active",
+        (F.col("rev_c").cast("double") / F.lit(100)).alias("revenue"),
+        F.round(
+            F.col("cum_c").cast("double") / F.lit(100) / F.col("n_cohort"),
+            6,
+        ).alias("cum_ltv_per_customer"),
+    )
+
+
+# --- entity resolution end-to-end: fuzzy pairs -> clusters -> survivors ------
+
+from supplier_performance_data_pipeline_spark.operators.graph import (  # noqa: E402
+    connected_components,
+)
+
+# Unrolled oracle rounds: the Spark arm iterates to the exact fixed
+# point (until_converged=True); the oracle must unroll AT LEAST as many
+# alternating rounds as convergence takes. 6 full iterations (12
+# half-rounds) has slack over the <=40-node per-nation blocks here —
+# extra rounds past the fixed point are no-ops in both engines.
+_ER_ORACLE_ITERS = 6
+
+_ER_PAIRS_SQL = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey
+ AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+""".strip()
+
+
+def _er_cc_ctes(iters: int) -> list[str]:
+    """Alternating large-star/small-star rounds over the fuzzy-match
+    pairs — the same unroll as the dedup_components oracle
+    (queries_text._cc_ctes), re-derived here over supplier ids."""
+    ctes = [
+        f"pairs0 AS MATERIALIZED ({_ER_PAIRS_SQL})",
+        "verts AS MATERIALIZED (SELECT id_a AS v FROM pairs0 "
+        "UNION SELECT id_b FROM pairs0)",
+        "e_0 AS MATERIALIZED (SELECT DISTINCT GREATEST(id_a, id_b) AS src, "
+        "LEAST(id_a, id_b) AS dst FROM pairs0 WHERE id_a <> id_b)",
+    ]
+    for t in range(2 * iters):
+        cond = "s.dst > s.src" if t % 2 == 0 else "s.dst <= s.src"
+        ctes.append(
+            f"sym_{t} AS MATERIALIZED (SELECT src, dst FROM e_{t} "
+            f"UNION SELECT dst, src FROM e_{t} "
+            "UNION SELECT v, v FROM verts)"
+        )
+        ctes.append(
+            f"mins_{t} AS MATERIALIZED (SELECT src, MIN(dst) AS m "
+            f"FROM sym_{t} GROUP BY src)"
+        )
+        ctes.append(
+            f"e_{t + 1} AS MATERIALIZED "
+            f"(SELECT DISTINCT s.dst AS src, mi.m AS dst "
+            f"FROM sym_{t} s JOIN mins_{t} mi ON s.src = mi.src "
+            f"WHERE {cond} AND s.dst <> mi.m)"
+        )
+    ctes.append(
+        f"mn AS (SELECT src, MIN(dst) AS m FROM e_{2 * iters} "
+        "GROUP BY src)"
+    )
+    return ctes
+
+
+_ER_CTES_SQL = ",\n".join(_er_cc_ctes(_ER_ORACLE_ITERS))
+
+
+@register(
+    "supplier_entity_resolution",
+    oracle=f"""
+WITH {_ER_CTES_SQL},
+comp AS (
+    SELECT verts.v AS s_suppkey, COALESCE(mn.m, verts.v) AS cluster_id
+    FROM verts LEFT JOIN mn ON verts.v = mn.src
+),
+clusters AS (
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(s_suppkey) AS survivor_key
+    FROM comp GROUP BY cluster_id
+)
+SELECT c.cluster_id, c.n_members, c.survivor_key,
+       s.s_name AS survivor_name,
+       CAST(s.s_nationkey AS BIGINT) AS s_nationkey
+FROM clusters c JOIN supplier s ON c.survivor_key = s.s_suppkey
+WHERE c.n_members >= 2
+""".strip(),
+)
+def q_supplier_entity_resolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end entity resolution — the MDM composite that chains the
+    engine's ER primitives the way a dedup service runs them: BLOCK
+    (nation key bounds the candidate quadratic), MATCH (exact
+    levenshtein <= 2 inside blocks — ``supplier_name_fuzzy_matches``),
+    CLUSTER (transitive closure via the alternating large/small-star
+    connected components the doc-dedup stack uses), SURVIVE (min-key
+    canonical record per cluster, the same survivor rule as
+    ``dedup_canonical_selection``). Output: every multi-member cluster
+    with its size and surviving golden record.
+
+    The Spark arm iterates CC to the exact fixed point; the oracle
+    unrolls {iters} alternating iterations — strictly more than
+    convergence needs on nation-bounded blocks — and rounds past the
+    fixed point are no-ops in both engines, so the match is exact by
+    construction, not by luck. All-integer rounds; no floats anywhere.
+
+    Plan at scale: the block self-join is the only quadratic (bounded
+    per block), CC rounds shuffle edge-sized tables with lineage cut
+    per round, and the survivor join is dimension-sized. Swap the
+    nation block for a sorted-neighborhood or phonetic key at higher
+    cardinality — the composite shape is unchanged."""
+    sup = _t(spark, sf_dir, "supplier")
+    a = sup.select(
+        F.col("s_suppkey").alias("id_a"),
+        F.col("s_name").alias("name_a"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("id_b"),
+        F.col("s_name").alias("name_b"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    pairs = (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 2)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    comp = connected_components(pairs, a_col="id_a", b_col="id_b")
+    clusters = (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("id").alias("survivor_key"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .withColumnRenamed("component", "cluster_id")
+    )
+    return clusters.join(
+        F.broadcast(
+            sup.select(
+                F.col("s_suppkey").alias("survivor_key"),
+                F.col("s_name").alias("survivor_name"),
+                F.col("s_nationkey").cast("long").alias("s_nationkey"),
+            )
+        ),
+        "survivor_key",
+    ).select(
+        "cluster_id",
+        "n_members",
+        "survivor_key",
+        "survivor_name",
+        "s_nationkey",
+    )
+
+
+q_supplier_entity_resolution.__doc__ = (
+    q_supplier_entity_resolution.__doc__.format(iters=_ER_ORACLE_ITERS)
+)

@@ -1329,3 +1329,21 @@ def test_rake_windows_doc_partitioned_topk_takeordered(spark, specs):
     # segmentation window rides the doc partition, never unpartitioned
     assert "hashpartitioning(doc_id" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ltv_firsts_join_no_cartesian(spark, specs):
+    plan = plan_of(spark, specs, "customer_cohort_ltv")
+    assert "CartesianProduct" not in plan
+    # cumulative window partitions by cohort, never unpartitioned
+    assert "specifiedwindowframe(RowFrame" in plan
+    assert "hashpartitioning(cohort_m" in plan
+
+
+def test_entity_resolution_block_join_lineage_cut(spark, specs):
+    plan = plan_of(spark, specs, "supplier_entity_resolution")
+    assert "CartesianProduct" not in plan
+    # CC ran eagerly through per-round checkpoints during build; the
+    # final plan hangs off the component RDD, and the survivor
+    # attachment is a broadcast of the supplier dim
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
