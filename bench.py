@@ -205,6 +205,7 @@ HEADLINE = [
     "documents_rake_keywords",
     "customer_cohort_ltv",
     "supplier_entity_resolution",
+    "orders_weekday_chi2",
 ]
 
 

@@ -3695,3 +3695,62 @@ def q_supplier_entity_resolution(
 q_supplier_entity_resolution.__doc__ = (
     q_supplier_entity_resolution.__doc__.format(iters=_ER_ORACLE_ITERS)
 )
+
+
+# --- weekday seasonality chi-square -------------------------------------------
+
+
+@register(
+    "orders_weekday_chi2",
+    oracle="""
+WITH dow AS (
+    SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dw
+    FROM orders
+),
+counts AS (
+    SELECT dw, CAST(COUNT(*) AS BIGINT) AS n FROM dow GROUP BY dw
+),
+tot AS (SELECT SUM(n) AS t, COUNT(*) AS k FROM counts)
+SELECT CAST(t AS BIGINT) AS n_orders,
+       CAST(k AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(CAST(ROUND(
+           (n - CAST(t AS DOUBLE) / k) * (n - CAST(t AS DOUBLE) / k)
+           / (CAST(t AS DOUBLE) / k), 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS chi2_uniform
+FROM counts CROSS JOIN tot
+GROUP BY t, k
+""".strip(),
+)
+def q_orders_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of order volume against a uniform
+    weekday distribution — the seasonality-detection primitive (is
+    there day-of-week structure worth modeling?) and the categorical
+    sibling of the Benford first-digit audit, sharing its recipe:
+    integer cell counts, per-cell chi-square terms ROUNDED to 6dp
+    before an exact DECIMAL sum, one row out. DuckDB and Spark agree on
+    dayofweek numbering (1=Sunday..7=Saturday), pinned by the parity
+    gate rather than assumed.
+
+    Plan: one scan, one 7-cell agg (map-side combined), broadcast
+    1-row total — nothing grows with data."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.select(
+        F.dayofweek(F.col("o_orderdate").cast("date")).cast("long").alias("dw")
+    ).groupBy("dw").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    exp_n = F.col("t").cast("double") / F.col("k")
+    term = F.round(
+        (F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n, 6
+    ).cast("decimal(28,6)")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .groupBy("t", "k")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("chi2_uniform"))
+        .select(
+            F.col("t").cast("long").alias("n_orders"),
+            F.col("k").cast("long").alias("n_cells"),
+            "chi2_uniform",
+        )
+    )
