@@ -206,6 +206,7 @@ HEADLINE = [
     "customer_cohort_ltv",
     "supplier_entity_resolution",
     "orders_weekday_chi2",
+    "corpus_zipf_fit",
 ]
 
 

@@ -3527,3 +3527,124 @@ def q_documents_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_documents_rake_keywords.__doc__ = q_documents_rake_keywords.__doc__.format(
     K=_RAKE_TOP
 )
+
+
+# --- Zipf-law fit of the term-frequency distribution --------------------------
+
+_ZIPF_TOP = 200  # fit over the head of the rank-frequency curve
+_ZIPF_SCALE = 12
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tf AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(toks) AS tok FROM toks_cte) t
+    GROUP BY tok
+),
+ranked AS (
+    SELECT freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+    FROM tf QUALIFY rnk <= {_ZIPF_TOP}
+),
+pts AS (
+    SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)), {_ZIPF_SCALE})
+                AS DECIMAL(28,12)) AS x,
+           CAST(ROUND(LN(CAST(freq AS DOUBLE)), {_ZIPF_SCALE})
+                AS DECIMAL(28,12)) AS y
+    FROM ranked
+),
+moms AS (
+    SELECT COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE),
+                          {_ZIPF_SCALE}) AS DECIMAL(28,12))) AS sxy,
+           SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE),
+                          {_ZIPF_SCALE}) AS DECIMAL(28,12))) AS sxx,
+           SUM(CAST(ROUND(CAST(y AS DOUBLE) * CAST(y AS DOUBLE),
+                          {_ZIPF_SCALE}) AS DECIMAL(28,12))) AS syy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS zipf_slope,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS r2
+FROM moms
+""".strip(),
+)
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus rank-frequency curve: OLS slope of
+    log(freq) on log(rank) over the top-{K} terms — natural language
+    sits near slope -1 with high R², and machine-generated / template /
+    spam corpora visibly don't, which makes this the cheapest
+    whole-corpus authenticity screen a training-data pipeline can run
+    (the corpus-statistics sibling of the per-document quality gates).
+
+    Determinism: ranks are a ROW_NUMBER over the exact (freq DESC,
+    term) total order; each log and each pairwise product is ROUNDED to
+    {S}dp before exact DECIMAL sums (the PSI/BM25 libm recipe), and the
+    slope/R² combinations are edge doubles on those exact moments.
+
+    Plan: one tokenization + term agg (the vocabulary shuffle every
+    text query shares), a top-{K} cut, then a {K}-row projection and a
+    1-row moment agg — the head-of-distribution fit never touches the
+    vocabulary tail, and nothing after the cut scales with data."""
+    toks = spread_scan(_docs(spark, sf_dir), "doc_id").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    from pyspark.sql.window import Window
+
+    ranked = (
+        tf.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
+        )
+        .filter(F.col("rnk") <= _ZIPF_TOP)
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), _ZIPF_SCALE)
+        .cast("decimal(28,12)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), _ZIPF_SCALE)
+        .cast("decimal(28,12)")
+        .alias("y"),
+    )
+    pr = lambda a, b: F.round(  # noqa: E731
+        a.cast("double") * b.cast("double"), _ZIPF_SCALE
+    ).cast("decimal(28,12)")
+    moms = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(pr(F.col("x"), F.col("y"))).alias("sxy"),
+        F.sum(pr(F.col("x"), F.col("x"))).alias("sxx"),
+        F.sum(pr(F.col("y"), F.col("y"))).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    num = n * sxy - sx * sy
+    return moms.select(
+        n.cast("long").alias("n_terms"),
+        F.round(num / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+        F.round(
+            num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("r2"),
+    )
+
+
+q_corpus_zipf_fit.__doc__ = q_corpus_zipf_fit.__doc__.format(
+    K=_ZIPF_TOP, S=_ZIPF_SCALE
+)

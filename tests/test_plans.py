@@ -1347,3 +1347,11 @@ def test_entity_resolution_block_join_lineage_cut(spark, specs):
     # attachment is a broadcast of the supplier dim
     assert "Scan ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_zipf_fit_head_cut_then_tiny_aggregates(spark, specs):
+    plan = plan_of(spark, specs, "corpus_zipf_fit")
+    assert "CartesianProduct" not in plan
+    # vocabulary agg is the one data-scale shuffle; the rank window and
+    # moment agg run after the top-K cut
+    assert "hashpartitioning(tok" in plan
