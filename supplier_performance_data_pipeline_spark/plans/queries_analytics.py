@@ -2999,7 +2999,8 @@ rep_means AS (
     FROM draws GROUP BY r
 ),
 ranked AS (
-    SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk FROM rep_means
+    SELECT m, ROW_NUMBER() OVER (ORDER BY m NULLS LAST, r) AS rk
+    FROM rep_means
 ),
 point AS (
     SELECT ROUND(CAST(SUM({cents_sql("o_totalprice")}) AS DOUBLE)
@@ -3090,7 +3091,11 @@ def q_orders_poisson_bootstrap_ci(
     ranked = rep_means.select(
         "m",
         F.row_number()
-        .over(Window.orderBy(F.asc("m"), F.asc("r")))
+        # NULLS LAST pinned in BOTH arms: an all-zero-weight replicate
+        # (NULLIF -> NULL mean; P ~ e^-n, unreachable in practice)
+        # would otherwise rank first in Spark and last in DuckDB,
+        # shifting the nearest-rank CI bounds across engines.
+        .over(Window.orderBy(F.asc_nulls_last("m"), F.asc("r")))
         .alias("rk"),
     )
     point = _t(spark, sf_dir, "orders").agg(
@@ -3727,9 +3732,11 @@ def q_orders_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     there day-of-week structure worth modeling?) and the categorical
     sibling of the Benford first-digit audit, sharing its recipe:
     integer cell counts, per-cell chi-square terms ROUNDED to 6dp
-    before an exact DECIMAL sum, one row out. DuckDB and Spark agree on
-    dayofweek numbering (1=Sunday..7=Saturday), pinned by the parity
-    gate rather than assumed.
+    before an exact DECIMAL sum, one row out. The two engines do NOT
+    agree on dayofweek numbering (Spark: 1=Sunday..7=Saturday; DuckDB:
+    0=Sunday..6=Saturday) — the query is safe anyway because dw is
+    grouped away and chi2/n_cells are label-invariant; if a per-weekday
+    output ever exposes dw, normalize it explicitly in both arms.
 
     Plan: one scan, one 7-cell agg (map-side combined), broadcast
     1-row total — nothing grows with data."""
