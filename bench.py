@@ -283,7 +283,7 @@ def main() -> None:
             # each query owns its cache only while it's measured.
             spark.catalog.clearCache()
     total = round(sum(times.values()), 4)
-    out = {
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -292,16 +292,30 @@ def main() -> None:
         "host_calibration_sec": cal,
     }
     prev = _previous_round_bench()
+    regressions: dict[str, dict[str, float]] = {}
     if prev is not None:
         prev_times = prev.get("queries", {})
         prev_cal = prev.get("host_calibration_sec")
-        out["vs_prev_round"] = {
+        # >1 means this round's host is slower by that factor; scale
+        # prev-round times by this before reading per-query deltas.
+        hsr = round(cal / prev_cal, 4) if prev_cal else None
+        # The regression gate, HOST-NORMALIZED: flag a query only when
+        # it exceeds 1.3x its previous time after scaling the previous
+        # time by the host-speed ratio, plus a 0.3s absolute floor so
+        # sub-second noise can't trip the relative rule. Round 6 showed
+        # why raw deltas are unusable: a 1.4x-slower co-tenant host
+        # inflated every row uniformly with zero plan changes.
+        norm = hsr if hsr else 1.0
+        for n, t in times.items():
+            if n in prev_times and t > prev_times[n] * norm * 1.3 + 0.3:
+                regressions[n] = {
+                    "sec": t,
+                    "prev_sec": prev_times[n],
+                    "prev_host_normalized": round(prev_times[n] * norm, 4),
+                }
+        full["vs_prev_round"] = {
             "round_file": prev["__file__"],
-            # >1 means this round's host is slower by that factor; scale
-            # prev-round times by this before reading per-query deltas.
-            "host_speed_ratio": (
-                round(cal / prev_cal, 4) if prev_cal else None
-            ),
+            "host_speed_ratio": hsr,
             "prev_partial": bool(prev.get("partial_tail_recovery")),
             "total_delta_sec": round(total - prev.get("value", 0.0), 4),
             "per_query_delta_sec": {
@@ -309,10 +323,37 @@ def main() -> None:
                 for n, t in times.items()
                 if n in prev_times
             },
+            "regressions_host_normalized": regressions,
             "new_queries": sorted(set(times) - set(prev_times)),
         }
-    print(json.dumps(out))
-    _write_local_record(out)
+    local_file = _write_local_record(full)
+    # The driver captures only a bounded tail of this line; at 180+
+    # queries the full per-query map overflowed it three rounds running
+    # (BENCH_r04..r06 all landed parsed:null). The driver line is now
+    # COMPACT — totals, calibration, the host-normalized regression
+    # verdict, and only the top-10 slowest queries — while the complete
+    # per-query map lives in the committed BENCH_LOCAL_r{N}.json.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "host_calibration_sec": cal,
+        "queries": dict(
+            sorted(times.items(), key=lambda kv: -kv[1])[:10]
+        ),
+        "full_record": local_file,
+    }
+    if prev is not None:
+        compact["vs_prev_round"] = {
+            "round_file": prev["__file__"],
+            "host_speed_ratio": full["vs_prev_round"]["host_speed_ratio"],
+            "total_delta_sec": full["vs_prev_round"]["total_delta_sec"],
+            "regressions_host_normalized": regressions,
+            "n_new_queries": len(full["vs_prev_round"]["new_queries"]),
+        }
+    print(json.dumps(compact))
     spark.stop()
 
 
@@ -327,7 +368,7 @@ def _round_files() -> list[tuple[int, str]]:
     return rounds
 
 
-def _write_local_record(out: dict) -> None:
+def _write_local_record(out: dict) -> str:
     """Persist the FULL bench record to BENCH_LOCAL_r{N}.json.
 
     The driver captures only a bounded tail of stdout; at 80+ headline
@@ -341,13 +382,15 @@ def _write_local_record(out: dict) -> None:
     rounds = _round_files()
     this_round = (max(r for r, _ in rounds) + 1) if rounds else 1
     here = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(here, f"BENCH_LOCAL_r{this_round}.json")
+    name = f"BENCH_LOCAL_r{this_round}.json"
+    path = os.path.join(here, name)
     try:
         with open(path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError:
         pass
+    return name
 
 
 def _recover_times_from_tail(tail: str) -> dict[str, float]:
