@@ -301,11 +301,37 @@ def main() -> None:
         hsr = round(cal / prev_cal, 4) if prev_cal else None
         # The regression gate, HOST-NORMALIZED: flag a query only when
         # it exceeds 1.3x its previous time after scaling the previous
-        # time by the host-speed ratio, plus a 0.3s absolute floor so
+        # time by the host normalizer, plus a 0.3s absolute floor so
         # sub-second noise can't trip the relative rule. Round 6 showed
         # why raw deltas are unusable: a 1.4x-slower co-tenant host
         # inflated every row uniformly with zero plan changes.
-        norm = hsr if hsr else 1.0
+        # The normalizer is the MEDIAN per-query ratio over shared
+        # queries, not the calibration ratio: round-7 probes measured
+        # 1.5-2x swings between back-to-back identical runs that the
+        # fixed integer-ALU calibration tracked only loosely (md5/
+        # string/shuffle workloads don't scale with it), while the
+        # median ratio is robust as long as under half the queries
+        # genuinely regressed. Calibration stays in the record as the
+        # workload-independent second opinion.
+        ratios = sorted(
+            times[n] / prev_times[n]
+            for n in times
+            if n in prev_times and prev_times[n] > 0
+        )
+        mqr = (
+            round(
+                (
+                    ratios[len(ratios) // 2]
+                    if len(ratios) % 2
+                    else (ratios[len(ratios) // 2 - 1]
+                          + ratios[len(ratios) // 2]) / 2
+                ),
+                4,
+            )
+            if ratios
+            else None
+        )
+        norm = mqr if mqr and len(ratios) >= 10 else (hsr if hsr else 1.0)
         for n, t in times.items():
             if n in prev_times and t > prev_times[n] * norm * 1.3 + 0.3:
                 regressions[n] = {
@@ -316,6 +342,7 @@ def main() -> None:
         full["vs_prev_round"] = {
             "round_file": prev["__file__"],
             "host_speed_ratio": hsr,
+            "median_query_ratio": mqr,
             "prev_partial": bool(prev.get("partial_tail_recovery")),
             "total_delta_sec": round(total - prev.get("value", 0.0), 4),
             "per_query_delta_sec": {
@@ -349,6 +376,7 @@ def main() -> None:
         compact["vs_prev_round"] = {
             "round_file": prev["__file__"],
             "host_speed_ratio": full["vs_prev_round"]["host_speed_ratio"],
+            "median_query_ratio": mqr,
             "total_delta_sec": full["vs_prev_round"]["total_delta_sec"],
             "regressions_host_normalized": regressions,
             "n_new_queries": len(full["vs_prev_round"]["new_queries"]),

@@ -36,7 +36,8 @@ P61 = (1 << 61) - 1  # Mersenne prime modulus for the hash family
 
 
 def shingle_sets(
-    docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N
+    docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N,
+    spread: bool = True,
 ) -> DataFrame:
     """(doc_id, shingles): n-token shingles; documents shorter than n
     tokens fall back to a single whole-document shingle.
@@ -46,10 +47,19 @@ def shingle_sets(
     *expression* inside a higher-order-function lambda re-evaluates the
     full regexp split per array element (interpreted HOF eval has no
     subexpression cache), which is quadratic in document length.
+
+    ``spread=False`` skips the narrow-scan repartition: callers whose
+    shingle subplan is a small FILTERED slice referenced several times
+    in one DAG (the bloom decontamination audit: 10%/90% splits, the
+    eval arm executed twice) pay the shuffle per reference and gain
+    nothing — measured 2.1s vs 1.5s at sf0.1. The default stays True:
+    full-corpus one-row-group scans single-thread the shingle hashing
+    without it (simhash 1.6s vs 2.7s, char-ngram 2.1s vs 5.0s).
     """
     # spread_scan: a one-row-group local scan would hash every shingle
     # single-threaded; no-op when the scan is already wide (100 TB).
-    toks = spread_scan(docs, "doc_id").select(
+    src = spread_scan(docs, "doc_id") if spread else docs
+    toks = src.select(
         "doc_id", tokens(F.col(text_col)).alias("toks")
     )
     t = F.col("toks")

@@ -313,8 +313,14 @@ def q_bloom_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     thr = sample_threshold(_DECON_PCT)
 
     def grams(split: DataFrame) -> DataFrame:
+        # spread=False: each split is a filtered slice of a tiny-bytes
+        # scan and the eval arm's subplan executes twice in this DAG;
+        # the narrow-scan repartition costs a shuffle per execution and
+        # parallelizes nothing here (measured 2.1s -> 1.5s at sf0.1).
+        # At 100 TB the scan is already wide and spread is a no-op
+        # either way.
         return (
-            shingle_sets(split, "text", _DECON_N)
+            shingle_sets(split, "text", _DECON_N, spread=False)
             .select(F.explode(F.array_distinct("shingles")).alias("g"))
             .distinct()
         )
