@@ -207,6 +207,7 @@ HEADLINE = [
     "supplier_entity_resolution",
     "orders_weekday_chi2",
     "corpus_zipf_fit",
+    "ann_ivfpq_sampled_codebooks",
 ]
 
 

@@ -253,6 +253,143 @@ def pq_encode(
     )
 
 
+def _lloyd_train_cents(
+    samp: DataFrame, k: int, iters: int, dim: int
+) -> DataFrame:
+    """Train-only Lloyd's: final (cluster, cv) centroid table from a
+    (vec_id, v) TRAINING SET, never assigning anything outside it.
+
+    Seeds are the k lowest-vec_id training rows renumbered 0..k-1 (the
+    sampled twin of the first-k seeding above — "first k of the sample"
+    stays deterministic under any sample predicate). ``iters`` update
+    rounds; the caller freezes the returned centroids and encodes the
+    full table as a broadcast-argmin projection."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("vec_id")
+    cent = (
+        samp.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cluster"),
+            F.col("v").alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        cent = _update(_assign(samp, _to_1row(cent)), dim)
+    return cent
+
+
+def ivfpq_adc_topk_sampled(
+    emb: DataFrame,
+    sample_salt: str = "ivfpq-smp|",
+    sample_mod: int = 10000,
+    sample_thr: int = 2500,
+    n_queries: int = 8,
+    topk: int = 5,
+    m: int = 4,
+    k_pq: int = 16,
+    k_coarse: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    dim: int = DIM_DEFAULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with CODEBOOKS TRAINED ON A HASH SAMPLE — the actual
+    100 TB deployment shape ``ivfpq_adc_topk``'s docstring promises:
+    both quantizers run Lloyd's only on the deterministic md5 sample
+    (sample_thr/sample_mod of rows), and the full table is touched by
+    exactly three kinds of work, none of them k-means:
+
+      1. coarse ENCODING — one broadcast-argmin projection of every
+         vector against the frozen k_coarse centroids;
+      2. PQ ENCODING — m broadcast-argmin projections against the
+         frozen subspace codebooks;
+      3. the ADC candidate join itself (codes ⋈ broadcast LUT).
+
+    Centroid-update aggregations therefore see only sample-sized
+    inputs; at 100 TB the training chain is a rounding error and the
+    full-table cost is the same single encode+join pass a production
+    index build pays. Training determinism: seeds are the k lowest
+    vec_ids IN THE SAMPLE renumbered 0..k-1; everything downstream is
+    the engine's standard deterministic Lloyd's/ADC contract, so the
+    DuckDB oracle unrolls the identical sampled chain."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+
+    d_sub = dim // m
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
+    ).localCheckpoint()
+    samp = base.filter(
+        md5_mod(F.col("vec_id"), sample_salt, sample_mod) < sample_thr
+    )
+    coarse_cent = _lloyd_train_cents(samp, k_coarse, iters, dim)
+    # Frozen-codebook encode of the FULL table: a projection, not a
+    # training pass. localCheckpoint: it feeds both IVF join sides.
+    coarse = (
+        _assign(base, _to_1row(coarse_cent))
+        .select("vec_id", "cluster")
+        .localCheckpoint()
+    )
+    qc = coarse.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("cluster").alias("qcl")
+    )
+    cand = (
+        qc.join(coarse, F.col("qcl") == F.col("cluster"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qbase = base.filter(F.col("vec_id") < n_queries)
+    lut_pd = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    parts = []
+    for s in range(m):
+        sl = F.slice(F.col("v"), s * d_sub + 1, d_sub)
+        cent = _lloyd_train_cents(
+            samp.select("vec_id", sl.alias("v")), k_pq, iters, d_sub
+        )
+        codes = _assign(
+            base.select("vec_id", sl.alias("v")), _to_1row(cent)
+        ).select("vec_id", F.col("cluster").alias("code"))
+        qsub = qbase.select(
+            F.col("vec_id").alias("query_id"), sl.alias("qv")
+        )
+        lut = qsub.crossJoin(cent).select(
+            "query_id", F.col("cluster").alias("code"), lut_pd.alias("pd")
+        )
+        parts.append(
+            cand.join(codes, "vec_id")
+            .join(F.broadcast(lut), ["query_id", "code"])
+            .select(
+                "query_id", "vec_id", F.col("pd").cast(DIST_DEC).alias("pd")
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    adc = allp.groupBy("query_id", "vec_id").agg(F.sum("pd").alias("adc"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+        )
+    )
+
+
 def ivfpq_adc_topk(
     emb: DataFrame,
     n_queries: int = 8,

@@ -1021,6 +1021,7 @@ def q_embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFram
 
 from supplier_performance_data_pipeline_spark.operators.clustering import (  # noqa: E402
     ivfpq_adc_topk,
+    ivfpq_adc_topk_sampled,
     pq_encode,
 )
 
@@ -1470,6 +1471,191 @@ REGISTRY["ann_ivfpq_recall_audit"] = REGISTRY["ann_ivfpq_recall_audit"].__class_
     oracle=REGISTRY["ann_ivfpq_recall_audit"].oracle.format(
         approx=REGISTRY["ann_ivfpq_adc_topk"].oracle
     ),
+)
+
+
+# --- IVF-PQ with codebooks trained on a hash sample -------------------------
+
+IVFPQ_SMP_SALT = "ivfpq-smp|"
+IVFPQ_SMP_MOD = 10000
+IVFPQ_SMP_THR = 2500  # 25% deterministic md5 sample
+
+
+def _sampled_lloyd_ctes(
+    p: str, src: str, k: int, iters: int, d: int
+) -> list[str]:
+    """Train-only Lloyd CTE chain over a SAMPLE cte ``src`` holding
+    (vec_id, v): seeds are the k lowest-vec_id sample rows renumbered
+    0..k-1; ``iters`` update rounds; final centroids land in
+    ``{p}cent_{iters}``. Training assignments (``{p}tassign_n``) exist
+    only to feed updates — the sampled twin of ``_kmeans_ctes``."""
+    dist = (
+        f"list_sum(list_transform(range(0, {d}), "
+        "i -> (b.v[i+1] - c.cv[i+1]) * (b.v[i+1] - c.cv[i+1])))"
+    )
+    cv_exprs = ", ".join(
+        f"CAST(SUM(CAST(b.v[{i + 1}] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*)"
+        for i in range(d)
+    )
+    ctes = [
+        f"{p}cent_0 AS (SELECT cluster, cv FROM ("
+        "SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, "
+        f"v AS cv FROM {src}) t WHERE cluster < {k})",
+    ]
+    for n in range(iters):
+        ctes.append(
+            f"{p}tdist_{n} AS (SELECT b.vec_id, c.cluster, {dist} AS d "
+            f"FROM {src} b CROSS JOIN {p}cent_{n} c)"
+        )
+        ctes.append(
+            f"{p}tassign_{n} AS (SELECT vec_id, cluster FROM ("
+            "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY d, cluster) AS rn "
+            f"FROM {p}tdist_{n}) t WHERE rn = 1)"
+        )
+        ctes.append(
+            f"{p}cent_{n + 1} AS (SELECT a.cluster, [{cv_exprs}] AS cv "
+            f"FROM {src} b JOIN {p}tassign_{n} a ON b.vec_id = a.vec_id "
+            "GROUP BY a.cluster)"
+        )
+    return ctes
+
+
+def _frozen_assign_ctes(p: str, full: str, cent: str, d: int) -> list[str]:
+    """Frozen-codebook encode: nearest-``cent``-centroid id for every
+    row of ``full`` — a projection-shaped argmin, no training."""
+    dist = (
+        f"list_sum(list_transform(range(0, {d}), "
+        "i -> (b.v[i+1] - c.cv[i+1]) * (b.v[i+1] - c.cv[i+1])))"
+    )
+    return [
+        f"{p}fdist AS (SELECT b.vec_id, c.cluster, {dist} AS d "
+        f"FROM {full} b CROSS JOIN {cent} c)",
+        f"{p}fassign AS (SELECT vec_id, cluster FROM ("
+        "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY d, cluster) AS rn "
+        f"FROM {p}fdist) t WHERE rn = 1)",
+    ]
+
+
+def _ivfpq_sampled_oracle(
+    nq: int, topk: int, m: int, k_pq: int, k_coarse: int, iters: int,
+    d_sub: int, salt: str, mod: int, thr: int,
+) -> str:
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod_sql,
+    )
+
+    dim = m * d_sub
+    ctes = [
+        "b_full AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "sb AS (SELECT vec_id, v FROM b_full WHERE "
+        f"{md5_mod_sql('CAST(vec_id AS VARCHAR)', salt, mod)} < {thr})",
+    ]
+    ctes += _sampled_lloyd_ctes("co_", "sb", k_coarse, iters, dim)
+    ctes += _frozen_assign_ctes("co_", "b_full", f"co_cent_{iters}", dim)
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        ctes.append(f"s{s}sb AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM sb)")
+        ctes.append(
+            f"s{s}fb AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM b_full)"
+        )
+        ctes += _sampled_lloyd_ctes(f"s{s}_", f"s{s}sb", k_pq, iters, d_sub)
+        ctes += _frozen_assign_ctes(
+            f"s{s}_", f"s{s}fb", f"s{s}_cent_{iters}", d_sub
+        )
+        off = s * d_sub
+        lut_dist = (
+            f"list_sum(list_transform(range(0, {d_sub}), "
+            f"i -> (q.v[i + 1 + {off}] - c.cv[i+1])"
+            f" * (q.v[i + 1 + {off}] - c.cv[i+1])))"
+        )
+        ctes.append(
+            f"s{s}_lut AS (SELECT q.vec_id AS query_id, c.cluster AS code, "
+            f"{lut_dist} AS pd "
+            f"FROM b_full q CROSS JOIN s{s}_cent_{iters} c "
+            f"WHERE q.vec_id < {nq})"
+        )
+    ctes.append(
+        f"qc AS (SELECT vec_id AS query_id, cluster AS qcl "
+        f"FROM co_fassign WHERE vec_id < {nq})"
+    )
+    ctes.append(
+        "cand AS (SELECT qc.query_id, a.vec_id FROM qc "
+        "JOIN co_fassign a ON a.cluster = qc.qcl "
+        "WHERE a.vec_id <> qc.query_id)"
+    )
+    union = "\n    UNION ALL ".join(
+        f"SELECT c.query_id, c.vec_id, CAST(l.pd AS DECIMAL(24,12)) AS pd\n"
+        f"    FROM cand c JOIN s{s}_fassign a ON a.vec_id = c.vec_id\n"
+        f"    JOIN s{s}_lut l ON l.query_id = c.query_id"
+        f" AND l.code = a.cluster"
+        for s in range(m)
+    )
+    ctes.append(f"parts AS (\n    {union}\n)")
+    ctes.append(
+        "adc AS (SELECT query_id, vec_id, SUM(pd) AS adc "
+        "FROM parts GROUP BY query_id, vec_id)"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, vec_id, adc, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY adc, vec_id) AS rank FROM adc)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, CAST(rank AS INTEGER) AS rank, "
+        "vec_id AS neighbor_id, "
+        "ROUND(CAST(adc AS DOUBLE), 6) AS adc_dist\n"
+        f"FROM ranked WHERE rank <= {topk}"
+    )
+
+
+@register(
+    "ann_ivfpq_sampled_codebooks",
+    oracle=_ivfpq_sampled_oracle(
+        IVFPQ_NQ, IVFPQ_TOPK, PQ_M, PQ_K, K_DEFAULT, ITERS_DEFAULT,
+        _PQ_DSUB, IVFPQ_SMP_SALT, IVFPQ_SMP_MOD, IVFPQ_SMP_THR,
+    ),
+)
+def q_ann_ivfpq_sampled_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ with both quantizers trained on a {pct}% deterministic
+    md5 sample and FROZEN — the 100 TB index-build shape the full
+    ``ann_ivfpq_adc_topk`` docstring promises (that query trains on
+    the whole table so its oracle can unroll the same chain; this one
+    proves the sampled chain end-to-end under the same oracle gate).
+    The full table is touched only by projection-shaped work: one
+    broadcast-argmin coarse encode, {m} broadcast-argmin PQ encodes,
+    and the ADC candidate ⋈ codes ⋈ broadcast-LUT join. Every
+    centroid-update aggregation reads sample-sized input, pinned by
+    plan test (the sample filter feeds all Lloyd aggs; full-table
+    rows never enter a k-means update).
+
+    Training determinism: sample membership is the engine's standard
+    md5-mod contract; seeds are the k lowest sampled vec_ids
+    renumbered 0..k-1; updates/assignments follow the deterministic
+    Lloyd's + ADC contract shared with the unsampled twin."""
+    return ivfpq_adc_topk_sampled(
+        _embeddings(spark, sf_dir),
+        sample_salt=IVFPQ_SMP_SALT,
+        sample_mod=IVFPQ_SMP_MOD,
+        sample_thr=IVFPQ_SMP_THR,
+        n_queries=IVFPQ_NQ,
+        topk=IVFPQ_TOPK,
+        m=PQ_M,
+        k_pq=PQ_K,
+        k_coarse=K_DEFAULT,
+        iters=ITERS_DEFAULT,
+        dim=DIM,
+    )
+
+
+q_ann_ivfpq_sampled_codebooks.__doc__ = (
+    q_ann_ivfpq_sampled_codebooks.__doc__.format(
+        pct=100 * IVFPQ_SMP_THR // IVFPQ_SMP_MOD, m=PQ_M
+    )
 )
 
 

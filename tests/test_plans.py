@@ -1355,3 +1355,25 @@ def test_zipf_fit_head_cut_then_tiny_aggregates(spark, specs):
     # vocabulary agg is the one data-scale shuffle; the rank window and
     # moment agg run after the top-K cut
     assert "hashpartitioning(tok" in plan
+
+
+# --- round-7 session additions ----------------------------------------------
+
+
+def test_ivfpq_sampled_codebooks_train_on_sample_only(spark, specs):
+    """The sampled IVF-PQ variant must keep EVERY Lloyd training agg
+    on the md5-sample side: the sample filter appears under each of
+    the m x iters subspace update chains (the coarse chain trains
+    eagerly behind a localCheckpoint), the ADC/candidate joins stay
+    broadcast equi-joins, and nothing plans as a cartesian or
+    sort-merge join. Losing the sample filter (training on the full
+    table) drops the marker count below the chain count and fails."""
+    plan = plan_of(spark, specs, "ann_ivfpq_sampled_codebooks")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # one marker per sampled-Lloyd chain reference: 4 subspaces x
+    # (seed + 2 assign references) at minimum
+    assert plan.count("ivfpq-smp|") >= 8
+    assert plan.count("BroadcastHashJoin") >= 8  # LUT + candidate joins
+    # every exchange is sample-sized or K-keyed; budget with margin
+    assert shuffles(plan) <= 34
