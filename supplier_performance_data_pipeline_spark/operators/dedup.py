@@ -407,14 +407,23 @@ def _prefix_index(
     threshold_den: int,
     text_col: str,
     n: int,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared prefix-filter scaffolding for the set-similarity joins:
-    returns (dt, dl, pfx) — the distinct (doc_id, tok) shingle table
-    (checkpointed), per-doc set sizes, and each doc's PREFIX tokens
+    returns (dt, dl, pfx, postab) — the distinct (doc_id, tok) shingle
+    table (checkpointed), per-doc set sizes, each doc's PREFIX tokens
     (the first L - ceil(t*L) + 1 by global-df-rarest-first order, t =
-    num/den). Jaccard and containment joins differ only in which sides
-    of the candidate join use the prefix and in the verify inequality.
-    """
+    num/den), and the full positioned token table. Jaccard and
+    containment joins differ only in which sides of the candidate join
+    use the prefix and in the verify inequality.
+
+    ``pfx`` and ``postab`` carry (doc_id, tok, pos, len): each token's
+    rank in the global df-rarest-first order plus the doc's set size,
+    which the candidate joins need for PPJoin's positional filter
+    (Xiao, Wang, Lin & Yu WWW '08): for a candidate row generated at
+    token w, overlap(A,B) <= 1 + min(|A| - pos_a(w), |B| - pos_b(w))
+    whenever no common token precedes w — which holds for the FIRST
+    common candidate token of any true pair, so filtering rows by that
+    bound before the pair-distinct keeps completeness intact."""
     from pyspark.sql.window import Window
 
     # dt is consumed FIVE times (df counts, lengths, rank input, both
@@ -435,12 +444,9 @@ def _prefix_index(
         f"len - (({threshold_num} * len + {threshold_den - 1}) "
         f"div {threshold_den}) + 1"
     )
-    pfx = (
-        pos.join(dl, "doc_id")
-        .filter(F.col("pos") <= plen)
-        .select("doc_id", "tok")
-    )
-    return dt, dl, pfx
+    postab = pos.join(dl, "doc_id").select("doc_id", "tok", "pos", "len")
+    pfx = postab.filter(F.col("pos") <= plen)
+    return dt, dl, pfx, postab
 
 
 def _pair_overlap_stats(
@@ -450,8 +456,9 @@ def _pair_overlap_stats(
     (doc_a, doc_b) pairs, the exact intersection count and both set
     sizes — (doc_a, doc_b, ni, la, lb). The Jaccard and containment
     joins differ only in the threshold inequality and projection they
-    apply on top; the verify join itself must stay identical (PPJoin
-    positional pruning, when added, lands HERE once for both)."""
+    apply on top; the verify join itself must stay identical (PPJoin's
+    length/positional pruning lives in the CANDIDATE joins — by the
+    time pairs reach here they are already pruned)."""
     ta = dt.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("t_a"))
     tb = dt.select(F.col("doc_id").alias("b_id"), F.col("tok").alias("t_b"))
     # The candidate table is small in BYTES but each row fans out by
@@ -502,19 +509,59 @@ def jaccard_prefix_join(
     (den*|A∩B| >= num*(|A|+|B|-|A∩B|)) — no float compare anywhere.
 
     Plan: distinct (doc, shingle) explode -> df counts (hash agg) ->
-    per-doc rank window (doc-grain partitions) -> prefix equi-join ->
+    per-doc rank window (doc-grain partitions) -> prefix equi-join
+    carrying PPJoin's LENGTH and POSITIONAL filters as extra join
+    conditions (plan-only: they can only cut candidates, never add) ->
     candidate-bounded verify join + pair-grain agg. At 100 TB the
-    verify join is candidates x set size; PPJoin's positional/suffix
-    pruning bolts onto the same shape if candidates ever dominate."""
-    dt, dl, pfx = _prefix_index(docs, threshold_num, threshold_den, text_col, n)
+    verify join is candidates x set size, so every candidate pruned
+    here saves |A|+|B| verify rows; suffix filtering (binary suffix
+    probe) is the remaining PPJoin+ bolt-on if candidates still
+    dominate."""
+    dt, dl, pfx, _ = _prefix_index(
+        docs, threshold_num, threshold_den, text_col, n
+    )
+    num, den = threshold_num, threshold_den
+    a = pfx.select(
+        F.col("doc_id").alias("doc_a"),
+        "tok",
+        F.col("pos").alias("pos_a"),
+        F.col("len").alias("la"),
+    )
+    b = pfx.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("len").alias("lb"),
+    )
+    # PPJoin pruning inside the candidate join (plan-only; the verify
+    # step decides membership, so these filters may only CUT work):
+    # - length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|;
+    # - positional filter: overlap must reach
+    #   alpha = ceil(t/(1+t) * (|A|+|B|)), and a row generated at
+    #   token w bounds it by 1 + min(|A|-pos_a, |B|-pos_b). All
+    #   integer arithmetic (alpha via ceil-division), no float compare.
+    alpha = F.floor(
+        (
+            F.lit(num) * (F.col("la") + F.col("lb"))
+            + F.lit(num + den - 1)
+        )
+        / F.lit(num + den)
+    )
     cand = (
-        pfx.select(F.col("doc_id").alias("doc_a"), "tok")
-        .join(
-            pfx.select(
-                F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b")
-            ),
+        a.join(
+            b,
             (F.col("tok") == F.col("tok_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(num) * F.col("la") <= F.lit(den) * F.col("lb"))
+            & (F.lit(num) * F.col("lb") <= F.lit(den) * F.col("la"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("la") - F.col("pos_a"),
+                    F.col("lb") - F.col("pos_b"),
+                )
+                >= alpha
+            ),
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -572,15 +619,44 @@ def containment_prefix_join(
     candidate-bounded verify join + pair-grain agg. At 100 TB a global
     df cap on join tokens (drop candidates generated by stop-shingles)
     bolts onto the same shape if container-side buckets ever dominate."""
-    dt, dl, pfx = _prefix_index(docs, threshold_num, threshold_den, text_col, n)
+    dt, dl, pfx, postab = _prefix_index(
+        docs, threshold_num, threshold_den, text_col, n
+    )
+    num, den = threshold_num, threshold_den
+    a = pfx.select(
+        F.col("doc_id").alias("doc_a"),
+        "tok",
+        F.col("pos").alias("pos_a"),
+        F.col("len").alias("la"),
+    )
+    b = postab.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("len").alias("lb"),
+    )
+    # PPJoin pruning, containment form (plan-only; verify decides):
+    # alpha_c = ceil(t*|A|) common tokens are required, so the
+    # container must hold at least that many (length filter) and a
+    # row generated at token w bounds the overlap by
+    # 1 + min(|A|-pos_a, |B|-pos_b) (positional filter).
+    alpha_c = F.floor(
+        (F.lit(num) * F.col("la") + F.lit(den - 1)) / F.lit(den)
+    )
     cand = (
-        pfx.select(F.col("doc_id").alias("doc_a"), "tok")
-        .join(
-            dt.select(
-                F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b")
-            ),
+        a.join(
+            b,
             (F.col("tok") == F.col("tok_b"))
-            & (F.col("doc_a") != F.col("doc_b")),
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("lb") >= alpha_c)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("la") - F.col("pos_a"),
+                    F.col("lb") - F.col("pos_b"),
+                )
+                >= alpha_c
+            ),
         )
         .select("doc_a", "doc_b")
         .distinct()

@@ -1639,3 +1639,62 @@ def test_auc_matches_pairwise_definition(spark):
     assert row.n_pos == len(pos) and row.n_neg == len(neg)
     assert abs(row.auc - expect) < 1e-6
     assert abs(row.gini - (2 * expect - 1)) < 1e-6
+
+
+def test_ppjoin_pruning_cuts_candidates_losslessly(spark):
+    """PPJoin's length+positional filters (round 7) must strictly cut
+    the candidate count versus the bare prefix equi-join on the real
+    fixture, while the completeness test above pins that the final
+    pair set is untouched. A future edit that weakens the filters to
+    no-ops passes completeness but fails the strict inequality here."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        SHINGLE_N,
+        _prefix_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    num, den = 3, 5
+    _, _, pfx, _ = _prefix_index(docs, num, den, "text", SHINGLE_N)
+    a = pfx.select(
+        F.col("doc_id").alias("doc_a"), "tok",
+        F.col("pos").alias("pos_a"), F.col("len").alias("la"),
+    )
+    b = pfx.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"),
+        F.col("pos").alias("pos_b"), F.col("len").alias("lb"),
+    )
+    bare = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    alpha = F.floor(
+        (F.lit(num) * (F.col("la") + F.col("lb")) + F.lit(num + den - 1))
+        / F.lit(num + den)
+    )
+    pruned = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(num) * F.col("la") <= F.lit(den) * F.col("lb"))
+            & (F.lit(num) * F.col("lb") <= F.lit(den) * F.col("la"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("la") - F.col("pos_a"),
+                    F.col("lb") - F.col("pos_b"),
+                )
+                >= alpha
+            ),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    assert pruned < bare, (pruned, bare)
