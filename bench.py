@@ -208,6 +208,7 @@ HEADLINE = [
     "orders_weekday_chi2",
     "corpus_zipf_fit",
     "ann_ivfpq_sampled_codebooks",
+    "ann_ivfpq_multiprobe_topk",
 ]
 
 

@@ -294,6 +294,7 @@ def ivfpq_adc_topk_sampled(
     dim: int = DIM_DEFAULT,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF-PQ with CODEBOOKS TRAINED ON A HASH SAMPLE — the actual
     100 TB deployment shape ``ivfpq_adc_topk``'s docstring promises:
@@ -336,15 +337,30 @@ def ivfpq_adc_topk_sampled(
         .select("vec_id", "cluster")
         .localCheckpoint()
     )
-    qc = coarse.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("cluster").alias("qcl")
-    )
+    qbase = base.filter(F.col("vec_id") < n_queries)
+    if n_probe <= 1:
+        qc = coarse.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("cluster").alias("qcl")
+        )
+    else:
+        from pyspark.sql.window import Window as _W
+
+        qd = qbase.crossJoin(F.broadcast(coarse_cent)).select(
+            F.col("vec_id").alias("query_id"),
+            "cluster",
+            F.expr(_DIST_SQL.format(cv="cv")).alias("d"),
+        )
+        wp = _W.partitionBy("query_id").orderBy("d", "cluster")
+        qc = (
+            qd.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= n_probe)
+            .select("query_id", F.col("cluster").alias("qcl"))
+        )
     cand = (
         qc.join(coarse, F.col("qcl") == F.col("cluster"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    qbase = base.filter(F.col("vec_id") < n_queries)
     lut_pd = F.expr(
         "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
         "0.0D, (acc, x) -> acc + x)"

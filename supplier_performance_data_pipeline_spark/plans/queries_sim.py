@@ -1540,7 +1540,7 @@ def _frozen_assign_ctes(p: str, full: str, cent: str, d: int) -> list[str]:
 
 def _ivfpq_sampled_oracle(
     nq: int, topk: int, m: int, k_pq: int, k_coarse: int, iters: int,
-    d_sub: int, salt: str, mod: int, thr: int,
+    d_sub: int, salt: str, mod: int, thr: int, n_probe: int = 1,
 ) -> str:
     from supplier_performance_data_pipeline_spark.operators.sampling import (
         md5_mod_sql,
@@ -1577,10 +1577,24 @@ def _ivfpq_sampled_oracle(
             f"FROM b_full q CROSS JOIN s{s}_cent_{iters} c "
             f"WHERE q.vec_id < {nq})"
         )
-    ctes.append(
-        f"qc AS (SELECT vec_id AS query_id, cluster AS qcl "
-        f"FROM co_fassign WHERE vec_id < {nq})"
-    )
+    if n_probe <= 1:
+        ctes.append(
+            f"qc AS (SELECT vec_id AS query_id, cluster AS qcl "
+            f"FROM co_fassign WHERE vec_id < {nq})"
+        )
+    else:
+        qdist = (
+            f"list_sum(list_transform(range(0, {dim}), "
+            "i -> (b.v[i+1] - c.cv[i+1]) * (b.v[i+1] - c.cv[i+1])))"
+        )
+        ctes.append(
+            "qc AS (SELECT vec_id AS query_id, cluster AS qcl FROM ("
+            f"SELECT b.vec_id, c.cluster, {qdist} AS d, "
+            "ROW_NUMBER() OVER (PARTITION BY b.vec_id "
+            "ORDER BY d, c.cluster) AS rn "
+            f"FROM b_full b CROSS JOIN co_cent_{iters} c "
+            f"WHERE b.vec_id < {nq}) t WHERE rn <= {n_probe})"
+        )
     ctes.append(
         "cand AS (SELECT qc.query_id, a.vec_id FROM qc "
         "JOIN co_fassign a ON a.cluster = qc.qcl "
@@ -1656,6 +1670,52 @@ q_ann_ivfpq_sampled_codebooks.__doc__ = (
     q_ann_ivfpq_sampled_codebooks.__doc__.format(
         pct=100 * IVFPQ_SMP_THR // IVFPQ_SMP_MOD, m=PQ_M
     )
+)
+
+
+IVFPQ_NPROBE = 2
+
+
+@register(
+    "ann_ivfpq_multiprobe_topk",
+    oracle=_ivfpq_sampled_oracle(
+        IVFPQ_NQ, IVFPQ_TOPK, PQ_M, PQ_K, K_DEFAULT, ITERS_DEFAULT,
+        _PQ_DSUB, IVFPQ_SMP_SALT, IVFPQ_SMP_MOD, IVFPQ_SMP_THR,
+        n_probe=IVFPQ_NPROBE,
+    ),
+)
+def q_ann_ivfpq_multiprobe_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-PROBE IVF-PQ (Jégou '11 §IV — the recall dial
+    single-probe IVF lacks): each query unions the candidate lists of
+    its {p} nearest coarse clusters before ADC ranking, recovering the
+    near-boundary neighbors single-probe loses when a query sits close
+    to a Voronoi edge. Same hash-sampled frozen codebooks as
+    ``ann_ivfpq_sampled_codebooks``; the probe choice is a
+    top-{p}-per-query rank over the nq x k_coarse broadcast distance
+    grid — fully relational, no driver-side probe list, and candidate
+    volume is bounded by {p} * N/k_coarse per query (the linear
+    recall/cost trade the operator docstring documents). Coarse
+    clusters are disjoint so the union needs no pair dedup."""
+    return ivfpq_adc_topk_sampled(
+        _embeddings(spark, sf_dir),
+        sample_salt=IVFPQ_SMP_SALT,
+        sample_mod=IVFPQ_SMP_MOD,
+        sample_thr=IVFPQ_SMP_THR,
+        n_queries=IVFPQ_NQ,
+        topk=IVFPQ_TOPK,
+        m=PQ_M,
+        k_pq=PQ_K,
+        k_coarse=K_DEFAULT,
+        iters=ITERS_DEFAULT,
+        dim=DIM,
+        n_probe=IVFPQ_NPROBE,
+    )
+
+
+q_ann_ivfpq_multiprobe_topk.__doc__ = (
+    q_ann_ivfpq_multiprobe_topk.__doc__.format(p=IVFPQ_NPROBE)
 )
 
 

@@ -1377,3 +1377,20 @@ def test_ivfpq_sampled_codebooks_train_on_sample_only(spark, specs):
     assert plan.count("BroadcastHashJoin") >= 8  # LUT + candidate joins
     # every exchange is sample-sized or K-keyed; budget with margin
     assert shuffles(plan) <= 34
+
+
+def test_ivfpq_multiprobe_relational_probe_no_cartesian(spark, specs):
+    """Multi-probe IVF-PQ: the probe choice must stay a broadcast
+    rank over the nq x k_coarse distance grid (never a driver-side
+    probe list or a cartesian), training stays on the md5 sample, and
+    the candidate/LUT joins stay broadcast equi-joins."""
+    plan = plan_of(spark, specs, "ann_ivfpq_multiprobe_topk")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("ivfpq-smp|") >= 8
+    assert plan.count("BroadcastHashJoin") >= 8
+    # the probe grid references the coarse-centroid chain a second
+    # time (kept lazy so the sample markers stay pinned above), adding
+    # its sample-sized exchanges once more: every shuffle here moves
+    # sample- or K-sized rows, never the full table
+    assert shuffles(plan) <= 48
