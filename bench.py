@@ -209,6 +209,7 @@ HEADLINE = [
     "corpus_zipf_fit",
     "ann_ivfpq_sampled_codebooks",
     "ann_ivfpq_multiprobe_topk",
+    "ann_index_persist_roundtrip",
 ]
 
 

@@ -37,6 +37,8 @@ fixed-iteration plan here keeps the whole thing lazy.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -382,6 +384,184 @@ def ivfpq_adc_topk_sampled(
         )
         parts.append(
             cand.join(codes, "vec_id")
+            .join(F.broadcast(lut), ["query_id", "code"])
+            .select(
+                "query_id", "vec_id", F.col("pd").cast(DIST_DEC).alias("pd")
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    adc = allp.groupBy("query_id", "vec_id").agg(F.sum("pd").alias("adc"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+        )
+    )
+
+
+def _subspace_code_expr(cents_col: str, off: int, d_sub: int) -> F.Column:
+    """Nearest-subcentroid id for v[off+1 .. off+d_sub] against a
+    broadcast centroid array column — the same argmin-over-structs
+    shape as ``_assign``, inlined so ALL subspace codes (and the
+    coarse code) come out of ONE projection instead of m joins."""
+    return F.expr(
+        f"array_min(transform({cents_col}, c -> struct("
+        f"aggregate(zip_with(slice(v, {off + 1}, {d_sub}), c.cv, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x) AS d, "
+        "c.cluster AS cluster)))"
+    )["cluster"]
+
+
+def ivfpq_index_write(
+    emb: DataFrame,
+    path: str,
+    sample_salt: str = "ivfpq-smp|",
+    sample_mod: int = 10000,
+    sample_thr: int = 2500,
+    m: int = 4,
+    k_pq: int = 16,
+    k_coarse: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    dim: int = DIM_DEFAULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """BUILD + PERSIST an IVF-PQ index as three Parquet tables — the
+    serving layout a production ANN system stores and reloads:
+
+      <path>/codes             (vec_id, coarse, c0..c{{m-1}})
+      <path>/coarse_centroids  (cluster, cv array<double>)
+      <path>/pq_centroids      (sub, cluster, cv array<double>)
+
+    Codebooks train on the deterministic md5 sample (frozen, same
+    contract as ``ivfpq_adc_topk_sampled``); the full table is then
+    encoded in ONE broadcast-argmin projection producing the coarse
+    code and all m PQ codes per row — zero shuffles on the vector
+    table, and the codes table is the only full-size artifact
+    (m+1 small ints per vector: the 16-64x compressed layout that
+    makes a billion-vector index fit an object store). Per-subspace
+    codes land as SEPARATE int columns so a serving scan can prune to
+    exactly the columns ADC touches."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_parquet,
+    )
+
+    d_sub = dim // m
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
+    ).localCheckpoint()
+    samp = base.filter(
+        md5_mod(F.col("vec_id"), sample_salt, sample_mod) < sample_thr
+    )
+    coarse_cent = _lloyd_train_cents(samp, k_coarse, iters, dim)
+    sub_cents = [
+        _lloyd_train_cents(
+            samp.select(
+                "vec_id", F.slice(F.col("v"), s * d_sub + 1, d_sub).alias("v")
+            ),
+            k_pq,
+            iters,
+            d_sub,
+        )
+        for s in range(m)
+    ]
+    enc = base.crossJoin(
+        F.broadcast(_to_1row(coarse_cent).withColumnRenamed("cents", "co"))
+    )
+    for s in range(m):
+        enc = enc.crossJoin(
+            F.broadcast(
+                _to_1row(sub_cents[s]).withColumnRenamed("cents", f"ce{s}")
+            )
+        )
+    codes = enc.select(
+        "vec_id",
+        _subspace_code_expr("co", 0, dim).cast("int").alias("coarse"),
+        *[
+            _subspace_code_expr(f"ce{s}", s * d_sub, d_sub)
+            .cast("int")
+            .alias(f"c{s}")
+            for s in range(m)
+        ],
+    )
+    write_parquet(codes, os.path.join(path, "codes"))
+    write_parquet(coarse_cent, os.path.join(path, "coarse_centroids"))
+    pq = sub_cents[0].select(F.lit(0).alias("sub"), "cluster", "cv")
+    for s in range(1, m):
+        pq = pq.unionAll(
+            sub_cents[s].select(F.lit(s).alias("sub"), "cluster", "cv")
+        )
+    write_parquet(pq, os.path.join(path, "pq_centroids"))
+
+
+def ivfpq_adc_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    topk: int = 5,
+    m: int = 4,
+    dim: int = DIM_DEFAULT,
+) -> DataFrame:
+    """SERVE top-k ANN from a PERSISTED index (``ivfpq_index_write``'s
+    layout) — raw vectors never load: the query set (query_id, v)
+    assigns to its coarse list via the stored coarse centroids
+    (broadcast argmin), candidates come from the stored codes table's
+    coarse column, and ADC is the stored-codebook broadcast-LUT join
+    over the m code columns. The scan reads (vec_id, coarse, c0..cm)
+    only — the memory-bandwidth shape that makes the stored index
+    worth having."""
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    co_cent = spark.read.parquet(os.path.join(path, "coarse_centroids"))
+    pq_cent = spark.read.parquet(os.path.join(path, "pq_centroids"))
+    d_sub = dim // m
+    qc = _assign(
+        queries.select(F.col("query_id").alias("vec_id"), "v"),
+        _to_1row(co_cent),
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("cluster").alias("qcl")
+    )
+    cand = (
+        qc.join(codes, F.col("qcl") == F.col("coarse"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", *[f"c{s}" for s in range(m)]
+        )
+    )
+    lut_pd = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    parts = []
+    for s in range(m):
+        lut = (
+            queries.select(
+                F.col("query_id"),
+                F.slice(F.col("v"), s * d_sub + 1, d_sub).alias("qv"),
+            )
+            .crossJoin(F.broadcast(pq_cent.filter(F.col("sub") == s)))
+            .select(
+                "query_id", F.col("cluster").alias("code"), lut_pd.alias("pd")
+            )
+        )
+        parts.append(
+            cand.select(
+                "query_id", "vec_id", F.col(f"c{s}").alias("code")
+            )
             .join(F.broadcast(lut), ["query_id", "code"])
             .select(
                 "query_id", "vec_id", F.col("pd").cast(DIST_DEC).alias("pd")

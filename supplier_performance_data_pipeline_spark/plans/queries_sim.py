@@ -1719,6 +1719,76 @@ q_ann_ivfpq_multiprobe_topk.__doc__ = (
 )
 
 
+@register(
+    "ann_index_persist_roundtrip",
+    oracle=_ivfpq_sampled_oracle(
+        IVFPQ_NQ, IVFPQ_TOPK, PQ_M, PQ_K, K_DEFAULT, ITERS_DEFAULT,
+        _PQ_DSUB, IVFPQ_SMP_SALT, IVFPQ_SMP_MOD, IVFPQ_SMP_THR,
+    ),
+)
+def q_ann_index_persist_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SERVING shape of IVF-PQ: BUILD the index (sampled frozen
+    codebooks; the full table encoded in ONE broadcast-argmin
+    projection), PERSIST it as the three-table Parquet layout
+    (codes + coarse_centroids + pq_centroids), then answer the top-k
+    queries FROM THE STORED LAYOUT ONLY — raw vectors never reload;
+    the serving scan touches (vec_id, coarse, c0..c{mm}) small-int
+    columns plus two centroid tables that broadcast. Results must be
+    BIT-IDENTICAL to computing the same sampled IVF-PQ in one plan
+    (the oracle is exactly ``ann_ivfpq_sampled_codebooks``'s chain),
+    which is what makes the roundtrip a driver-gradable identity:
+    doubles survive Parquet bit-exactly, codes are small ints, and
+    the ADC arithmetic is the engine's standard DECIMAL contract.
+    The overwrite-mode sink keeps the query idempotent (S4); the
+    artifact keys by applicationId and sweeps stale siblings like
+    every write-roundtrip query."""
+    import tempfile
+
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_adc_from_index,
+        ivfpq_index_write,
+    )
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        _as_double,
+    )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+    )
+
+    sweep_stale_artifacts(tempfile.gettempdir(), "spark_graft_ann_index_")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ann_index_{spark.sparkContext.applicationId}",
+    )
+    emb = _embeddings(spark, sf_dir)
+    ivfpq_index_write(
+        emb,
+        path,
+        sample_salt=IVFPQ_SMP_SALT,
+        sample_mod=IVFPQ_SMP_MOD,
+        sample_thr=IVFPQ_SMP_THR,
+        m=PQ_M,
+        k_pq=PQ_K,
+        k_coarse=K_DEFAULT,
+        iters=ITERS_DEFAULT,
+        dim=DIM,
+    )
+    queries = emb.filter(F.col("vec_id") < IVFPQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    return ivfpq_adc_from_index(
+        spark, path, queries, topk=IVFPQ_TOPK, m=PQ_M, dim=DIM
+    )
+
+
+q_ann_index_persist_roundtrip.__doc__ = (
+    q_ann_index_persist_roundtrip.__doc__.format(mm=PQ_M - 1)
+)
+
+
 # --- Johnson-Lindenstrauss random-projection distortion audit ----------------
 
 JL_M = 16  # target dimensionality

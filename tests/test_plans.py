@@ -1394,3 +1394,24 @@ def test_ivfpq_multiprobe_relational_probe_no_cartesian(spark, specs):
     # its sample-sized exchanges once more: every shuffle here moves
     # sample- or K-sized rows, never the full table
     assert shuffles(plan) <= 48
+
+
+def test_ann_index_serve_prunes_codes_and_pushes_query_filter(spark, specs):
+    """Serving from the persisted IVF-PQ index must read the STORED
+    layout the scale story depends on: each per-subspace ADC branch
+    scans (vec_id, coarse, c<s>) ONLY (column pruning reaches the
+    codes parquet), the 8-query selection pushes down into the
+    query-vector scan, and every join is a broadcast — no
+    sort-merge, no cartesian, bounded shuffles."""
+    import re as _re
+
+    plan = plan_of(spark, specs, "ann_index_persist_roundtrip")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "LessThan(vec_id,8)" in plan  # query filter pushed to scan
+    # pruned codes scan: c0 branch reads c0 and nothing else
+    assert _re.search(
+        r"FileScan parquet \[vec_id#\d+L,coarse#\d+,c0#\d+\]", plan
+    ), "codes scan not pruned to the branch's single code column"
+    assert plan.count("BroadcastHashJoin") >= 8
+    assert shuffles(plan) <= 8
