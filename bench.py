@@ -210,6 +210,7 @@ HEADLINE = [
     "ann_ivfpq_sampled_codebooks",
     "ann_ivfpq_multiprobe_topk",
     "ann_index_persist_roundtrip",
+    "hybrid_rerank_stage2",
 ]
 
 

@@ -2787,6 +2787,166 @@ q_hybrid_rrf_retrieval.__doc__ = q_hybrid_rrf_retrieval.__doc__.format(
 )
 
 
+# --- two-stage retrieval: RRF recall stage + expensive re-rank ---------------
+
+_RERANK_NT = len(_RRF_TERMS)
+
+
+@register(
+    "hybrid_rerank_stage2",
+    oracle=f"""
+WITH stage1 AS ({{rrf}}),
+r1 AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rrf_rank
+    FROM stage1
+),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, unnest(toks) AS term FROM toks_cte),
+cov AS (
+    SELECT doc_id, COUNT(DISTINCT term) AS c FROM tf
+    WHERE term IN ({_in_list(_RRF_TERMS)})
+      AND doc_id IN (SELECT doc_id FROM r1)
+    GROUP BY doc_id
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+cosc AS (
+    SELECT e.vec_id AS doc_id,
+           ROUND({_RRF_DOT} / ({_RRF_NRM.format(t='e')} * {_RRF_NRM.format(t='q')}), 6)
+               AS cos
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id IN (SELECT doc_id FROM r1)
+      AND {_RRF_NRM.format(t='e')} > 0 AND {_RRF_NRM.format(t='q')} > 0
+),
+scored AS (
+    SELECT r1.doc_id, r1.rrf_rank,
+           ROUND(COALESCE(cosc.cos, 0.0)
+                 + COALESCE(cov.c, 0) / CAST({_RERANK_NT} AS DOUBLE),
+                 6) AS rerank_score
+    FROM r1 LEFT JOIN cosc ON r1.doc_id = cosc.doc_id
+    LEFT JOIN cov ON r1.doc_id = cov.doc_id
+)
+SELECT doc_id, rrf_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY rerank_score DESC, doc_id)
+           AS INTEGER) AS final_rank,
+       rerank_score
+FROM scored
+""".strip(),
+)
+def q_hybrid_rerank_stage2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE RETRIEVAL — the production search/RAG serving shape:
+    stage 1 (``hybrid_rrf_retrieval``, embedded verbatim so the stages
+    can never drift) recalls a cheap top-{top} candidate pool; stage 2
+    re-scores ONLY those candidates with a scorer too expensive to run
+    corpus-wide, and re-ranks. The stand-in stage-2 scorer is
+    deterministic and oracle-expressible — exact full-dimension cosine
+    plus query-term coverage (fraction of the {nt} query terms the doc
+    contains) — and sits at the seam where a real system plugs a
+    cross-encoder model: that swap is an Arrow ``mapInPandas`` over
+    (query_text, doc_text) batches, exactly the multimodal codec
+    plug-point pattern (operators/multimodal.py), and changes nothing
+    about the plan shape below.
+
+    Plan: stage 1's pools are top-k cuts; the candidate set (≤{top}
+    rows) BROADCASTS into both stage-2 probes, so the embedding scan
+    and the token explode are filtered by broadcast-hash semi-joins —
+    per-query stage-2 cost is candidate-bounded, never corpus-bounded.
+    Lexical-only candidates take cosine 0, semantic-only take coverage
+    0 (left joins + COALESCE in BOTH engines — no NULLs cross the
+    driver boundary)."""
+    from pyspark.sql.window import Window
+
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        dot,
+    )
+    from supplier_performance_data_pipeline_spark.operators.textops import (
+        tokens,
+    )
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        REGISTRY as _REG,
+    )
+
+    stage1 = _REG["hybrid_rrf_retrieval"].build(spark, sf_dir)
+    wr = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    r1 = stage1.select(
+        "doc_id", F.row_number().over(wr).cast("int").alias("rrf_rank")
+    )
+    docs = _docs(spark, sf_dir)
+    cov = (
+        docs.join(F.broadcast(r1.select("doc_id")), "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isin(_RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("c"))
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ev = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    qv = F.broadcast(
+        ev.filter(
+            (F.col("vec_id") == _RRF_QVEC) & (F.col("nrm") > 0)
+        ).select(F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    )
+    cosc = (
+        ev.join(
+            F.broadcast(r1.select(F.col("doc_id").alias("vec_id"))),
+            "vec_id",
+        )
+        .filter(F.col("nrm") > 0)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    scored = (
+        r1.join(cosc, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "rrf_rank",
+            F.round(
+                F.coalesce("cos", F.lit(0.0))
+                + F.coalesce("c", F.lit(0)) / F.lit(float(_RERANK_NT)),
+                6,
+            ).alias("rerank_score"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "rrf_rank",
+        F.row_number().over(wf).cast("int").alias("final_rank"),
+        "rerank_score",
+    )
+
+
+q_hybrid_rerank_stage2.__doc__ = q_hybrid_rerank_stage2.__doc__.format(
+    top=_RRF_TOP, nt=_RERANK_NT
+)
+
+# Stage 1 is the registered RRF oracle verbatim — the anti-drift
+# composition pattern (knn_join_recall, ann_ivfpq_recall_audit).
+from supplier_performance_data_pipeline_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _RERANK_REG,
+)
+
+_RERANK_REG["hybrid_rerank_stage2"] = _RERANK_REG[
+    "hybrid_rerank_stage2"
+].__class__(
+    name="hybrid_rerank_stage2",
+    build=_RERANK_REG["hybrid_rerank_stage2"].build,
+    oracle=_RERANK_REG["hybrid_rerank_stage2"].oracle.format(
+        rrf=_RERANK_REG["hybrid_rrf_retrieval"].oracle
+    ),
+)
+
+
 # --- incremental dedup: new batch vs existing index ---------------------------
 
 from supplier_performance_data_pipeline_spark.operators.sampling import (  # noqa: E402

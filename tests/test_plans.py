@@ -1415,3 +1415,17 @@ def test_ann_index_serve_prunes_codes_and_pushes_query_filter(spark, specs):
     ), "codes scan not pruned to the branch's single code column"
     assert plan.count("BroadcastHashJoin") >= 8
     assert shuffles(plan) <= 8
+
+
+def test_rerank_stage2_candidate_bounded_probes(spark, specs):
+    """Stage 2 must stay CANDIDATE-bounded: the <=10 stage-1 ids
+    broadcast into both the embedding scan and the token explode
+    (broadcast joins present), pools remain top-k cuts, and no
+    cartesian appears. The only sort-merge joins allowed are the
+    tiny-list stage-1 fusion and stage-2 left joins over <=pool-row
+    inputs — a corpus-scale SMJ would blow the cap."""
+    plan = plan_of(spark, specs, "hybrid_rerank_stage2")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 4
