@@ -336,13 +336,43 @@ def main() -> None:
             else None
         )
         norm = mqr if mqr and len(ratios) >= 10 else (hsr if hsr else 1.0)
-        for n, t in times.items():
-            if n in prev_times and t > prev_times[n] * norm * 1.3 + 0.3:
-                regressions[n] = {
-                    "sec": t,
-                    "prev_sec": prev_times[n],
-                    "prev_host_normalized": round(prev_times[n] * norm, 4),
-                }
+
+        def _flagged() -> list[str]:
+            return [
+                n
+                for n, t in times.items()
+                if n in prev_times and t > prev_times[n] * norm * 1.3 + 0.3
+            ]
+
+        # CONFIRMATION RE-PROBE before a regression is recorded: the
+        # min-of-2 passes defend against single-run noise, but a
+        # co-tenant burst (or one long GC pause) spanning BOTH passes
+        # of one query still fabricates a flag — round 7's first
+        # record showed embedding_pca_top_component at 13.6s while
+        # every isolated and full-prefix replay measured 3-6s, a lone
+        # 3.4x outlier among 122 shared ratios <= 1.32. Each flagged
+        # query (bounded: these are the exception, not the list) gets
+        # up to two extra isolated runs folded into its min; only a
+        # time that SURVIVES re-measurement lands in the record.
+        reprobed: list[str] = []
+        for n in _flagged():
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[n].build(spark, sf_dir).toPandas()
+                dt = time.perf_counter() - t0
+                times[n] = round(min(times[n], dt), 4)
+                spark.catalog.clearCache()
+            reprobed.append(n)
+        if reprobed:
+            total = round(sum(times.values()), 4)
+            full["value"] = total
+            full["queries"] = times
+        for n in _flagged():
+            regressions[n] = {
+                "sec": times[n],
+                "prev_sec": prev_times[n],
+                "prev_host_normalized": round(prev_times[n] * norm, 4),
+            }
         full["vs_prev_round"] = {
             "round_file": prev["__file__"],
             "host_speed_ratio": hsr,
@@ -355,6 +385,7 @@ def main() -> None:
                 if n in prev_times
             },
             "regressions_host_normalized": regressions,
+            "reprobed_queries": reprobed,
             "new_queries": sorted(set(times) - set(prev_times)),
         }
     local_file = _write_local_record(full)
