@@ -197,7 +197,12 @@ def q_risk_band_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "       ROUND(on_time_delivery_rate * 100, 1) AS on_time_delivery_rate_pct,\n"
     "       ROUND(fill_rate * 100, 1) AS fill_rate_pct,\n"
     "       ROUND(quality_issue_rate * 100, 1) AS quality_issue_rate_pct,\n"
-    "       ROUND(avg_delivery_delay_days, 2) AS avg_delivery_delay_days,\n"
+    # + 0 normalizes IEEE negative zero: DuckDB's ROUND(double) keeps
+    # the sign (-0.001 -> -0.0) while Spark's BigDecimal round always
+    # emits +0.0 — a supplier whose mean delay sits in (-0.005, 0)
+    # hashes "-0.0" vs "0.0". Realized at sf0.1; delay is the only
+    # negative-capable low-precision rounded column in the registry.
+    "       ROUND(avg_delivery_delay_days, 2) + 0 AS avg_delivery_delay_days,\n"
     "       ROUND(performance_score, 3) AS performance_score,\n"
     "       ROUND(risk_score, 3) AS risk_score,\n"
     "       n_pos\n"

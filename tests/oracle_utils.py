@@ -81,6 +81,29 @@ def assert_frames_match(
                         "arm's float repr even when values are "
                         "bit-identical. Cast to DOUBLE in both arms."
                     )
+    # IEEE NEGATIVE ZERO in a float column on EITHER side is a hard
+    # fail even when both arms agree: DuckDB's ROUND(double) preserves
+    # the sign of a tiny negative (-0.001 -> -0.0) while Spark's
+    # BigDecimal-based round always emits +0.0, so any negative-capable
+    # rounded column diverges the moment a value lands in
+    # (-0.5*10^-s, 0) — supplier_risk_display realized this at sf0.1.
+    # Agreement on -0.0 is an accident of which arm computed it;
+    # normalize at the output edge instead (SQL: `ROUND(x, s) + 0`).
+    for side, frame in (("actual", actual), ("expected", expected)):
+        for col in frame.columns:
+            if pd.api.types.is_float_dtype(frame[col]):
+                vals = frame[col].to_numpy()
+                zeros = vals == 0.0
+                if (np.signbit(vals) & zeros).any():
+                    raise AssertionError(
+                        f"{name}: {side} column {col!r} contains IEEE "
+                        "-0.0 — engines disagree on the sign of a "
+                        "rounded zero (DuckDB keeps it, Spark does "
+                        "not) and the driver hashes the rendering. "
+                        "Normalize at the output edge: ROUND(x, s) + 0 "
+                        "in the oracle / the Spark round is already "
+                        "+0.0-safe."
+                    )
     assert len(actual) == len(expected), (
         f"{name}: row count {len(actual)} vs {len(expected)}"
     )
