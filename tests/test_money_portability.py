@@ -216,6 +216,29 @@ def test_exact_gate_rejects_decimal_object_columns():
         assert_frames_match(flt, dec, "decimal_canary_flipped")
 
 
+def test_exact_gate_rejects_negative_zero_floats():
+    """The round-7 escape hatch, pinned shut: DuckDB's ROUND(double)
+    keeps the sign of a rounded tiny negative (-0.001 -> -0.0) while
+    Spark's BigDecimal round emits +0.0 — supplier_risk_display first
+    realized the divergence at sf0.1. The gate must fail -0.0 on
+    EITHER side even when both arms agree (agreement on the sign of
+    zero is an accident of which engine computed it), and must keep
+    accepting ordinary +0.0."""
+    neg = pd.DataFrame({"k": ["x"], "delay": [-0.0]})
+    pos = pd.DataFrame({"k": ["x"], "delay": [0.0]})
+    assert neg.delay[0] == pos.delay[0], (
+        "precondition: -0.0 == 0.0 numerically — only the rendering "
+        "(and the driver's value hash) drifts"
+    )
+    with pytest.raises(AssertionError, match="-0.0"):
+        assert_frames_match(neg, pos, "negzero_canary")
+    with pytest.raises(AssertionError, match="-0.0"):
+        assert_frames_match(pos, neg, "negzero_canary_flipped")
+    with pytest.raises(AssertionError, match="-0.0"):
+        assert_frames_match(neg, neg.copy(), "negzero_both_arms_agree")
+    assert_frames_match(pos, pos.copy(), "plain_zero_still_fine")
+
+
 def test_money_registry_has_no_decimal_cast_left():
     """No registered oracle may quantize money through a DECIMAL cast
     (engine-dependent tie-rounding on .xx5 values) or rescale a
