@@ -74,6 +74,7 @@ HEADLINE = [
     "unigram_surprisal_scores",
     "document_chunks",
     "source_mixture_weights",
+    "source_token_apportionment",
     "embedding_dim_stats",
     "tokenizer_fertility_by_lang",
     "monthly_revenue_growth",

@@ -222,6 +222,119 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- largest-remainder token-budget apportionment ---------------------------
+
+# Hard token cap apportioned across sources. BIGINT headroom: the
+# products CAP * n_tokens stay inside int64 while CAP * corpus_tokens
+# <= 9.2e18 — at this CAP that is ~9e13 corpus tokens (90x a
+# 1T-token corpus); past that, widen the quotient/remainder arithmetic
+# to DECIMAL(38,0) in BOTH arms (the DECIMAL sufficient-statistic
+# recipe used by the covariance/OLS queries).
+APPORTION_CAP = 100_000
+
+
+@register(
+    "source_token_apportionment",
+    oracle=f"""
+WITH {_TOKS_CTE},
+per_source AS (
+    SELECT d.source, CAST(SUM(len(t.toks)) AS BIGINT) AS n_tokens
+    FROM documents d JOIN toks_cte t USING (doc_id)
+    GROUP BY d.source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_source),
+q AS (
+    SELECT source, n_tokens,
+           (n_tokens * {APPORTION_CAP}) // total_tokens AS quota_floor,
+           (n_tokens * {APPORTION_CAP}) % total_tokens AS remainder
+    FROM per_source CROSS JOIN tot
+),
+lo AS (SELECT CAST({APPORTION_CAP} - SUM(quota_floor) AS BIGINT) AS leftover
+       FROM q),
+ranked AS (
+    SELECT q.*, leftover,
+           ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rk
+    FROM q CROSS JOIN lo
+)
+SELECT source, n_tokens,
+       CAST(quota_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota_tokens,
+       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS INTEGER) AS got_remainder_seat,
+       CAST(SUM(quota_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+            OVER () AS BIGINT) AS total_allocated
+FROM ranked
+""".strip(),
+)
+def q_source_token_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT integer apportionment of a hard token budget across
+    sources by the largest-remainder (Hamilton) method — the quota
+    step of a training-mixture build where the sampled corpus must hit
+    the cap EXACTLY, not approximately: floor quotas
+    (CAP * n_i) div N leave leftover = CAP - Σfloor seats (always
+    0 <= leftover < n_sources), and the leftover seats go to the
+    largest fractional remainders, ties broken by source name so the
+    allocation is a pure function of the counts. `total_allocated`
+    carries the Σquota == CAP invariant through the oracle hash — a
+    wrong redistribution cannot certify. All arithmetic is int64
+    quotient/remainder (see APPORTION_CAP headroom note); no float
+    touches the hash boundary.
+
+    Plan: the only full-corpus work is the token-count projection +
+    source-keyed agg (map-side combined); the apportionment itself —
+    broadcast 1-row totals, remainder ranking, the seat window — runs
+    on the source-domain table (tiny by construction), so the
+    single-partition windows are domain-bounded, never data-bounded.
+    At 100 TB: identical — one scan, one bounded agg, arithmetic on a
+    dozen rows. Distinct from ``source_mixture_weights``: that plans
+    max-data-use ACCEPTANCE RATES against target shares; this settles
+    an exact integer QUOTA under a global cap."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    cap = F.lit(APPORTION_CAP).cast("long")
+    per_source = (
+        docs.select(
+            "source", F.size(tokens(F.col("text"))).alias("doc_tokens")
+        )
+        .groupBy("source")
+        .agg(F.sum("doc_tokens").cast("long").alias("n_tokens"))
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens")
+    )
+    q = per_source.crossJoin(F.broadcast(tot)).withColumns(
+        {
+            "quota_floor": F.expr(
+                f"(n_tokens * {APPORTION_CAP}) div total_tokens"
+            ),
+            "remainder": F.expr(
+                f"(n_tokens * {APPORTION_CAP}) % total_tokens"
+            ),
+        }
+    )
+    lo = q.agg(
+        (cap - F.sum("quota_floor")).cast("long").alias("leftover")
+    )
+    ranked = q.crossJoin(F.broadcast(lo)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("remainder").desc(), F.col("source"))
+        ),
+    )
+    seat = F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    quota = (F.col("quota_floor") + seat).cast("long")
+    return ranked.select(
+        "source",
+        "n_tokens",
+        quota.alias("quota_tokens"),
+        seat.cast("int").alias("got_remainder_seat"),
+        F.sum(quota).over(Window.partitionBy()).cast("long").alias(
+            "total_allocated"
+        ),
+    )
+
+
 # --- tokenizer fertility by language ----------------------------------------
 
 from supplier_performance_data_pipeline_spark.operators.textops import (  # noqa: E402

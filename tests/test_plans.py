@@ -364,6 +364,30 @@ def test_mixture_weights_fact_work_is_one_agg(spark, specs):
     assert "SortMergeJoin" not in plan
 
 
+def test_apportionment_fact_work_is_one_agg(spark, specs):
+    # Largest-remainder apportionment: the corpus contributes ONE
+    # token-count projection + source-keyed agg; every downstream step
+    # (totals, leftover, remainder-rank window, seat window) operates
+    # on the |sources|-row table via broadcast 1-row joins. Windows are
+    # domain-bounded, never data-bounded; no fact-scale join, no
+    # cartesian, no sort-merge.
+    plan = plan_of(spark, specs, "source_token_apportionment")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # totals join appears twice (the leftover aggregate re-evaluates
+    # the quota subtree — both instances are |sources|-row work) plus
+    # the leftover join itself
+    assert plan.count("BroadcastNestedLoopJoin") == 3
+    assert "Window" in plan
+    # The quota subtree is REFERENCED multiple times (output arm +
+    # leftover arm), but the corpus-scan agg exchange is identical in
+    # each, so AQE exchange reuse executes it once (verified: final
+    # adaptive plan shows 3 ReusedExchange for the 3 duplicate
+    # references). Ceiling on the textual count as the tripwire (the
+    # duplicates inflate it; runtime executes far fewer).
+    assert shuffles(plan) <= 8
+
+
 def test_dim_stats_single_agg_after_explode(spark, specs):
     # posexplode then ONE dim-keyed agg: a single shuffle carrying
     # map-side partials for 64 groups, no join anywhere.
