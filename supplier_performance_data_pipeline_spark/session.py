@@ -58,6 +58,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow-batched toPandas at the serving edge: a transfer-speed
+        # knob, not a semantics one — probed Arrow on vs off across
+        # dtype-diverse queries (dates, timestamps, ints, doubles,
+        # strings): identical pandas dtypes AND canonical renderings.
+        # Pinned so a caller-provided session (the correctness driver)
+        # fetches results at the same speed the engine's own sessions do.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
     }.items():
         try:
             spark.conf.set(k, v)
