@@ -406,6 +406,10 @@ def main() -> None:
         "queries": dict(
             sorted(times.items(), key=lambda kv: -kv[1])[:10]
         ),
+        # The map above is the top-10 slowest ONLY; mark it so a future
+        # round whose BENCH_LOCAL file is missing can't ingest it as a
+        # complete per-query record (_previous_round_bench checks this).
+        "queries_partial": True,
         "full_record": local_file,
     }
     if prev is not None:
@@ -523,6 +527,11 @@ def _previous_round_bench() -> dict | None:
             }
     if "queries" not in data:
         return None
+    if data.get("queries_partial"):
+        # The compact driver line carries only the top-10 slowest
+        # queries; treat it like a tail recovery so the comparison is
+        # read as partial, never as "~180 queries are new".
+        data["partial_tail_recovery"] = True
     data["__file__"] = os.path.basename(latest)
     return data
 

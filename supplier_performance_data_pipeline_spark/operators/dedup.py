@@ -449,6 +449,123 @@ def _prefix_index(
     return dt, dl, pfx, postab
 
 
+def _doc_token_arrays(dt: DataFrame) -> DataFrame:
+    """Per-doc shingle keys sorted by the SAME global rarest-first
+    (df, tok) total order the prefix index ranks by, encoded as one
+    lexicographically-comparable string (zero-padded df ++ tok) so the
+    suffix filter can probe order statistics with plain ``<`` — no
+    global token-id assignment needed. One doc-grain aggregate over the
+    checkpointed shingle table, shared by both sides of the pair
+    filter."""
+    gf = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        dt.join(gf, "tok")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lpad(F.col("df").cast("string"), 12, "0"), F.col("tok")
+            ).alias("k"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("k")).alias("toks"))
+    )
+
+
+SUFFIX_PROBES = 8  # quantile probes per pair; tightness/cost knob
+
+
+def _suffix_filter(
+    cand: DataFrame, dt: DataFrame, enough, probes: int = SUFFIX_PROBES
+) -> DataFrame:
+    """PPJoin+ SUFFIX filter (Xiao, Wang, Lin & Yu WWW '08 §4.3) in a
+    flat multi-probe form: instead of the paper's RECURSIVE binary
+    probe (a per-pair control-flow loop, hostile to a columnar
+    engine), take P quantile-position tokens of A's sorted set as
+    simultaneous probes. The probes partition both token sets into
+    P + 1 aligned segments; every common token is either EQUAL to some
+    probe (at most 1 each, and 0 unless that probe is in B) or falls
+    strictly inside segment i on both sides (at most min of the two
+    segment sizes) — so
+
+        bound = sum_i min(|A_i|, |B_i|) + sum_j [p_j in B]
+
+    upper-bounds the true overlap, exactly the partition argument the
+    recursive filter makes one split at a time, evaluated at depth
+    log2(P) in one vectorized expression. Pruning pairs whose bound
+    can't reach the verify threshold can never drop a true pair;
+    ``enough(bound, la, lb)`` is the integer cross-multiplied
+    reachability predicate.
+
+    Plan-only, like the length/positional filters: the verify join
+    still decides membership, this only CUTS its input. Cost is two
+    doc-grain equi-joins plus an O(P * (|A|+|B|)) probe expression per
+    candidate pair — cheaper than the |A|+|B| SHUFFLED rows the verify
+    join spends on any pair that survives, which is why it sits
+    between the pair-distinct and the verify."""
+    arrays = _doc_token_arrays(dt)
+    j = (
+        cand.join(
+            arrays.select(
+                F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+            ),
+            "doc_b",
+        )
+        # Distinct clamped quantile positions -> strictly ascending
+        # probe tokens (per-doc keys are unique), so segment sizes are
+        # provably nonnegative below.
+        .withColumn(
+            "_ps",
+            F.expr(
+                f"transform(array_distinct(transform(sequence(1, "
+                f"{probes}), i -> GREATEST(1, CAST(i * (size(toks_a) + 1)"
+                f" / {probes + 1} AS INT)))), q -> element_at(toks_a, q))"
+            ),
+        )
+        .withColumn(
+            "_ca", F.expr("transform(_ps, p -> size(filter(toks_a, x -> x < p)))")
+        )
+        .withColumn(
+            "_cb", F.expr("transform(_ps, p -> size(filter(toks_b, x -> x < p)))")
+        )
+        .withColumn(
+            "_eq",
+            F.expr(
+                "transform(_ps, p -> CASE WHEN array_contains(toks_b, p) "
+                "THEN 1 ELSE 0 END)"
+            ),
+        )
+    )
+    # Segment i of 1..n+1 (n = probe count): strictly before probe 1,
+    # strictly between consecutive probes (minus the probe itself —
+    # always in A, in B iff _eq), strictly after probe n.
+    bound = F.expr(
+        """
+        aggregate(sequence(1, size(_ps) + 1), 0,
+          (acc, i) -> acc + LEAST(
+            CASE WHEN i = 1 THEN element_at(_ca, 1)
+                 WHEN i <= size(_ps)
+                   THEN element_at(_ca, i) - element_at(_ca, i - 1) - 1
+                 ELSE size(toks_a) - element_at(_ca, size(_ps)) - 1 END,
+            CASE WHEN i = 1 THEN element_at(_cb, 1)
+                 WHEN i <= size(_ps)
+                   THEN element_at(_cb, i) - element_at(_cb, i - 1)
+                        - element_at(_eq, i - 1)
+                 ELSE size(toks_b) - element_at(_cb, size(_ps))
+                      - element_at(_eq, size(_ps)) END))
+        + aggregate(_eq, 0, (acc, e) -> acc + e)
+        """
+    )
+    la = F.size("toks_a")
+    lb = F.size("toks_b")
+    return j.filter(enough(bound, la, lb)).select("doc_a", "doc_b")
+
+
 def _pair_overlap_stats(
     cand: DataFrame, dt: DataFrame, dl: DataFrame
 ) -> DataFrame:
@@ -514,9 +631,12 @@ def jaccard_prefix_join(
     conditions (plan-only: they can only cut candidates, never add) ->
     candidate-bounded verify join + pair-grain agg. At 100 TB the
     verify join is candidates x set size, so every candidate pruned
-    here saves |A|+|B| verify rows; suffix filtering (binary suffix
-    probe) is the remaining PPJoin+ bolt-on if candidates still
-    dominate."""
+    here saves |A|+|B| verify rows; the PPJoin+ SUFFIX filter
+    (one-probe midpoint form, see ``_suffix_filter``) then cuts the
+    pair-distinct output once more before verify, with overlap-
+    reachability tested by integer cross-multiplication:
+    (num+den) * bound >= num * (|A|+|B|) iff bound >= ceil(t/(1+t) *
+    (|A|+|B|))."""
     dt, dl, pfx, _ = _prefix_index(
         docs, threshold_num, threshold_den, text_col, n
     )
@@ -540,12 +660,8 @@ def jaccard_prefix_join(
     #   alpha = ceil(t/(1+t) * (|A|+|B|)), and a row generated at
     #   token w bounds it by 1 + min(|A|-pos_a, |B|-pos_b). All
     #   integer arithmetic (alpha via ceil-division), no float compare.
-    alpha = F.floor(
-        (
-            F.lit(num) * (F.col("la") + F.col("lb"))
-            + F.lit(num + den - 1)
-        )
-        / F.lit(num + den)
+    alpha = F.expr(
+        f"({num} * (la + lb) + {num + den - 1}) div {num + den}"
     )
     cand = (
         a.join(
@@ -565,6 +681,12 @@ def jaccard_prefix_join(
         )
         .select("doc_a", "doc_b")
         .distinct()
+    )
+    cand = _suffix_filter(
+        cand,
+        dt,
+        lambda bound, la, lb: F.lit(num + den) * bound
+        >= F.lit(num) * (la + lb),
     )
     return (
         _pair_overlap_stats(cand, dt, dl)
@@ -660,6 +782,13 @@ def containment_prefix_join(
         )
         .select("doc_a", "doc_b")
         .distinct()
+    )
+    # PPJoin+ suffix filter, containment form: overlap must reach
+    # ceil(t*|A|), i.e. den * bound >= num * |A| (|B| unused).
+    cand = _suffix_filter(
+        cand,
+        dt,
+        lambda bound, la, lb: F.lit(den) * bound >= F.lit(num) * la,
     )
     return (
         _pair_overlap_stats(cand, dt, dl)

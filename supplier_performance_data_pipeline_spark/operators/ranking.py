@@ -1,0 +1,164 @@
+"""Scale-safe exact global ranking — ROW_NUMBER / NTILE over
+entity-grain tables without a single-partition window.
+
+The trap these helpers exist to avoid: ``Window.orderBy(...)`` with no
+``partitionBy`` plans as ONE partition sorting the whole input — fine
+for a 25-row nation dim, fatal for a customer/user table that is
+billions of rows at 100 TB (the reference's dashboards rank suppliers,
+15 rows, so it never hits this; our extension queries rank customers
+and users, which do).
+
+Technique — the same two-level parallel prefix the lateness histogram
+uses (plans/queries_events.py, ``events_lateness_histogram``), applied
+to ranking:
+
+1. assign every row a BLOCK that is monotone with the target sort
+   order (a function of the leading sort key only, so ties always
+   share a block);
+2. per-block counts — one map-side-combined aggregate;
+3. cumulative offsets over the BLOCK table — an unpartitioned window,
+   but over a bounded-cardinality input (<= number of blocks);
+4. intra-block ``row_number`` — a window PARTITIONED by block,
+   embarrassingly parallel;
+5. global rank = block offset + intra-block rank.
+
+NTILE then needs no window at all: the SQL-standard bucket is a closed
+form of (rank, total, k) — ``q = n div k, r = n mod k``, the first
+``r`` buckets hold ``q + 1`` rows — identical in Spark and DuckDB, so
+an oracle written with plain ``NTILE(k) OVER (ORDER BY ...)`` stays
+valid when the Spark side computes the rank this way.
+
+Block choice:
+- bounded-domain leading key (a day count, an event tally): use the
+  key itself — every distinct value is a block.
+- continuous / near-unique key (revenue): ``quantile_blocks`` cuts the
+  domain at approx_percentile points. Cut PLACEMENT only balances
+  work; the rank is exact wherever the cuts land, so the sketch's
+  approximation is harmless by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["quantile_blocks", "blocked_row_number", "ntile_from_rank"]
+
+
+def quantile_blocks(
+    df: DataFrame,
+    value_col: str,
+    *,
+    desc: bool = False,
+    num_blocks: int = 64,
+    accuracy: int = 10_000,
+    out: str = "_blk",
+) -> DataFrame:
+    """Add a block column monotone with the (``value_col``, asc/desc)
+    order, using approx_percentile cut points (one broadcast 1-row agg).
+
+    The block is the count of cut points STRICTLY beyond the row's
+    value in sort direction, so equal values always land in the same
+    block and any tie-break ordering stays intra-block. Percentiles are
+    taken on the DOUBLE cast — the cast is monotone (non-strict), and
+    rows a lossy cast would conflate merely share a block, which is
+    always safe: blocks only partition work, never decide order.
+    """
+    qs = ", ".join(repr(i / num_blocks) for i in range(1, num_blocks))
+    cuts = df.agg(
+        F.expr(
+            f"approx_percentile(CAST({value_col} AS DOUBLE), "
+            f"array({qs}), {accuracy})"
+        ).alias("_cuts")
+    )
+    cmp = ">" if desc else "<"
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            out,
+            F.expr(
+                f"aggregate(_cuts, 0L, (a, c) -> a + (CASE WHEN "
+                f"c {cmp} CAST({value_col} AS DOUBLE) "
+                f"THEN 1L ELSE 0L END))"
+            ),
+        )
+        .drop("_cuts")
+    )
+
+
+def blocked_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    *,
+    blk: str = "_blk",
+    rn: str = "rn",
+    total: str = "n_total",
+) -> DataFrame:
+    """Exact global ``ROW_NUMBER() OVER (ORDER BY order_by)`` given a
+    block column monotone with that order (caller's contract: if
+    ``blk(a) < blk(b)`` then a precedes b, and order-ties share a
+    block). Adds ``rn`` (1-based, long) and ``total`` (long, the full
+    row count) via one broadcast of the block-offset table.
+
+    The only unpartitioned window runs over the block table (bounded
+    by the number of blocks); the per-row ranking window is partitioned
+    by block. ``order_by`` must be a total order for the rank to be
+    deterministic — same requirement a plain window would have.
+    """
+    counts = df.groupBy(blk).agg(F.count(F.lit(1)).alias("_bn"))
+    # Offsets AND the grand total come from the SAME tiny window pass,
+    # so the input lineage is referenced exactly twice (counts + the
+    # ranking join) — a separate total agg would add a third branch,
+    # and branches multiply when rankings nest.
+    w_off = Window.orderBy(blk).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(blk).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        blk,
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_off"),
+        F.sum("_bn").over(w_all).cast("long").alias(total),
+    )
+    w_intra = Window.partitionBy(blk).orderBy(*order_by)
+    return (
+        df.join(F.broadcast(offsets), blk)
+        .withColumn(
+            rn,
+            (F.col("_off") + F.row_number().over(w_intra)).cast("long"),
+        )
+        .drop("_off")
+    )
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Integer floor-division of nonnegative longs. (a - a % b) is
+    exactly divisible by b, and the double division of exactly-
+    representable operands with an exactly-representable integer
+    quotient is exact (IEEE correctly-rounded), so this is precise for
+    counts below 2^53 — far beyond any row count."""
+    return ((a - (a % b)) / b).cast("long")
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """SQL-standard ``NTILE(k)`` bucket from a 1-based global rank and
+    the total row count — no window. With ``q = n div k`` and
+    ``r = n mod k``, the first ``r`` buckets hold ``q + 1`` rows and
+    the rest hold ``q`` (both Spark's WindowExec and DuckDB implement
+    exactly this remainder-first split). Rows ranked in the large-
+    bucket prefix map by div (q+1); the rest offset past it and map by
+    div q. ``q = 0`` (n < k) never reaches the q-divisor branch because
+    every rank then sits inside the prefix."""
+    kk = F.lit(k).cast("long")
+    q = _idiv(n, kk)
+    r = n % kk
+    big = r * (q + 1)
+    return (
+        F.when(rn <= big, _idiv(rn - 1, q + 1) + 1)
+        .otherwise(r + _idiv(rn - big - 1, q) + 1)
+        .cast("int")
+    )

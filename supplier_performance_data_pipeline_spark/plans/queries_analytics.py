@@ -2116,18 +2116,30 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each customer lands in an (R,F,M) quartile cell; the output is the
     cell census plus average spend.
 
-    Determinism: quartiles are NTILE(4) over a TOTAL order (metric +
-    custkey tie-break) — identical bucket boundaries in both engines
-    by NTILE's fixed ceil/floor split; monetary stays exact DECIMAL
-    until the one output division. The recency anchor is the table's
-    own MAX order date (broadcast 1-row cross join), not wall-clock —
-    reruns are reproducible.
+    Determinism: quartiles follow NTILE(4)'s SQL-standard split over a
+    TOTAL order (metric + custkey tie-break) — but computed WITHOUT an
+    unpartitioned window: the global rank comes from the two-level
+    parallel prefix in operators/ranking.py (blocks monotone with each
+    sort order, per-block offsets over a tiny block table, partitioned
+    intra-block row_number), and the quartile is the closed-form
+    remainder-first split of (rank, total) — bit-identical to the
+    oracle's plain NTILE. Monetary stays exact DECIMAL until the one
+    output division. The recency anchor is the table's own MAX order
+    date (broadcast 1-row cross join), not wall-clock — reruns are
+    reproducible.
 
-    Scale: the windows run over the CUSTOMER-grain aggregate
-    (dimension-sized after the one fact shuffle), so the global-sort
-    windows are cheap; past dimension scale swap NTILE for
-    approx-percentile cuts — same output schema."""
-    from pyspark.sql.window import Window
+    Scale: one fact shuffle compacts to customer grain; each quartile
+    then costs one partitioned-window shuffle over that aggregate plus
+    two broadcast joins — no single-partition sort over the customer
+    dimension anywhere. Blocks: recency_days and n_orders are
+    bounded-domain integers (the value IS the block); monetary is
+    near-unique, so its blocks come from approx_percentile cuts (cut
+    placement only balances work — the rank is exact regardless)."""
+    from supplier_performance_data_pipeline_spark.operators.ranking import (
+        blocked_row_number,
+        ntile_from_rank,
+        quantile_blocks,
+    )
 
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -2144,21 +2156,36 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
         F.datediff("now_date", "last_order").alias("recency_days"),
     )
-    scored = anchored.select(
-        "o_custkey",
-        "n_orders",
-        "monetary",
-        "recency_days",
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("n_orders"), F.asc("o_custkey")))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m_quartile"),
+    # Three FLAT rank tables joined back on custkey — nesting the
+    # ranking stages would replicate the upstream lineage once per
+    # branch per stage (exponential plan blow-up); flat composition
+    # references `anchored` a constant number of times and the joins
+    # are entity-grain equi-joins Spark co-partitions on o_custkey.
+    def quartile(blocked, order_by, out, keep=()):
+        ranked = blocked_row_number(blocked, order_by, rn="_rn", total="_nt")
+        return ranked.select(
+            "o_custkey",
+            *keep,
+            ntile_from_rank(F.col("_rn"), F.col("_nt"), 4).alias(out),
+        )
+
+    r_q = quartile(
+        anchored.withColumn("_blk", F.col("recency_days")),
+        [F.asc("recency_days"), F.asc("o_custkey")],
+        "r_quartile",
     )
+    f_q = quartile(
+        anchored.withColumn("_blk", -F.col("n_orders")),
+        [F.desc("n_orders"), F.asc("o_custkey")],
+        "f_quartile",
+    )
+    m_q = quartile(
+        quantile_blocks(anchored, "monetary", desc=True),
+        [F.desc("monetary"), F.asc("o_custkey")],
+        "m_quartile",
+        keep=("monetary",),
+    )
+    scored = m_q.join(r_q, "o_custkey").join(f_q, "o_custkey")
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count("*").cast("long").alias("n_customers"),
         F.round(

@@ -3373,13 +3373,14 @@ def q_events_engagement_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank's (score DESC, user_id) total order makes tie placement
     deterministic in both engines.
 
-    Plan: user-grain agg (the only fact-scale shuffle), then the
-    ranking window over the user table. The ROW_NUMBER over a total
-    order is the one deliberate SinglePartition — it runs on the
-    USER-grain table, not the event stream; at larger scale the same
-    readout composes from the two-level parallel-prefix rank the
-    lateness histogram uses, and this query pins the semantics that
-    rewrite must preserve. Cumulative capture is a {B}-row window."""
+    Plan: user-day-grain agg (the only fact-scale shuffle), then the
+    rank from operators/ranking.py's two-level parallel prefix — the
+    score is a bounded-domain event tally, so every distinct score IS
+    a block: per-score offsets over the tiny score table, a
+    PARTITIONED row_number within each score group. No unpartitioned
+    window ever touches user grain (the lesson of its sibling
+    ``events_engagement_auc``, which ranks the same way). Cumulative
+    capture is a {B}-row window."""
     ev = _events(spark, sf_dir)
     users = (
         ev.filter(F.col("user_id").isNotNull())
@@ -3398,16 +3399,15 @@ def q_events_engagement_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    wrank = Window.orderBy(F.desc("s"), F.asc("user_id"), F.asc("d"))
-    ranked = users.select(
-        "s",
-        "y",
-        F.row_number().over(wrank).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("nt"),
+    from supplier_performance_data_pipeline_spark.operators.ranking import (
+        blocked_row_number,
+    )
+
+    ranked = blocked_row_number(
+        users.withColumn("_blk", -F.col("s")),
+        [F.desc("s"), F.asc("user_id"), F.asc("d")],
+        rn="rn",
+        total="nt",
     )
     bucketed = ranked.select(
         F.expr(f"((rn - 1) * {_GAINS_BUCKETS}) div nt")

@@ -669,26 +669,37 @@ def q_revenue_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue — the "top 10% of customers drive X% of revenue" curve.
 
     Scale: the expensive work (per-customer DECIMAL sum) is one
-    fact-table shuffle; the ntile window then runs over the COMPACTED
-    per-customer aggregate — customer-dimension cardinality, not fact
-    cardinality. That window is a global sort by construction (deciles
-    are a total ranking); at extreme customer counts the same cut
-    points come from approx_percentile over the aggregate instead —
-    the decile assignment becomes a broadcast range lookup and nothing
-    global remains. Ties are broken (rev desc, custkey) so NTILE is a
-    total order and both engines bucket identically; sums stay DECIMAL
-    until the output edge, and the share is one double division of
-    exact operands.
+    fact-table shuffle. The decile assignment is NOT an unpartitioned
+    NTILE window (a single-partition sort over the full customer
+    dimension — billions of rows at 100 TB): the global rank comes from
+    operators/ranking.py's two-level parallel prefix — approx_percentile
+    blocks (cut placement only balances work; the rank is exact wherever
+    the cuts land), per-block offsets over the ~64-row block table, an
+    intra-block PARTITIONED row_number — and the decile is the closed-
+    form SQL-standard NTILE split of (rank, total), so the oracle's
+    plain NTILE stays bit-identical. Ties are broken (rev desc, custkey)
+    so the rank is a total order and both engines bucket identically;
+    sums stay DECIMAL until the output edge, and the share is one double
+    division of exact operands.
     """
     orders = _t(spark, sf_dir, "orders")
-    from pyspark.sql import Window
+    from supplier_performance_data_pipeline_spark.operators.ranking import (
+        blocked_row_number,
+        ntile_from_rank,
+        quantile_blocks,
+    )
 
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice").cast("decimal(38,0)")).alias("rev")
     )
     tot = per_cust.agg(F.sum("rev").alias("total"))
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    deciles = per_cust.withColumn("decile", F.ntile(10).over(w))
+    ranked = blocked_row_number(
+        quantile_blocks(per_cust, "rev", desc=True),
+        [F.desc("rev"), F.asc("o_custkey")],
+    )
+    deciles = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("rn"), F.col("n_total"), 10)
+    ).select("o_custkey", "rev", "decile")
     return (
         deciles.crossJoin(F.broadcast(tot))
         .groupBy("decile", "total")

@@ -15,6 +15,7 @@ import pytest
 from supplier_performance_data_pipeline_spark.plans.registry import load_all
 from tests.conftest import SF_SMOKE
 from tests.oracle_utils import assert_frames_match, run_oracle
+from tests.plan_lint import ALLOWED_UNPARTITIONED, unpartitioned_window_specs
 
 SPECS = load_all()
 PARITY_SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", SF_SMOKE)
@@ -23,13 +24,36 @@ PARITY_SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", SF_SMOKE)
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(spark, name):
     spec = SPECS[name]
-    actual = spec.build(spark, PARITY_SF_DIR).toPandas()
+    df = spec.build(spark, PARITY_SF_DIR)
+    _assert_unpartitioned_windows_allowlisted(df, name)
+    actual = df.toPandas()
     _assert_no_cache_residue(spark, name)
     if spec.oracle is None:
         assert len(actual) >= 0  # rows-only check, mirrors the driver
         return
     expected = run_oracle(PARITY_SF_DIR, spec.oracle)
     assert_frames_match(actual, expected, name, approx_cols=spec.approx_cols)
+
+
+def _assert_unpartitioned_windows_allowlisted(df, name: str) -> None:
+    """Suite-wide single-partition-window ban (round-8): a window with
+    no PARTITION BY sorts its whole input in ONE task — the shape that
+    dies on an entity-grain table at 100 TB. Every query whose physical
+    plan contains one must carry a documented bounded-domain reason in
+    tests/plan_lint.py::ALLOWED_UNPARTITIONED; entity-grain ranking
+    must instead use operators/ranking.py's two-level parallel prefix.
+    Zero extra build cost: the plan comes from the DataFrame the parity
+    check is about to collect anyway."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hits = unpartitioned_window_specs(plan)
+    if hits and name not in ALLOWED_UNPARTITIONED:
+        raise AssertionError(
+            f"{name}: physical plan contains {len(hits)} unpartitioned "
+            f"window(s) and is not allowlisted in tests/plan_lint.py — "
+            f"either rank via operators/ranking.py (two-level prefix) or "
+            f"add a documented bounded-domain reason. First hit: "
+            f"{hits[0]}"
+        )
 
 
 def _assert_no_cache_residue(spark, name: str) -> None:

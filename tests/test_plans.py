@@ -1453,3 +1453,54 @@ def test_rerank_stage2_candidate_bounded_probes(spark, specs):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("SortMergeJoin") <= 4
+
+
+# --- round 8: scale-safe global ranking rewrites ------------------------------
+
+
+def _ranking_window_shape(plan: str) -> None:
+    """Shared pin for the two-level parallel-prefix rank: every
+    row_number window is PARTITIONED (by the block column), and no
+    NTILE window function exists — the quartile/decile is the closed
+    form from operators/ranking.py. (`\\bntile\\(` avoids matching
+    approx_percentile.)"""
+    assert not re.search(r"\bntile\(", plan), "NTILE window crept back in"
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^,]+),", plan):
+        first = m.group(1).strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            "row_number window is unpartitioned: " + m.group(0)
+        )
+
+
+def test_revenue_deciles_scale_safe_rank(spark, specs):
+    """revenue_decile_shares (round-7 weak flag): rank via quantile
+    blocks + partitioned intra-block row_number; the only
+    SinglePartition exchanges feed the <=64-row block-offset window,
+    the 1-row percentile agg, and the 1-row revenue total."""
+    plan = plan_of(spark, specs, "revenue_decile_shares")
+    _ranking_window_shape(plan)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 4
+
+
+def test_rfm_segments_scale_safe_rank(spark, specs):
+    """customer_rfm_segments (round-7 weak flag): all three quartiles
+    rank via the two-level prefix — flat composition (three rank
+    tables joined on custkey), so lineage stays linear and the
+    SinglePartition exchanges are only the tiny block/percentile
+    aggregates."""
+    plan = plan_of(spark, specs, "customer_rfm_segments")
+    _ranking_window_shape(plan)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 14
+
+
+def test_engagement_gains_scale_safe_rank(spark, specs):
+    """events_engagement_gains (round-7 weak flag): the user-day rank
+    comes from per-score blocks (bounded score domain); the remaining
+    unpartitioned windows are the score-offset table and the 10-row
+    decile grid."""
+    plan = plan_of(spark, specs, "events_engagement_gains")
+    _ranking_window_shape(plan)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 4

@@ -1716,7 +1716,9 @@ def test_ivfpq_multiprobe_dominates_single_probe(spark, emb):
         (r["query_id"], r["rank"]): r["adc_dist"]
         for r in ivfpq_adc_topk_sampled(emb, n_probe=2).collect()
     }
-    assert set(one) <= set(two) or set(two) <= set(one) or True
+    # Every query that produced a top-k under 1 probe must still
+    # produce one under 2 probes (candidate sets only grow).
+    assert {q for q, _ in one} <= {q for q, _ in two}
     for key, d2 in two.items():
         if key in one:
             assert d2 <= one[key] + 1e-9, (key, d2, one[key])
