@@ -450,6 +450,17 @@ def _write_local_record(out: dict) -> str:
     rounds = _round_files()
     this_round = (max(r for r, _ in rounds) + 1) if rounds else 1
     here = os.path.dirname(os.path.abspath(__file__))
+    # Attach the one-shot ANN scale probe (bench_ann_sf1.py) when it has
+    # been run: the sampled-codebook structural claim's data point at
+    # 100x the sf0.1 fixture, recorded per round without re-paying the
+    # multi-minute probe inside the driver's bench timeout.
+    ann_path = os.path.join(here, "ANN_SF1.json")
+    if os.path.exists(ann_path):
+        try:
+            with open(ann_path) as f:
+                out["ann_sf1"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     name = f"BENCH_LOCAL_r{this_round}.json"
     path = os.path.join(here, name)
     try:

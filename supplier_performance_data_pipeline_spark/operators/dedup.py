@@ -499,9 +499,21 @@ def _suffix_filter(
     Plan-only, like the length/positional filters: the verify join
     still decides membership, this only CUTS its input. Cost is two
     doc-grain equi-joins plus an O(P * (|A|+|B|)) probe expression per
-    candidate pair — cheaper than the |A|+|B| SHUFFLED rows the verify
-    join spends on any pair that survives, which is why it sits
-    between the pair-distinct and the verify."""
+    candidate pair.
+
+    WHEN TO ENABLE (measured, sf0.1 corpus, t=3/5): the filter cuts
+    68,725 surviving candidates to 33,254 (51%), but the probe
+    expression evaluates through Catalyst's per-element lambda
+    interpreter at ~0.5 ms/pair (P=8, |set|~100) — 38 s to relieve a
+    verify join that costs ~2 s on the same candidates, because at
+    fixture scale the verify shuffle is local and vectorized. The
+    economics flip when the verify join is the bottleneck: fat
+    documents (|A|+|B| in the thousands), network-bound shuffle, or
+    candidate sets that dwarf cluster memory — i.e. the 100 TB corpus
+    this engine targets, where each pruned pair saves |A|+|B| shuffled
+    rows. Hence the knob: the fixture-scale registered queries run
+    length+positional only, and callers enable the suffix stage when
+    verify dominates."""
     arrays = _doc_token_arrays(dt)
     j = (
         cand.join(
@@ -608,6 +620,7 @@ def jaccard_prefix_join(
     threshold_den: int = 5,
     text_col: str = "text",
     n: int = SHINGLE_N,
+    suffix_probes: int | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join with PREFIX FILTERING (the
     AllPairs / PPJoin family — Bayardo, Ma & Srikant WWW '07;
@@ -631,12 +644,15 @@ def jaccard_prefix_join(
     conditions (plan-only: they can only cut candidates, never add) ->
     candidate-bounded verify join + pair-grain agg. At 100 TB the
     verify join is candidates x set size, so every candidate pruned
-    here saves |A|+|B| verify rows; the PPJoin+ SUFFIX filter
-    (one-probe midpoint form, see ``_suffix_filter``) then cuts the
-    pair-distinct output once more before verify, with overlap-
-    reachability tested by integer cross-multiplication:
-    (num+den) * bound >= num * (|A|+|B|) iff bound >= ceil(t/(1+t) *
-    (|A|+|B|))."""
+    here saves |A|+|B| verify rows. ``suffix_probes`` enables the
+    PPJoin+ SUFFIX filter (multi-probe segmented form, see
+    ``_suffix_filter``) cutting the pair-distinct output once more
+    before verify — overlap-reachability by integer cross-
+    multiplication ((num+den) * bound >= num * (|A|+|B|) iff
+    bound >= ceil(t/(1+t) * (|A|+|B|))). Off by default: at fixture
+    scale the probe expression costs more than the verify it relieves
+    (measured economics in ``_suffix_filter``'s docstring); enable it
+    where verify dominates."""
     dt, dl, pfx, _ = _prefix_index(
         docs, threshold_num, threshold_den, text_col, n
     )
@@ -682,12 +698,14 @@ def jaccard_prefix_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    cand = _suffix_filter(
-        cand,
-        dt,
-        lambda bound, la, lb: F.lit(num + den) * bound
-        >= F.lit(num) * (la + lb),
-    )
+    if suffix_probes:
+        cand = _suffix_filter(
+            cand,
+            dt,
+            lambda bound, la, lb: F.lit(num + den) * bound
+            >= F.lit(num) * (la + lb),
+            probes=suffix_probes,
+        )
     return (
         _pair_overlap_stats(cand, dt, dl)
         .filter(
@@ -716,6 +734,7 @@ def containment_prefix_join(
     threshold_den: int = 5,
     text_col: str = "text",
     n: int = SHINGLE_N,
+    suffix_probes: int | None = None,
 ) -> DataFrame:
     """EXACT set-CONTAINMENT join with prefix filtering: ordered pairs
     (contained, container) where |A∩B| / |A| >= num/den — the
@@ -785,11 +804,13 @@ def containment_prefix_join(
     )
     # PPJoin+ suffix filter, containment form: overlap must reach
     # ceil(t*|A|), i.e. den * bound >= num * |A| (|B| unused).
-    cand = _suffix_filter(
-        cand,
-        dt,
-        lambda bound, la, lb: F.lit(den) * bound >= F.lit(num) * la,
-    )
+    if suffix_probes:
+        cand = _suffix_filter(
+            cand,
+            dt,
+            lambda bound, la, lb: F.lit(den) * bound >= F.lit(num) * la,
+            probes=suffix_probes,
+        )
     return (
         _pair_overlap_stats(cand, dt, dl)
         .filter(

@@ -2013,6 +2013,163 @@ def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-source dedup-rate report (round-8) ----------------------------------
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+WITH base AS (
+    SELECT d.doc_id, d.source, COALESCE(c.component, d.doc_id) AS cluster
+    FROM documents d
+    LEFT JOIN (SELECT * FROM ({REGISTRY["dedup_components"].oracle}) t_comp) c
+      ON c.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN doc_id <> cluster THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_non_canonical,
+       ROUND(CAST(SUM(CASE WHEN doc_id <> cluster THEN 1 ELSE 0 END)
+                  AS DOUBLE) * 100.0 / COUNT(*), 6) AS dup_rate_pct
+FROM base GROUP BY source
+""".strip(),
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which ingestion sources are polluting the corpus with
+    near-duplicates — the per-source rollup of ``dedup_components``
+    (round-7 verdict #8): every doc keys by its near-dup cluster
+    (singletons by themselves), a doc is "non-canonical" when it is
+    not its cluster's min-id survivor, and the per-source rate is the
+    share a retention pass would drop. The curation decision this
+    feeds: down-weight or re-crawl sources whose dup rate is an
+    outlier.
+
+    Plan: one extra source-grain hash agg over the SAME LSH-pairs ->
+    star-contraction -> doc-grain join lineage the leakage split
+    already runs; counts stay integers and the one output division is
+    double-exact (nonnegative, so the -0.0 class can't fire).
+    Oracle authored per ORACLES.md."""
+    docs = _docs(spark, sf_dir)
+    pairs_df, sigs = near_dup_pairs_cached(docs)
+    pairs = pairs_df.filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    sigs.unpersist()
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    base = (
+        docs.select("doc_id", "source")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("component", "doc_id").alias("cluster"),
+        )
+    )
+    non_canon = F.sum(
+        F.when(F.col("doc_id") != F.col("cluster"), 1).otherwise(0)
+    )
+    return base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("cluster").cast("long").alias("n_clusters"),
+        non_canon.cast("long").alias("n_non_canonical"),
+        F.round(
+            non_canon.cast("double") * F.lit(100.0) / F.count("*"), 6
+        ).alias("dup_rate_pct"),
+    )
+
+
+# --- stratified leakage-safe split with per-stratum proof (round-8) ----------
+
+
+@register(
+    "corpus_stratified_leakage_split",
+    oracle=f"""
+WITH base AS (
+    SELECT d.doc_id, d.source, COALESCE(c.component, d.doc_id) AS cluster
+    FROM documents d
+    LEFT JOIN (SELECT * FROM ({REGISTRY["dedup_components"].oracle}) t_comp) c
+      ON c.doc_id = d.doc_id
+),
+asg AS (
+    SELECT doc_id, source, cluster,
+           {_split_case_sql("CAST(cluster AS VARCHAR)")} AS split
+    FROM base
+),
+strat AS (
+    SELECT source, split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster) AS n_clusters
+    FROM asg GROUP BY source, split
+),
+viol AS (
+    SELECT source,
+           SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS leaky
+    FROM (SELECT source, cluster, COUNT(DISTINCT split) AS ns
+          FROM asg GROUP BY source, cluster) t
+    GROUP BY source
+)
+SELECT s.source, s.split,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(s.n_clusters AS BIGINT) AS n_clusters,
+       CAST(v.leaky AS BIGINT) AS stratum_leaky_clusters
+FROM strat s JOIN viol v ON s.source = v.source
+""".strip(),
+)
+def q_corpus_stratified_leakage_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRATIFIED view of the leakage-safe split (round-7 verdict #8):
+    the same cluster-keyed 80/10/10 hash assignment as
+    ``corpus_leakage_safe_split``, reported per (source, split) cell so
+    a mixture designer can see each stratum's actual split ratios, plus
+    the per-stratum PROOF column: ``stratum_leaky_clusters`` counts
+    this source's clusters that landed in more than one split — zero
+    for every stratum BY CONSTRUCTION (membership is a pure function
+    of the cluster key), and the driver hash-checks that zero against
+    the oracle rather than trusting the construction.
+
+    Plan: the same pairs->components->doc-join lineage as the parent
+    split, then two hash aggs ((source, cluster) grain for the proof,
+    (source, split) grain for the census) — both map-side-combined;
+    nothing new shuffles at fact scale. Oracle authored per ORACLES.md."""
+    docs = _docs(spark, sf_dir)
+    pairs_df, sigs = near_dup_pairs_cached(docs)
+    pairs = pairs_df.filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    sigs.unpersist()
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    asg = (
+        docs.select("doc_id", "source")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("component", "doc_id").alias("cluster"),
+        )
+        .withColumn("split", _split_case(F.col("cluster")))
+    )
+    strat = asg.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("cluster").cast("long").alias("n_clusters"),
+    )
+    viol = (
+        asg.groupBy("source", "cluster")
+        .agg(F.countDistinct("split").alias("ns"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("stratum_leaky_clusters")
+        )
+    )
+    return strat.join(viol, "source")
+
+
 # --- cluster chaining audit (edge-similarity structure of CC clusters) -------
 
 _EDGES_M_SQL = (
@@ -2942,6 +3099,136 @@ _RERANK_REG["hybrid_rerank_stage2"] = _RERANK_REG[
     name="hybrid_rerank_stage2",
     build=_RERANK_REG["hybrid_rerank_stage2"].build,
     oracle=_RERANK_REG["hybrid_rerank_stage2"].oracle.format(
+        rrf=_RERANK_REG["hybrid_rrf_retrieval"].oracle
+    ),
+)
+
+
+# --- cross-encoder seam: the Arrow swap point, actually exercised (round-8) ---
+
+_CE_SCALE = 1_000_000
+
+
+@register(
+    "hybrid_rerank_cross_encoder_seam",
+    oracle=f"""
+WITH stage1 AS ({{rrf}}),
+r1 AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rrf_rank
+    FROM stage1
+),
+{_TOKS_CTE},
+d AS (
+    SELECT doc_id,
+           len(list_distinct(toks)) AS ndt,
+           len(list_filter(list_distinct(toks),
+               x -> x IN ({_in_list(_RRF_TERMS)}))) AS shared
+    FROM toks_cte WHERE doc_id IN (SELECT doc_id FROM r1)
+),
+scored AS (
+    SELECT r1.doc_id, r1.rrf_rank,
+           (COALESCE(d.shared, 0) * {_CE_SCALE})
+               // (1 + COALESCE(d.ndt, 0)) AS ce_score_e6
+    FROM r1 LEFT JOIN d ON r1.doc_id = d.doc_id
+)
+SELECT doc_id, rrf_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY ce_score_e6 DESC, doc_id)
+           AS INTEGER) AS ce_rank,
+       CAST(ce_score_e6 AS DOUBLE) / {_CE_SCALE}.0 AS ce_score
+FROM scored
+""".strip(),
+)
+def q_hybrid_rerank_cross_encoder_seam(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The cross-encoder SWAP POINT of ``hybrid_rerank_stage2``,
+    exercised for real (round-7 verdict #8): stage-2 scoring here goes
+    THROUGH an Arrow ``mapInPandas`` over (doc_id, text) batches — the
+    exact seam where a production system loads a cross-encoder model
+    per executor and scores (query, doc) pairs — with a DETERMINISTIC
+    toy scorer standing in for the model so the path stays
+    oracle-checkable: score = shared-distinct-query-terms scaled by
+    {CE_SCALE} and floor-divided by (1 + distinct doc tokens), all
+    integer until one double division at the edge. The Python arm
+    tokenizes with the SAME regex/lower/distinct pipeline as the SQL
+    arm's toks_cte, so both engines score identically — the
+    differential check certifies the Arrow plumbing (batch schema,
+    candidate-bounded input, integer contract), which is what a model
+    swap must preserve.
+
+    Plan: stage 1 (embedded verbatim, anti-drift) recalls the
+    candidate pool; candidates broadcast into the doc scan, so the
+    Python stage sees ONLY candidate rows — per-query cost is
+    candidate-bounded, and the final rank window runs over that same
+    bounded list. Oracle authored per ORACLES.md (integer score grid,
+    one double division at the edge, total-ordered ranks)."""
+    import re as _re
+
+    import pandas as pd  # noqa: F401 (mapInPandas arm)
+
+    from pyspark.sql.window import Window
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        REGISTRY as _REG,
+    )
+
+    stage1 = _REG["hybrid_rrf_retrieval"].build(spark, sf_dir)
+    wr = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    r1 = stage1.select(
+        "doc_id", F.row_number().over(wr).cast("int").alias("rrf_rank")
+    )
+    docs = _docs(spark, sf_dir)
+    cand_docs = r1.select("doc_id").join(
+        docs.select("doc_id", "text"), "doc_id", "left"
+    )
+    qset = frozenset(_RRF_TERMS)
+    rx_src = TOKEN_SPLIT_RX
+
+    def score_batches(batches):
+        import pandas as _pd
+
+        rx = _re.compile(rx_src)
+        for pdf in batches:
+            tok_sets = pdf["text"].map(
+                lambda t: {w for w in rx.split((t or "").lower()) if w}
+            )
+            shared = tok_sets.map(lambda s: len(s & qset))
+            ndt = tok_sets.map(len)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ce_score_e6": (
+                        shared * _CE_SCALE // (1 + ndt)
+                    ).astype("int64"),
+                }
+            )
+
+    scored = cand_docs.mapInPandas(
+        score_batches, schema="doc_id long, ce_score_e6 long"
+    )
+    wf = Window.orderBy(F.desc("ce_score_e6"), F.asc("doc_id"))
+    return (
+        r1.join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "rrf_rank",
+            F.row_number().over(wf).cast("int").alias("ce_rank"),
+            (F.col("ce_score_e6").cast("double") / F.lit(float(_CE_SCALE)))
+            .alias("ce_score"),
+        )
+    )
+
+
+q_hybrid_rerank_cross_encoder_seam.__doc__ = (
+    q_hybrid_rerank_cross_encoder_seam.__doc__.format(CE_SCALE=_CE_SCALE)
+)
+
+_RERANK_REG["hybrid_rerank_cross_encoder_seam"] = _RERANK_REG[
+    "hybrid_rerank_cross_encoder_seam"
+].__class__(
+    name="hybrid_rerank_cross_encoder_seam",
+    build=_RERANK_REG["hybrid_rerank_cross_encoder_seam"].build,
+    oracle=_RERANK_REG["hybrid_rerank_cross_encoder_seam"].oracle.format(
         rrf=_RERANK_REG["hybrid_rrf_retrieval"].oracle
     ),
 )

@@ -81,6 +81,7 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "events_user_growth_accounting": "day grid (bounded)",
     "events_value_drift_psi": "decile-edge grid (bounded)",
     "events_value_ks_drift": "bounded value-bucket grid (two-level ECDF)",
+    "hybrid_rerank_cross_encoder_seam": "candidate-bounded rerank list",
     "hybrid_rerank_stage2": "candidate-bounded rerank lists (top-k per stage)",
     "hybrid_rrf_retrieval": "candidate-bounded retrieval lists (top-k)",
     "monthly_revenue_growth": "month grid (bounded)",

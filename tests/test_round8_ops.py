@@ -270,3 +270,23 @@ def test_window_allowlist_names_are_registered():
     specs = load_all()
     stale = sorted(set(ALLOWED_UNPARTITIONED) - set(specs))
     assert not stale, f"allowlisted but not registered: {stale}"
+
+
+def test_suffix_filter_knob_preserves_join_results(spark):
+    """jaccard_prefix_join with the suffix stage enabled must return
+    exactly the default path's pairs (the filter is plan-only pruning;
+    losslessness end-to-end, not just at candidate grain)."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_prefix_join(docs, 2, 5).collect()
+    }
+    with_suffix = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_prefix_join(docs, 2, 5, suffix_probes=8).collect()
+    }
+    assert base == with_suffix and base
