@@ -22,6 +22,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from supplier_performance_data_pipeline_spark.plans.registry import load_all
 from supplier_performance_data_pipeline_spark.session import get_spark
 
+# Known, deliberate plan trades: a flagged host-normalized regression on
+# one of these queries is the DOCUMENTED cost of a scale-safety rewrite,
+# not an accident — the annotation rides the regression record so a
+# reader sees intent next to the number. Remove an entry once the trade
+# is re-earned (e.g. a cheaper plan shape lands).
+INTENDED_PLAN_TRADES = {
+    "customer_rfm_segments": (
+        "round-8 rewrite (r7 verdict #1): three unpartitioned NTILE(4) "
+        "windows over customer grain replaced by the two-level prefix "
+        "rank — ~+0.9s fixed overhead at sf0.1 buys the plan that "
+        "survives a billion-customer table"
+    ),
+    "revenue_decile_shares": (
+        "round-8 rewrite (r7 verdict #1): unpartitioned NTILE(10) over "
+        "per-customer revenue replaced by quantile blocks + partitioned "
+        "rank — ~+0.6s fixed overhead at sf0.1, no single-partition "
+        "sort at scale"
+    ),
+    "events_engagement_gains": (
+        "round-8 rewrite (r7 verdict #1): unpartitioned ROW_NUMBER over "
+        "user-day grain replaced by per-score-block rank"
+    ),
+}
+
 HEADLINE = [
     "supplier_kpis",
     "supplier_risk_summary",
@@ -374,6 +398,8 @@ def main() -> None:
                 "prev_sec": prev_times[n],
                 "prev_host_normalized": round(prev_times[n] * norm, 4),
             }
+            if n in INTENDED_PLAN_TRADES:
+                regressions[n]["intended"] = INTENDED_PLAN_TRADES[n]
         full["vs_prev_round"] = {
             "round_file": prev["__file__"],
             "host_speed_ratio": hsr,
