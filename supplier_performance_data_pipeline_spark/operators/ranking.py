@@ -107,6 +107,13 @@ def blocked_row_number(
     by the number of blocks); the per-row ranking window is partitioned
     by block. ``order_by`` must be a total order for the rank to be
     deterministic — same requirement a plain window would have.
+
+    NULL contract: sort keys must be NON-NULL. A NULL leading key
+    breaks block monotonicity silently (comparisons against cut points
+    return NULL → block 0, while Spark's ASC/DESC window order places
+    NULLs first/last), so rank NULLs explicitly: filter them out and
+    union a dedicated block, or COALESCE to a sentinel beyond the
+    domain — in the SAME way in the oracle.
     """
     counts = df.groupBy(blk).agg(F.count(F.lit(1)).alias("_bn"))
     # Offsets AND the grand total come from the SAME tiny window pass,

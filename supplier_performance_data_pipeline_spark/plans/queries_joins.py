@@ -692,6 +692,10 @@ def q_revenue_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice").cast("decimal(38,0)")).alias("rev")
     )
+    # tot branches off per_cust, NOT the decile aggregate: the fact
+    # shuffle is identical in both branches so runtime executes it once
+    # (ReusedExchange); a total derived from the decile table would
+    # instead duplicate the whole rank lineage in the plan.
     tot = per_cust.agg(F.sum("rev").alias("total"))
     ranked = blocked_row_number(
         quantile_blocks(per_cust, "rev", desc=True),
@@ -700,13 +704,12 @@ def q_revenue_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciles = ranked.withColumn(
         "decile", ntile_from_rank(F.col("rn"), F.col("n_total"), 10)
     ).select("o_custkey", "rev", "decile")
+    per_decile = deciles.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev").alias("rev_sum"),
+    )
     return (
-        deciles.crossJoin(F.broadcast(tot))
-        .groupBy("decile", "total")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.sum("rev").alias("rev_sum"),
-        )
+        per_decile.crossJoin(F.broadcast(tot))
         .select(
             "decile",
             "n_customers",

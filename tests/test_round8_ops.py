@@ -290,3 +290,68 @@ def test_suffix_filter_knob_preserves_join_results(spark):
         for r in jaccard_prefix_join(docs, 2, 5, suffix_probes=8).collect()
     }
     assert base == with_suffix and base
+
+
+# --- property tests for the ranking helpers -----------------------------------
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(n=st.integers(min_value=1, max_value=400),
+       k=st.integers(min_value=1, max_value=17))
+@_SLOW
+def test_ntile_from_rank_model(spark, n, k):
+    """Model check against the SQL-standard definition computed in
+    Python: q = n // k, r = n % k; first r buckets hold q+1 ranks."""
+    q, r = divmod(n, k)
+
+    def model(rn: int) -> int:
+        big = r * (q + 1)
+        if rn <= big:
+            return (rn - 1) // (q + 1) + 1
+        return r + (rn - big - 1) // q + 1
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+    got = {
+        row["rn"]: row["t"]
+        for row in df.select(
+            "rn",
+            ntile_from_rank(F.col("rn"), F.lit(n).cast("long"), k).alias("t"),
+        ).collect()
+    }
+    assert got == {rn: model(rn) for rn in range(1, n + 1)}
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50),
+                  min_size=1, max_size=60),
+    width=st.integers(min_value=1, max_value=20),
+    desc=st.booleans(),
+)
+@_SLOW
+def test_blocked_row_number_model(spark, vals, width, desc):
+    """Any value-derived block (here: floor-division buckets, negated
+    for desc) must reproduce the exact global row_number over
+    (value, key) — duplicates, negatives, and single-block inputs
+    included."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    blk = (-F.col("v") if desc else F.col("v")) / width
+    order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+    got = {
+        (r["k"], r["rn"])
+        for r in blocked_row_number(
+            df.withColumn("_blk", blk.cast("long")), order
+        ).select("k", "rn").collect()
+    }
+    ranked = sorted(rows, key=lambda t: (-t[1] if desc else t[1], t[0]))
+    expect = {(key, i + 1) for i, (key, _v) in enumerate(ranked)}
+    assert got == expect
