@@ -44,6 +44,15 @@ INTENDED_PLAN_TRADES = {
         "round-8 rewrite (r7 verdict #1): unpartitioned ROW_NUMBER over "
         "user-day grain replaced by per-score-block rank"
     ),
+    "supplier_efficiency_frontier": (
+        "round-8 rewrite of the r7 borderline-watch item: the skyline's "
+        "running-min prefix now two-level (blocks + partitioned window) "
+        "— ~+1s fixed overhead at sf0.1"
+    ),
+    "supplier_on_time_eb_shrinkage": (
+        "round-8 rewrite of the r7 borderline-watch item: the EB rank "
+        "now two-level prefix — ~+0.5s fixed overhead at sf0.1"
+    ),
 }
 
 HEADLINE = [

@@ -700,12 +700,12 @@ def q_supplier_on_time_eb_shrinkage(
 
     Plan at scale: one hash aggregation to per-supplier counts
     (map-side partials), a 1-row global aggregate broadcast-cross-
-    joined back (A2's bounds-CTE shape), and a global ROW_NUMBER over
-    the SUPPLIER grain — bounded (dimension-sized, not fact-sized), the
-    same single-partition window every top-k serving query accepts at
-    dimension cardinality."""
-    from pyspark.sql.window import Window
-
+    joined back (A2's bounds-CTE shape), and the global ROW_NUMBER over
+    supplier grain via the two-level parallel prefix
+    (operators/ranking.py, round-8): quantile blocks on the shrunk
+    rate, partitioned intra-block rank — no single-partition sort even
+    if the supplier dimension grows past comfort (the r7 verdict's
+    borderline-watch item, retired)."""
     tune_session(spark)
     per_po = domain_per_po_fused(
         _t(spark, sf_dir, "supplier"),
@@ -737,9 +737,23 @@ def q_supplier_on_time_eb_shrinkage(
             6,
         ).alias("shrunk_rate"),
     )
-    w = Window.orderBy(F.desc("shrunk_rate"), F.asc("supplier_id"))
-    return shrunk.withColumn(
-        "eb_rank", F.row_number().over(w).cast("int")
+    from supplier_performance_data_pipeline_spark.operators.ranking import (
+        blocked_row_number,
+        quantile_blocks,
+    )
+
+    ranked = blocked_row_number(
+        quantile_blocks(shrunk, "shrunk_rate", desc=True),
+        [F.desc("shrunk_rate"), F.asc("supplier_id")],
+    )
+    return ranked.select(
+        "supplier_id",
+        "supplier_name",
+        "n_pos",
+        "n_on_time",
+        "raw_rate",
+        "shrunk_rate",
+        F.col("rn").cast("int").alias("eb_rank"),
     )
 
 

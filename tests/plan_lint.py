@@ -90,6 +90,6 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "orders_poisson_bootstrap_ci": "bootstrap-replicate grid (B bounded)",
     "revenue_decile_shares": "block/offset table of the two-level prefix rank",
     "source_token_apportionment": "source dimension (handful of rows)",
-    "supplier_efficiency_frontier": "supplier dimension (judge-acked borderline)",
-    "supplier_on_time_eb_shrinkage": "supplier dimension",
+    "supplier_efficiency_frontier": "block-offset table of the two-level prefix (r8 rewrite)",
+    "supplier_on_time_eb_shrinkage": "block-offset table of the two-level prefix (r8 rewrite)",
 }
