@@ -3625,3 +3625,133 @@ def q_events_km_time_to_purchase(
 q_events_km_time_to_purchase.__doc__ = (
     q_events_km_time_to_purchase.__doc__.format(S=_KM_LOG_SCALE)
 )
+
+
+# --- multi-touch purchase attribution (round-8) -------------------------------
+
+_ATTR_WINDOW_H = 168      # 7-day lookback
+_ATTR_CREDIT_SCALE = 1_000_000  # linear credit quantum: 1e-6 per touch
+
+
+@register(
+    "events_purchase_attribution",
+    oracle=f"""
+WITH e AS (
+    SELECT event_id, user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events WHERE user_id IS NOT NULL
+),
+p AS (SELECT event_id AS pid, user_id, us AS pus
+      FROM e WHERE event_type = 'purchase'),
+t AS (SELECT event_id AS tid, user_id, event_type, us AS tus
+      FROM e WHERE event_type <> 'purchase'),
+touch AS (
+    SELECT p.pid, t.event_type, t.tus, t.tid,
+           ROW_NUMBER() OVER (PARTITION BY p.pid
+                              ORDER BY t.tus, t.tid) AS rn_first,
+           ROW_NUMBER() OVER (PARTITION BY p.pid
+                              ORDER BY t.tus DESC, t.tid DESC) AS rn_last,
+           COUNT(*) OVER (PARTITION BY p.pid) AS n_in_path
+    FROM p JOIN t
+      ON p.user_id = t.user_id
+     AND t.tus < p.pus
+     AND t.tus >= p.pus - {_ATTR_WINDOW_H} * 3600000000
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS first_touch_wins,
+       CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS last_touch_wins,
+       CAST(SUM({_ATTR_CREDIT_SCALE} // n_in_path) AS BIGINT)
+           AS linear_credit_e6
+FROM touch GROUP BY event_type
+""".strip(),
+)
+def q_events_purchase_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION over purchase paths — which event types
+    get credit for conversions under the three classic models at once:
+    first-touch (the acquisition readout), last-touch (the closer
+    readout), and linear (equal split). Path = every non-purchase
+    event by the same user strictly before the purchase, within a
+    {h}-hour lookback.
+
+    Exactness discipline (ORACLES.md): first/last are integer win
+    counts decided by ROW_NUMBER over the (ts, event_id) TOTAL order —
+    simultaneous touches tie-break identically in both engines, and
+    min_by/arg_min (whose tie semantics are engine lore) never appear.
+    Linear credit is QUANTIZED to integer micro-credits per touch
+    ({scale} div path_length, floor) so the per-type sum is an exact
+    integer — a float 1/n sum would be partition-order dependent and
+    could never hash-match. Event times compare in integer µs.
+
+    Scale: purchases join touches on user_id (equi) with the lookback
+    as a residual range predicate — never a cartesian; the ranking
+    windows partition by purchase id (entity-grain PARTITIONED, the
+    allowed shape); the output agg is a bounded event-type rollup. A
+    very hot user fans out purchases x touches within one key — the
+    bucketed interval-join machinery (operators/rangejoin.py) bolts on
+    if user-grain skew ever dominates."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    e = ev.filter(F.col("user_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("us").alias("pus"),
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        "event_type",
+        F.col("us").alias("tus"),
+    )
+    touch = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (F.col("tus") < F.col("pus"))
+        & (
+            F.col("tus")
+            >= F.col("pus") - F.lit(_ATTR_WINDOW_H * 3_600_000_000)
+        ),
+    ).select("pid", "event_type", "tus", "tid")
+    w_first = Window.partitionBy("pid").orderBy(
+        F.asc("tus"), F.asc("tid")
+    )
+    w_last = Window.partitionBy("pid").orderBy(
+        F.desc("tus"), F.desc("tid")
+    )
+    w_n = Window.partitionBy("pid")
+    scored = touch.select(
+        "event_type",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+        F.count(F.lit(1)).over(w_n).alias("n_in_path"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("first_touch_wins"),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("last_touch_wins"),
+        F.sum(
+            F.expr(f"{_ATTR_CREDIT_SCALE} div n_in_path")
+        ).cast("long").alias("linear_credit_e6"),
+    )
+
+
+q_events_purchase_attribution.__doc__ = (
+    q_events_purchase_attribution.__doc__.format(
+        h=_ATTR_WINDOW_H, scale=_ATTR_CREDIT_SCALE
+    )
+)

@@ -1539,3 +1539,119 @@ def q_supplier_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_supplier_hits_authority.__doc__ = q_supplier_hits_authority.__doc__.format(
     iters=HITS_ITERS
 )
+
+
+# --- market-basket association: co-ordered part pairs (round-8) ---------------
+
+_BASKET_MIN_PAIR = 3   # minimum co-occurrence count (support floor)
+_BASKET_TOPK = 20
+
+
+@register(
+    "part_basket_lift",
+    oracle=f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+marg AS (SELECT l_partkey, COUNT(*) AS n_ord FROM op GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_pair
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(ma.n_ord AS BIGINT) AS n_a,
+           CAST(mb.n_ord AS BIGINT) AS n_b,
+           ROUND(CAST(p.n_pair AS DOUBLE) / ma.n_ord, 6) AS confidence_ab,
+           ROUND(CAST(p.n_pair AS DOUBLE) * n.n_orders
+                 / (CAST(ma.n_ord AS DOUBLE) * mb.n_ord), 6) AS lift
+    FROM pairs p
+    JOIN marg ma ON p.part_a = ma.l_partkey
+    JOIN marg mb ON p.part_b = mb.l_partkey
+    CROSS JOIN n
+    WHERE p.n_pair >= {_BASKET_MIN_PAIR}
+)
+SELECT * FROM scored
+ORDER BY lift DESC, part_a, part_b LIMIT {_BASKET_TOPK}
+""".strip(),
+)
+def q_part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association over co-ordered parts (support /
+    confidence / lift — the Agrawal-Srikant a-priori readout at pair
+    depth): which parts appear in the same order far more often than
+    independence predicts. The procurement twin of retail basket
+    analysis: high-lift pairs drive kitting, bundled sourcing, and
+    co-forecasting.
+
+    Semantics: basket = DISTINCT parts per order; support floor
+    n_pair >= {mp}; confidence = P(b|a) with a < b canonical pair
+    order; lift = n_pair * N / (n_a * n_b). Counts are exact integers;
+    the two ratios are single double divisions rounded to 6 BEFORE the
+    ordering, and the (lift, part_a, part_b) sort is a total order, so
+    the top-{k} cut is deterministic in both engines.
+
+    Scale: the pair explosion is per-order (O(k^2) on basket size k —
+    TPC-H baskets are ~4 lines), generated by an equi-join on
+    l_orderkey, never all-pairs; the marginals join back on part keys
+    (equi; broadcastable when the part dim is); the final cut is
+    TakeOrderedAndProject over the pair-aggregate, never a global
+    sort. Oracle authored per ORACLES.md."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    marg = op.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MIN_PAIR)
+    )
+    ma = marg.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_b")
+    )
+    scored = (
+        pairs.join(ma, "part_a")
+        .join(mb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_a"), 6
+            ).alias("confidence_ab"),
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(_BASKET_TOPK)
+
+
+q_part_basket_lift.__doc__ = q_part_basket_lift.__doc__.format(
+    mp=_BASKET_MIN_PAIR, k=_BASKET_TOPK
+)

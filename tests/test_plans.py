@@ -1525,3 +1525,31 @@ def test_engagement_gains_scale_safe_rank(spark, specs):
     _ranking_window_shape(plan)
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange SinglePartition") <= 4
+
+
+def test_basket_lift_pair_join_bounded_and_topk(spark, specs):
+    """Pair generation must be the per-order equi-join (never an
+    all-pairs cartesian), marginals attach by part-key equi-joins, the
+    1-row order count broadcasts, and the top-20 cut is TakeOrdered —
+    no global sort of the pair table."""
+    plan = plan_of(spark, specs, "part_basket_lift")
+    assert "CartesianProduct" not in plan
+    # the one BroadcastNestedLoopJoin allowed is the 1-row order-count
+    # attach (the repo's standard broadcast crossJoin shape)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"\bntile\(", plan) is None
+
+
+def test_purchase_attribution_partitioned_windows(spark, specs):
+    """The path join is user-keyed (equi + residual range, no NL
+    join); every ranking window partitions by purchase id — the
+    attribution query may never global-sort the touch table."""
+    plan = plan_of(spark, specs, "events_purchase_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.finditer(
+        r"row_number\(\) windowspecdefinition\(([^,]+),", plan
+    ):
+        first = m.group(1).strip()
+        assert " ASC" not in first and " DESC" not in first, m.group(0)
