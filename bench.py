@@ -245,6 +245,13 @@ HEADLINE = [
     "ann_ivfpq_multiprobe_topk",
     "ann_index_persist_roundtrip",
     "hybrid_rerank_stage2",
+    # round 8
+    "corpus_line_quality_gate",
+    "dedup_rate_by_source",
+    "corpus_stratified_leakage_split",
+    "hybrid_rerank_cross_encoder_seam",
+    "part_basket_lift",
+    "events_purchase_attribution",
 ]
 
 
