@@ -252,6 +252,7 @@ HEADLINE = [
     "hybrid_rerank_cross_encoder_seam",
     "part_basket_lift",
     "events_purchase_attribution",
+    "nation_fixed_width_roundtrip",
 ]
 
 

@@ -832,3 +832,52 @@ def q_customer_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_jsonl(cust, path)
     return read_jsonl(spark, path, cust.schema)
+
+
+# --- fixed-width text source/sink round trip (round-8 format breadth) --------
+
+_FW_FIELDS = [
+    ("n_nationkey", 6, "bigint"),
+    ("n_name", 32, "string"),
+    ("n_regionkey", 6, "bigint"),
+]
+
+
+@register(
+    "nation_fixed_width_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_nation_fixed_width_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIXED-WIDTH text as a driver-verified identity (the mainframe/
+    enterprise-feed twin of `supplier_csv_roundtrip`): render the
+    nation dim as space-padded column slices, read it back through the
+    SAME positional field spec, compare to the original. The writer
+    raise_error()s on width overflow (silent truncation would shear the
+    column grid), the reader trims only pad and casts through the
+    declared types — positions ARE the schema, never inference. The
+    overwrite-mode sink keeps the query idempotent (S4)."""
+    import tempfile
+
+    from supplier_performance_data_pipeline_spark.sources.readers import (
+        read_fixed_width,
+    )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+        write_fixed_width,
+    )
+
+    tune_session(spark)
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sweep_stale_artifacts(
+        tempfile.gettempdir(), "spark_graft_nation_fixed_width_"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_nation_fixed_width_{spark.sparkContext.applicationId}",
+    )
+    write_fixed_width(nat, path, _FW_FIELDS)
+    return read_fixed_width(spark, path, _FW_FIELDS)

@@ -98,3 +98,35 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: list[tuple[str, int, str]],
+) -> DataFrame:
+    """FIXED-WIDTH text source (the classic mainframe/enterprise feed
+    format): each line is a concatenation of right-padded column
+    slices; ``fields`` is [(name, width, spark_type), ...] in line
+    order. Reads as ``spark.read.text`` (one scan, splittable), slices
+    each column with substring arithmetic, trims the pad, and casts to
+    the declared type — column positions ARE the schema, so the read
+    contract is explicit by construction (the same never-inferSchema
+    discipline as read_csv). Values must not contain leading/trailing
+    whitespace of their own (the writer enforces width, the trim here
+    removes only pad)."""
+    if not _exists(spark, path):
+        raise FileNotFoundError(f"input not found: {path}")
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    cols = []
+    start = 1
+    for name, width, typ in fields:
+        cols.append(
+            F.trim(F.substring(F.col("value"), start, width))
+            .cast(typ)
+            .alias(name)
+        )
+        start += width
+    return lines.select(*cols)

@@ -246,3 +246,32 @@ def write_orc(
     if coalesce:
         df = df.coalesce(coalesce)
     df.write.mode("overwrite").orc(path)
+
+
+def write_fixed_width(
+    df, path: str, fields: list[tuple[str, int, str]]
+) -> None:
+    """FIXED-WIDTH text sink (pair of ``readers.read_fixed_width``):
+    every column renders to a string and right-pads with spaces to its
+    declared width; the row is the plain concatenation. Fails loudly at
+    write time if any rendered value exceeds its width — silent
+    truncation would corrupt the column grid for every later field.
+    Overwrite mode keeps the sink idempotent (S4)."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for name, width, _typ in fields:
+        rendered = F.col(name).cast("string")
+        guarded = F.when(
+            F.length(rendered) > width,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"fixed-width overflow in '{name}' (w={width}): "),
+                    rendered,
+                )
+            ),
+        ).otherwise(F.rpad(rendered, width, " "))
+        parts.append(guarded)
+    df.select(F.concat(*parts).alias("value")).write.mode("overwrite").text(
+        path
+    )

@@ -355,3 +355,93 @@ def test_blocked_row_number_model(spark, vals, width, desc):
     ranked = sorted(rows, key=lambda t: (-t[1] if desc else t[1], t[0]))
     expect = {(key, i + 1) for i, (key, _v) in enumerate(ranked)}
     assert got == expect
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # doc token sets as
+            st.integers(min_value=1, max_value=30),  # (seed, size) pairs
+        ),
+        min_size=2,
+        max_size=5,
+    ),
+    probes=st.integers(min_value=1, max_value=10),
+)
+@_SLOW
+def test_suffix_bound_dominates_on_synthetic_sets(spark, data, probes):
+    """Hypothesis net for the suffix bound: on arbitrary synthetic
+    token sets (deterministically derived from (seed, size)), for every
+    candidate pair, filtering at ``bound >= k`` must keep every pair
+    whose true overlap is >= k — the same dominance property as the
+    fixture test, explored over adversarial set shapes (tiny sets,
+    disjoint sets, near-identical sets, single-token sets)."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        _suffix_filter,
+    )
+
+    sets = [
+        {f"t{(seed * 7 + j * 11) % 37:02d}" for j in range(size)}
+        for seed, size in data
+    ]
+    rows = [(i, tok) for i, s in enumerate(sets) for tok in sorted(s)]
+    dt = spark.createDataFrame(rows, "doc_id long, tok string")
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(len(sets)) for b in range(len(sets)) if a < b],
+        "doc_a long, doc_b long",
+    )
+    overlaps = {
+        (a, b): len(sets[a] & sets[b])
+        for a in range(len(sets))
+        for b in range(len(sets))
+        if a < b
+    }
+    for k in (1, 3, 9):
+        kept = {
+            tuple(r)
+            for r in _suffix_filter(
+                cand, dt,
+                lambda bound, la, lb, k=k: bound >= F.lit(k),
+                probes=probes,
+            ).collect()
+        }
+        must = {p for p, ni in overlaps.items() if ni >= k}
+        assert must <= kept, (k, sorted(must - kept)[:3])
+
+
+# --- fixed-width source/sink --------------------------------------------------
+
+
+def test_fixed_width_overflow_fails_loudly(spark, tmp_path):
+    """A value wider than its declared field must fail the WRITE (silent
+    truncation would shear the column grid for every later field)."""
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_fixed_width,
+    )
+
+    df = spark.createDataFrame([(1, "way_too_long_for_field")], "k long, s string")
+    import pytest as _pytest
+
+    # raise_error surfaces as a PySpark-converted runtime exception
+    with _pytest.raises(Exception, match="fixed-width overflow"):
+        write_fixed_width(df, str(tmp_path / "fw"), [("k", 4, "bigint"), ("s", 8, "string")])
+
+
+def test_fixed_width_roundtrip_types_and_pad(spark, tmp_path):
+    from supplier_performance_data_pipeline_spark.sources.readers import (
+        read_fixed_width,
+    )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_fixed_width,
+    )
+
+    fields = [("k", 6, "bigint"), ("name", 10, "string"), ("x", 8, "double")]
+    rows = [(7, "abc", 1.5), (42, "de f", -0.25)]
+    df = spark.createDataFrame(rows, "k long, name string, x double")
+    path = str(tmp_path / "fw")
+    write_fixed_width(df, path, fields)
+    back = read_fixed_width(spark, path, fields)
+    assert {tuple(r) for r in back.collect()} == set(rows)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "bigint", "string", "double",
+    ]
