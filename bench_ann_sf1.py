@@ -142,7 +142,20 @@ def main() -> None:
         iso[label] = round(time.monotonic() - t0, 3)
         print(f"train-only {label}: {iso[label]}s")
 
+    # Stamp which round measured this: bench.py re-embeds the file into
+    # every later BENCH_LOCAL record, and an unstamped probe would read
+    # as freshly measured each round (the stale-data class
+    # queries_partial exists to prevent).
+    import glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(HERE, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
     record = {
+        "measured_round": (max(rounds) + 1) if rounds else 1,
         "rows": N_ROWS,
         "dim": DIM,
         "clusters": N_CLUSTERS,

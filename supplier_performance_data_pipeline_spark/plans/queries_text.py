@@ -1923,15 +1923,53 @@ def _split_case(key):
     )
 
 
+def _doc_clusters(spark: SparkSession, sf_dir: str) -> "tuple":
+    """Shared preamble of every cluster-keyed corpus query
+    (leakage-safe split, its stratified view, the per-source dedup
+    rate): docs -> LSH pairs (checkpointed ONCE) -> star-contraction
+    components -> (doc_id, cluster) for EVERY doc, singletons keyed by
+    themselves. Returns (docs, clusters) so callers join their own
+    extra columns. One definition — the sibling queries claim "the
+    SAME lineage", and this is what makes that claim structural
+    rather than copy-paste."""
+    docs = _docs(spark, sf_dir)
+    pairs_df, sigs = near_dup_pairs_cached(docs)
+    pairs = pairs_df.filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    sigs.unpersist()
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    clusters = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster"),
+        )
+    )
+    return docs, clusters
+
+
+
+# Shared oracle fragment for the cluster-keyed corpus queries — one
+# rendering of the components-join + singleton-coalesce, mirroring
+# _doc_clusters. {cols} = extra document columns to carry.
+def _clusters_base_sql(cols: str) -> str:
+    return (
+        f"SELECT d.doc_id, {cols}, "
+        "COALESCE(c.component, d.doc_id) AS cluster "
+        "FROM documents d "
+        f"LEFT JOIN (SELECT * FROM ({REGISTRY['dedup_components'].oracle}) "
+        "t_comp) c ON c.doc_id = d.doc_id"
+    )
+
+
 @register(
     "corpus_leakage_safe_split",
     oracle=f"""
-WITH base AS (
-    SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS cluster
-    FROM documents d
-    LEFT JOIN (SELECT * FROM ({REGISTRY["dedup_components"].oracle}) t_comp) c
-      ON c.doc_id = d.doc_id
-),
+WITH base AS ({_clusters_base_sql("d.n_chars")}),
 asg AS (
     SELECT doc_id, n_chars, cluster,
            {_split_case_sql("CAST(cluster AS VARCHAR)")} AS split,
@@ -1973,24 +2011,8 @@ def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     it IS small) -> two integer hash aggs (cluster grain, then split
     grain). The leakage audit rides the same cluster-grain agg the
     dedup report already pays for."""
-    docs = _docs(spark, sf_dir)
-    pairs_df, sigs = near_dup_pairs_cached(docs)
-    pairs = pairs_df.filter(
-        F.col("n_matching_components") >= CC_MIN_MATCH
-    ).localCheckpoint()
-    sigs.unpersist()
-    comp = connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "component"
-    )
-    base = (
-        docs.select("doc_id", "n_chars")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chars",
-            F.coalesce("component", "doc_id").alias("cluster"),
-        )
-    )
+    docs, clusters = _doc_clusters(spark, sf_dir)
+    base = docs.select("doc_id", "n_chars").join(clusters, "doc_id")
     asg = base.select(
         "doc_id",
         "n_chars",
@@ -2019,12 +2041,7 @@ def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_rate_by_source",
     oracle=f"""
-WITH base AS (
-    SELECT d.doc_id, d.source, COALESCE(c.component, d.doc_id) AS cluster
-    FROM documents d
-    LEFT JOIN (SELECT * FROM ({REGISTRY["dedup_components"].oracle}) t_comp) c
-      ON c.doc_id = d.doc_id
-)
+WITH base AS ({_clusters_base_sql("d.source")})
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
@@ -2050,24 +2067,8 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     already runs; counts stay integers and the one output division is
     double-exact (nonnegative, so the -0.0 class can't fire).
     Oracle authored per ORACLES.md."""
-    docs = _docs(spark, sf_dir)
-    pairs_df, sigs = near_dup_pairs_cached(docs)
-    pairs = pairs_df.filter(
-        F.col("n_matching_components") >= CC_MIN_MATCH
-    ).localCheckpoint()
-    sigs.unpersist()
-    comp = connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "component"
-    )
-    base = (
-        docs.select("doc_id", "source")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.coalesce("component", "doc_id").alias("cluster"),
-        )
-    )
+    docs, clusters = _doc_clusters(spark, sf_dir)
+    base = docs.select("doc_id", "source").join(clusters, "doc_id")
     non_canon = F.sum(
         F.when(F.col("doc_id") != F.col("cluster"), 1).otherwise(0)
     )
@@ -2087,12 +2088,7 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_stratified_leakage_split",
     oracle=f"""
-WITH base AS (
-    SELECT d.doc_id, d.source, COALESCE(c.component, d.doc_id) AS cluster
-    FROM documents d
-    LEFT JOIN (SELECT * FROM ({REGISTRY["dedup_components"].oracle}) t_comp) c
-      ON c.doc_id = d.doc_id
-),
+WITH base AS ({_clusters_base_sql("d.source")}),
 asg AS (
     SELECT doc_id, source, cluster,
            {_split_case_sql("CAST(cluster AS VARCHAR)")} AS split
@@ -2134,23 +2130,10 @@ def q_corpus_stratified_leakage_split(
     split, then two hash aggs ((source, cluster) grain for the proof,
     (source, split) grain for the census) — both map-side-combined;
     nothing new shuffles at fact scale. Oracle authored per ORACLES.md."""
-    docs = _docs(spark, sf_dir)
-    pairs_df, sigs = near_dup_pairs_cached(docs)
-    pairs = pairs_df.filter(
-        F.col("n_matching_components") >= CC_MIN_MATCH
-    ).localCheckpoint()
-    sigs.unpersist()
-    comp = connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "component"
-    )
+    docs, clusters = _doc_clusters(spark, sf_dir)
     asg = (
         docs.select("doc_id", "source")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.coalesce("component", "doc_id").alias("cluster"),
-        )
+        .join(clusters, "doc_id")
         .withColumn("split", _split_case(F.col("cluster")))
     )
     strat = asg.groupBy("source", "split").agg(

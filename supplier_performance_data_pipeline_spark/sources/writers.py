@@ -262,15 +262,49 @@ def write_fixed_width(
     parts = []
     for name, width, _typ in fields:
         rendered = F.col(name).cast("string")
-        guarded = F.when(
-            F.length(rendered) > width,
-            F.raise_error(
-                F.concat(
-                    F.lit(f"fixed-width overflow in '{name}' (w={width}): "),
-                    rendered,
-                )
-            ),
-        ).otherwise(F.rpad(rendered, width, " "))
+        # Three loud failure modes, in order of check: NULL (would
+        # null the whole concat row -> the text writer emits a bare
+        # empty line that reads back as ALL-NULL fields), embedded
+        # line breaks (pass the width guard but split one logical row
+        # across physical lines, shearing the grid for the next row),
+        # and overflow. Fixed-width has no NULL representation; encode
+        # nullable columns explicitly (sentinel) before writing.
+        guarded = (
+            F.when(
+                rendered.isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"fixed-width NULL in '{name}': the format has "
+                        "no NULL representation — encode a sentinel "
+                        "before writing"
+                    )
+                ),
+            )
+            .when(
+                rendered.contains("\n") | rendered.contains("\r"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"fixed-width line break in '{name}': "
+                        ),
+                        rendered,
+                    )
+                ),
+            )
+            .when(
+                F.length(rendered) > width,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"fixed-width overflow in '{name}' "
+                            f"(w={width}): "
+                        ),
+                        rendered,
+                    )
+                ),
+            )
+            .otherwise(F.rpad(rendered, width, " "))
+        )
         parts.append(guarded)
     df.select(F.concat(*parts).alias("value")).write.mode("overwrite").text(
         path

@@ -20,7 +20,7 @@ from supplier_performance_data_pipeline_spark.operators.ranking import (
     quantile_blocks,
 )
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE as SF  # single source of truth
 
 
 # --- ntile_from_rank: closed form vs Spark's own NTILE -----------------------
@@ -445,3 +445,25 @@ def test_fixed_width_roundtrip_types_and_pad(spark, tmp_path):
     assert [f.dataType.simpleString() for f in back.schema.fields] == [
         "bigint", "string", "double",
     ]
+
+
+def test_fixed_width_null_and_newline_fail_loudly(spark, tmp_path):
+    """NULL (no fixed-width representation) and embedded line breaks
+    (grid shear) must fail the write, not corrupt the file."""
+    import pytest as _pytest
+
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_fixed_width,
+    )
+
+    fields = [("k", 4, "bigint"), ("s", 8, "string")]
+    with _pytest.raises(Exception, match="fixed-width NULL"):
+        write_fixed_width(
+            spark.createDataFrame([(1, None)], "k long, s string"),
+            str(tmp_path / "fw1"), fields,
+        )
+    with _pytest.raises(Exception, match="fixed-width line break"):
+        write_fixed_width(
+            spark.createDataFrame([(1, "ab\ncd")], "k long, s string"),
+            str(tmp_path / "fw2"), fields,
+        )
