@@ -781,9 +781,7 @@ def containment_prefix_join(
     # container must hold at least that many (length filter) and a
     # row generated at token w bounds the overlap by
     # 1 + min(|A|-pos_a, |B|-pos_b) (positional filter).
-    alpha_c = F.floor(
-        (F.lit(num) * F.col("la") + F.lit(den - 1)) / F.lit(den)
-    )
+    alpha_c = F.expr(f"({num} * la + {den - 1}) div {den}")
     cand = (
         a.join(
             b,

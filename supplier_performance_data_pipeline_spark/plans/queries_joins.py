@@ -1565,6 +1565,7 @@ scored AS (
            CAST(p.n_pair AS BIGINT) AS n_pair,
            CAST(ma.n_ord AS BIGINT) AS n_a,
            CAST(mb.n_ord AS BIGINT) AS n_b,
+           CAST(n.n_orders AS BIGINT) AS n_orders,
            ROUND(CAST(p.n_pair AS DOUBLE) / ma.n_ord, 6) AS confidence_ab,
            ROUND(CAST(p.n_pair AS DOUBLE) * n.n_orders
                  / (CAST(ma.n_ord AS DOUBLE) * mb.n_ord), 6) AS lift
@@ -1573,9 +1574,15 @@ scored AS (
     JOIN marg mb ON p.part_b = mb.l_partkey
     CROSS JOIN n
     WHERE p.n_pair >= {_BASKET_MIN_PAIR}
+),
+keyed AS (
+    SELECT *,
+           (n_pair * n_orders * 1000000) // (n_a * n_b) AS lift_key
+    FROM scored
 )
-SELECT * FROM scored
-ORDER BY lift DESC, part_a, part_b LIMIT {_BASKET_TOPK}
+SELECT part_a, part_b, n_pair, n_a, n_b, confidence_ab, lift
+FROM keyed
+ORDER BY lift_key DESC, part_a, part_b LIMIT {_BASKET_TOPK}
 """.strip(),
 )
 def q_part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1589,9 +1596,16 @@ def q_part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Semantics: basket = DISTINCT parts per order; support floor
     n_pair >= {mp}; confidence = P(b|a) with a < b canonical pair
     order; lift = n_pair * N / (n_a * n_b). Counts are exact integers;
-    the two ratios are single double divisions rounded to 6 BEFORE the
-    ordering, and the (lift, part_a, part_b) sort is a total order, so
-    the top-{k} cut is deterministic in both engines.
+    the two display ratios are single double divisions rounded to 6,
+    but the top-{k} cut orders on an EXACT integer key — lift on a
+    1e-6 grid via pure integer arithmetic,
+    (n_pair * N * 1000000) div (n_a * n_b) — because the two engines'
+    double ROUND can disagree in last-ulp cases and flip rows at the
+    LIMIT boundary (ORACLES.md item 5). All terms nonnegative, so
+    Spark's truncating ``div`` and DuckDB's floor ``//`` agree; the
+    product fits int64 while n_pair * N < 2^63/1e6 ≈ 9.2e12 (ANSI mode
+    overflows loudly in both engines past that — switch the key to
+    DECIMAL(38,0) if baskets ever get there).
 
     Scale: the pair explosion is per-order (O(k^2) on basket size k —
     TPC-H baskets are ~4 lines), generated by an equi-join on
@@ -1645,11 +1659,18 @@ def q_part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a").cast("double") * F.col("n_b")),
                 6,
             ).alias("lift"),
+            F.expr(
+                "(n_pair * n_orders * 1000000L) div (n_a * n_b)"
+            ).alias("_lift_key"),
         )
     )
-    return scored.orderBy(
-        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
-    ).limit(_BASKET_TOPK)
+    return (
+        scored.orderBy(
+            F.desc("_lift_key"), F.asc("part_a"), F.asc("part_b")
+        )
+        .limit(_BASKET_TOPK)
+        .drop("_lift_key")
+    )
 
 
 q_part_basket_lift.__doc__ = q_part_basket_lift.__doc__.format(

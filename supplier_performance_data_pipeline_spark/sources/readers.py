@@ -113,13 +113,34 @@ def read_fixed_width(
     the declared type — column positions ARE the schema, so the read
     contract is explicit by construction (the same never-inferSchema
     discipline as read_csv). Values must not contain leading/trailing
-    whitespace of their own (the writer enforces width, the trim here
-    removes only pad)."""
+    whitespace of their own (the writer refuses them at write time,
+    so the trim here removes only pad). Lines whose length differs
+    from the declared total width fail loudly — out-of-range
+    substrings would otherwise just yield empty/NULL fields, silently
+    nulling every column of a sheared grid."""
     if not _exists(spark, path):
         raise FileNotFoundError(f"input not found: {path}")
     from pyspark.sql import functions as F
 
-    lines = spark.read.text(path)
+    total_width = sum(w for _, w, _ in fields)
+    lines = spark.read.text(path).select(
+        F.when(
+            F.length("value") != total_width,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fixed-width line width mismatch (expected "
+                        f"{total_width}, got "
+                    ),
+                    F.length("value").cast("string"),
+                    F.lit("): "),
+                    F.col("value"),
+                )
+            ),
+        )
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
     cols = []
     start = 1
     for name, width, typ in fields:

@@ -303,6 +303,20 @@ def write_fixed_width(
                     )
                 ),
             )
+            .when(
+                rendered != F.trim(rendered),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"fixed-width edge whitespace in '{name}': "
+                            "the reader trims pad, so leading/trailing "
+                            "spaces round-trip corrupted — encode them "
+                            "before writing: "
+                        ),
+                        rendered,
+                    )
+                ),
+            )
             .otherwise(F.rpad(rendered, width, " "))
         )
         parts.append(guarded)
