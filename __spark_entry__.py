@@ -83,23 +83,55 @@ def _registration_age() -> dict[str, int]:
     return {k: int(v) for k, v in data.items()} if isinstance(data, dict) else {}
 
 
+def _modified_since_checked(
+    names: list[str], last: dict[str, int]
+) -> set[str]:
+    """Queries whose content fingerprint was stamped in a round NEWER
+    than their latest driver row — their board green certifies code
+    that no longer exists, so they re-check with failure priority
+    (round-8 verdict, top item: the ranking rewrites sat on r04–r07
+    rows for a full round). Never-checked queries are excluded — the
+    never-checked tier already front-runs them."""
+    from supplier_performance_data_pipeline_spark.plans.fingerprints import (
+        load_stamped,
+        modified_round,
+    )
+
+    stamped = load_stamped()
+    return {
+        n
+        for n in names
+        if n in last and modified_round(n, stamped) > last[n]
+    }
+
+
 def _rotation_order(names: list[str]) -> list[str]:
-    """Failed-latest-row first, then least-recently-driver-checked
-    (never-checked, then by ascending last-checked round); within a
-    tier, senior registrations before newer ones, alphabetical last.
+    """Failed-latest-row first, then modified-since-last-driver-row,
+    then least-recently-driver-checked (never-checked, then by
+    ascending last-checked round); within a tier, senior registrations
+    before newer ones, alphabetical last.
 
     The driver samples a bounded number of queries per round in
     ``queries()`` iteration order. The round-4 verdict showed why
     failures must lead: with a pure LRU rotation a query that failed
     in the immediately previous round sorts LAST (it was just
     checked), so its fix can't be re-proved for several rounds. The
-    failed tier bounds re-proof latency to one round.
+    failed tier bounds re-proof latency to one round; the modified
+    tier (round-8 verdict) does the same for rewrites of queries
+    whose latest row is green.
     """
     last, failed = _board_state()
     age = _registration_age()
+    modified = _modified_since_checked(names, last)
     return sorted(
         names,
-        key=lambda n: (n not in failed, last.get(n, -1), age.get(n, 99), n),
+        key=lambda n: (
+            n not in failed,
+            n not in modified,
+            last.get(n, -1),
+            age.get(n, 99),
+            n,
+        ),
     )
 
 
