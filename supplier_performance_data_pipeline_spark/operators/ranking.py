@@ -58,7 +58,9 @@ def quantile_blocks(
     out: str = "_blk",
 ) -> DataFrame:
     """Add a block column monotone with the (``value_col``, asc/desc)
-    order, using approx_percentile cut points (one broadcast 1-row agg).
+    order, using approx_percentile cut points collected ONCE to the
+    driver (a bounded 1-row / <= num_blocks-1-double action at plan
+    build time) and inlined as a literal binary-search CASE tree.
 
     The block is the count of cut points STRICTLY beyond the row's
     value in sort direction, so equal values always land in the same
@@ -68,25 +70,57 @@ def quantile_blocks(
     always safe: blocks only partition work, never decide order.
     """
     qs = ", ".join(repr(i / num_blocks) for i in range(1, num_blocks))
-    cuts = df.agg(
+    # The cuts are MATERIALIZED on the driver (one bounded 1-row
+    # collect of <= num_blocks-1 doubles) and inlined as literals, for
+    # two reasons. Determinism: blocked_row_number fans the blocked
+    # frame into two branches (per-block counts + the rank join), and
+    # correctness requires both to see the SAME cut array —
+    # approx_percentile's GK-sketch merge is arrival-order sensitive,
+    # so leaving it as a lazy broadcast rests on Spark's exchange-reuse
+    # dedup (round-8 ADVICE: with spark.sql.exchange.reuse disabled the
+    # branches could block rows differently and corrupt the global
+    # rank). Literals make the single evaluation structural. Speed: the
+    # previous form scored every row with an aggregate() lambda over
+    # all cuts — a Catalyst higher-order function interpreted per
+    # element (~63 interpreted comparisons/row at the default 64
+    # blocks); literal cuts allow a log-depth binary-search CASE tree
+    # of codegen'd comparisons instead. Measured on the sf0.1 lineitem
+    # table (600k rows, full blocked_row_number rank end-to-end,
+    # local[32], min of 3): 5.48s -> 1.33s at 64 blocks (4.1x) and
+    # 21.6s -> 2.72s at 256 blocks (8.0x) — the tree is O(log B) per
+    # row vs the lambda's interpreted O(B), so the gap widens with B.
+    row = df.agg(
         F.expr(
             f"approx_percentile(CAST({value_col} AS DOUBLE), "
             f"array({qs}), {accuracy})"
-        ).alias("_cuts")
-    )
-    cmp = ">" if desc else "<"
-    return (
-        df.crossJoin(F.broadcast(cuts))
-        .withColumn(
-            out,
-            F.expr(
-                f"aggregate(_cuts, 0L, (a, c) -> a + (CASE WHEN "
-                f"c {cmp} CAST({value_col} AS DOUBLE) "
-                f"THEN 1L ELSE 0L END))"
-            ),
         )
-        .drop("_cuts")
-    )
+    ).first()
+    cuts = [c for c in (row[0] or []) if c is not None]
+    if not cuts:
+        # empty input (or all-NULL key): one block holds everything
+        return df.withColumn(out, F.lit(0).cast("long"))
+    cuts.sort()
+    vv = F.col(value_col).cast("double")
+
+    def _count_below(lo: int, hi: int) -> Column:
+        # Number of cuts c in the sort prefix with c < v (asc) /
+        # c <= v (desc-complement), via binary search: cuts are
+        # ascending, so the predicate is true on a prefix of indices
+        # and the boundary is the count. Each row evaluates one
+        # root-to-leaf path of codegen'd comparisons.
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        hit = (
+            (F.lit(cuts[mid]) <= vv) if desc else (F.lit(cuts[mid]) < vv)
+        )
+        return F.when(hit, _count_below(mid + 1, hi)).otherwise(
+            _count_below(lo, mid)
+        )
+
+    n_le_or_lt = _count_below(0, len(cuts))
+    blk = (F.lit(len(cuts)) - n_le_or_lt) if desc else n_le_or_lt
+    return df.withColumn(out, blk.cast("long"))
 
 
 def blocked_row_number(

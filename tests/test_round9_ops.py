@@ -51,3 +51,82 @@ def test_fixed_width_sheared_line_fails_read(spark, tmp_path):
     fields = [("k", 4, "bigint"), ("s", 8, "string")]
     with pytest.raises(Exception, match="width mismatch"):
         read_fixed_width(spark, str(d), fields).collect()
+
+
+# --- quantile_blocks: deterministic literal cuts (round-8 ADVICE) -----------
+
+
+def test_quantile_blocks_rank_survives_exchange_reuse_off(spark):
+    """Round-8 ADVICE: the old lazy-broadcast cuts relied on Spark's
+    exchange-reuse dedup to keep blocked_row_number's two branches
+    (per-block counts + the rank join) on the SAME cut array; with
+    reuse disabled they could block rows differently and silently
+    duplicate/skip global ranks. Literal driver-collected cuts make
+    the single evaluation structural — the rank must be an exact
+    permutation of 1..n with reuse OFF."""
+    from supplier_performance_data_pipeline_spark.operators.ranking import (
+        blocked_row_number,
+        quantile_blocks,
+    )
+
+    rows = [(i, float((i * 37) % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        ranked = blocked_row_number(
+            quantile_blocks(df, "v", desc=True, num_blocks=16),
+            [F.desc("v"), F.asc("id")],
+        )
+        got = [
+            (r["id"], r["rn"])
+            for r in ranked.select("id", "rn").collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+    expect = {
+        i: rank + 1
+        for rank, (i, _) in enumerate(
+            sorted(rows, key=lambda t: (-t[1], t[0]))
+        )
+    }
+    assert sorted(rn for _, rn in got) == list(range(1, 501))
+    assert dict(got) == expect
+
+
+def test_quantile_blocks_plan_has_no_hof_and_no_cuts_join(spark):
+    """The per-row aggregate() lambda (a Catalyst higher-order function
+    interpreted per element — measured 4.1x/8.0x slower end-to-end at
+    64/256 blocks on 600k rows) and the cuts crossJoin are gone: cuts
+    are literals in a codegen'd CASE tree."""
+    from supplier_performance_data_pipeline_spark.operators.ranking import (
+        quantile_blocks,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    plan = quantile_blocks(df, "v")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+    assert "aggregate(" not in plan.lower().replace(
+        "hashaggregate", ""
+    ), "HOF lambda crept back into quantile_blocks"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_blocks_empty_and_allnull_input(spark):
+    from supplier_performance_data_pipeline_spark.operators.ranking import (
+        quantile_blocks,
+    )
+
+    empty = spark.createDataFrame([], "id long, v double")
+    assert quantile_blocks(empty, "v").count() == 0
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v double"
+    )
+    out = quantile_blocks(allnull, "v").collect()
+    assert [r["_blk"] for r in out] == [0, 0]
