@@ -504,6 +504,15 @@ def _write_local_record(out: dict) -> str:
                 out["ann_sf1"] = json.load(f)
         except (OSError, json.JSONDecodeError):
             pass
+    # Same attach for the PPJoin+ suffix-filter fat-doc A/B
+    # (bench_suffix_ab.py): the ON-regime economics data point.
+    sab_path = os.path.join(here, "SUFFIX_AB.json")
+    if os.path.exists(sab_path):
+        try:
+            with open(sab_path) as f:
+                out["suffix_ab"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     name = f"BENCH_LOCAL_r{this_round}.json"
     path = os.path.join(here, name)
     try:

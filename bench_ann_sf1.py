@@ -142,18 +142,67 @@ def main() -> None:
         iso[label] = round(time.monotonic() - t0, 3)
         print(f"train-only {label}: {iso[label]}s")
 
+    # Serve-only isolation (round-8 verdict #5): the persisted-index
+    # contract's claim — raw vectors never reload; the serving scan
+    # touches codes + two broadcast centroid tables only — deserves its
+    # own number separate from the end-to-end build+persist+serve
+    # roundtrip above. Build the index once (untimed), then time the
+    # stored-layout serve alone (plan pin: tests/test_plans.py's
+    # roundtrip shape test — codes-only pruned scan, broadcast joins).
+    import tempfile
+
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_adc_from_index,
+        ivfpq_index_write,
+    )
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        _as_double,
+    )
+    from supplier_performance_data_pipeline_spark.plans.queries_sim import (
+        ITERS_DEFAULT,
+        IVFPQ_NQ,
+        IVFPQ_SMP_MOD,
+        IVFPQ_SMP_SALT,
+        IVFPQ_SMP_THR,
+        IVFPQ_TOPK,
+        K_DEFAULT,
+        PQ_K,
+        PQ_M,
+    )
+
+    idx_path = os.path.join(tempfile.gettempdir(), "spark_graft_sf1_index")
+    emb = spark.read.parquet(os.path.join(DATA_DIR, "embeddings.parquet"))
+    ivfpq_index_write(
+        emb, idx_path,
+        sample_salt=IVFPQ_SMP_SALT, sample_mod=IVFPQ_SMP_MOD,
+        sample_thr=IVFPQ_SMP_THR, m=PQ_M, k_pq=PQ_K,
+        k_coarse=K_DEFAULT, iters=ITERS_DEFAULT, dim=DIM,
+    )
+    queries = emb.filter(F.col("vec_id") < IVFPQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    serve_only = None
+    for rep in range(2):
+        t0 = time.monotonic()
+        n = ivfpq_adc_from_index(
+            spark, idx_path, queries, topk=IVFPQ_TOPK, m=PQ_M, dim=DIM
+        ).count()
+        dt = round(time.monotonic() - t0, 3)
+        serve_only = dt if serve_only is None else min(serve_only, dt)
+        print(f"rep{rep} serve_only_from_stored_index: {dt}s ({n} rows)")
+
     # Stamp which round measured this: bench.py re-embeds the file into
     # every later BENCH_LOCAL record, and an unstamped probe would read
     # as freshly measured each round (the stale-data class
-    # queries_partial exists to prevent).
-    import glob
-    import re as _re
+    # queries_partial exists to prevent). Round numbering is DELEGATED
+    # to bench.py's own _round_files() so the two stamps can never
+    # drift (round-8 ADVICE: a locally-derived glob here disagreed
+    # with the record the stamp gets embedded into whenever the two
+    # file families diverged).
+    from bench import _round_files
 
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(HERE, "BENCH_r*.json"))
-        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
+    rounds = [r for r, _ in _round_files()]
     record = {
         "measured_round": (max(rounds) + 1) if rounds else 1,
         "rows": N_ROWS,
@@ -170,6 +219,13 @@ def main() -> None:
             "removes (k=32, iters=3, train-only)"
         ),
         "queries_sec": times,
+        "serve_only_sec": serve_only,
+        "serve_only_note": (
+            "top-k answered FROM THE STORED three-table layout alone "
+            "(codes + two broadcast centroid tables; raw vectors never "
+            "reload) — the serving half of ann_index_persist_roundtrip "
+            "isolated from build+persist"
+        ),
         "sampled_vs_full_end_to_end_ratio": round(
             times["ann_ivfpq_sampled_codebooks"]
             / times["ann_ivfpq_recall_audit"],

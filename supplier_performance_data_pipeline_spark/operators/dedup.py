@@ -424,8 +424,6 @@ def _prefix_index(
     whenever no common token precedes w — which holds for the FIRST
     common candidate token of any true pair, so filtering rows by that
     bound before the pair-distinct keeps completeness intact."""
-    from pyspark.sql.window import Window
-
     # dt is consumed FIVE times (df counts, lengths, rank input, both
     # verify sides) — materialize once or the tokenize+shingle+explode
     # pipeline re-executes per consumer (measured ~5x on the local
@@ -436,6 +434,19 @@ def _prefix_index(
         .select("doc_id", F.explode(F.array_distinct("shingles")).alias("tok"))
         .localCheckpoint()
     )
+    return _prefix_index_from_tokens(dt, threshold_num, threshold_den)
+
+
+def _prefix_index_from_tokens(
+    dt: DataFrame, threshold_num: int, threshold_den: int
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """``_prefix_index`` for a pre-tokenized DISTINCT (doc_id, tok)
+    table — the entry point for corpora whose set elements aren't
+    character shingles (pre-tokenized text, tag sets, feature sets).
+    The caller owns materialization of ``dt`` (checkpoint it: the
+    table is consumed five times downstream)."""
+    from pyspark.sql.window import Window
+
     gf = dt.groupBy("tok").agg(F.count("*").alias("df"))
     dl = dt.groupBy("doc_id").agg(F.count("*").alias("len"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -497,9 +508,12 @@ def _suffix_filter(
     reachability predicate.
 
     Plan-only, like the length/positional filters: the verify join
-    still decides membership, this only CUTS its input. Cost is two
-    doc-grain equi-joins plus an O(P * (|A|+|B|)) probe expression per
-    candidate pair.
+    still decides membership, this only CUTS its input. The probe
+    positions and A-side segment counts depend on doc_a ALONE, so they
+    are computed ONCE PER DOC on the doc-grain table and joined to the
+    pairs — the pair-grain join carries (probes, A-counts, |A|) and
+    never ships toks_a; only the O(P * |B|) B-side count/containment
+    expression runs per pair.
 
     WHEN TO ENABLE (measured, sf0.1 corpus, t=3/5): the filter cuts
     68,725 surviving candidates to 33,254 (51%), but the probe
@@ -515,22 +529,17 @@ def _suffix_filter(
     length+positional only, and callers enable the suffix stage when
     verify dominates."""
     arrays = _doc_token_arrays(dt)
-    j = (
-        cand.join(
-            arrays.select(
-                F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
-            ),
-            "doc_a",
+    # Doc-grain A-side precompute (hoisted out of the pair grain,
+    # round-9): distinct clamped quantile positions -> strictly
+    # ascending probe tokens (per-doc keys are unique), so segment
+    # sizes are provably nonnegative below. Sorted toks mean the
+    # count-below-probe at probe position q is q-1 minus the probes
+    # before it... kept as the explicit filter for clarity — it runs
+    # once per DOC, not per pair, so its cost is off the hot path.
+    a_side = (
+        arrays.select(
+            F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
         )
-        .join(
-            arrays.select(
-                F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
-            ),
-            "doc_b",
-        )
-        # Distinct clamped quantile positions -> strictly ascending
-        # probe tokens (per-doc keys are unique), so segment sizes are
-        # provably nonnegative below.
         .withColumn(
             "_ps",
             F.expr(
@@ -541,6 +550,16 @@ def _suffix_filter(
         )
         .withColumn(
             "_ca", F.expr("transform(_ps, p -> size(filter(toks_a, x -> x < p)))")
+        )
+        .select("doc_a", "_ps", "_ca", F.size("toks_a").alias("_la"))
+    )
+    j = (
+        cand.join(a_side, "doc_a")
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+            ),
+            "doc_b",
         )
         .withColumn(
             "_cb", F.expr("transform(_ps, p -> size(filter(toks_b, x -> x < p)))")
@@ -563,7 +582,7 @@ def _suffix_filter(
             CASE WHEN i = 1 THEN element_at(_ca, 1)
                  WHEN i <= size(_ps)
                    THEN element_at(_ca, i) - element_at(_ca, i - 1) - 1
-                 ELSE size(toks_a) - element_at(_ca, size(_ps)) - 1 END,
+                 ELSE _la - element_at(_ca, size(_ps)) - 1 END,
             CASE WHEN i = 1 THEN element_at(_cb, 1)
                  WHEN i <= size(_ps)
                    THEN element_at(_cb, i) - element_at(_cb, i - 1)
@@ -573,7 +592,7 @@ def _suffix_filter(
         + aggregate(_eq, 0, (acc, e) -> acc + e)
         """
     )
-    la = F.size("toks_a")
+    la = F.col("_la")
     lb = F.size("toks_b")
     return j.filter(enough(bound, la, lb)).select("doc_a", "doc_b")
 
@@ -656,6 +675,32 @@ def jaccard_prefix_join(
     dt, dl, pfx, _ = _prefix_index(
         docs, threshold_num, threshold_den, text_col, n
     )
+    return jaccard_prefix_join_tokens(
+        dt,
+        threshold_num,
+        threshold_den,
+        suffix_probes=suffix_probes,
+        _indexed=(dt, dl, pfx),
+    )
+
+
+def jaccard_prefix_join_tokens(
+    dt: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    suffix_probes: int | None = None,
+    _indexed: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """``jaccard_prefix_join`` over a pre-tokenized DISTINCT
+    (doc_id, tok) set table — same candidate/verify pipeline, same
+    completeness guarantee, for corpora whose set elements aren't
+    character shingles. The caller owns ``dt``'s materialization."""
+    if _indexed is None:
+        dt, dl, pfx, _ = _prefix_index_from_tokens(
+            dt, threshold_num, threshold_den
+        )
+    else:
+        dt, dl, pfx = _indexed
     num, den = threshold_num, threshold_den
     a = pfx.select(
         F.col("doc_id").alias("doc_a"),
