@@ -520,14 +520,24 @@ def _suffix_filter(
     expression evaluates through Catalyst's per-element lambda
     interpreter at ~0.5 ms/pair (P=8, |set|~100) — 38 s to relieve a
     verify join that costs ~2 s on the same candidates, because at
-    fixture scale the verify shuffle is local and vectorized. The
-    economics flip when the verify join is the bottleneck: fat
-    documents (|A|+|B| in the thousands), network-bound shuffle, or
-    candidate sets that dwarf cluster memory — i.e. the 100 TB corpus
-    this engine targets, where each pruned pair saves |A|+|B| shuffled
-    rows. Hence the knob: the fixture-scale registered queries run
-    length+positional only, and callers enable the suffix stage when
-    verify dominates."""
+    fixture scale the verify shuffle is local and vectorized.
+
+    FAT-DOC A/B (round-9, bench_suffix_ab.py → SUFFIX_AB.json): a
+    fixture built adversarially FOR the suffix stage — |set| = 1000,
+    5,700 candidates that pass length+positional, fail verify, and
+    are 100% suffix-prunable (group-shared prefix blocks + disjoint
+    filler bands) — still comes out NEGATIVE on local[32]: OFF 4.1 s
+    vs ON 24.4 s at P=8 and 5.4 s at P=2, even though the prune rate
+    is 1.0. Structural reason: the probe's per-pair cost is
+    O(P * |B|) through the lambda interpreter while verify's is
+    O(|A|) through vectorized codegen'd joins — both linear in set
+    size, with a ~P * (interpreted/vectorized) constant between them
+    that no local fixture can invert. The economics flip only when
+    the verify join stops being memory-local: network-bound shuffle
+    or candidate sets that spill — i.e. the 100 TB corpus this engine
+    targets, where each pruned pair saves |A|+|B| rows of CLUSTER
+    traffic, not local hash-join probes. Hence the knob stays OFF in
+    every registered query, with the measured A/B as the receipt."""
     arrays = _doc_token_arrays(dt)
     # Doc-grain A-side precompute (hoisted out of the pair grain,
     # round-9): distinct clamped quantile positions -> strictly
