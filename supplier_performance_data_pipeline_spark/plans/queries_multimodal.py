@@ -414,3 +414,121 @@ def q_multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_dup_pairs(
         _media(spark, sf_dir), max_hamming=_AHASH_MAX_HAMMING
     )
+
+
+# --- video: real uncompressed-AVI container roundtrip + frame stats ----------
+
+_VID_W = 10   # 3*W = 30 -> DIB stride pads 2 bytes: a mis-parse shears rows
+_VID_H = 8
+_VID_FRAMES_MOD = 3  # n_frames = 1 + doc_id % 3
+_VID_A = 7
+_VID_B = 11
+_VID_C = 13
+_VID_PX = _VID_W * _VID_H * 3  # bytes per logical frame
+
+
+def _video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → video table: a REAL RIFF/AVI container per doc whose
+    RGB24 frames are a closed-form function of (doc_id, frame, k) — the
+    oracle reproduces every pixel independently while the Spark side
+    must walk nested RIFF lists and undo the DIB quirks (BGR order,
+    bottom-up rows, stride padding) to recover the logical stream."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        AVI_MIME,
+        encode_avi,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():
+                did = int(row["doc_id"])
+                nf = 1 + did % _VID_FRAMES_MOD
+                gi = np.arange(nf * _VID_PX, dtype=np.int64)
+                v = (
+                    did * _VID_A + (gi // _VID_PX) * _VID_B
+                    + (gi % _VID_PX) * _VID_C
+                ) % 256
+                frames = v.astype(np.uint8).reshape(
+                    nf, _VID_H, _VID_W, 3
+                )
+                payloads.append(encode_avi(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": AVI_MIME,
+                }
+            )
+
+    return docs.mapInPandas(
+        synth, schema="media_id long, payload binary, mime string"
+    )
+
+
+@register(
+    "multimodal_video_frame_stats",
+    oracle=f"""
+WITH fr AS (
+    SELECT doc_id, unnest(range(0, 1 + doc_id % {_VID_FRAMES_MOD})) AS f
+    FROM documents
+),
+px AS (
+    SELECT doc_id, f, unnest(range(0, {_VID_PX})) AS k
+    FROM fr
+),
+v AS (
+    SELECT doc_id,
+           f * {_VID_PX} + k AS gi,
+           (doc_id * {_VID_A} + f * {_VID_B} + k * {_VID_C}) % 256 AS v
+    FROM px
+),
+agg AS (
+    SELECT doc_id,
+           COUNT(*) AS npx,
+           SUM(v) AS px_sum,
+           SUM((gi + 1) * v) AS px_wsum
+    FROM v GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(npx / {_VID_PX} AS INTEGER) AS n_frames,
+       CAST({_VID_W} AS INTEGER) AS width,
+       CAST({_VID_H} AS INTEGER) AS height,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_wsum AS BIGINT) AS px_wsum,
+       ROUND(CAST(px_sum AS DOUBLE) / npx, 6) AS px_mean
+FROM agg
+""".strip(),
+)
+def q_multimodal_video_frame_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video joins the multimodal surface for real: synthesize an
+    uncompressed RGB24 AVI per document (pixels a closed-form function
+    of doc_id — see _video_media), then run operators/multimodal.py::
+    video_frame_stats — Arrow batches → nested-RIFF chunk walk →
+    vectorized numpy over the decoded frame stack. The container
+    deliberately exercises every DIB trap: BGR channel order,
+    bottom-up rows, and a width whose stride pads 2 bytes, while the
+    position-weighted px_wsum makes any frame reorder, row flip,
+    channel swap, or stride shear hash-fail the row (the plain sum
+    alone would forgive permutations). The oracle computes the same
+    integers from the pixel formula directly — one byte of container
+    mis-parse diverges the arms. Compressed codecs remain the honest
+    NotImplementedError plug-point (no ffmpeg in this container).
+    Scale: both steps are mapInPandas projections — no shuffle;
+    payloads never leave the executor."""
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        video_frame_stats,
+    )
+
+    return video_frame_stats(_video_media(spark, sf_dir))
