@@ -187,6 +187,8 @@ HEADLINE = [
     "knn_graph_degree_histogram",
     "events_hourly_autocorrelation",
     "multimodal_ahash_near_dup",
+    "multimodal_video_frame_stats",
+    "multimodal_video_frame_sample",
     "corpus_vocabulary_growth",
     "corpus_bpe_first_merges",
     "ann_ivfpq_recall_audit",

@@ -532,3 +532,91 @@ def q_multimodal_video_frame_stats(
     )
 
     return video_frame_stats(_video_media(spark, sf_dir))
+
+
+_VID_SAMPLE_EVERY = 2  # keep frames 0, 2, 4, ... (deterministic stride)
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle=f"""
+WITH fr AS (
+    SELECT doc_id, unnest(range(0, 1 + doc_id % {_VID_FRAMES_MOD})) AS f
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, f FROM fr WHERE f % {_VID_SAMPLE_EVERY} = 0
+),
+px AS (
+    SELECT doc_id, f, unnest(range(0, {_VID_PX})) AS k
+    FROM kept
+),
+v AS (
+    SELECT doc_id, f, k,
+           (doc_id * {_VID_A} + f * {_VID_B} + k * {_VID_C}) % 256 AS v
+    FROM px
+)
+SELECT doc_id AS media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(SUM(v) AS BIGINT) AS frame_sum,
+       CAST(SUM((k + 1) * v) AS BIGINT) AS frame_wsum
+FROM v
+GROUP BY doc_id, f
+""".strip(),
+)
+def q_multimodal_video_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FRAME SAMPLING on real video containers — the training-data
+    op the multimodal brief names: decode the AVI, keep every
+    {every}-th frame (deterministic stride, the cheap-and-standard
+    pretraining downsample), emit one row per kept frame with
+    position-weighted checksums so the oracle pins exactly WHICH
+    frames survived and that their pixels decoded intact (a stride
+    bug that kept frame 1 instead of frame 2 changes frame_wsum
+    through the {b}-per-frame pixel offset). Row grain is
+    (media, kept frame) — the downstream shape a frame-level encoder
+    consumes. Scale: mapInPandas projection, zero shuffle; sampling
+    happens INSIDE the decode pass so dropped frames never
+    materialize as rows."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        decode_avi,
+    )
+
+    media = _video_media(spark, sf_dir)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_sum": [],
+                   "frame_wsum": []}
+            for _, row in pdf.iterrows():
+                frames, _fps = decode_avi(bytes(row["payload"]))
+                for f in range(0, frames.shape[0], _VID_SAMPLE_EVERY):
+                    flat = frames[f].reshape(-1).astype(np.int64)
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(f)
+                    out["frame_sum"].append(int(flat.sum()))
+                    out["frame_wsum"].append(int(
+                        ((np.arange(flat.size, dtype=np.int64) + 1)
+                         * flat).sum()
+                    ))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, frame_idx int, frame_sum long, "
+            "frame_wsum long"
+        ),
+    )
+
+
+q_multimodal_video_frame_sample.__doc__ = (
+    q_multimodal_video_frame_sample.__doc__.format(
+        every=_VID_SAMPLE_EVERY, b=_VID_B
+    )
+)
