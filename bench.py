@@ -31,14 +31,16 @@ INTENDED_PLAN_TRADES = {
     "customer_rfm_segments": (
         "round-8 rewrite (r7 verdict #1): three unpartitioned NTILE(4) "
         "windows over customer grain replaced by the two-level prefix "
-        "rank — ~+0.9s fixed overhead at sf0.1 buys the plan that "
-        "survives a billion-customer table"
+        "rank — fixed overhead at toy scale buys the plan that "
+        "survives a billion-customer table; round-9's literal-cuts "
+        "quantile_blocks (driver-collected cut array, log-depth "
+        "codegen'd probe) claws back most of the r8 cost"
     ),
     "revenue_decile_shares": (
         "round-8 rewrite (r7 verdict #1): unpartitioned NTILE(10) over "
         "per-customer revenue replaced by quantile blocks + partitioned "
-        "rank — ~+0.6s fixed overhead at sf0.1, no single-partition "
-        "sort at scale"
+        "rank — no single-partition sort at scale; round-9's "
+        "literal-cuts quantile_blocks claws back most of the r8 cost"
     ),
     "events_engagement_gains": (
         "round-8 rewrite (r7 verdict #1): unpartitioned ROW_NUMBER over "

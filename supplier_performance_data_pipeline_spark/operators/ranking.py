@@ -39,6 +39,7 @@ Block choice:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -95,7 +96,19 @@ def quantile_blocks(
             f"array({qs}), {accuracy})"
         )
     ).first()
-    cuts = [c for c in (row[0] or []) if c is not None]
+    # Drop NULL/NaN cuts: a NaN would break the Python sort below, and
+    # as a comparison operand it degenerates to a constant branch
+    # anyway (rows with a NaN KEY still block consistently — Spark SQL
+    # orders NaN greater than every double, so they take the right
+    # branch at every cut and land in the last block, matching ASC
+    # window order). Practical bound: the CASE tree materializes one
+    # node per cut, so keep num_blocks <= ~1024 or codegen falls back
+    # to interpreted evaluation for the oversized method.
+    cuts = [
+        c
+        for c in (row[0] or [])
+        if c is not None and not math.isnan(c)
+    ]
     if not cuts:
         # empty input (or all-NULL key): one block holds everything
         return df.withColumn(out, F.lit(0).cast("long"))
