@@ -57,6 +57,7 @@ def quantile_blocks(
     num_blocks: int = 64,
     accuracy: int = 10_000,
     out: str = "_blk",
+    materialize: bool = True,
 ) -> DataFrame:
     """Add a block column monotone with the (``value_col``, asc/desc)
     order, using approx_percentile cut points collected ONCE to the
@@ -69,7 +70,19 @@ def quantile_blocks(
     taken on the DOUBLE cast — the cast is monotone (non-strict), and
     rows a lossy cast would conflate merely share a block, which is
     always safe: blocks only partition work, never decide order.
+
+    ``materialize`` (default True) localCheckpoints the input first:
+    the ranked frame is consumed at least THREE times downstream (the
+    eager cuts job here, then blocked_row_number's per-block counts
+    and rank join), and the cuts job runs as a SEPARATE job that
+    cannot share exchanges with the main one — without truncation the
+    whole upstream pipeline (typically a fact-scale aggregation)
+    recomputes per consumer, which at 100 TB means scanning the fact
+    table twice to rank its aggregate. Pass False only when the
+    caller already materialized ``df``.
     """
+    if materialize:
+        df = df.localCheckpoint()
     qs = ", ".join(repr(i / num_blocks) for i in range(1, num_blocks))
     # The cuts are MATERIALIZED on the driver (one bounded 1-row
     # collect of <= num_blocks-1 doubles) and inlined as literals, for
