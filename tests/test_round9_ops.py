@@ -194,3 +194,52 @@ def test_avi_stride_padding_is_real_and_undone():
 
     size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
     assert size == 32 * 8  # stride 32, not 30
+
+
+def test_avi_roundtrip_property_random_dims():
+    """Property: encode→decode is the identity for arbitrary small
+    dims — in particular every stride-pad residue (3W mod 4 in
+    {0,1,2,3}) and frame counts 1..4."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 4),
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, h, w, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        back, _ = decode_avi(encode_avi(frames))
+        assert back.shape == frames.shape
+        assert (back == frames).all()
+
+    check()
+
+
+def test_quantile_blocks_materialize_false_matches_true(spark):
+    """The materialize knob is a plan choice, never a result choice."""
+    from supplier_performance_data_pipeline_spark.operators.ranking import (
+        blocked_row_number,
+        quantile_blocks,
+    )
+
+    rows = [(i, float((i * 53) % 211)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    outs = []
+    for mat in (True, False):
+        ranked = blocked_row_number(
+            quantile_blocks(df, "v", num_blocks=8, materialize=mat),
+            [F.asc("v"), F.asc("id")],
+        )
+        outs.append(sorted((r["id"], r["rn"]) for r in ranked.collect()))
+    assert outs[0] == outs[1]
