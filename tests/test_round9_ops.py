@@ -243,3 +243,36 @@ def test_quantile_blocks_materialize_false_matches_true(spark):
         )
         outs.append(sorted((r["id"], r["rn"]) for r in ranked.collect()))
     assert outs[0] == outs[1]
+
+
+def test_jaccard_tokens_entry_matches_shingle_entry(spark):
+    """jaccard_prefix_join_tokens over the shingled (doc_id, tok)
+    table must return exactly what jaccard_prefix_join returns over
+    the raw docs — the token-grain entry is the same pipeline, not a
+    reimplementation."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        jaccard_prefix_join,
+        jaccard_prefix_join_tokens,
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    via_docs = {
+        tuple(r)
+        for r in jaccard_prefix_join(docs, 2, 5).collect()
+    }
+    dt = (
+        shingle_sets(docs, "text", 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct("shingles")).alias("tok"),
+        )
+        .localCheckpoint()
+    )
+    via_tokens = {
+        tuple(r)
+        for r in jaccard_prefix_join_tokens(dt, 2, 5).collect()
+    }
+    assert via_docs == via_tokens and via_docs
