@@ -1198,7 +1198,26 @@ def test_duplicate_spans_gram_cut_one_shuffle_doc_window(spark, specs):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_eb_shrinkage_broadcasts_global_rate(spark, specs):
+def test_eb_shrinkage_broadcasts_global_rate(spark, specs, monkeypatch):
+    # quantile_blocks localCheckpoints its input by default (round-9:
+    # the eager cuts job can't share exchanges with the main job, so
+    # without truncation the upstream agg recomputes per consumer),
+    # which truncates the final plan at a Scan ExistingRDD and hides
+    # the upstream shapes this test pins. Materialization is
+    # orthogonal to the LOGICAL plan (result-invariance is pinned by
+    # test_round9_ops::test_quantile_blocks_materialize_false_matches_
+    # true; cache hygiene by _assert_no_cache_residue), so pin the
+    # shapes with it off.
+    import functools
+
+    from supplier_performance_data_pipeline_spark.operators import ranking
+
+    orig = ranking.quantile_blocks
+    monkeypatch.setattr(
+        ranking,
+        "quantile_blocks",
+        functools.partial(orig, materialize=False),
+    )
     plan = plan_of(spark, specs, "supplier_on_time_eb_shrinkage")
     assert "CartesianProduct" not in plan
     # the 1-row global-rate aggregate attaches as a broadcast
