@@ -517,6 +517,15 @@ def _write_local_record(out: dict) -> str:
                 out["suffix_ab"] = json.load(f)
         except (OSError, json.JSONDecodeError):
             pass
+    # Same attach for the dedup/CC scale probe (bench_dedup_sf1.py):
+    # LSH quadratic-avoidance + star-contraction round count at 100x.
+    dsf_path = os.path.join(here, "DEDUP_SF1.json")
+    if os.path.exists(dsf_path):
+        try:
+            with open(dsf_path) as f:
+                out["dedup_sf1"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     name = f"BENCH_LOCAL_r{this_round}.json"
     path = os.path.join(here, name)
     try:

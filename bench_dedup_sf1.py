@@ -1,0 +1,263 @@
+"""One-shot dedup/connected-components scale probe (round-9): prove the
+MinHash-LSH -> star-contraction pipeline's structural claims at a scale
+two orders beyond the driver fixture.
+
+The sf0.1 documents fixture is 5,000 rows — small enough that "bucketed
+LSH, never all-pairs" and "CC converges in O(log n) rounds" are design
+claims rather than measurements. This script fabricates a DETERMINISTIC
+sf1-shaped documents table (500,000 docs, 100x sf0.1, same parquet
+schema: doc_id int64, text string, lang string, source string, n_chars
+int64) with a planted near-duplicate structure (~60k clusters of 2–5
+mutated copies over ~10% of the corpus, plus a band of byte-exact
+copies), then measures the Spark arm of:
+
+- term isolation of the pipeline the cluster-keyed queries share
+  (``_doc_clusters``): signature projection, LSH candidate+verify
+  pairs, star-contraction components — each timed alone, with the
+  quadratic-work-avoided ratio (candidate pairs vs n(n-1)/2) and the
+  measured CC round count vs the Kiveris O(log n) bound recorded,
+- three registered cluster-keyed queries end-to-end at the sf1 dir
+  (``dedup_components``, ``dedup_rate_by_source``,
+  ``corpus_leakage_safe_split``), 2 reps, min taken.
+
+Output: DEDUP_SF1.json at the repo root (picked up by bench.py into
+BENCH_LOCAL_r{N}.json under "dedup_sf1", same attach as ANN_SF1 /
+SUFFIX_AB). Oracle parity is NOT re-checked here — the same builders
+are driver-green at sf0.001/0.01/0.1; this records wall-clock and
+structural counters only. Run manually (takes minutes); kept out of the
+per-round bench so the driver's bench timeout stays predictable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DATA_DIR = "/tmp/spark_graft_sf1_dedup"
+N_DOCS = 500_000
+VOCAB = 500
+SEED = 42
+LANGS = ["en", "de", "es", "fr", "zh"]
+N_SOURCES = 20
+
+
+def generate() -> str:
+    """Deterministic 500k-doc corpus with planted near-dup clusters.
+
+    Base docs draw 40–70 tokens uniformly from a 500-word vocabulary;
+    with 3-token shingles two random docs share essentially no shingles
+    (shingle space 500^3), so unplanted pairs are true negatives. The
+    planted structure: the first 60,000 docs are cluster seeds; each
+    seed gets 1–4 near-dup copies (3 token positions rewritten -> ~9 of
+    ~58 shingles differ, true Jaccard ~0.7, solidly above the LSH
+    s-curve threshold for k=8/bands=4) and the LAST copy of every 10th
+    seed is byte-exact. Remaining docs are unique filler.
+    """
+    path = os.path.join(DATA_DIR, "documents.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(DATA_DIR, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    words = np.array([f"w{i:03d}" for i in range(VOCAB)])
+
+    n_seeds = 60_000
+    copies = rng.integers(1, 5, size=n_seeds)  # 1..4 copies per seed
+    n_copies = int(copies.sum())  # ~150k
+    n_fill = N_DOCS - n_seeds - n_copies
+
+    lens = rng.integers(40, 71, size=n_seeds + n_fill)
+    base_tok = [
+        rng.integers(0, VOCAB, size=n).astype(np.int16) for n in lens
+    ]
+    seed_tok = base_tok[:n_seeds]
+
+    rows_tok: list[np.ndarray] = list(base_tok)
+    cluster_of: list[int] = list(range(n_seeds)) + [-1] * n_fill
+    for s in range(n_seeds):
+        t = seed_tok[s]
+        for c in range(copies[s]):
+            if c == copies[s] - 1 and s % 10 == 0:
+                m = t.copy()  # byte-exact duplicate
+            else:
+                m = t.copy()
+                pos = rng.choice(len(t), size=3, replace=False)
+                m[pos] = rng.integers(0, VOCAB, size=3)
+            rows_tok.append(m)
+            cluster_of.append(s)
+
+    order = rng.permutation(len(rows_tok))
+    texts = [" ".join(words[rows_tok[i]]) for i in order]
+    clusters = np.array(cluster_of, dtype=np.int64)[order]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(
+                [LANGS[i % len(LANGS)] for i in range(n)]
+            ),
+            # cluster members share a source (per-source dedup rates
+            # stay meaningful); unique filler (cluster -1) spreads by
+            # row position instead of piling into one source
+            "source": pa.array(
+                [
+                    f"src{(int(h) if h >= 0 else i) % N_SOURCES}"
+                    for i, h in enumerate(clusters)
+                ]
+            ),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+    return path
+
+
+def main() -> None:
+    generate()
+    from pyspark.sql import SparkSession, functions as F
+
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        MINHASH_K,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_pairs_cached,
+    )
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from supplier_performance_data_pipeline_spark.plans.queries_text import (
+        CC_MIN_MATCH,
+    )
+    from supplier_performance_data_pipeline_spark.plans.registry import (
+        load_all,
+    )
+    from supplier_performance_data_pipeline_spark.session import tune_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName("bench-dedup-sf1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(DATA_DIR, "documents.parquet"))
+    docs.count()  # warm the JVM/codegen on the real data shape
+
+    # --- term isolation of the _doc_clusters pipeline -------------------
+    t0 = time.monotonic()
+    sigs = minhash_signatures(docs).localCheckpoint()
+    n_sigs = sigs.count()
+    sig_sec = round(time.monotonic() - t0, 3)
+    print(f"signatures: {sig_sec}s ({n_sigs} rows)")
+
+    t0 = time.monotonic()
+    n_cand = lsh_candidate_pairs(sigs).count()
+    cand_sec = round(time.monotonic() - t0, 3)
+    all_pairs = N_DOCS * (N_DOCS - 1) // 2
+    print(f"lsh candidates: {cand_sec}s ({n_cand} pairs of {all_pairs})")
+
+    t0 = time.monotonic()
+    pairs_df, sig_handle = near_dup_pairs_cached(docs)
+    pairs = pairs_df.filter(
+        F.col("n_matching_components") >= CC_MIN_MATCH
+    ).localCheckpoint()
+    n_pairs = pairs.count()
+    sig_handle.unpersist()
+    pairs_sec = round(time.monotonic() - t0, 3)
+    print(f"verified pairs (>= {CC_MIN_MATCH}/{MINHASH_K}): "
+          f"{pairs_sec}s ({n_pairs} pairs)")
+
+    cc_stats: dict = {}
+    t0 = time.monotonic()
+    comp = connected_components(pairs, stats_out=cc_stats)
+    n_comp = comp.select("component").distinct().count()
+    cc_sec = round(time.monotonic() - t0, 3)
+    print(f"connected components: {cc_sec}s ({n_comp} clusters, "
+          f"stats {cc_stats})")
+
+    # --- registered cluster-keyed queries end-to-end at the sf1 dir -----
+    specs = load_all()
+    names = (
+        "dedup_components",
+        "dedup_rate_by_source",
+        "corpus_leakage_safe_split",
+    )
+    times: dict[str, float] = {}
+    for rep in range(2):
+        for name in names:
+            t0 = time.monotonic()
+            n = specs[name].build(spark, DATA_DIR).count()
+            dt = round(time.monotonic() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+            spark.catalog.clearCache()
+            print(f"rep{rep} {name}: {dt}s ({n} rows)")
+
+    # Round stamp DELEGATED to bench.py's _round_files() so this record
+    # and the BENCH_LOCAL record it gets embedded into can never drift
+    # (same rule as ANN_SF1 / SUFFIX_AB).
+    from bench import _round_files
+
+    rounds = [r for r, _ in _round_files()]
+    record = {
+        "measured_round": (max(rounds) + 1) if rounds else 1,
+        "docs": N_DOCS,
+        "vocab": VOCAB,
+        "seed": SEED,
+        "planted": {
+            "cluster_seeds": 60_000,
+            "copies_per_seed": "1-4 (3-token mutations, true J ~0.7)",
+            "exact_copy_band": "last copy of every 10th seed",
+        },
+        "note": (
+            "deterministic synthetic corpus, 100x the sf0.1 documents "
+            "fixture; wall-clock of the Spark arm only (oracle parity "
+            "is certified at sf0.001/0.01/0.1 by the driver). Term "
+            "isolation times the _doc_clusters pipeline stages alone; "
+            "queries_sec is registered builders end-to-end at the sf1 "
+            "dir"
+        ),
+        "term_isolation_sec": {
+            "minhash_signatures": sig_sec,
+            "lsh_candidates": cand_sec,
+            "pairs_end_to_end": pairs_sec,
+            "connected_components": cc_sec,
+        },
+        "structural": {
+            "candidate_pairs": n_cand,
+            "verified_pairs": n_pairs,
+            "all_pairs": all_pairs,
+            "quadratic_work_avoided": round(all_pairs / max(n_cand, 1)),
+            "cc_rounds": cc_stats.get("rounds"),
+            "cc_converged": cc_stats.get("converged"),
+            "cc_verts": cc_stats.get("verts"),
+            "cc_edges": cc_stats.get("edges"),
+            "clusters": n_comp,
+            "cc_rounds_note": (
+                "Kiveris star-contraction bound is O(log n) round "
+                "pairs; the probe pins the measured count so a scale-up "
+                "that starts tracking n instead of log n is visible"
+            ),
+        },
+        "queries_sec": times,
+    }
+    out = os.path.join(HERE, "DEDUP_SF1.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -114,6 +114,7 @@ def connected_components(
     iters: int = CC_ITERS,
     until_converged: bool = True,
     max_iters: int = CC_MAX_ITERS,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """(``id``, ``component``) for every vertex appearing in ``pairs``.
 
@@ -138,7 +139,16 @@ def connected_components(
     at the fixed point are independent of the round count, so the
     oracle's fixed ``CC_ITERS``-round unroll still matches exactly.
     ``until_converged=False`` restores the fixed ``iters``-round unroll
-    (still with early exit, which cannot change the result)."""
+    (still with early exit, which cannot change the result).
+
+    ``stats_out``, when given a dict, receives convergence telemetry —
+    ``rounds`` (large/small-star round pairs executed, INCLUDING the
+    confirming fixed-point round), ``converged``, and ``edges`` /
+    ``verts`` (final star-forest edge count and vertex count). Results
+    are unaffected; the scale probes read it (at N vertices the
+    Kiveris bound is O(log N) rounds, and the probe's job is to show
+    the measured round count tracking that bound, not the input
+    size)."""
     a, b = F.col(a_col), F.col(b_col)
     verts = (
         pairs.select(a.alias("v"))
@@ -156,10 +166,12 @@ def connected_components(
     )
     rounds = max_iters if until_converged else iters
     converged = False
+    executed = 0
     fp = _edge_fingerprint(edges)
     for _ in range(rounds):
         new_edges = _star(_star(edges, verts, large=True), verts, large=False)
         new_fp = _edge_fingerprint(new_edges)
+        executed += 1
         # Digest match → exact confirm (both sides are distinct and
         # materialized, so equal counts + empty one-sided except is
         # set equality); digest mismatch → provably still moving.
@@ -172,6 +184,11 @@ def connected_components(
             f"connected_components did not reach a fixed point within "
             f"{max_iters} large/small-star round pairs"
         )
+    if stats_out is not None:
+        stats_out["rounds"] = executed
+        stats_out["converged"] = converged
+        stats_out["edges"] = fp[0]
+        stats_out["verts"] = verts.count()
     mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
     return verts.join(
         mins, verts["v"] == mins["src"], "left"

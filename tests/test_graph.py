@@ -80,6 +80,28 @@ def test_until_converged_extends_past_iters(spark):
     assert {r["component"] for r in full.collect()} == {0}
 
 
+def test_stats_out_telemetry(spark):
+    """stats_out records the convergence telemetry the scale probes
+    read (rounds INCLUDING the confirming fixed-point round, final
+    star-forest edge/vertex counts) without changing results."""
+    stats: dict = {}
+    plain = connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    )
+    probed = connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)]),
+        stats_out=stats,
+    )
+    assert probed.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(probed).isEmpty()
+    assert stats["converged"] is True
+    assert 1 <= stats["rounds"] <= CC_ITERS + 1
+    # fixed point of {1,2,3,4} + {10,11} is the min-rooted star forest:
+    # edges (2,1),(3,1),(4,1),(11,10) over 6 vertices
+    assert stats["edges"] == 4
+    assert stats["verts"] == 6
+
+
 def test_empty_pairs_yield_empty_components(spark):
     cc = connected_components(
         _pairs(spark, []).filter("doc_a IS NOT NULL")
