@@ -187,6 +187,30 @@ def main() -> None:
     print(f"connected components: {cc_sec}s ({n_comp} clusters, "
           f"stats {cc_stats})")
 
+    # --- adversarial CC: scrambled 100k-vertex chain ---------------------
+    # The planted clusters above are tiny (2-5 members); the star-
+    # contraction's worst case is a giant component of maximum DIAMETER
+    # whose vertex ids are scrambled against the path order (defeats
+    # O(diameter) min-label propagation outright). Pin the measured
+    # round count against the Kiveris O(log n) bound at n=100k.
+    n_chain = 100_000
+    rng = np.random.default_rng(SEED + 1)
+    perm = rng.permutation(n_chain).astype(np.int64)
+    chain = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(perm, perm[1:])],
+        "doc_a long, doc_b long",
+    )
+    chain_stats: dict = {}
+    t0 = time.monotonic()
+    chain_cc = connected_components(
+        chain, stats_out=chain_stats, max_iters=64
+    )
+    n_chain_comp = chain_cc.select("component").distinct().count()
+    chain_sec = round(time.monotonic() - t0, 3)
+    print(f"adversarial chain: {chain_sec}s ({n_chain_comp} component, "
+          f"stats {chain_stats})")
+    assert n_chain_comp == 1, "scrambled chain must collapse to one"
+
     # --- registered cluster-keyed queries end-to-end at the sf1 dir -----
     specs = load_all()
     names = (
@@ -251,6 +275,17 @@ def main() -> None:
             ),
         },
         "queries_sec": times,
+        "adversarial_chain": {
+            "verts": n_chain,
+            "shape": (
+                "single path, vertex ids scrambled against path order "
+                "(max diameter; defeats O(diameter) label propagation)"
+            ),
+            "sec": chain_sec,
+            "rounds": chain_stats.get("rounds"),
+            "converged": chain_stats.get("converged"),
+            "log2_n": round(float(np.log2(n_chain)), 2),
+        },
     }
     out = os.path.join(HERE, "DEDUP_SF1.json")
     with open(out, "w") as f:
