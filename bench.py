@@ -55,6 +55,22 @@ INTENDED_PLAN_TRADES = {
         "round-8 rewrite of the r7 borderline-watch item: the EB rank "
         "now two-level prefix — ~+0.5s fixed overhead at sf0.1"
     ),
+    # Round-9 exact-collapse-first dedup graph (operators/dedup.py::
+    # doc_components): the LSH bucket self-join is quadratic in bucket
+    # size and byte-identical docs share every band, so an M-copy
+    # boilerplate text costs M(M-1)/2 bucket pairs; collapsing to one
+    # representative per unique text (md5 hash-groupBy) makes it M-1
+    # member edges with provably identical components
+    # (tests/test_exact_collapse.py). The extra hash-agg materialization
+    # is ~+1-2s fixed at sf0.1's 5k near-duplicate-free docs — the
+    # regime it exists for is duplicate-dominated web-crawl corpora.
+    "dedup_components": "exact-collapse-first dedup graph (see above)",
+    "dedup_rate_by_source": "exact-collapse-first dedup graph",
+    "dedup_cluster_size_histogram": "exact-collapse-first dedup graph",
+    "dedup_canonical_selection": "exact-collapse-first dedup graph",
+    "corpus_full_curation": "exact-collapse-first dedup graph",
+    "corpus_leakage_safe_split": "exact-collapse-first dedup graph",
+    "corpus_stratified_leakage_split": "exact-collapse-first dedup graph",
 }
 
 HEADLINE = [

@@ -228,6 +228,32 @@ def main() -> None:
             spark.catalog.clearCache()
             print(f"rep{rep} {name}: {dt}s ({n} rows)")
 
+    # --- exact-collapse A/B in ITS regime: duplicate-dominated corpus --
+    # The sf0.1 fixture has 8 duplicate texts in 5,000 docs, so the
+    # collapse is pure overhead there (annotated INTENDED_PLAN_TRADES).
+    # This is the shape it exists for: one boilerplate text crawled 6k
+    # times. OFF: a 6k-row LSH bucket -> 18M candidate pairs through
+    # the self-join + verify, and CC's first star round over an
+    # 18M-edge clique. ON: 5,999 member edges, LSH only over unique
+    # texts. Components identical (tests/test_exact_collapse.py).
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        doc_components,
+    )
+
+    hot_n = 6_000
+    hot = " ".join(f"h{i:02d}" for i in range(60))
+    fill = [(hot_n + i, " ".join(f"f{i}x{j}" for j in range(12)))
+            for i in range(8_000)]
+    dup_docs = spark.createDataFrame(
+        [(i, hot) for i in range(hot_n)] + fill, "doc_id long, text string"
+    ).localCheckpoint()
+    ab: dict[str, float] = {}
+    for label, flag in (("collapse_on", True), ("collapse_off", False)):
+        t0 = time.monotonic()
+        n = doc_components(dup_docs, min_match=4, collapse_exact=flag).count()
+        ab[label] = round(time.monotonic() - t0, 3)
+        print(f"{label}: {ab[label]}s ({n} rows)")
+
     # Round stamp DELEGATED to bench.py's _round_files() so this record
     # and the BENCH_LOCAL record it gets embedded into can never drift
     # (same rule as ANN_SF1 / SUFFIX_AB).
@@ -275,6 +301,23 @@ def main() -> None:
             ),
         },
         "queries_sec": times,
+        "exact_collapse_ab": {
+            "fixture": {
+                "hot_copies": hot_n,
+                "unique_filler": 8_000,
+                "off_bucket_pairs": hot_n * (hot_n - 1) // 2,
+                "on_member_edges": hot_n - 1,
+            },
+            "times_sec": ab,
+            "off_over_on_ratio": round(
+                ab["collapse_off"] / ab["collapse_on"], 2
+            ),
+            "note": (
+                "duplicate-dominated regime the collapse exists for; at "
+                "the near-duplicate-free sf0.1 fixture it is ~+1-2s pure "
+                "overhead (INTENDED_PLAN_TRADES in bench.py)"
+            ),
+        },
         "adversarial_chain": {
             "verts": n_chain,
             "shape": (

@@ -341,6 +341,118 @@ def _pairs_from_sigs(
     )
 
 
+def near_dup_component_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    min_match: int = 1,
+) -> DataFrame:
+    """(doc_a, doc_b) edge list whose connected components — vertex set
+    included — are EXACTLY those of ``near_dup_pairs(docs)`` filtered to
+    ``n_matching_components >= min_match``, built exact-collapse-first.
+
+    Why this exists: the banded-LSH bucket self-join is quadratic in
+    bucket size, and the module-top "pick r ~ log N so buckets stay
+    bounded" argument only holds for DISTINCT texts. Byte-identical
+    documents share every band regardless of band width — a boilerplate
+    page crawled M times puts M rows in the same bucket and the pair
+    join emits M(M-1)/2 candidates. Collapsing exact duplicates first
+    (hash-groupBy on md5(text), one representative per unique text)
+    makes that M-copy group cost M-1 member edges instead, and the LSH
+    + verify stages run over unique texts only.
+
+    Equivalence (why downstream component consumers can switch without
+    touching their oracles): the minhash signature is a function of the
+    text alone, so (1) every member of an exact-dup group pairs with
+    every other at k/k >= min_match in the original graph — the
+    member->representative star edges reconnect exactly that clique;
+    (2) a cross-group pair (a, b) exists in the original iff the
+    representative pair (rep_a, rep_b) passes the same bucket join and
+    verify count — identical texts, identical signatures. Vertex sets
+    match too: a group of size >= 2 contributes all its members (and
+    its representative) to both graphs, and a representative-graph
+    vertex is a pair participant in the original. Requires
+    ``min_match >= 1`` — at 0 the original graph would also admit
+    NULL-text docs (their all-NULL signatures verify to 0 matches),
+    which the collapse deliberately leaves as isolated singletons.
+
+    NULL texts are never grouped (each is keyed to a per-doc sentinel
+    and stays its own representative: in the original pipeline two
+    NULL-text docs bucket together but verify to 0 matching
+    components, so they must not gain a member edge here).
+    Representative text is recovered with min() inside the same
+    aggregate — every text in a group is identical by construction,
+    so no join back to the corpus for the text is needed.
+    """
+    assert min_match >= 1, "collapse equivalence requires min_match >= 1"
+    ck = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("n:"), F.col("doc_id").cast("string")),
+    )
+    keyed = docs.select(
+        "doc_id", F.col(text_col).alias("__t"), ck.alias("__ck")
+    )
+    # Materialized ONCE: the group table feeds two branches (member
+    # edges + representative docs), and the signature path probes
+    # partition counts via df.rdd — which under AQE executes upstream
+    # shuffle stages, so an unmaterialized aggregate here would be
+    # recomputed per consumer (measured 3.5s -> 1s at sf0.1). One row
+    # per unique text: bounded by the corpus's distinct-content size.
+    groups = keyed.groupBy("__ck").agg(
+        F.min("doc_id").alias("rep"),
+        F.min("__t").alias("rep_text"),
+    ).localCheckpoint()
+    member_edges = (
+        keyed.join(groups.select("__ck", "rep"), "__ck")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("rep").alias("doc_b"))
+    )
+    rep_docs = groups.select(
+        F.col("rep").alias("doc_id"), F.col("rep_text").alias(text_col)
+    )
+    rep_pairs = (
+        near_dup_pairs(rep_docs, text_col, k, bands)
+        .filter(F.col("n_matching_components") >= min_match)
+        .select("doc_a", "doc_b")
+    )
+    return rep_pairs.unionByName(member_edges)
+
+
+def doc_components(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    min_match: int = 1,
+    collapse_exact: bool = True,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(id, component) near-dup cluster assignment — the one spelling of
+    the pairs -> filter -> checkpoint -> star-contraction idiom every
+    component-grain consumer shares. ``collapse_exact=True`` (default)
+    routes through ``near_dup_component_edges`` — identical components,
+    linear instead of quadratic cost on exact-duplicate-heavy corpora;
+    False keeps the direct pair graph (the property tests compare the
+    two). The edge list is eagerly checkpointed: star symmetrization
+    references it several times and must not recompute the LSH."""
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    if collapse_exact:
+        edges = near_dup_component_edges(docs, text_col, k, bands, min_match)
+    else:
+        edges = (
+            near_dup_pairs(docs, text_col, k, bands)
+            .filter(F.col("n_matching_components") >= min_match)
+            .select("doc_a", "doc_b")
+        )
+    return connected_components(
+        edges.localCheckpoint(), stats_out=stats_out
+    )
+
+
 def exact_dedup_groups(
     docs: DataFrame, key: Column, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -22,6 +22,7 @@ from supplier_performance_data_pipeline_spark.operators.dedup import (
     SHINGLE_N,
     WS_RX,
     char_ngram_near_dup_pairs,
+    doc_components,
     exact_dedup_groups,
     minhash_signatures,
     near_dup_pairs,
@@ -647,18 +648,18 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor a retention pass keeps. The all-integer rounds are unrolled
     identically in the oracle, so the result is hash-verified even
     independent of convergence (a fixed point by CC_ITERS is separately
-    asserted in tests/test_graph.py)."""
-    # Checkpoint the pair list before edge symmetrization references it
-    # four times — one LSH computation, not four. The signature persist
-    # is scoped: the eager checkpoint materializes the pairs, after
-    # which the signatures are dead weight and are unpersisted here
-    # rather than leaking into the session cache.
-    pairs_df, sigs = near_dup_pairs_cached(_docs(spark, sf_dir))
-    pairs = pairs_df.filter(
-        F.col("n_matching_components") >= CC_MIN_MATCH
-    ).localCheckpoint()
-    sigs.unpersist()
-    cc = connected_components(pairs)
+    asserted in tests/test_graph.py).
+
+    Plan: ``doc_components`` builds the edge graph exact-collapse-first
+    — byte-identical docs are grouped by md5(text) and reattached as
+    member->representative star edges, so an M-copy boilerplate text
+    costs M-1 edges instead of an M-row LSH bucket's M(M-1)/2 pair
+    join (the quadratic hazard band-width tuning cannot fix, because
+    exact copies share every band). Components are provably identical
+    to the direct pair graph's (operators/dedup.py equivalence note +
+    tests/test_exact_collapse.py), so the oracle's full-corpus unroll
+    still hash-matches."""
+    cc = doc_components(_docs(spark, sf_dir), min_match=CC_MIN_MATCH)
     return cc.select(F.col("id").alias("doc_id"), "component")
 
 
@@ -935,15 +936,11 @@ def q_corpus_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_t(t).alias("fingerprint"),
     ).localCheckpoint()
     kept = profile.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    # Scoped signature cache: the eager pair checkpoint is the only
-    # consumer, so the persist is released immediately after it.
-    pairs_df, sigs = near_dup_pairs_cached(docs)
-    pairs = pairs_df.filter(
-        F.col("n_matching_components") >= CC_MIN_MATCH
-    ).localCheckpoint()
-    sigs.unpersist()
+    # Near-dup drop list via the collapse-first component builder
+    # (exact copies become member->rep edges, never LSH bucket pairs;
+    # identical components, tests/test_exact_collapse.py).
     nd_drop = (
-        connected_components(pairs)
+        doc_components(docs, min_match=CC_MIN_MATCH)
         .filter(F.col("id") != F.col("component"))
         .select(F.col("id").alias("doc_id"))
     )
@@ -1274,17 +1271,13 @@ def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     LSH threshold chains everything together; this surfaces it as one
     huge cluster_size row long before a retention pass eats the corpus).
 
-    Same pair source + connected components as ``dedup_components``
-    (alternating star rounds, per-round lineage truncation); the
-    histogram itself is two cheap hash aggs over the component
-    assignment — component-cardinality work, map-side combinable.
+    Same component builder as ``dedup_components`` (exact-collapse-
+    first edge graph, alternating star rounds, per-round lineage
+    truncation); the histogram itself is two cheap hash aggs over the
+    component assignment — component-cardinality work, map-side
+    combinable.
     """
-    pairs_df, sigs = near_dup_pairs_cached(_docs(spark, sf_dir))
-    pairs = pairs_df.filter(
-        F.col("n_matching_components") >= CC_MIN_MATCH
-    ).localCheckpoint()
-    sigs.unpersist()
-    cc = connected_components(pairs)
+    cc = doc_components(_docs(spark, sf_dir), min_match=CC_MIN_MATCH)
     sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(
         F.count("*").alias("n_clusters"),
@@ -1703,12 +1696,7 @@ def q_dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir)
-    pairs_df, sigs = near_dup_pairs_cached(docs)
-    pairs = pairs_df.filter(
-        F.col("n_matching_components") >= CC_MIN_MATCH
-    ).localCheckpoint()
-    sigs.unpersist()
-    cc = connected_components(pairs)
+    cc = doc_components(docs, min_match=CC_MIN_MATCH)
     # Restrict to cluster members BEFORE tokenizing: quality is a
     # regexp-split projection, and only docs appearing in LSH pairs
     # survive — scoring the whole corpus first would waste a full
@@ -1926,19 +1914,14 @@ def _split_case(key):
 def _doc_clusters(spark: SparkSession, sf_dir: str) -> "tuple":
     """Shared preamble of every cluster-keyed corpus query
     (leakage-safe split, its stratified view, the per-source dedup
-    rate): docs -> LSH pairs (checkpointed ONCE) -> star-contraction
-    components -> (doc_id, cluster) for EVERY doc, singletons keyed by
-    themselves. Returns (docs, clusters) so callers join their own
-    extra columns. One definition — the sibling queries claim "the
-    SAME lineage", and this is what makes that claim structural
-    rather than copy-paste."""
+    rate): docs -> exact-collapse-first edge graph (checkpointed ONCE
+    inside ``doc_components``) -> star-contraction components ->
+    (doc_id, cluster) for EVERY doc, singletons keyed by themselves.
+    Returns (docs, clusters) so callers join their own extra columns.
+    One definition — the sibling queries claim "the SAME lineage", and
+    this is what makes that claim structural rather than copy-paste."""
     docs = _docs(spark, sf_dir)
-    pairs_df, sigs = near_dup_pairs_cached(docs)
-    pairs = pairs_df.filter(
-        F.col("n_matching_components") >= CC_MIN_MATCH
-    ).localCheckpoint()
-    sigs.unpersist()
-    comp = connected_components(pairs).select(
+    comp = doc_components(docs, min_match=CC_MIN_MATCH).select(
         F.col("id").alias("doc_id"), "component"
     )
     clusters = (
