@@ -156,36 +156,48 @@ def main() -> None:
     docs.count()  # warm the JVM/codegen on the real data shape
 
     # --- term isolation of the _doc_clusters pipeline -------------------
-    t0 = time.monotonic()
-    sigs = minhash_signatures(docs).localCheckpoint()
-    n_sigs = sigs.count()
-    sig_sec = round(time.monotonic() - t0, 3)
-    print(f"signatures: {sig_sec}s ({n_sigs} rows)")
-
-    t0 = time.monotonic()
-    n_cand = lsh_candidate_pairs(sigs).count()
-    cand_sec = round(time.monotonic() - t0, 3)
-    all_pairs = N_DOCS * (N_DOCS - 1) // 2
-    print(f"lsh candidates: {cand_sec}s ({n_cand} pairs of {all_pairs})")
-
-    t0 = time.monotonic()
-    pairs_df, sig_handle = near_dup_pairs_cached(docs)
-    pairs = pairs_df.filter(
-        F.col("n_matching_components") >= CC_MIN_MATCH
-    ).localCheckpoint()
-    n_pairs = pairs.count()
-    sig_handle.unpersist()
-    pairs_sec = round(time.monotonic() - t0, 3)
-    print(f"verified pairs (>= {CC_MIN_MATCH}/{MINHASH_K}): "
-          f"{pairs_sec}s ({n_pairs} pairs)")
-
+    # Two reps, min per term: the host this runs on shows 2-8x noise
+    # windows (a contended first measurement of the CC term read 79s
+    # against an isolated 10s), and single-shot numbers here would
+    # publish that noise as engine cost.
+    sig_sec = cand_sec = pairs_sec = cc_sec = None
+    n_sigs = n_cand = n_pairs = n_comp = 0
     cc_stats: dict = {}
-    t0 = time.monotonic()
-    comp = connected_components(pairs, stats_out=cc_stats)
-    n_comp = comp.select("component").distinct().count()
-    cc_sec = round(time.monotonic() - t0, 3)
-    print(f"connected components: {cc_sec}s ({n_comp} clusters, "
-          f"stats {cc_stats})")
+    all_pairs = N_DOCS * (N_DOCS - 1) // 2
+    for rep in range(2):
+        t0 = time.monotonic()
+        sigs = minhash_signatures(docs).localCheckpoint()
+        n_sigs = sigs.count()
+        dt = round(time.monotonic() - t0, 3)
+        sig_sec = dt if sig_sec is None else min(sig_sec, dt)
+        print(f"rep{rep} signatures: {dt}s ({n_sigs} rows)")
+
+        t0 = time.monotonic()
+        n_cand = lsh_candidate_pairs(sigs).count()
+        dt = round(time.monotonic() - t0, 3)
+        cand_sec = dt if cand_sec is None else min(cand_sec, dt)
+        print(f"rep{rep} lsh candidates: {dt}s ({n_cand} of {all_pairs})")
+
+        t0 = time.monotonic()
+        pairs_df, sig_handle = near_dup_pairs_cached(docs)
+        pairs = pairs_df.filter(
+            F.col("n_matching_components") >= CC_MIN_MATCH
+        ).localCheckpoint()
+        n_pairs = pairs.count()
+        sig_handle.unpersist()
+        dt = round(time.monotonic() - t0, 3)
+        pairs_sec = dt if pairs_sec is None else min(pairs_sec, dt)
+        print(f"rep{rep} verified pairs (>= {CC_MIN_MATCH}/{MINHASH_K}): "
+              f"{dt}s ({n_pairs} pairs)")
+
+        cc_stats = {}
+        t0 = time.monotonic()
+        comp = connected_components(pairs, stats_out=cc_stats)
+        n_comp = comp.select("component").distinct().count()
+        dt = round(time.monotonic() - t0, 3)
+        cc_sec = dt if cc_sec is None else min(cc_sec, dt)
+        print(f"rep{rep} connected components: {dt}s ({n_comp} clusters, "
+              f"stats {cc_stats})")
 
     # --- adversarial CC: scrambled 100k-vertex chain ---------------------
     # The planted clusters above are tiny (2-5 members); the star-
@@ -277,6 +289,15 @@ def main() -> None:
             "isolation times the _doc_clusters pipeline stages alone; "
             "queries_sec is registered builders end-to-end at the sf1 "
             "dir"
+        ),
+        "host_noise_note": (
+            "this host shows intermittent co-tenant load windows worth "
+            "2-6x on the shuffle-heavy terms even under min-of-2 (the "
+            "verify-join term was observed between 21s and 131s across "
+            "four otherwise-identical runs; the CC term between 8.4s "
+            "and 16s). Structural counters (candidate/verified pair "
+            "counts, CC rounds, A/B ratios within a run) are "
+            "deterministic and are the load-bearing claims"
         ),
         "term_isolation_sec": {
             "minhash_signatures": sig_sec,
