@@ -110,6 +110,42 @@ def test_collapse_knob_off_matches_reference(spark):
     _assert_equal(got, ref)
 
 
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Tiny vocab + short docs: random corpora land on every edge of the
+# equivalence argument (exact-dup groups, high-Jaccard cross-group
+# pairs through shared shingles, singletons) with realistic frequency.
+_doc_text = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+    min_size=3,
+    max_size=7,
+).map(" ".join)
+
+
+@given(
+    texts=st.lists(_doc_text, min_size=2, max_size=12),
+    dup_mask=st.lists(st.integers(min_value=0, max_value=11), max_size=6),
+    mm=st.sampled_from([1, 4, 8]),
+)
+@_SLOW
+def test_collapse_equivalence_random_corpora(spark, texts, dup_mask, mm):
+    """Randomized model check: components of the collapse-first graph
+    equal the direct pair graph's on corpora hypothesis invents —
+    duplicates injected by re-appending randomly chosen existing texts."""
+    all_texts = list(texts) + [texts[i % len(texts)] for i in dup_mask]
+    docs = _mk(spark, list(enumerate(all_texts)))
+    got = doc_components(docs, min_match=mm)
+    ref = _components_reference(spark, docs, mm)
+    _assert_equal(got, ref)
+
+
 def test_min_match_zero_rejected(spark):
     docs = _mk(spark, [(0, "a b c")])
     try:
