@@ -278,6 +278,51 @@ def lsh_candidate_pairs_between(
     )
 
 
+def verified_pairs_between(
+    probe: DataFrame,
+    index: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Scored ordered pairs (doc_a=probe, doc_b=index,
+    n_matching_components) — ``lsh_candidate_pairs_between`` with the
+    verify INLINE, mirroring ``_pairs_from_sigs``: both band explodes
+    carry the k signature components, candidates emerge scored, and
+    the two join-backs onto the probe/index signature tables disappear.
+    The scale consequence is better than a shuffle saving: the index's
+    banded table — (band, band_hash, mh0..mh{k-1}) bucketed by band
+    hash — becomes the COMPLETE persistent artifact; a batch probes it
+    and never touches a second index-side table. Dedup of multi-band
+    matches happens after scoring (exact: the score is a function of
+    the pair)."""
+    mh_cols = [f"mh{j}" for j in range(k)]
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.selectExpr(
+            "doc_id",
+            *mh_cols,
+            f"posexplode(array({', '.join(_band_exprs(k=k, bands=bands))}))"
+            " AS (band, band_hash)",
+        )
+
+    a = banded(probe).alias("a")
+    b = banded(index).alias("b")
+    matches = " + ".join(f"if(a.mh{j} = b.mh{j}, 1, 0)" for j in range(k))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            f"cast(({matches}) AS int) AS n_matching_components",
+        )
+        .distinct()
+    )
+
+
 def near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",

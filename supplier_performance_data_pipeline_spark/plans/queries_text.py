@@ -3248,38 +3248,26 @@ def q_dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     ``lsh_near_dup_pairs`` — the double ratio stays in-engine).
 
     Plan: ONE signature pass for all docs (localCheckpoint, consumed by
-    both sides' band explodes and the component-count join), banded
-    bucket equi-join probe-vs-index (operators/dedup.py::
-    lsh_candidate_pairs_between), then the k-component verify join. At
-    100 TB the index's banded table is the persistent artifact (written
-    once, bucketed by band hash); each batch shuffles only itself."""
+    both sides' band explodes), banded bucket equi-join probe-vs-index
+    with the verify INLINE (operators/dedup.py::verified_pairs_between
+    — the band explodes carry the signature components, so no join-back
+    onto either side's signature table). At 100 TB the index's banded
+    table — (band, band_hash, mh0..mh7) bucketed by band hash — is the
+    COMPLETE persistent artifact (written once); each batch shuffles
+    only itself."""
     from supplier_performance_data_pipeline_spark.operators.dedup import (
-        lsh_candidate_pairs_between,
         minhash_signatures,
+        verified_pairs_between,
     )
 
     sigs = minhash_signatures(_docs(spark, sf_dir)).localCheckpoint()
     is_batch = _incr_md5_mod(F.col("doc_id"), _INCR_SALT, _INCR_MOD) == 0
-    probe = sigs.filter(is_batch)
-    index = sigs.filter(~is_batch)
-    cand = lsh_candidate_pairs_between(probe, index)
-    a = probe.selectExpr(
-        "doc_id AS doc_a", *[f"mh{j} AS a_mh{j}" for j in range(MINHASH_K)]
-    )
-    b = index.selectExpr(
-        "doc_id AS doc_b", *[f"mh{j} AS b_mh{j}" for j in range(MINHASH_K)]
-    )
-    matches = " + ".join(
-        f"if(a_mh{j} = b_mh{j}, 1, 0)" for j in range(MINHASH_K)
-    )
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .selectExpr(
-            "doc_a AS batch_doc",
-            "doc_b AS index_doc",
-            f"cast(({matches}) AS int) AS n_matching_components",
-        )
+    return verified_pairs_between(
+        sigs.filter(is_batch), sigs.filter(~is_batch)
+    ).select(
+        F.col("doc_a").alias("batch_doc"),
+        F.col("doc_b").alias("index_doc"),
+        "n_matching_components",
     )
 
 

@@ -46,6 +46,37 @@ def test_minhash_k16_extends_k8(spark):
         assert (s8[f"mh{j}"] == s16.loc[s8.index, f"mh{j}"]).all()
 
 
+def test_verified_pairs_between_matches_joinback(spark):
+    """The inline-verify incremental shape must emit exactly the
+    join-back formulation's rows: lsh_candidate_pairs_between then a
+    k-component score join, on a real probe/index split."""
+    from pyspark.sql import functions as F
+
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs_between,
+        verified_pairs_between,
+    )
+
+    sigs = minhash_signatures(spark.read.parquet(DOCS)).localCheckpoint()
+    probe = sigs.filter(F.col("doc_id") % 5 == 0)
+    index = sigs.filter(F.col("doc_id") % 5 != 0)
+    inline = verified_pairs_between(probe, index)
+    cand = lsh_candidate_pairs_between(probe, index)
+    a = probe.selectExpr(
+        "doc_id AS doc_a", *[f"mh{j} AS a_mh{j}" for j in range(8)]
+    )
+    b = index.selectExpr(
+        "doc_id AS doc_b", *[f"mh{j} AS b_mh{j}" for j in range(8)]
+    )
+    matches = " + ".join(f"if(a_mh{j} = b_mh{j}, 1, 0)" for j in range(8))
+    ref = cand.join(a, "doc_a").join(b, "doc_b").selectExpr(
+        "doc_a", "doc_b",
+        f"cast(({matches}) AS int) AS n_matching_components",
+    )
+    assert inline.exceptAll(ref).isEmpty() and ref.exceptAll(inline).isEmpty()
+    assert inline.count() > 0
+
+
 def test_wider_bands_are_more_permissive(spark):
     docs = spark.read.parquet(DOCS).limit(200)
     sigs = minhash_signatures(docs, k=16).persist()
