@@ -192,9 +192,10 @@ def char_ngram_near_dup_pairs(
     bands: int = LSH_BANDS,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs over character n-grams — same banded
-    bucket equi-join scale path as ``near_dup_pairs``, different
-    shingling (see ``char_shingle_sets``). Signatures localCheckpoint
-    once for the same three-way reuse reason."""
+    bucket equi-join scale path as ``near_dup_pairs`` (verify inline,
+    see ``_pairs_from_sigs``), different shingling (see
+    ``char_shingle_sets``). Signatures localCheckpoint once so the
+    self-join's two sides don't recompute the shingle hashing."""
     sigs = signatures_from_hash_pairs(
         hash_pairs_from_shingles(char_shingle_sets(docs, text_col, n)), k
     ).localCheckpoint()

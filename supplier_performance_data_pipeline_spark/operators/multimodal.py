@@ -700,41 +700,36 @@ def ahash_bands(media: DataFrame) -> DataFrame:
 
 def ahash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Banded near-dup pairs over aHash: explode the 4 bands, equi-join
-    on (band index, value) — only same-band payloads ever meet — then
-    verify the exact 64-bit hamming distance with xor+bit_count over
-    the band ints. ``max_hamming`` ≤ 3 keeps the band pigeonhole exact
+    on (band index, value) — only same-band payloads ever meet — with
+    the exact 64-bit hamming verify (xor+bit_count over the band ints)
+    INLINE: the explode carries the four band ints, so candidates
+    emerge scored and no join-back onto the band table exists (the
+    same inline-verify shape as dedup.py::_pairs_from_sigs; multi-band
+    dedup moves after scoring, exact because hamming is a function of
+    the pair). ``max_hamming`` ≤ 3 keeps the band pigeonhole exact
     (no missed pairs); raising it trades recall guarantees for reach,
     same knob as SimHash's Manku tables."""
     hb = ahash_bands(media).localCheckpoint()
     exploded = hb.selectExpr(
         "media_id",
+        "b0", "b1", "b2", "b3",
         "posexplode(array(b0, b1, b2, b3)) AS (band, v)",
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    cand = (
+    ham = " + ".join(f"bit_count(a.b{s} ^ b.b{s})" for s in range(4))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.v") == F.col("b.v"))
             & (F.col("a.media_id") < F.col("b.media_id")),
         )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
+        .selectExpr(
+            "a.media_id AS media_a",
+            "b.media_id AS media_b",
+            f"CAST({ham} AS INT) AS hamming",
         )
-        .distinct()
-    )
-    left = hb.selectExpr(
-        "media_id AS media_a", *[f"b{s} AS a_b{s}" for s in range(4)]
-    )
-    right = hb.selectExpr(
-        "media_id AS media_b", *[f"b{s} AS b_b{s}" for s in range(4)]
-    )
-    ham = " + ".join(f"bit_count(a_b{s} ^ b_b{s})" for s in range(4))
-    return (
-        cand.join(left, "media_a")
-        .join(right, "media_b")
-        .selectExpr("media_a", "media_b", f"CAST({ham} AS INT) AS hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

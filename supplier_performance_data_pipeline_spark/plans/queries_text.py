@@ -1194,11 +1194,16 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it must agree on one band and is always proposed (pigeonhole).
 
     Scale: signatures are one token-explode + hash-agg pass,
-    materialized once (localCheckpoint) because the plan reads them
-    three times (band explode + both verify sides). Candidates come
-    from an equi-join on (band_idx, band_val) — bucket-sized work,
-    never all-pairs — and the verify is a projection (xor + popcount)
-    on integer columns, exact in both engines.
+    materialized once (localCheckpoint) so the banded self-join's two
+    sides don't recompute it. Candidates come from an equi-join on
+    (band_idx, band_val) — bucket-sized work, never all-pairs — with
+    the verify INLINE: the band stack carries the 32-bit signature
+    (one long per row), the xor + popcount scores at the join, and no
+    join-back onto the signature table exists. Multi-band dedup moves
+    after scoring — hamming is a function of the pair, so the distinct
+    is exact (the same inline-verify shape as
+    operators/dedup.py::_pairs_from_sigs, where the k-long MinHash
+    variant measured 11.7s vs 14.8s at the sf1 probe corpus).
     """
     sigs = simhash32(_docs(spark, sf_dir)).localCheckpoint()
     stack_args = ", ".join(
@@ -1207,35 +1212,31 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = sigs.selectExpr(
         "doc_id",
+        "simhash",
         f"stack({SIMHASH_BANDS}, {stack_args}) AS (band_idx, band_val)",
     )
     a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band_idx",
+        "band_val",
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band_idx",
+        "band_val",
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .selectExpr(
             "doc_a",
             "doc_b",
             "cast(bit_count(sim_a ^ sim_b) AS int) AS hamming",
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
     )
 
 
