@@ -527,6 +527,18 @@ def test_decile_shares_window_over_aggregate(spark, specs):
     assert shuffles(plan) <= 12
 
 
+def test_lsh_pairs_verify_is_inline(spark, specs):
+    # The round-9 inline-verify contract: the ONLY join in the pair
+    # plan is the banded bucket self-join — no join-backs onto the
+    # signature table (which would add two more joins and two
+    # corpus-sized shuffles). The carried mh columns score the pair at
+    # the join itself.
+    plan = plan_of(spark, specs, "lsh_near_dup_pairs")
+    n_joins = len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan))
+    assert n_joins == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
 def test_simhash_pairs_banded_equi_join(spark, specs):
     # Candidates come from an equi-join on (band_idx, band_val) —
     # bucket-sized work; the Hamming verify is a projection (xor +
