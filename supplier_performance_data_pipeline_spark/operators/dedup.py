@@ -441,9 +441,14 @@ def near_dup_component_edges(
     match too: a group of size >= 2 contributes all its members (and
     its representative) to both graphs, and a representative-graph
     vertex is a pair participant in the original. Requires
-    ``min_match >= 1`` — at 0 the original graph would also admit
+    ``1 <= min_match <= k``: at 0 the original graph would also admit
     NULL-text docs (their all-NULL signatures verify to 0 matches),
-    which the collapse deliberately leaves as isolated singletons.
+    which the collapse deliberately leaves as isolated singletons;
+    above ``k`` the star edges would be WRONG, not just vacuous — an
+    exact-dup clique verifies at exactly k/k matching components in
+    the direct pair graph, so ``min_match > k`` filters those pairs
+    out of the reference graph while the unconditional
+    member->representative edges would still cluster the group here.
 
     NULL texts are never grouped (each is keyed to a per-doc sentinel
     and stays its own representative: in the original pipeline two
@@ -453,7 +458,12 @@ def near_dup_component_edges(
     aggregate — every text in a group is identical by construction,
     so no join back to the corpus for the text is needed.
     """
-    assert min_match >= 1, "collapse equivalence requires min_match >= 1"
+    assert 1 <= min_match <= k, (
+        "collapse equivalence requires 1 <= min_match <= k: exact-dup "
+        "cliques verify at exactly k matching components, so min_match > k "
+        "would drop them from the reference graph while the star edges "
+        "still cluster them here"
+    )
     ck = F.coalesce(
         F.md5(F.col(text_col)),
         F.concat(F.lit("n:"), F.col("doc_id").cast("string")),

@@ -154,3 +154,18 @@ def test_min_match_zero_rejected(spark):
         assert "min_match" in str(e)
     else:  # pragma: no cover
         raise AssertionError("min_match=0 must be rejected")
+
+
+def test_min_match_above_k_rejected(spark):
+    """min_match > k breaks the collapse equivalence the other way: an
+    exact-dup clique verifies at exactly k matching components in the
+    direct pair graph, so the reference drops those pairs while the
+    unconditional member->representative star edges would still
+    cluster the group — the guard must catch it, not silently diverge."""
+    docs = _mk(spark, [(0, "a b c"), (1, "a b c")])
+    try:
+        doc_components(docs, min_match=9)  # k defaults to MINHASH_K == 8
+    except AssertionError as e:
+        assert "min_match" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("min_match > k must be rejected")
