@@ -58,6 +58,7 @@ def quantile_blocks(
     accuracy: int = 10_000,
     out: str = "_blk",
     materialize: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Add a block column monotone with the (``value_col``, asc/desc)
     order, using approx_percentile cut points collected ONCE to the
@@ -80,9 +81,37 @@ def quantile_blocks(
     recomputes per consumer, which at 100 TB means scanning the fact
     table twice to rank its aggregate. Pass False only when the
     caller already materialized ``df``.
+
+    ``reliable`` (default False) picks the fault-tolerance/speed trade
+    of that materialization. False uses ``localCheckpoint()``: fastest
+    (executor-local blocks, no replication), but it TRUNCATES lineage —
+    on a real cluster an executor lost after truncation makes its
+    blocks unrecoverable and fails the job, so it is only the right
+    default on stable executors (and in local mode, where executor ==
+    driver). True uses ``persist(StorageLevel.DISK_ONLY)`` + an eager
+    count instead: lineage is kept, so a preempted executor's blocks
+    recompute from source and the job survives — the price is keeping
+    the (possibly long) upstream plan alive and a recompute-on-loss
+    that re-reads source partitions. At 100 TB on preemptible
+    executors set ``reliable=True``; for a hard durability boundary
+    across driver restarts, materialize to a table (or
+    ``checkpoint()`` with a checkpoint dir) BEFORE calling and pass
+    ``materialize=False``. Both modes feed the identical cuts job and
+    CASE tree, so results are invariant to the knob (pinned by
+    tests/test_round10_ops.py).
     """
     if materialize:
-        df = df.localCheckpoint()
+        if reliable:
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.DISK_ONLY)
+            # Eager: make the cache fully populated before ANY
+            # consumer plan is built, mirroring localCheckpoint's
+            # eagerness (one pass over source, every later job —
+            # cuts, per-block counts, rank join — reads disk blocks).
+            df.count()
+        else:
+            df = df.localCheckpoint()
     qs = ", ".join(repr(i / num_blocks) for i in range(1, num_blocks))
     # The cuts are MATERIALIZED on the driver (one bounded 1-row
     # collect of <= num_blocks-1 doubles) and inlined as literals, for
