@@ -8,11 +8,14 @@ payload never round-trips through Python row-by-row.
 Codec status: UNCOMPRESSED formats decode for real — a pure-numpy
 codec handles binary PPM (P6) and raw interleaved RGB, so
 ``decode_stub=False`` runs a genuine decode → pixel features →
-nearest-neighbor resize → re-encode pipeline for those mimes.
-COMPRESSED formats (JPEG/PNG/audio/video) still raise
-NotImplementedError where Pillow/ffmpeg would plug in — the container
-has no codec libraries, and faking entropy-coded decode would be
-dishonest. ``decode_stub=True`` (default, used by the registered
+nearest-neighbor resize → re-encode pipeline for those mimes. PNG
+(8-bit truecolor) ALSO decodes for real: its compression is DEFLATE,
+which stdlib zlib provides, so ``decode_png`` does a CRC-verified
+chunk walk + decompress + the five scanline filters with no codec
+library. Other COMPRESSED formats (JPEG/audio codecs/video codecs)
+still raise NotImplementedError where Pillow/ffmpeg would plug in —
+the container has no codec libraries, and faking entropy-coded decode
+would be dishonest. ``decode_stub=True`` (default, used by the registered
 queries whose fixtures are opaque synthetic blobs) keeps the
 deterministic byte-statistics stand-in so the Spark-side plumbing —
 schema, batch iteration, partitioning — is exercised on any payload.
@@ -103,6 +106,8 @@ def decode_rgb(payload: bytes, mime: str, width=None, height=None):
             raise ValueError("raw RGB payload needs positive dimensions")
         data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3)
         return data.reshape(h, w, 3)
+    if mime == PNG_MIME:
+        return decode_png(payload)
     raise NotImplementedError(
         f"decoding {mime!r} requires a codec library (Pillow/ffmpeg) "
         "not present in this container"
@@ -110,13 +115,215 @@ def decode_rgb(payload: bytes, mime: str, width=None, height=None):
 
 
 def encode_rgb(arr, mime: str) -> bytes:
-    """Inverse of ``decode_rgb`` for the supported uncompressed mimes."""
+    """Inverse of ``decode_rgb`` for the supported mimes."""
     h, w = arr.shape[0], arr.shape[1]
     if mime == PPM_MIME:
         return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
     if mime == RAW_RGB_MIME:
         return arr.tobytes()
+    if mime == PNG_MIME:
+        return encode_png(arr)
     raise NotImplementedError(f"encoding {mime!r} unsupported")
+
+
+# --- PNG: the one COMPRESSED format stdlib can close honestly ---------------
+#
+# PNG's compression is DEFLATE, which ships in the standard library
+# (zlib), so unlike JPEG/MP3/H.264 a real decoder needs no codec
+# library: signature + CRC-checked chunk walk (same discipline as the
+# RIFF walker in decode_avi) + zlib.decompress + the five scanline
+# filters. Reference: the public PNG specification (RFC 2083 / ISO
+# 15948) — filter types 0-4 (None/Sub/Up/Average/Paeth).
+
+PNG_MIME = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(left, up, ul):
+    # The spec's predictor: nearest of (left, up, upper-left) to
+    # p = left + up - ul, ties broken left > up > upper-left.
+    import numpy as np
+
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    return np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+    )
+
+
+def encode_png(arr) -> bytes:
+    """8-bit truecolor (color type 2, no alpha/palette/interlace) PNG
+    from an (H, W, 3) uint8 array, stdlib zlib only.
+
+    Scanline r is filtered with type r % 5, so a single round-tripped
+    image exercises ALL FIVE filters — an encoder that always wrote
+    filter 0 would let a broken Sub/Up/Average/Paeth unfilter path
+    pass every test. Filtering is fully vectorized: every predictor
+    reads RAW (pre-filter) bytes of the current/previous scanline,
+    so there is no left-to-right dependency on the encode side."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    raw = a.reshape(h, w * 3).astype(np.int64)
+    zeros3 = np.zeros(3, dtype=np.int64)
+    out = bytearray()
+    for r in range(h):
+        cur = raw[r]
+        prev = raw[r - 1] if r else np.zeros(w * 3, dtype=np.int64)
+        left = np.concatenate([zeros3, cur[:-3]])
+        ul = np.concatenate([zeros3, prev[:-3]])
+        f = r % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            filt = cur - _paeth(left, prev, ul)
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """(H, W, 3) uint8 array from an 8-bit truecolor PNG.
+
+    Real decode, stdlib only: signature check, chunk walk with CRC32
+    verified per chunk (a flipped container byte fails loudly, never
+    shears pixels), multi-IDAT concatenation (the stream may be split
+    at ANY byte boundary), zlib.decompress, then per-scanline
+    unfiltering of the five spec filters. Honest plug-points, each a
+    documented trap rather than a silent wrong answer:
+
+    - interlace=1 (Adam7) raises NotImplementedError — the seven-pass
+      pixel shuffle reorders scanlines, so treating the stream as
+      sequential would produce plausible-looking garbage;
+    - bit depth != 8 and color types other than 2 (grayscale,
+      palette, alpha) raise NotImplementedError — palette needs PLTE
+      indirection, 16-bit needs big-endian sample pairs.
+
+    Unfiltering is sequential by construction (Sub/Average/Paeth
+    predict from the RECONSTRUCTED left neighbor), so the inner loop
+    walks pixels left-to-right vectorized over the 3 channels; Up and
+    None vectorize whole-row. This is per-payload work inside an
+    Arrow ``mapInPandas`` batch on an executor — O(pixels) like any
+    decoder, never a relational row UDF."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk data")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt_m, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if interlace != 0:
+                raise NotImplementedError(
+                    "Adam7 interlaced PNG unsupported (seven-pass "
+                    "scanline reorder — sequential unfiltering would "
+                    "silently shear; plug in a full decoder here)"
+                )
+            if depth != 8 or color != 2:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} / color type {color} "
+                    "unsupported (only 8-bit truecolor; palette needs "
+                    "PLTE indirection, 16-bit needs sample pairs)"
+                )
+            if comp != 0 or filt_m != 0:
+                raise ValueError("invalid PNG compression/filter method")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    stride = w * 3
+    flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if flat.size != h * (stride + 1):
+        raise ValueError(
+            f"PNG scanline stream is {flat.size} bytes, "
+            f"expected {h * (stride + 1)}"
+        )
+    lines = flat.reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zeros3 = np.zeros(3, dtype=np.int64)
+    for r in range(h):
+        f = int(lines[r, 0])
+        cur = lines[r, 1:].astype(np.int64)
+        prev = (
+            recon[r - 1].astype(np.int64)
+            if r
+            else np.zeros(stride, dtype=np.int64)
+        )
+        if f == 0:
+            rec = cur
+        elif f == 1:
+            # Sub unrolls to a per-channel prefix sum: rec[p] =
+            # (cur[p] + rec[p-1]) mod 256 == cumsum(cur) mod 256 —
+            # exact in int64, vectorized whole-row.
+            rec = np.cumsum(cur.reshape(w, 3), axis=0).reshape(stride) % 256
+        elif f == 2:
+            rec = (cur + prev) % 256
+        elif f in (3, 4):
+            # Average/Paeth predict from the RECONSTRUCTED left pixel,
+            # a true sequential dependency — walk pixels left-to-right,
+            # vectorized over the 3 channels.
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(0, stride, 3):
+                left = rec[i - 3 : i] if i else zeros3
+                up = prev[i : i + 3]
+                ul = prev[i - 3 : i] if i else zeros3
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                rec[i : i + 3] = (cur[i : i + 3] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        recon[r] = rec.astype(np.uint8)
+    return recon.reshape(h, w, 3)
 
 
 def resize_rgb_nearest(arr, target_w: int, target_h: int):
@@ -628,6 +835,59 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=VIDEO_STATS_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "media_id long, mime string, width int, height int, "
+    "npx long, px_sum long, px_wsum long, px_mean double"
+)
+
+
+def image_pixel_checksums(media: DataFrame) -> DataFrame:
+    """Per-payload image stats through the REAL decode path — the
+    still-image twin of ``video_frame_stats``: mapInPandas batches →
+    ``decode_rgb`` (PPM/raw/PNG, so the PNG row exercises CRC walk +
+    inflate + all five unfilters) → vectorized numpy over the decoded
+    pixels. Outputs are integer-exact: px_sum = Σv and the
+    position-weighted px_wsum = Σ(i+1)·v over the row-major
+    interleaved stream, so any row flip, channel swap, or filter
+    mis-unfilter changes the value (a plain sum would forgive
+    permutations); px_mean is the one rounded division at the edge.
+    int64-safe while 255·n²/2 < 2^63, i.e. any image under ~2.7e8
+    pixel-channels. Scale: pure projection — no shuffle; payloads
+    never leave the executor."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "mime", "width", "height",
+                "npx", "px_sum", "px_wsum", "px_mean",
+            )}
+            for _, row in pdf.iterrows():
+                payload = (
+                    bytes(row["payload"]) if row["payload"] is not None else b""
+                )
+                arr = decode_rgb(
+                    payload, row["mime"], row.get("width"), row.get("height")
+                )
+                flat = arr.reshape(-1).astype(np.int64)
+                npx = flat.size
+                out["media_id"].append(row["media_id"])
+                out["mime"].append(row["mime"])
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["npx"].append(npx)
+                out["px_sum"].append(int(flat.sum()))
+                out["px_wsum"].append(
+                    int(((np.arange(npx, dtype=np.int64) + 1) * flat).sum())
+                )
+                out["px_mean"].append(
+                    round(float(flat.sum()) / npx, 6) if npx else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
 
 
 # --- perceptual average-hash (aHash) ----------------------------------------

@@ -16,8 +16,11 @@ from supplier_performance_data_pipeline_spark.operators.multimodal import (
 
 @pytest.fixture(scope="module")
 def media(spark):
+    # image/bmp, not image/png: PNG decodes for real since round 10,
+    # and these opaque bytes are not a valid container of anything —
+    # the stub path ignores mime; the real path must raise.
     rows = [
-        (0, b"\x00\x01\x02\x03" * 100, "image/png", 10, 10),
+        (0, b"\x00\x01\x02\x03" * 100, "image/bmp", 10, 10),
         (1, b"\xff\xfe" * 50, "image/jpeg", 8, 8),
         (2, None, "audio/wav", None, None),
         (10, b"abc", "video/mp4", 1, 1),
@@ -97,8 +100,11 @@ def test_real_codec_still_raises_for_compressed(spark):
         extract_features,
     )
 
+    # JPEG, not PNG: PNG decodes for real since round 10 (stdlib zlib
+    # provides DEFLATE); JPEG's entropy coding has no stdlib decoder,
+    # so it stays the honest NotImplementedError plug-point.
     media = spark.createDataFrame(
-        [(1, b"\x89PNG....", "image/png", 4, 4)], MEDIA_SCHEMA
+        [(1, b"\xff\xd8\xff\xe0....", "image/jpeg", 4, 4)], MEDIA_SCHEMA
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_features(media, decode_stub=False).collect()

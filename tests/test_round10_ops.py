@@ -1,6 +1,14 @@
 """Round-10 operator tests: the `reliable` materialization knob on
-quantile_blocks (r9 VERDICT #3)."""
+quantile_blocks (r9 VERDICT #3) and the stdlib-zlib PNG codec
+(r9 VERDICT #4)."""
 
+import glob
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -61,4 +69,161 @@ def test_quantile_blocks_reliable_keeps_lineage(spark):
     assert "Range" in durable_plan, "persist must keep the source in-plan"
     assert "Range" not in fast_plan and "LogicalRDD" in fast_plan, (
         "localCheckpoint should have truncated lineage to a LogicalRDD"
+    )
+
+
+# --- PNG codec (stdlib zlib; r9 VERDICT #4) ---------------------------------
+
+
+def _codec():
+    from supplier_performance_data_pipeline_spark.operators import multimodal
+
+    return multimodal
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    """encode_png filters scanline r with type r % 5, so any image with
+    h >= 5 round-trips through None/Sub/Up/Average/Paeth — a broken
+    unfilter path cannot hide behind filter-0-only streams."""
+    m = _codec()
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (5, 1), (8, 16), (17, 16), (23, 7)]:
+        a = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        p = m.encode_png(a)
+        assert p[:8] == b"\x89PNG\r\n\x1a\n"
+        assert (m.decode_png(p) == a).all()
+        assert (m.decode_rgb(p, m.PNG_MIME) == a).all()
+    # the encoder really did emit every filter type
+    a = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+    raw = zlib.decompress(_idat(m.encode_png(a)))
+    assert [raw[r * 13] for r in range(5)] == [0, 1, 2, 3, 4]
+
+
+def _idat(payload: bytes) -> bytes:
+    pos, out = 8, bytearray()
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            out += payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    return bytes(out)
+
+
+def test_png_multi_idat_split_at_any_byte():
+    """The IDAT stream may be split across chunks at ANY byte boundary;
+    the decoder must concatenate before inflating."""
+    m = _codec()
+    a = np.random.RandomState(3).randint(0, 256, (9, 5, 3), dtype=np.uint8)
+    whole = m.encode_png(a)
+    stream = _idat(whole)
+    sig_ihdr = whole[: 8 + 25]  # signature + IHDR chunk (13 + 12 bytes)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    for cut in (1, 2, len(stream) // 2, len(stream) - 1):
+        split = (
+            sig_ihdr
+            + chunk(b"IDAT", stream[:cut])
+            + chunk(b"IDAT", stream[cut:])
+            + chunk(b"IEND", b"")
+        )
+        assert (m.decode_png(split) == a).all(), f"cut at {cut}"
+
+
+def test_png_crc_corruption_fails_loudly():
+    m = _codec()
+    p = bytearray(
+        m.encode_png(
+            np.random.RandomState(1).randint(0, 256, (6, 4, 3), dtype=np.uint8)
+        )
+    )
+    p[len(p) // 2] ^= 0xFF  # somewhere inside IDAT data
+    with pytest.raises(ValueError, match="CRC"):
+        m.decode_png(bytes(p))
+
+
+def test_png_unsupported_shapes_raise_honestly():
+    """Interlace / 16-bit / palette are documented plug-points — they
+    must raise, never silently shear pixels."""
+    m = _codec()
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    for depth, color, interlace in [(8, 2, 1), (16, 2, 0), (8, 3, 0), (8, 6, 0)]:
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
+        with pytest.raises(NotImplementedError):
+            m.decode_png(sig + chunk(b"IHDR", ihdr))
+    with pytest.raises(ValueError, match="signature"):
+        m.decode_png(b"NOPE" + b"\x00" * 16)
+
+
+def test_png_decodes_real_libpng_output():
+    """Independent-encoder check: decode a truecolor PNG produced by
+    libpng (adaptive per-row filter selection — not our encoder's
+    cycle), then re-encode with ours and re-decode; pixels must agree.
+    Skips if the host ships no suitable fixture."""
+    m = _codec()
+    fixture = None
+    for p in sorted(glob.glob("/usr/share/doc/**/*.png", recursive=True)):
+        try:
+            b = open(p, "rb").read()
+        except OSError:
+            continue
+        if len(b) > 33 and b[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, d, c, _, _, i = struct.unpack(">IIBBBBB", b[16:29])
+            if (d, c, i) == (8, 2, 0) and w * h <= 400_000:
+                fixture = (p, b)
+                break
+    if fixture is None:
+        pytest.skip("no 8-bit truecolor non-interlaced PNG on this host")
+    path, b = fixture
+    a = m.decode_png(b)
+    assert a.ndim == 3 and a.shape[2] == 3 and a.size > 0
+    assert (m.decode_png(m.encode_png(a)) == a).all()
+
+
+def test_image_pixel_checksums_position_weighted(spark):
+    """px_wsum must distinguish permutations the plain sum forgives:
+    a vertically flipped image keeps px_sum but changes px_wsum."""
+    import pandas as pd
+
+    m = _codec()
+    a = np.random.RandomState(5).randint(0, 256, (7, 4, 3), dtype=np.uint8)
+    rows = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "payload": [m.encode_png(a), m.encode_png(a[::-1].copy())],
+            "mime": m.PNG_MIME,
+            "width": 4,
+            "height": 7,
+        }
+    )
+    media = spark.createDataFrame(
+        rows, schema="media_id long, payload binary, mime string, "
+        "width int, height int"
+    )
+    got = {
+        r["media_id"]: r
+        for r in m.image_pixel_checksums(media).collect()
+    }
+    assert got[1]["px_sum"] == got[2]["px_sum"]
+    assert got[1]["px_wsum"] != got[2]["px_wsum"]
+    flat = a.reshape(-1).astype(np.int64)
+    assert got[1]["px_sum"] == int(flat.sum())
+    assert got[1]["px_wsum"] == int(
+        ((np.arange(flat.size) + 1) * flat).sum()
     )
