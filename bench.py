@@ -276,9 +276,49 @@ HEADLINE = [
 ]
 
 
+def _loadavg1() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _host_idle_gate(
+    threshold: float = 2.0,
+    max_wait_sec: float = 120.0,
+    poll_sec: float = 5.0,
+) -> dict:
+    """Pre-run idle gate (r9 VERDICT #6): this host shows 2-6x
+    co-tenant load windows, and a min-of-N that STARTS inside one
+    publishes noise as engine cost. Observe 1-min loadavg BEFORE the
+    Spark session exists (so the reading is co-tenant load, not our
+    JVM); if hot, spin-wait up to ``max_wait_sec`` for it to fall
+    under ``threshold``, then proceed regardless — the observation is
+    stamped into the record either way (``host_idle_check``), so a
+    record taken hot says so instead of pretending."""
+    t0 = time.monotonic()
+    first = load = _loadavg1()
+    while (
+        load is not None
+        and load > threshold
+        and time.monotonic() - t0 < max_wait_sec
+    ):
+        time.sleep(poll_sec)
+        load = _loadavg1()
+    return {
+        "loadavg1_initial": first,
+        "loadavg1_at_start": load,
+        "threshold": threshold,
+        "waited_sec": round(time.monotonic() - t0, 1),
+        "proceeded_hot": bool(load is not None and load > threshold),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    idle = _host_idle_gate()
     spark = get_spark(app_name="bench")
     specs = load_all()
     names = [n for n in HEADLINE if n in specs]
@@ -356,6 +396,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "host_calibration_sec": cal,
+        "host_idle_check": idle,
     }
     prev = _previous_round_bench()
     regressions: dict[str, dict[str, float]] = {}
@@ -466,6 +507,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "host_calibration_sec": cal,
+        "host_idle_check": idle,
         "queries": dict(
             sorted(times.items(), key=lambda kv: -kv[1])[:10]
         ),

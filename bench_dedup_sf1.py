@@ -266,6 +266,92 @@ def main() -> None:
         ab[label] = round(time.monotonic() - t0, 3)
         print(f"{label}: {ab[label]}s ({n} rows)")
 
+    # --- incremental CC maintenance: two-batch replay at sf1 -----------
+    # (round-10) The production ingest shape: ~10% of the corpus plays
+    # a newly-landed batch against the other 90%'s STORED component
+    # table. The full-graph terms above (pairs_end_to_end +
+    # connected_components) are the recompute cost this path avoids;
+    # the incremental terms are (a) the batch's edge generation — probe
+    # vs the persistent index, never index-vs-index — and (b)
+    # star-contraction over the CONTRACTED graph only. The load-bearing
+    # claims are deterministic: contracted edge/vertex counts vs the
+    # full graph's, and an EXACT equality check of the incremental
+    # labels against the full recompute at 500k docs.
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        near_dup_component_edges,
+        verified_pairs_between,
+    )
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        incremental_components,
+    )
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+
+    is_batch = md5_mod(F.col("doc_id"), "incr|", 10) == 0
+    index_docs = docs.filter(~is_batch).localCheckpoint()
+    batch_docs = docs.filter(is_batch).localCheckpoint()
+    n_batch = batch_docs.count()
+    # Stored state (pre-paid when those docs arrived): component table
+    # + persistent signature table of the index side. Outside the
+    # timed terms, like the ANN probe's build-vs-serve isolation.
+    old_labels = doc_components(
+        index_docs, min_match=CC_MIN_MATCH
+    ).localCheckpoint()
+    index_sigs = minhash_signatures(index_docs).localCheckpoint()
+    old_labels.count(), index_sigs.count()
+
+    incr_edges_sec = incr_cc_sec = None
+    incr_stats: dict = {}
+    n_new_edges = 0
+    for rep in range(2):
+        t0 = time.monotonic()
+        batch_sigs = minhash_signatures(batch_docs)
+        new_edges = (
+            verified_pairs_between(batch_sigs, index_sigs)
+            .filter(F.col("n_matching_components") >= CC_MIN_MATCH)
+            .select("doc_a", "doc_b")
+            .unionByName(
+                near_dup_component_edges(batch_docs, min_match=CC_MIN_MATCH)
+            )
+            .localCheckpoint()
+        )
+        n_new_edges = new_edges.count()
+        dt = round(time.monotonic() - t0, 3)
+        incr_edges_sec = dt if incr_edges_sec is None else min(incr_edges_sec, dt)
+        print(f"rep{rep} incr batch edges: {dt}s ({n_new_edges} edges)")
+
+        incr_stats = {}
+        t0 = time.monotonic()
+        incr_labels = incremental_components(
+            old_labels, new_edges, stats_out=incr_stats
+        ).localCheckpoint()
+        n_incr = incr_labels.count()
+        dt = round(time.monotonic() - t0, 3)
+        incr_cc_sec = dt if incr_cc_sec is None else min(incr_cc_sec, dt)
+        print(f"rep{rep} incr CC: {dt}s ({n_incr} labels, stats {incr_stats})")
+
+    # Exact equality vs the full recompute measured above (comp) —
+    # deterministic, the probe's load-bearing claim.
+    full_labels = comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("c_full")
+    )
+    incr_cmp = incr_labels.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("c_incr")
+    )
+    n_mismatch = (
+        full_labels.join(incr_cmp, "doc_id", "full")
+        .filter(
+            F.col("c_full").isNull()
+            | F.col("c_incr").isNull()
+            | (F.col("c_full") != F.col("c_incr"))
+        )
+        .count()
+    )
+    assert n_mismatch == 0, f"incremental != full recompute: {n_mismatch}"
+    print(f"incremental == full recompute on all "
+          f"{full_labels.count()} labels")
+
     # Round stamp DELEGATED to bench.py's _round_files() so this record
     # and the BENCH_LOCAL record it gets embedded into can never drift
     # (same rule as ANN_SF1 / SUFFIX_AB).
@@ -337,6 +423,35 @@ def main() -> None:
                 "duplicate-dominated regime the collapse exists for; at "
                 "the near-duplicate-free sf0.1 fixture it is ~+1-2s pure "
                 "overhead (INTENDED_PLAN_TRADES in bench.py)"
+            ),
+        },
+        "incremental_cc": {
+            "batch_docs": n_batch,
+            "batch_share": round(n_batch / N_DOCS, 4),
+            "new_edges": n_new_edges,
+            "term_isolation_sec": {
+                "batch_edges": incr_edges_sec,
+                "incremental_cc": incr_cc_sec,
+                "full_equivalent_pairs": pairs_sec,
+                "full_equivalent_cc": cc_sec,
+            },
+            "contracted_edges": incr_stats.get("contracted_edges"),
+            "contracted_verts": incr_stats.get("contracted_verts"),
+            "full_cc_edges": cc_stats.get("edges"),
+            "full_cc_verts": cc_stats.get("verts"),
+            "rounds": incr_stats.get("rounds"),
+            "converged": incr_stats.get("converged"),
+            "equal_to_full_recompute": True,
+            "note": (
+                "two-batch replay: md5_mod bucket 0 (~10%) lands as a "
+                "batch against the other 90%'s stored component table "
+                "and persistent signature table (both built outside "
+                "the timed terms — they were paid at original ingest). "
+                "Edge generation probes the index, never "
+                "index-vs-index; star-contraction runs on the "
+                "CONTRACTED graph (touched roots + new vertices). "
+                "equal_to_full_recompute is an exact full-outer-join "
+                "check over all labels, asserted in-run"
             ),
         },
         "adversarial_chain": {

@@ -198,6 +198,101 @@ def connected_components(
     )
 
 
+def incremental_components(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    stats_out: dict | None = None,
+    broadcast_remap: bool = True,
+) -> DataFrame:
+    """(``id``, ``component``) for the whole corpus after a batch
+    lands, re-converging ONLY the affected subgraph — the incremental
+    maintenance step over a stored COMPONENT table (r9 VERDICT #5).
+
+    ``old_labels`` is the existing (id, component) table (min-id
+    rooted, as ``connected_components`` emits); ``new_edges`` is every
+    pair the batch introduced — batch-internal pairs plus
+    batch-vs-index probe hits (``verified_pairs_between`` over the
+    persistent LSH index). Old-old edges (a re-crawl linking two
+    existing components) are handled too.
+
+    Star-contraction seeded from the existing labels: each edge
+    endpoint maps to its stored component root when present (an old
+    component is a min-rooted star, so attaching to any member IS
+    attaching to the root — same clique argument as
+    ``near_dup_component_edges``), and to itself otherwise (new docs,
+    and old docs that were isolated and therefore have no stored row).
+    ``connected_components`` then runs on the CONTRACTED edge list
+    alone: its vertex set is (new vertices + touched old roots) and
+    its edge mass is the batch's — the historical graph's billions of
+    settled edges are never re-read, which is the whole point at
+    100 TB where the crawl is always incremental and full recompute
+    cost grows with corpus age instead of batch size.
+
+    Exactness (why the result equals a full recompute, hash-for-hash):
+    contraction preserves connectivity — members are connected to
+    their root in the old graph, so replacing an endpoint by its root
+    neither adds nor removes reachability; and the min-id label
+    convention COMPOSES, because every old root is already the min of
+    its members, so the min over contracted vertices equals the min
+    over all underlying members. Untouched components never enter any
+    iterative job; their stored labels pass through a single
+    broadcast-sized relabel join (the touched-root -> new-root map is
+    bounded by the batch's blast radius, not the corpus).
+
+    ``stats_out`` receives the inner CC telemetry plus
+    ``contracted_edges`` / ``contracted_verts`` — the term-isolation
+    counters the scale probe records (incremental work tracks the
+    AFFECTED subgraph, not corpus size)."""
+    a, b = F.col(a_col), F.col(b_col)
+    old = old_labels.select(
+        F.col("id").alias("__oid"), F.col("component").alias("__oc")
+    ).localCheckpoint()
+    la = old.select(F.col("__oid").alias(a_col), F.col("__oc").alias("__ca"))
+    lb = old.select(F.col("__oid").alias(b_col), F.col("__oc").alias("__cb"))
+    contracted = (
+        new_edges.select(a_col, b_col)
+        .join(la, a_col, "left")
+        .join(lb, b_col, "left")
+        .select(
+            F.coalesce(F.col("__ca"), a).alias("doc_a"),
+            F.coalesce(F.col("__cb"), b).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sub_stats: dict = {}
+    sub = connected_components(
+        contracted, "doc_a", "doc_b", stats_out=sub_stats
+    ).localCheckpoint()
+    if stats_out is not None:
+        stats_out.update(sub_stats)
+        stats_out["contracted_edges"] = contracted.count()
+        stats_out["contracted_verts"] = sub_stats.get("verts")
+    # Relabel stored rows whose root merged: one pass over the label
+    # table against the (touched root -> new root) map. The map is
+    # bounded by the batch's blast radius — broadcast by default; pass
+    # broadcast_remap=False for a pathological batch that touches a
+    # corpus-sized component set (same forced-broadcast OOM argument
+    # as _nodes_side; AQE still re-picks broadcast when it fits).
+    remap = sub.select(
+        F.col("id").alias("__oc"), F.col("component").alias("__nc")
+    )
+    if broadcast_remap:
+        remap = F.broadcast(remap)
+    relabeled_old = old.join(remap, "__oc", "left").select(
+        F.col("__oid").alias("id"),
+        F.coalesce(F.col("__nc"), F.col("__oc")).alias("component"),
+    )
+    # Contracted vertices that are NOT stored roots are new-to-the-table
+    # (batch docs, or previously-isolated old docs a pair just touched).
+    old_roots = old.select(F.col("__oc").alias("id")).distinct()
+    fresh = sub.join(old_roots, "id", "left_anti").select("id", "component")
+    return relabeled_old.unionByName(fresh)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

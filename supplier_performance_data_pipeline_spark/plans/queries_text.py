@@ -3277,6 +3277,77 @@ q_dedup_incremental_candidates.__doc__ = (
 )
 
 
+@register(
+    "dedup_components_incremental",
+    oracle=None,  # assigned right below: the FULL-RECOMPUTE oracle, verbatim
+)
+def q_dedup_components_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental COMPONENT-table maintenance on a two-batch replay
+    (r9 VERDICT #5) — the missing scale piece over the persistent LSH
+    index: when a batch lands, the stored components are UPDATED, not
+    recomputed. The oracle is ``dedup_components``'s full-corpus CC
+    unroll VERBATIM, so the driver hash proves the incremental path
+    equals the from-scratch recompute exactly.
+
+    Replay: the engine-wide md5_mod bucket 0 (~10% of docs, same split
+    as ``dedup_incremental_candidates``) plays the newly-arrived
+    batch; the rest is the existing corpus whose COMPONENT table
+    (``doc_components``) is the stored state. The batch contributes
+    exactly the pairs a full recompute would add — LSH pairs decompose
+    by membership since signatures are per-doc: batch-vs-index probe
+    hits (``verified_pairs_between`` over the persistent banded index,
+    verify inline) plus batch-internal edges
+    (``near_dup_component_edges``, exact-collapse-first). Then
+    ``incremental_components`` star-contracts each endpoint to its
+    stored root and re-converges ONLY the contracted graph — new
+    vertices + touched roots, batch-scale edge mass; settled
+    components pass through a single relabel join. At 100 TB the crawl
+    is always incremental, so per-ingest graph cost must track the
+    batch's blast radius, not corpus age — the scale probe
+    (bench_dedup_sf1.py, INCR term) records contracted-vs-full
+    edge/vertex counts to pin that."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+        near_dup_component_edges,
+        verified_pairs_between,
+    )
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        incremental_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    is_batch = _incr_md5_mod(F.col("doc_id"), _INCR_SALT, _INCR_MOD) == 0
+    index_docs = docs.filter(~is_batch)
+    batch_docs = docs.filter(is_batch)
+    # The stored state: component table of the pre-batch corpus.
+    old_labels = doc_components(index_docs, min_match=CC_MIN_MATCH)
+    # The batch's new edges: cross probe hits against the persistent
+    # index + batch-internal collapse-first edges. min_match filters
+    # cross pairs to the same verify bar the full graph uses.
+    sigs = minhash_signatures(docs).localCheckpoint()
+    cross = (
+        verified_pairs_between(
+            sigs.filter(is_batch), sigs.filter(~is_batch)
+        )
+        .filter(F.col("n_matching_components") >= CC_MIN_MATCH)
+        .select("doc_a", "doc_b")
+    )
+    within = near_dup_component_edges(batch_docs, min_match=CC_MIN_MATCH)
+    out = incremental_components(
+        old_labels, cross.unionByName(within)
+    )
+    return out.select(F.col("id").alias("doc_id"), "component")
+
+
+REGISTRY["dedup_components_incremental"] = QuerySpec(
+    name="dedup_components_incremental",
+    build=REGISTRY["dedup_components_incremental"].build,
+    oracle=REGISTRY["dedup_components"].oracle,
+)
+
+
 # --- span-level exact substring dedup (Lee et al. '22, relationalized) -------
 
 _SPAN_K = 5  # token k-gram length that marks a duplicated span

@@ -227,3 +227,85 @@ def test_image_pixel_checksums_position_weighted(spark):
     assert got[1]["px_wsum"] == int(
         ((np.arange(flat.size) + 1) * flat).sum()
     )
+
+
+# --- incremental connected components (r9 VERDICT #5) ------------------------
+
+
+def _full_cc(spark, edges):
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def _incr_cc(spark, old_edges, new_edges):
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    old = connected_components(
+        spark.createDataFrame(old_edges, "doc_a long, doc_b long")
+    )
+    stats = {}
+    out = incremental_components(
+        old,
+        spark.createDataFrame(new_edges, "doc_a long, doc_b long"),
+        stats_out=stats,
+    )
+    return {r["id"]: r["component"] for r in out.collect()}, stats
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Two-batch replay on a graph with every interesting shape: a
+    batch doc joining an old cluster mid-member (not at the root), a
+    pure-new cluster, an old-old merge edge (re-crawl linking two
+    existing components), and a previously-ISOLATED old doc (no stored
+    row) picked up by a new pair."""
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21)]  # comps {1,2,3} {10,11} {20,21}
+    new_edges = [
+        (3, 50),    # batch doc 50 attaches via member 3 (not root 1)
+        (60, 61),   # pure-new cluster
+        (11, 21),   # old-old merge: {10,11} ∪ {20,21}
+        (70, 99),   # 99 was isolated old (no stored row), 70 is new
+    ]
+    got, stats = _incr_cc(spark, old_edges, new_edges)
+    want = _full_cc(spark, old_edges + new_edges)
+    assert got == want
+    assert stats["converged"] and stats["contracted_edges"] >= 1
+
+
+def test_incremental_components_random_replays_match(spark):
+    """Randomized replays: split a random edge set into old/new at
+    several cut points; the incremental result must equal the full
+    recompute at every split (seeded, so failures reproduce)."""
+    import random
+
+    rnd = random.Random(1234)
+    edges = [
+        (rnd.randrange(40), rnd.randrange(40)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    full = _full_cc(spark, edges)
+    for cut in (1, len(edges) // 3, len(edges) // 2, len(edges) - 2):
+        got, _ = _incr_cc(spark, edges[:cut], edges[cut:])
+        assert got == full, f"cut {cut}"
+
+
+def test_incremental_components_untouched_pass_through(spark):
+    """A batch that touches nothing must leave stored labels unchanged
+    and converge on a contracted graph whose size is the BATCH's, not
+    the corpus's — the term-isolation contract."""
+    old_edges = [(i, i + 1) for i in range(0, 100, 2)]  # 50 settled pairs
+    new_edges = [(1000, 1001)]
+    got, stats = _incr_cc(spark, old_edges, new_edges)
+    full = _full_cc(spark, old_edges + new_edges)
+    assert got == full
+    assert stats["contracted_edges"] == 1
+    assert stats["contracted_verts"] == 2
