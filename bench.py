@@ -273,6 +273,11 @@ HEADLINE = [
     "part_basket_lift",
     "events_purchase_attribution",
     "nation_fixed_width_roundtrip",
+    # round 10
+    "multimodal_png_pixel_stats",
+    "dedup_components_incremental",
+    "lineitem_profile_moment_merge",
+    "lsh_bucket_size_histogram",
 ]
 
 

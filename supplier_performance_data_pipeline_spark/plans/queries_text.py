@@ -3348,6 +3348,80 @@ REGISTRY["dedup_components_incremental"] = QuerySpec(
 )
 
 
+_BUCKET_UNPIVOT_SQL = " UNION ALL ".join(
+    f"SELECT {b} AS band, band{b} AS band_hash FROM bands"
+    for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "lsh_bucket_size_histogram",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+{_MS_CTE},
+{_SIGS_CTE},
+bands AS (SELECT sigs.*, {_BAND_COLS_SQL} FROM sigs),
+ub AS ({_BUCKET_UNPIVOT_SQL}),
+sz AS (SELECT band, band_hash, COUNT(*) AS bucket_size
+       FROM ub GROUP BY band, band_hash)
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(bucket_size AS BIGINT) AS bucket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(COUNT(*) * (bucket_size * (bucket_size - 1) // 2) AS BIGINT)
+           AS pair_work
+FROM sz GROUP BY band, bucket_size
+""".strip(),
+)
+def q_lsh_bucket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band bucket-size histogram over the persistent LSH index —
+    the OPS DIAL for the module-top sizing rule (operators/dedup.py:
+    pick the band width r ~ log N so buckets stay bounded), made a
+    measurable (r9 VERDICT #8). The bucket self-join's cost is
+    Σ s·(s−1)/2 over bucket sizes s; ``pair_work`` is exactly that
+    term per (band, size) cell, so the signal that says "grow r
+    BEFORE the pair join degrades" is a regression on this query's
+    max bucket_size / total pair_work between ingests — visible in a
+    dashboard without ever running the join. (The degenerate
+    all-NULL-signature bucket — NULL-text docs share md5('') per band
+    — shows up honestly as one bucket per band; its members verify to
+    0 matching components downstream, but they still COST bucket-join
+    work, which is precisely what this dial is for.)
+
+    Plan: signature projection (no shuffle) → band explode → ONE
+    bucket-keyed count with map-side partials (the same shuffle the
+    pair join itself would do — minus the join) → a second tiny
+    aggregation over the (band, size) table, bounded by the distinct
+    size count, not the corpus."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        _band_exprs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    banded = sigs.selectExpr(
+        "doc_id",
+        f"posexplode(array({', '.join(_band_exprs())}))"
+        " AS (band, band_hash)",
+    )
+    sz = banded.groupBy("band", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return (
+        sz.groupBy("band", "bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .select(
+            F.col("band").cast("int").alias("band"),
+            F.col("bucket_size").cast("long").alias("bucket_size"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.expr(
+                "CAST(n_buckets * (bucket_size * (bucket_size - 1) DIV 2) "
+                "AS BIGINT)"
+            ).alias("pair_work"),
+        )
+    )
+
+
 # --- span-level exact substring dedup (Lee et al. '22, relationalized) -------
 
 _SPAN_K = 5  # token k-gram length that marks a duplicated span
