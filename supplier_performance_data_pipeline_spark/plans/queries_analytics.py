@@ -2091,13 +2091,23 @@ def _mm_direct_sql(col: str, t: str) -> str:
 
 
 def _mm_stats_sql(col: str, t: str) -> str:
+    # The variance numerator c*Σx² − (Σx)² is computed EXACTLY in the
+    # integer domain (HUGEINT here, DECIMAL(38,0) on the Spark side:
+    # ~1.2e25 max at sf0.1, well inside both) and cast to double ONCE;
+    # the denominator c(c−1)·100² is < 2^53 so its double is exact.
+    # One cast + one divide + one ROUND in NATURAL units — where the
+    # 6dp quantum exceeds the double ulp — is cross-engine
+    # deterministic. The earlier form (two double products subtracted,
+    # ROUND at 6dp on a ~9e12 cents² value whose ulp is ~2e-3) diverged
+    # by 3 ulps between engines at sf0.1 ONLY — caught by the sf0.1
+    # parity net, the -0.0 lesson all over again.
     return (
         f"SELECT '{col}' AS column_name, "
         f"CAST(n_rows - c_{t} AS BIGINT) AS n_nulls, "
-        f"ROUND(CAST(s_{t} AS DOUBLE) / c_{t}, 6) AS mean_scaled, "
-        f"ROUND((c_{t} * CAST(s2_{t} AS DOUBLE) "
-        f"- CAST(s_{t} AS DOUBLE) * CAST(s_{t} AS DOUBLE)) "
-        f"/ (CAST(c_{t} AS DOUBLE) * (c_{t} - 1)), 6) AS var_scaled, "
+        f"ROUND(CAST(s_{t} AS DOUBLE) / c_{t} / 100, 6) AS mean_value, "
+        f"ROUND(CAST(c_{t} * s2_{t} - s_{t} * s_{t} AS DOUBLE) "
+        f"/ (CAST(c_{t} * (c_{t} - 1) AS DOUBLE) * 10000), 6) "
+        f"AS var_value, "
         f"CAST(mn_{t} AS BIGINT) AS min_scaled, "
         f"CAST(mx_{t} AS BIGINT) AS max_scaled FROM a"
     )
@@ -2135,10 +2145,14 @@ def q_lineitem_profile_moment_merge(
     in DECIMAL — order-independent, partition-independent,
     bit-portable (the x² term is widened to DECIMAL BEFORE the
     multiply: cents(l_extendedprice)² alone overflows int64 at ~6e19
-    across sf0.1) — and the two float divisions happen once at the
-    edge on exact sums, with the same pinned expression text in both
-    engines. Stats are in scaled-integer units (cents for
-    quantity/extendedprice, percent units for discount).
+    across sf0.1). The variance numerator c·Σx² − (Σx)² is ALSO kept
+    exact-integer (DECIMAL(38,0) / HUGEINT) and cast to double once,
+    because the first cut — two double products subtracted, then
+    ROUND at 6dp on a ~9e12 cents² value whose double ulp is ~2e-3 —
+    diverged from DuckDB by 3 ulps at sf0.1 ONLY (sf0.001/0.01 both
+    passed): the sf0.1 parity net exists for exactly this class.
+    mean/var report in NATURAL units (the 6dp quantum must exceed the
+    ulp); min/max stay exact scaled integers.
 
     Plan: stage 1 is one scan groupBy(year) with map-side partial agg
     (the partials are what an ingest pipeline would PERSIST per
@@ -2176,11 +2190,13 @@ def q_lineitem_profile_moment_merge(
         stats += [
             f"'{c}'",
             f"CAST(n_rows - c_{t} AS BIGINT)",
-            f"ROUND(CAST(s_{t} AS DOUBLE) / c_{t}, 6)",
+            f"ROUND(CAST(s_{t} AS DOUBLE) / c_{t} / 100, 6)",
+            # Exact-integer variance numerator, one cast, one divide —
+            # see _mm_stats_sql for why (ulp-level cross-engine
+            # divergence at sf0.1 with the double-products form).
             (
-                f"ROUND((c_{t} * CAST(s2_{t} AS DOUBLE) "
-                f"- CAST(s_{t} AS DOUBLE) * CAST(s_{t} AS DOUBLE)) "
-                f"/ (CAST(c_{t} AS DOUBLE) * (c_{t} - 1)), 6)"
+                f"ROUND(CAST(c_{t} * s2_{t} - s_{t} * s_{t} AS DOUBLE) "
+                f"/ (CAST(c_{t} * (c_{t} - 1) AS DOUBLE) * 10000), 6)"
             ),
             f"CAST(mn_{t} AS BIGINT)",
             f"CAST(mx_{t} AS BIGINT)",
@@ -2188,7 +2204,7 @@ def q_lineitem_profile_moment_merge(
     return merged.select(
         F.expr(
             f"stack({len(_MM_COLS)}, {', '.join(stats)}) AS "
-            "(column_name, n_nulls, mean_scaled, var_scaled, "
+            "(column_name, n_nulls, mean_value, var_value, "
             "min_scaled, max_scaled)"
         )
     )
