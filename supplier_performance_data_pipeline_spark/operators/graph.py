@@ -205,6 +205,7 @@ def incremental_components(
     b_col: str = "doc_b",
     stats_out: dict | None = None,
     broadcast_remap: bool = True,
+    materialize_old: bool = True,
 ) -> DataFrame:
     """(``id``, ``component``) for the whole corpus after a batch
     lands, re-converging ONLY the affected subgraph — the incremental
@@ -248,7 +249,19 @@ def incremental_components(
     a, b = F.col(a_col), F.col(b_col)
     old = old_labels.select(
         F.col("id").alias("__oid"), F.col("component").alias("__oc")
-    ).localCheckpoint()
+    )
+    # The label table feeds FOUR consumers (both endpoint contractions,
+    # the relabel pass, the root anti-join). When it arrives COMPUTED
+    # (e.g. a just-run doc_components, as in the registered replay),
+    # truncate once or the full CC recomputes per consumer. When it is
+    # a READ of the stored COMPONENT table — the production case, and
+    # corpus-sized at 100 TB — pass materialize_old=False: re-scanning
+    # a parquet table four times is cheap and pruned, while
+    # localCheckpointing it would copy the whole corpus's labels onto
+    # executor storage for no benefit (same trade as quantile_blocks'
+    # materialize knob).
+    if materialize_old:
+        old = old.localCheckpoint()
     la = old.select(F.col("__oid").alias(a_col), F.col("__oc").alias("__ca"))
     lb = old.select(F.col("__oid").alias(b_col), F.col("__oc").alias("__cb"))
     contracted = (
