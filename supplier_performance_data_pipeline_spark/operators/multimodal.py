@@ -211,21 +211,29 @@ def encode_png(arr) -> bytes:
 
 
 def decode_png(payload: bytes):
-    """(H, W, 3) uint8 array from an 8-bit truecolor PNG.
+    """(H, W, 3) uint8 array from an 8-bit PNG (grayscale, truecolor,
+    or truecolor+alpha — color types 0 / 2 / 6, which together cover
+    essentially all real-world non-palette PNGs).
 
     Real decode, stdlib only: signature check, chunk walk with CRC32
     verified per chunk (a flipped container byte fails loudly, never
     shears pixels), multi-IDAT concatenation (the stream may be split
     at ANY byte boundary), zlib.decompress, then per-scanline
-    unfiltering of the five spec filters. Honest plug-points, each a
-    documented trap rather than a silent wrong answer:
+    unfiltering of the five spec filters at the color type's
+    bytes-per-pixel (the Sub/Average/Paeth left-neighbor offset IS
+    bpp — unfiltering an RGBA stream at bpp=3 would shear every
+    channel, which the system-file test would catch). Output
+    normalizes to RGB: grayscale replicates the single channel;
+    RGBA drops the alpha plane (PNG alpha is NOT premultiplied, so
+    the RGB samples are unchanged by the drop — documented, not
+    silent). Honest plug-points, each a documented trap rather than
+    a silent wrong answer:
 
     - interlace=1 (Adam7) raises NotImplementedError — the seven-pass
       pixel shuffle reorders scanlines, so treating the stream as
       sequential would produce plausible-looking garbage;
-    - bit depth != 8 and color types other than 2 (grayscale,
-      palette, alpha) raise NotImplementedError — palette needs PLTE
-      indirection, 16-bit needs big-endian sample pairs.
+    - bit depth != 8, palette (color type 3, needs PLTE indirection),
+      and gray+alpha (type 4) raise NotImplementedError.
 
     Unfiltering is sequential by construction (Sub/Average/Paeth
     predict from the RECONSTRUCTED left neighbor), so the inner loop
@@ -265,11 +273,12 @@ def decode_png(payload: bytes):
                     "scanline reorder — sequential unfiltering would "
                     "silently shear; plug in a full decoder here)"
                 )
-            if depth != 8 or color != 2:
+            if depth != 8 or color not in (0, 2, 6):
                 raise NotImplementedError(
                     f"PNG bit depth {depth} / color type {color} "
-                    "unsupported (only 8-bit truecolor; palette needs "
-                    "PLTE indirection, 16-bit needs sample pairs)"
+                    "unsupported (8-bit gray/truecolor/RGBA only; "
+                    "palette needs PLTE indirection, 16-bit needs "
+                    "sample pairs)"
                 )
             if comp != 0 or filt_m != 0:
                 raise ValueError("invalid PNG compression/filter method")
@@ -279,7 +288,8 @@ def decode_png(payload: bytes):
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    stride = w * 3
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * bpp
     flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if flat.size != h * (stride + 1):
         raise ValueError(
@@ -288,7 +298,7 @@ def decode_png(payload: bytes):
         )
     lines = flat.reshape(h, stride + 1)
     recon = np.zeros((h, stride), dtype=np.uint8)
-    zeros3 = np.zeros(3, dtype=np.int64)
+    zeros_px = np.zeros(bpp, dtype=np.int64)
     for r in range(h):
         f = int(lines[r, 0])
         cur = lines[r, 1:].astype(np.int64)
@@ -301,29 +311,36 @@ def decode_png(payload: bytes):
             rec = cur
         elif f == 1:
             # Sub unrolls to a per-channel prefix sum: rec[p] =
-            # (cur[p] + rec[p-1]) mod 256 == cumsum(cur) mod 256 —
+            # (cur[p] + rec[p-bpp]) mod 256 == cumsum(cur) mod 256 —
             # exact in int64, vectorized whole-row.
-            rec = np.cumsum(cur.reshape(w, 3), axis=0).reshape(stride) % 256
+            rec = (
+                np.cumsum(cur.reshape(w, bpp), axis=0).reshape(stride) % 256
+            )
         elif f == 2:
             rec = (cur + prev) % 256
         elif f in (3, 4):
             # Average/Paeth predict from the RECONSTRUCTED left pixel,
             # a true sequential dependency — walk pixels left-to-right,
-            # vectorized over the 3 channels.
+            # vectorized over the bpp channels.
             rec = np.zeros(stride, dtype=np.int64)
-            for i in range(0, stride, 3):
-                left = rec[i - 3 : i] if i else zeros3
-                up = prev[i : i + 3]
-                ul = prev[i - 3 : i] if i else zeros3
+            for i in range(0, stride, bpp):
+                left = rec[i - bpp : i] if i else zeros_px
+                up = prev[i : i + bpp]
+                ul = prev[i - bpp : i] if i else zeros_px
                 if f == 3:
                     pred = (left + up) // 2
                 else:
                     pred = _paeth(left, up, ul)
-                rec[i : i + 3] = (cur[i : i + 3] + pred) % 256
+                rec[i : i + bpp] = (cur[i : i + bpp] + pred) % 256
         else:
             raise ValueError(f"invalid PNG filter type {f}")
         recon[r] = rec.astype(np.uint8)
-    return recon.reshape(h, w, 3)
+    px = recon.reshape(h, w, bpp)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
 
 
 def resize_rgb_nearest(arr, target_w: int, target_h: int):

@@ -163,12 +163,101 @@ def test_png_unsupported_shapes_raise_honestly():
         )
 
     sig = b"\x89PNG\r\n\x1a\n"
-    for depth, color, interlace in [(8, 2, 1), (16, 2, 0), (8, 3, 0), (8, 6, 0)]:
+    # interlaced, 16-bit, palette, gray+alpha — NOT color types 0/6,
+    # which decode for real (see the coverage tests below).
+    for depth, color, interlace in [(8, 2, 1), (16, 2, 0), (8, 3, 0), (8, 4, 0)]:
         ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
         with pytest.raises(NotImplementedError):
             m.decode_png(sig + chunk(b"IHDR", ihdr))
     with pytest.raises(ValueError, match="signature"):
         m.decode_png(b"NOPE" + b"\x00" * 16)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def test_png_rgba_unfilters_at_bpp4_and_drops_alpha():
+    """Color type 6 must unfilter at bpp=4 (an Up-filtered RGBA row
+    reconstructed at bpp=3 would shear every channel) and then drop
+    the alpha plane — lossless for RGB because PNG alpha is not
+    premultiplied. The fixture is hand-built so the expected pixels
+    are computable without our encoder."""
+    m = _codec()
+    w, h = 5, 4
+    raw = np.arange(w * h * 4, dtype=np.uint8).reshape(h, w * 4)
+    stream, recon = bytearray(), np.zeros((h, w * 4), dtype=np.int64)
+    for r in range(h):
+        if r == 0:
+            stream.append(0)
+            stream += raw[r].tobytes()
+            recon[r] = raw[r]
+        else:
+            stream.append(2)  # Up
+            filt = (raw[r].astype(np.int64) - recon[r - 1]) % 256
+            stream += filt.astype(np.uint8).tobytes()
+            recon[r] = (filt + recon[r - 1]) % 256
+    pl = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _chunk(b"IEND", b"")
+    )
+    got = m.decode_png(pl)
+    assert (got == raw.reshape(h, w, 4)[:, :, :3]).all()
+
+
+def test_png_grayscale_replicates_to_rgb():
+    m = _codec()
+    g = np.array([[7, 9], [250, 3]], dtype=np.uint8)
+    stream = bytearray()
+    for r in range(2):
+        stream.append(0)
+        stream += g[r].tobytes()
+    pl = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _chunk(b"IEND", b"")
+    )
+    got = m.decode_png(pl)
+    assert (got == np.repeat(g[:, :, None], 3, axis=2)).all()
+
+
+def test_png_decodes_real_rgba_and_grayscale_files():
+    """Independent-encoder coverage of color types 0 and 6: decode
+    libpng-produced system files (adaptive filters at bpp 1 and 4),
+    re-encode the RGB projection with our type-2 encoder, re-decode —
+    must be pixel-stable. Skips where the host has no fixtures."""
+    m = _codec()
+    found = {0: None, 6: None}
+    for p in sorted(glob.glob("/usr/share/doc/**/*.png", recursive=True)):
+        try:
+            b = open(p, "rb").read()
+        except OSError:
+            continue
+        if len(b) > 33 and b[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, d, c, _, _, i = struct.unpack(">IIBBBBB", b[16:29])
+            if d == 8 and i == 0 and c in found and found[c] is None \
+                    and w * h <= 200_000:
+                found[c] = b
+        if all(found.values()):
+            break
+    checked = 0
+    for c, b in found.items():
+        if b is None:
+            continue
+        a = m.decode_png(b)
+        assert a.ndim == 3 and a.shape[2] == 3 and a.size > 0
+        assert (m.decode_png(m.encode_png(a)) == a).all()
+        checked += 1
+    if not checked:
+        pytest.skip("no 8-bit type-0/6 PNG fixtures on this host")
 
 
 def test_png_decodes_real_libpng_output():
