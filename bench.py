@@ -278,6 +278,7 @@ HEADLINE = [
     "dedup_components_incremental",
     "lineitem_profile_moment_merge",
     "lsh_bucket_size_histogram",
+    "ann_index_incremental_add",
 ]
 
 

@@ -509,6 +509,72 @@ def ivfpq_index_write(
     write_parquet(pq, os.path.join(path, "pq_centroids"))
 
 
+def ivfpq_index_append(
+    new_emb: DataFrame,
+    path: str,
+    m: int = 4,
+    dim: int = DIM_DEFAULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    segment: str = "codes_incr",
+) -> None:
+    """INCREMENTAL ingest into a persisted IVF-PQ index — the ANN leg
+    of the round-10 incremental-maintenance triad (components,
+    profile, vectors): when a batch of new embeddings lands, the
+    stored codebooks are FROZEN, so ingest is encode-only — one
+    broadcast-argmin projection over the BATCH (coarse code + m PQ
+    codes per row, the same single-projection shape as the full
+    build), written as a separate code SEGMENT next to the base
+    ``codes`` table. No retraining, no touch of the existing codes:
+    per-ingest cost is O(batch), not O(index), which is what keeps a
+    continuously-growing vector corpus affordable — and because codes
+    are a pure per-row function of the frozen codebooks, the union of
+    segments is BIT-IDENTICAL to what a from-scratch full encode
+    would store (the registered replay proves it against the
+    full-build oracle). Segments are the standard LSM-ish layout
+    (compaction = rewrite segments into ``codes``; optional). The
+    codebook-drift question — when enough distribution shift
+    accumulates that frozen codebooks hurt recall — is the retrain
+    trigger, and ``ann_ivfpq_recall_audit`` is the dial that answers
+    it."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_parquet,
+    )
+
+    spark = new_emb.sparkSession
+    d_sub = dim // m
+    co_cent = spark.read.parquet(os.path.join(path, "coarse_centroids"))
+    pq_cent = spark.read.parquet(os.path.join(path, "pq_centroids"))
+    base = new_emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
+    )
+    enc = base.crossJoin(
+        F.broadcast(_to_1row(co_cent).withColumnRenamed("cents", "co"))
+    )
+    for s in range(m):
+        enc = enc.crossJoin(
+            F.broadcast(
+                _to_1row(
+                    pq_cent.filter(F.col("sub") == s).select("cluster", "cv")
+                ).withColumnRenamed("cents", f"ce{s}")
+            )
+        )
+    codes = enc.select(
+        "vec_id",
+        _subspace_code_expr("co", 0, dim).cast("int").alias("coarse"),
+        *[
+            _subspace_code_expr(f"ce{s}", s * d_sub, d_sub)
+            .cast("int")
+            .alias(f"c{s}")
+            for s in range(m)
+        ],
+    )
+    write_parquet(codes, os.path.join(path, segment))
+
+
 def ivfpq_adc_from_index(
     spark,
     path: str,
@@ -516,6 +582,7 @@ def ivfpq_adc_from_index(
     topk: int = 5,
     m: int = 4,
     dim: int = DIM_DEFAULT,
+    segments: tuple[str, ...] = ("codes",),
 ) -> DataFrame:
     """SERVE top-k ANN from a PERSISTED index (``ivfpq_index_write``'s
     layout) — raw vectors never load: the query set (query_id, v)
@@ -525,7 +592,16 @@ def ivfpq_adc_from_index(
     over the m code columns. The scan reads (vec_id, coarse, c0..cm)
     only — the memory-bandwidth shape that makes the stored index
     worth having."""
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    # ``segments`` lists the code tables to serve over — ("codes",)
+    # for a freshly-built index, plus any incremental-ingest segments
+    # (``ivfpq_index_append``). Per-segment scans union BEFORE the
+    # coarse filter, so each still prunes to the (vec_id, coarse,
+    # c0..cm) columns.
+    codes = spark.read.parquet(os.path.join(path, segments[0]))
+    for seg in segments[1:]:
+        codes = codes.unionByName(
+            spark.read.parquet(os.path.join(path, seg))
+        )
     co_cent = spark.read.parquet(os.path.join(path, "coarse_centroids"))
     pq_cent = spark.read.parquet(os.path.join(path, "pq_centroids"))
     d_sub = dim // m

@@ -1789,6 +1789,96 @@ q_ann_index_persist_roundtrip.__doc__ = (
 )
 
 
+# Incremental-ingest replay: the batch is carved from the NON-sampled
+# vectors (md5 >= THR, then an independent 1-in-10 cut), so the frozen
+# codebooks trained on the md5 sample are IDENTICAL whether the batch
+# is present or not — which is exactly what makes the full-build
+# oracle reusable verbatim as the equality proof.
+IVFPQ_INCR_SALT = "ivfpq-incr|"
+IVFPQ_INCR_MOD = 10
+
+
+@register(
+    "ann_index_incremental_add",
+    oracle=_ivfpq_sampled_oracle(
+        IVFPQ_NQ, IVFPQ_TOPK, PQ_M, PQ_K, K_DEFAULT, ITERS_DEFAULT,
+        _PQ_DSUB, IVFPQ_SMP_SALT, IVFPQ_SMP_MOD, IVFPQ_SMP_THR,
+    ),
+)
+def q_ann_index_incremental_add(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL ANN ingest — the vector leg of the round-10
+    incremental-maintenance triad (components / profile / vectors):
+    build + persist the IVF-PQ index WITHOUT a held-out batch (~7.5%
+    of vectors: non-sampled md5 bucket, then a 1-in-10 cut with an
+    independent salt), then land the batch with
+    ``ivfpq_index_append`` — encode-only against the STORED frozen
+    codebooks, one broadcast-argmin projection over the batch, written
+    as a separate code segment; no retraining, no touch of existing
+    codes, per-ingest cost O(batch) not O(index). Serving reads the
+    segment union. The oracle is ``ann_index_persist_roundtrip``'s
+    full-build chain VERBATIM: the batch is disjoint from the
+    deterministic training sample by construction, so the frozen
+    codebooks match the full build's exactly, and since PQ codes are a
+    pure per-row function of the codebooks, segment-union serving must
+    be BIT-IDENTICAL to serving the from-scratch index — the driver
+    hash is the equality proof, same pattern as
+    ``dedup_components_incremental`` and
+    ``lineitem_profile_moment_merge``."""
+    import tempfile
+
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_adc_from_index,
+        ivfpq_index_append,
+        ivfpq_index_write,
+    )
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        _as_double,
+    )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+    )
+
+    sweep_stale_artifacts(tempfile.gettempdir(), "spark_graft_ann_incr_")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ann_incr_{spark.sparkContext.applicationId}",
+    )
+    emb = _embeddings(spark, sf_dir)
+    in_sample = (
+        md5_mod(F.col("vec_id"), IVFPQ_SMP_SALT, IVFPQ_SMP_MOD)
+        < IVFPQ_SMP_THR
+    )
+    is_batch = (~in_sample) & (
+        md5_mod(F.col("vec_id"), IVFPQ_INCR_SALT, IVFPQ_INCR_MOD) == 0
+    )
+    ivfpq_index_write(
+        emb.filter(~is_batch),
+        path,
+        sample_salt=IVFPQ_SMP_SALT,
+        sample_mod=IVFPQ_SMP_MOD,
+        sample_thr=IVFPQ_SMP_THR,
+        m=PQ_M,
+        k_pq=PQ_K,
+        k_coarse=K_DEFAULT,
+        iters=ITERS_DEFAULT,
+        dim=DIM,
+    )
+    ivfpq_index_append(emb.filter(is_batch), path, m=PQ_M, dim=DIM)
+    queries = emb.filter(F.col("vec_id") < IVFPQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    return ivfpq_adc_from_index(
+        spark, path, queries, topk=IVFPQ_TOPK, m=PQ_M, dim=DIM,
+        segments=("codes", "codes_incr"),
+    )
+
+
 # --- Johnson-Lindenstrauss random-projection distortion audit ----------------
 
 JL_M = 16  # target dimensionality
