@@ -507,6 +507,40 @@ def ivfpq_index_write(
             sub_cents[s].select(F.lit(s).alias("sub"), "cluster", "cv")
         )
     write_parquet(pq, os.path.join(path, "pq_centroids"))
+    _write_segment_manifest(emb.sparkSession, path, ["codes"])
+
+
+SEGMENT_MANIFEST = "segments_manifest"
+
+
+def _read_segment_manifest(spark, path: str) -> list[str]:
+    """The index's segment list, in landing order. The manifest is the
+    single source of truth for WHICH code tables make up the index —
+    serving that enumerates segments by convention instead silently
+    drops appended vectors (the r10 ADVICE data-loss class). Bounded:
+    one row per segment, collected to the driver (segment counts are
+    ops-bounded — compaction exists precisely to keep this small).
+    Pre-manifest indexes (or a bare codes dir) read as ["codes"]."""
+    try:
+        rows = spark.read.parquet(
+            os.path.join(path, SEGMENT_MANIFEST)
+        ).collect()
+    except Exception:
+        return ["codes"]
+    return [r.segment for r in sorted(rows, key=lambda r: r.seq)]
+
+
+def _write_segment_manifest(spark, path: str, segments: list[str]) -> None:
+    # The list is fully materialized driver-side before the overwrite,
+    # so read-then-rewrite of the same path never races its own scan.
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(segments)], "seq int, segment string"
+    )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_parquet,
+    )
+
+    write_parquet(df, os.path.join(path, SEGMENT_MANIFEST), coalesce=1)
 
 
 def ivfpq_index_append(
@@ -516,8 +550,8 @@ def ivfpq_index_append(
     dim: int = DIM_DEFAULT,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    segment: str = "codes_incr",
-) -> None:
+    segment: str | None = None,
+) -> str:
     """INCREMENTAL ingest into a persisted IVF-PQ index — the ANN leg
     of the round-10 incremental-maintenance triad (components,
     profile, vectors): when a batch of new embeddings lands, the
@@ -531,12 +565,22 @@ def ivfpq_index_append(
     are a pure per-row function of the frozen codebooks, the union of
     segments is BIT-IDENTICAL to what a from-scratch full encode
     would store (the registered replay proves it against the
-    full-build oracle). Segments are the standard LSM-ish layout
-    (compaction = rewrite segments into ``codes``; optional). The
-    codebook-drift question — when enough distribution shift
-    accumulates that frozen codebooks hurt recall — is the retrain
-    trigger, and ``ann_ivfpq_recall_audit`` is the dial that answers
-    it."""
+    full-build oracle). Segments are the standard LSM-ish layout;
+    ``ivfpq_index_compact`` folds them back into one generation when
+    the fan-out grows. The codebook-drift question — when enough
+    distribution shift accumulates that frozen codebooks hurt recall —
+    is the retrain trigger: ``ann_codebook_retrain_trigger`` emits the
+    decision row and ``ann_ivfpq_recall_audit`` is the standing dial.
+
+    Segment identity is MANIFEST-tracked (r10 ADVICE): with
+    ``segment=None`` (default) a fresh ``codes_seg{NNNN}`` name is
+    derived from the manifest, so a second append can never overwrite
+    the first's codes; an explicit name already present in the
+    manifest raises instead of silently clobbering. The manifest is
+    rewritten with the new segment appended, and manifest-default
+    serving (``ivfpq_adc_from_index(segments=None)``) picks it up
+    without the caller enumerating anything. Returns the segment name
+    actually written."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     from supplier_performance_data_pipeline_spark.sources.writers import (
@@ -544,6 +588,18 @@ def ivfpq_index_append(
     )
 
     spark = new_emb.sparkSession
+    segs = _read_segment_manifest(spark, path)
+    if segment is None:
+        n = 0
+        while f"codes_seg{n:04d}" in segs:
+            n += 1
+        segment = f"codes_seg{n:04d}"
+    elif segment in segs:
+        raise ValueError(
+            f"segment {segment!r} already exists in the index manifest at "
+            f"{path} — appending would overwrite its codes; pass a fresh "
+            "name or let segment=None derive one"
+        )
     d_sub = dim // m
     co_cent = spark.read.parquet(os.path.join(path, "coarse_centroids"))
     pq_cent = spark.read.parquet(os.path.join(path, "pq_centroids"))
@@ -573,6 +629,50 @@ def ivfpq_index_append(
         ],
     )
     write_parquet(codes, os.path.join(path, segment))
+    _write_segment_manifest(spark, path, segs + [segment])
+    return segment
+
+
+def ivfpq_index_compact(spark, path: str) -> str:
+    """COMPACTION for the LSM-ish segment layout (r10 VERDICT #3):
+    rewrite every manifest segment's codes into ONE new-generation
+    table and swap the manifest to it. After N appends the serving
+    union fans out over N scans and per-segment parquet footer
+    pruning degrades; compaction restores the single-table layout.
+
+    Codes are NEVER recomputed — the rewrite is a pure scan+union+
+    write of the (vec_id, coarse, c0..cm) small-int columns, so
+    serving from the compacted generation is BIT-EQUAL to serving the
+    segment union by the same frozen-codebook argument as the append
+    path (the registered ``ann_index_compaction`` replay proves it
+    against the full-build oracle). Cost is O(index-rewrite) — m+1
+    small ints per vector, the compressed layout, NOT the raw vectors
+    — paid once and amortized over all the appends it folds.
+
+    Swap order is crash-safe for readers: the new generation is fully
+    written BEFORE the manifest flips to it; a reader that raced the
+    flip still sees the complete old segment list. Old segment dirs
+    are left on disk for an external sweep (same artifact-sweep
+    discipline as the registered temp-index queries) — deleting data
+    files inline would race in-flight scans. Returns the new
+    generation's segment name."""
+    segs = _read_segment_manifest(spark, path)
+    if len(segs) == 1:
+        return segs[0]
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_parquet,
+    )
+
+    n = 1
+    while f"codes_g{n:04d}" in segs:
+        n += 1
+    gen = f"codes_g{n:04d}"
+    codes = spark.read.parquet(os.path.join(path, segs[0]))
+    for seg in segs[1:]:
+        codes = codes.unionByName(spark.read.parquet(os.path.join(path, seg)))
+    write_parquet(codes, os.path.join(path, gen))
+    _write_segment_manifest(spark, path, [gen])
+    return gen
 
 
 def ivfpq_adc_from_index(
@@ -582,7 +682,7 @@ def ivfpq_adc_from_index(
     topk: int = 5,
     m: int = 4,
     dim: int = DIM_DEFAULT,
-    segments: tuple[str, ...] = ("codes",),
+    segments: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """SERVE top-k ANN from a PERSISTED index (``ivfpq_index_write``'s
     layout) — raw vectors never load: the query set (query_id, v)
@@ -592,11 +692,15 @@ def ivfpq_adc_from_index(
     over the m code columns. The scan reads (vec_id, coarse, c0..cm)
     only — the memory-bandwidth shape that makes the stored index
     worth having."""
-    # ``segments`` lists the code tables to serve over — ("codes",)
-    # for a freshly-built index, plus any incremental-ingest segments
-    # (``ivfpq_index_append``). Per-segment scans union BEFORE the
-    # coarse filter, so each still prunes to the (vec_id, coarse,
-    # c0..cm) columns.
+    # ``segments`` lists the code tables to serve over; the default
+    # (None) reads the index's segment MANIFEST — the authoritative
+    # list ``ivfpq_index_write`` / ``_append`` / ``_compact`` maintain
+    # — so serving can never silently drop an appended segment (r10
+    # ADVICE). An explicit tuple is honored for surgical reads.
+    # Per-segment scans union BEFORE the coarse filter, so each still
+    # prunes to the (vec_id, coarse, c0..cm) columns.
+    if segments is None:
+        segments = tuple(_read_segment_manifest(spark, path))
     codes = spark.read.parquet(os.path.join(path, segments[0]))
     for seg in segments[1:]:
         codes = codes.unionByName(

@@ -1873,9 +1873,93 @@ def q_ann_index_incremental_add(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("v"),
     )
+    # segments=None: serving reads the MANIFEST the append maintained —
+    # the caller never enumerates segment names (r10 ADVICE: convention
+    # -based enumeration silently dropped appended vectors).
     return ivfpq_adc_from_index(
         spark, path, queries, topk=IVFPQ_TOPK, m=PQ_M, dim=DIM,
-        segments=("codes", "codes_incr"),
+    )
+
+
+@register(
+    "ann_index_compaction",
+    oracle=_ivfpq_sampled_oracle(
+        IVFPQ_NQ, IVFPQ_TOPK, PQ_M, PQ_K, K_DEFAULT, ITERS_DEFAULT,
+        _PQ_DSUB, IVFPQ_SMP_SALT, IVFPQ_SMP_MOD, IVFPQ_SMP_THR,
+    ),
+)
+def q_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT COMPACTION for the LSM-ish ANN index (r10 VERDICT #3)
+    proved end-to-end: build + persist the index without the held-out
+    batch (same carve as ``ann_index_incremental_add``), land the
+    batch with ``ivfpq_index_append`` (manifest-tracked auto-named
+    segment), then ``ivfpq_index_compact`` — scan the segment union's
+    (vec_id, coarse, c0..cm) small-int columns ONCE, rewrite them as
+    a single new-generation table, flip the manifest — and serve the
+    top-k queries from the COMPACTED index via manifest-default
+    segments. Codes are never recomputed, so the result must be
+    BIT-IDENTICAL to the from-scratch full build: the oracle is
+    ``ann_index_persist_roundtrip``'s chain VERBATIM and the driver
+    hash is the equality proof (serve-from-compacted ==
+    serve-from-segments == full build). Why it matters at 100 TB:
+    appends are O(batch) but unbounded append count degrades serving
+    (N-segment scan fan-out, weaker per-file footer pruning);
+    compaction is the O(index-rewrite) fold — over the m+1 small-int
+    compressed layout, never the raw vectors — that restores the
+    single-table scan, paid once and amortized over all folded
+    appends (ANN_SF1's compact term records the cost ratio)."""
+    import tempfile
+
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_adc_from_index,
+        ivfpq_index_append,
+        ivfpq_index_compact,
+        ivfpq_index_write,
+    )
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        _as_double,
+    )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+    )
+
+    sweep_stale_artifacts(tempfile.gettempdir(), "spark_graft_ann_compact_")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ann_compact_{spark.sparkContext.applicationId}",
+    )
+    emb = _embeddings(spark, sf_dir)
+    in_sample = (
+        md5_mod(F.col("vec_id"), IVFPQ_SMP_SALT, IVFPQ_SMP_MOD)
+        < IVFPQ_SMP_THR
+    )
+    is_batch = (~in_sample) & (
+        md5_mod(F.col("vec_id"), IVFPQ_INCR_SALT, IVFPQ_INCR_MOD) == 0
+    )
+    ivfpq_index_write(
+        emb.filter(~is_batch),
+        path,
+        sample_salt=IVFPQ_SMP_SALT,
+        sample_mod=IVFPQ_SMP_MOD,
+        sample_thr=IVFPQ_SMP_THR,
+        m=PQ_M,
+        k_pq=PQ_K,
+        k_coarse=K_DEFAULT,
+        iters=ITERS_DEFAULT,
+        dim=DIM,
+    )
+    ivfpq_index_append(emb.filter(is_batch), path, m=PQ_M, dim=DIM)
+    gen = ivfpq_index_compact(spark, path)
+    queries = emb.filter(F.col("vec_id") < IVFPQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    return ivfpq_adc_from_index(
+        spark, path, queries, topk=IVFPQ_TOPK, m=PQ_M, dim=DIM,
+        segments=(gen,),
     )
 
 

@@ -1,0 +1,135 @@
+"""Round-11 operator tests: the ANN segment manifest + compaction
+(r10 VERDICT #3 / the r10 ADVICE append data-loss class)."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+DIM = 8
+M = 2
+
+
+def _emb(spark, n, start=0, shift=0.0):
+    rows = [
+        (
+            start + i,
+            [float((i * 7 + d * 3) % 13) + shift for d in range(DIM)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _build(spark, tmp, n=60):
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_index_write,
+    )
+
+    path = os.path.join(tmp, "idx")
+    ivfpq_index_write(
+        _emb(spark, n),
+        path,
+        sample_mod=10,
+        sample_thr=10,  # all rows train: tiny fixture
+        m=M,
+        k_pq=4,
+        k_coarse=2,
+        iters=1,
+        dim=DIM,
+    )
+    return path
+
+
+def _serve(spark, path, queries, segments=None):
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_adc_from_index,
+    )
+
+    df = ivfpq_adc_from_index(
+        spark, path, queries, topk=3, m=M, dim=DIM, segments=segments
+    )
+    return sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_dist) for r in df.collect()
+    )
+
+
+def test_append_auto_names_unique_segments_and_manifest_serves_all(spark):
+    """r10 ADVICE (medium): two appends with the default segment name
+    used to silently overwrite each other. Now each append derives a
+    fresh manifest-tracked name, and manifest-default serving sees
+    every appended vector without the caller enumerating segments."""
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        _read_segment_manifest,
+        ivfpq_index_append,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _build(spark, tmp)
+        s1 = ivfpq_index_append(
+            _emb(spark, 5, start=100), path, m=M, dim=DIM
+        )
+        s2 = ivfpq_index_append(
+            _emb(spark, 5, start=200), path, m=M, dim=DIM
+        )
+        assert s1 != s2
+        assert _read_segment_manifest(spark, path) == ["codes", s1, s2]
+        q = _emb(spark, 1).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("v")
+        )
+        served_ids = {t[2] for t in _serve(spark, path, q)}
+        # Explicit single-segment serving of each append proves both
+        # batches' codes exist on disk independently (no overwrite).
+        ids1 = {t[2] for t in _serve(spark, path, q, segments=(s1,))}
+        ids2 = {t[2] for t in _serve(spark, path, q, segments=(s2,))}
+        assert ids1 and all(100 <= i < 105 for i in ids1)
+        assert ids2 and all(200 <= i < 205 for i in ids2)
+        # Manifest-default serving ranks over the full union.
+        full = _serve(
+            spark, path, q, segments=("codes", s1, s2)
+        )
+        assert _serve(spark, path, q) == full
+        assert served_ids  # non-empty
+
+
+def test_append_refuses_explicit_duplicate_segment(spark):
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_index_append,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _build(spark, tmp)
+        ivfpq_index_append(
+            _emb(spark, 5, start=100), path, m=M, dim=DIM, segment="seg_a"
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            ivfpq_index_append(
+                _emb(spark, 5, start=200), path, m=M, dim=DIM,
+                segment="seg_a",
+            )
+
+
+def test_compaction_serves_bit_equal_and_flips_manifest(spark):
+    """r10 VERDICT #3: compaction rewrites segments into one
+    generation; codes unchanged => serving bit-equal to the segment
+    union, manifest flips to the single generation."""
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        _read_segment_manifest,
+        ivfpq_index_append,
+        ivfpq_index_compact,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _build(spark, tmp)
+        ivfpq_index_append(_emb(spark, 7, start=100), path, m=M, dim=DIM)
+        ivfpq_index_append(_emb(spark, 7, start=200), path, m=M, dim=DIM)
+        q = _emb(spark, 2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("v")
+        )
+        before = _serve(spark, path, q)
+        gen = ivfpq_index_compact(spark, path)
+        assert _read_segment_manifest(spark, path) == [gen]
+        assert _serve(spark, path, q) == before
+        # idempotent: single-segment index compacts to itself
+        assert ivfpq_index_compact(spark, path) == gen
