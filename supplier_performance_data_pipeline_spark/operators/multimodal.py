@@ -809,8 +809,23 @@ def decode_avi(payload: bytes):
 
 VIDEO_STATS_SCHEMA = (
     "media_id long, n_frames int, width int, height int, "
-    "px_sum long, px_wsum long, px_mean double"
+    "px_sum long, px_wsum long"
 )
+
+# px_mean as EXACT arithmetic (r10 ADVICE): floor-scale the mean to
+# micro-units in int64 (px_sum * 1e6 div npx — both engines' integer
+# floor division on positives), then one IEEE division by 1e6. No
+# engine ROUND and no Python round() anywhere on the path, so there is
+# no half-even-vs-half-up tie to diverge on: every step is bit-exact
+# in both arms (the int fits 2^53 so the final division is correctly
+# rounded in both). int64-safe while px_sum < 9.2e12, i.e. any payload
+# under ~3.6e10 pixel-channels. The matching DuckDB text is
+# (px_sum * 1000000 // npx) / 1e6.
+def _px_mean_micro(npx_sql: str) -> str:
+    return (
+        f"CASE WHEN {npx_sql} > 0 "
+        f"THEN (px_sum * 1000000L div ({npx_sql})) / 1e6 ELSE 0.0D END"
+    )
 
 
 def video_frame_stats(media: DataFrame) -> DataFrame:
@@ -820,15 +835,18 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
     (px_sum = Σv; px_wsum = Σ(gi+1)·v with gi the LOGICAL top-down-RGB
     global index f·H·W·3 + k — position-weighted so any frame
     reorder, row flip, channel swap, or stride shear changes the
-    value) with one rounded division at the edge (px_mean). Scale:
-    pure projection — no shuffle; payloads never leave the executor."""
+    value); px_mean is derived OUTSIDE Python from the exact integers
+    (``_px_mean_micro`` — floor-scaled micro-units, no engine ROUND),
+    so the r10-ADVICE half-even-vs-half-up tie class cannot occur.
+    Scale: pure projection — no shuffle; payloads never leave the
+    executor."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in (
                 "media_id", "n_frames", "width", "height",
-                "px_sum", "px_wsum", "px_mean",
+                "px_sum", "px_wsum",
             )}
             for _, row in pdf.iterrows():
                 payload = (
@@ -846,17 +864,17 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
                 out["px_wsum"].append(
                     int(((np.arange(npx, dtype=np.int64) + 1) * flat).sum())
                 )
-                out["px_mean"].append(
-                    round(float(flat.sum()) / npx, 6) if npx else 0.0
-                )
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=VIDEO_STATS_SCHEMA)
+    return media.mapInPandas(run, schema=VIDEO_STATS_SCHEMA).withColumn(
+        "px_mean",
+        F.expr(_px_mean_micro("CAST(n_frames AS BIGINT) * width * height * 3")),
+    )
 
 
 IMAGE_STATS_SCHEMA = (
     "media_id long, mime string, width int, height int, "
-    "npx long, px_sum long, px_wsum long, px_mean double"
+    "npx long, px_sum long, px_wsum long"
 )
 
 
@@ -869,17 +887,19 @@ def image_pixel_checksums(media: DataFrame) -> DataFrame:
     position-weighted px_wsum = Σ(i+1)·v over the row-major
     interleaved stream, so any row flip, channel swap, or filter
     mis-unfilter changes the value (a plain sum would forgive
-    permutations); px_mean is the one rounded division at the edge.
-    int64-safe while 255·n²/2 < 2^63, i.e. any image under ~2.7e8
-    pixel-channels. Scale: pure projection — no shuffle; payloads
-    never leave the executor."""
+    permutations); px_mean is derived OUTSIDE Python from the exact
+    integers (``_px_mean_micro`` — floor-scaled micro-units, no
+    engine ROUND and no Python round(), killing the r10-ADVICE
+    half-even-vs-half-up tie class). int64-safe while 255·n²/2 < 2^63,
+    i.e. any image under ~2.7e8 pixel-channels. Scale: pure
+    projection — no shuffle; payloads never leave the executor."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in (
                 "media_id", "mime", "width", "height",
-                "npx", "px_sum", "px_wsum", "px_mean",
+                "npx", "px_sum", "px_wsum",
             )}
             for _, row in pdf.iterrows():
                 payload = (
@@ -899,12 +919,11 @@ def image_pixel_checksums(media: DataFrame) -> DataFrame:
                 out["px_wsum"].append(
                     int(((np.arange(npx, dtype=np.int64) + 1) * flat).sum())
                 )
-                out["px_mean"].append(
-                    round(float(flat.sum()) / npx, 6) if npx else 0.0
-                )
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+    return media.mapInPandas(run, schema=IMAGE_STATS_SCHEMA).withColumn(
+        "px_mean", F.expr(_px_mean_micro("npx"))
+    )
 
 
 # --- perceptual average-hash (aHash) ----------------------------------------

@@ -59,6 +59,7 @@ def quantile_blocks(
     out: str = "_blk",
     materialize: bool = True,
     reliable: bool = False,
+    release: list | None = None,
 ) -> DataFrame:
     """Add a block column monotone with the (``value_col``, asc/desc)
     order, using approx_percentile cut points collected ONCE to the
@@ -99,12 +100,24 @@ def quantile_blocks(
     ``materialize=False``. Both modes feed the identical cuts job and
     CASE tree, so results are invariant to the knob (pinned by
     tests/test_round10_ops.py).
+
+    ``release`` (r10 ADVICE): the reliable-mode persist cannot be
+    unpersisted here — the cache must outlive the RETURNED plan's
+    consumers (blocked_row_number's counts + rank join run later) —
+    so without a handle every reliable call leaks a cache-manager
+    entry for the app lifetime (the exact leak the localCheckpoint
+    default exists to avoid). Pass a list and the persisted frame is
+    appended to it; after the downstream action completes, call
+    ``.unpersist()`` on each element. localCheckpoint mode has no
+    cache entry and never appends.
     """
     if materialize:
         if reliable:
             from pyspark import StorageLevel
 
             df = df.persist(StorageLevel.DISK_ONLY)
+            if release is not None:
+                release.append(df)
             # Eager: make the cache fully populated before ANY
             # consumer plan is built, mirroring localCheckpoint's
             # eagerness (one pass over source, every later job —

@@ -428,7 +428,7 @@ SELECT doc_id AS media_id,
        CAST(npx AS BIGINT) AS npx,
        CAST(px_sum AS BIGINT) AS px_sum,
        CAST(px_wsum AS BIGINT) AS px_wsum,
-       ROUND(CAST(px_sum AS DOUBLE) / npx, 6) AS px_mean
+       (px_sum * 1000000 // npx) / 1e6 AS px_mean
 FROM agg
 """.strip(),
 )
@@ -628,7 +628,7 @@ SELECT doc_id AS media_id,
        CAST({_VID_H} AS INTEGER) AS height,
        CAST(px_sum AS BIGINT) AS px_sum,
        CAST(px_wsum AS BIGINT) AS px_wsum,
-       ROUND(CAST(px_sum AS DOUBLE) / npx, 6) AS px_mean
+       (px_sum * 1000000 // npx) / 1e6 AS px_mean
 FROM agg
 """.strip(),
 )

@@ -1,5 +1,6 @@
 """Round-11 operator tests: the ANN segment manifest + compaction
-(r10 VERDICT #3 / the r10 ADVICE append data-loss class)."""
+(r10 VERDICT #3 / the r10 ADVICE append data-loss class), and the
+quantile_blocks reliable-mode unpersist handle (r10 ADVICE)."""
 
 import os
 import tempfile
@@ -133,3 +134,38 @@ def test_compaction_serves_bit_equal_and_flips_manifest(spark):
         assert _serve(spark, path, q) == before
         # idempotent: single-segment index compacts to itself
         assert ivfpq_index_compact(spark, path) == gen
+
+
+def test_quantile_blocks_reliable_release_handle_unpersists(spark):
+    """r10 ADVICE (low): reliable=True persists DISK_ONLY and could
+    never unpersist (the cache must outlive downstream consumers) —
+    the release handle lets the caller drop the entry after the
+    action, leaving the cache manager clean."""
+    from supplier_performance_data_pipeline_spark.operators.ranking import (
+        blocked_row_number,
+        quantile_blocks,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    rows = [(i, float((i * 31) % 59)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    handles = []
+    ranked = blocked_row_number(
+        quantile_blocks(
+            df, "v", desc=True, num_blocks=8, reliable=True,
+            release=handles,
+        ),
+        [F.desc("v"), F.asc("id")],
+    )
+    n = ranked.count()
+    assert n == 300
+    assert len(handles) == 1
+    assert jsc.getPersistentRDDs().size() == base + 1
+    for h in handles:
+        h.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == base
+    # localCheckpoint mode never appends
+    handles2 = []
+    quantile_blocks(df, "v", num_blocks=8, release=handles2).count()
+    assert handles2 == []
