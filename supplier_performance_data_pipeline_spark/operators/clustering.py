@@ -434,6 +434,7 @@ def ivfpq_index_write(
     dim: int = DIM_DEFAULT,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train: DataFrame | None = None,
 ) -> None:
     """BUILD + PERSIST an IVF-PQ index as three Parquet tables — the
     serving layout a production ANN system stores and reloads:
@@ -450,7 +451,14 @@ def ivfpq_index_write(
     (m+1 small ints per vector: the 16-64x compressed layout that
     makes a billion-vector index fit an object store). Per-subspace
     codes land as SEPARATE int columns so a serving scan can prune to
-    exactly the columns ADC touches."""
+    exactly the columns ADC touches.
+
+    ``train`` (optional) overrides the training set: codebooks train
+    on THIS frame (same ``id_col``/``vec_col`` shape) instead of the
+    md5 sample of ``emb`` — the production shape for curated or
+    recency-weighted retrains (``ann_codebook_retrain_trigger``
+    trains its candidate on base-sample + the full drifted batch);
+    encoding still covers all of ``emb``."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     from supplier_performance_data_pipeline_spark.operators.sampling import (
@@ -465,9 +473,15 @@ def ivfpq_index_write(
         F.col(id_col).alias("vec_id"),
         F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
     ).localCheckpoint()
-    samp = base.filter(
-        md5_mod(F.col("vec_id"), sample_salt, sample_mod) < sample_thr
-    )
+    if train is not None:
+        samp = train.select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
+        ).localCheckpoint()
+    else:
+        samp = base.filter(
+            md5_mod(F.col("vec_id"), sample_salt, sample_mod) < sample_thr
+        )
     coarse_cent = _lloyd_train_cents(samp, k_coarse, iters, dim)
     sub_cents = [
         _lloyd_train_cents(

@@ -1963,6 +1963,345 @@ def q_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- codebook retrain trigger (frozen-codebook drift closure) ---------------
+
+# The incremental path (append/compact) froze codebooks forever; a
+# drifting crawl eventually makes that freeze cost recall. This block
+# closes the loop: a deterministic distribution-shifted batch lands,
+# and the registered query emits the aged-vs-retrained recall decision
+# row the ops loop would act on (r10 VERDICT #4).
+TRG_OFF = 1_000_000  # shifted ids live far above any corpus vec_id
+TRG_LIM = 40  # panel = shifted vectors whose ORIGINAL id < TRG_LIM
+# Per-dimension exact-IEEE offsets scale*{1,2,3}: embeddings are
+# zero-mean with sd ~0.125 (full range ~±0.5), so the scale sets how
+# many sigmas the batch drifts. Too small and the aged codebooks still
+# serve fine (delta 0, flag correctly 0 but vacuous); too large and
+# NEITHER arm discriminates inside the shifted blob (PQ codewords
+# can't cover its interior). The committed scale is picked by the
+# probe sweep (tests/probe_retrain_trigger.py) to sit in the regime
+# where retraining measurably recovers recall.
+TRG_SCALE = "0.25"  # exact decimal literal, identical text both arms
+TRG_ITERS = 4  # Lloyd rounds for BOTH arms (codewords must migrate)
+_TRG_SHIFT_SPARK = (
+    f"transform(v, (x, i) -> x + {TRG_SCALE}D * (1 + i % 3))"
+)
+_TRG_SHIFT_DUCK = (
+    f"list_transform(range(0, {DIM}), "
+    f"i -> v[i+1] + {TRG_SCALE} * (1 + i % 3))"
+)
+
+
+def _ivfpq_serve_ctes(
+    p: str, corpus: str, sample: str, panel: str, topk: int, m: int,
+    k_pq: int, k_coarse: int, iters: int, d_sub: int,
+) -> list[str]:
+    """One frozen-codebook IVF-PQ serve chain as PREFIXED CTEs:
+    codebooks train on the caller-provided ``sample`` CTE (vec_id, v),
+    the whole ``corpus`` is frozen-encoded, and ``panel``
+    (query_id, v) is ranked top-``topk`` into ``{p}topk``. Same
+    expression text per stage as ``_ivfpq_sampled_oracle`` (which
+    stays byte-stable for its four registered queries); the prefix
+    lets TWO chains — aged and retrained — coexist in one oracle."""
+    dim = m * d_sub
+    ctes = [f"{p}sb AS (SELECT vec_id, v FROM {sample})"]
+    ctes += _sampled_lloyd_ctes(f"{p}co_", f"{p}sb", k_coarse, iters, dim)
+    ctes += _frozen_assign_ctes(f"{p}co_", corpus, f"{p}co_cent_{iters}", dim)
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        ctes.append(
+            f"{p}s{s}sb AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM {p}sb)"
+        )
+        ctes.append(
+            f"{p}s{s}fb AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM {corpus})"
+        )
+        ctes += _sampled_lloyd_ctes(
+            f"{p}s{s}_", f"{p}s{s}sb", k_pq, iters, d_sub
+        )
+        ctes += _frozen_assign_ctes(
+            f"{p}s{s}_", f"{p}s{s}fb", f"{p}s{s}_cent_{iters}", d_sub
+        )
+        off = s * d_sub
+        lut_dist = (
+            f"list_sum(list_transform(range(0, {d_sub}), "
+            f"i -> (q.v[i + 1 + {off}] - c.cv[i+1])"
+            f" * (q.v[i + 1 + {off}] - c.cv[i+1])))"
+        )
+        ctes.append(
+            f"{p}s{s}_lut AS (SELECT q.query_id, c.cluster AS code, "
+            f"{lut_dist} AS pd "
+            f"FROM {panel} q CROSS JOIN {p}s{s}_cent_{iters} c)"
+        )
+    qdist = (
+        f"list_sum(list_transform(range(0, {dim}), "
+        "i -> (b.v[i+1] - c.cv[i+1]) * (b.v[i+1] - c.cv[i+1])))"
+    )
+    ctes.append(
+        f"{p}qc AS (SELECT query_id, cluster AS qcl FROM ("
+        f"SELECT b.query_id, c.cluster, {qdist} AS d, "
+        "ROW_NUMBER() OVER (PARTITION BY b.query_id "
+        "ORDER BY d, c.cluster) AS rn "
+        f"FROM {panel} b CROSS JOIN {p}co_cent_{iters} c) t WHERE rn = 1)"
+    )
+    ctes.append(
+        f"{p}cand AS (SELECT qc.query_id, a.vec_id FROM {p}qc qc "
+        f"JOIN {p}co_fassign a ON a.cluster = qc.qcl "
+        "WHERE a.vec_id <> qc.query_id)"
+    )
+    union = "\n    UNION ALL ".join(
+        f"SELECT c.query_id, c.vec_id, CAST(l.pd AS DECIMAL(24,12)) AS pd\n"
+        f"    FROM {p}cand c JOIN {p}s{s}_fassign a ON a.vec_id = c.vec_id\n"
+        f"    JOIN {p}s{s}_lut l ON l.query_id = c.query_id"
+        f" AND l.code = a.cluster"
+        for s in range(m)
+    )
+    ctes.append(f"{p}parts AS (\n    {union}\n)")
+    ctes.append(
+        f"{p}adc AS (SELECT query_id, vec_id, SUM(pd) AS adc "
+        f"FROM {p}parts GROUP BY query_id, vec_id)"
+    )
+    ctes.append(
+        f"{p}topk AS (SELECT query_id, vec_id FROM ("
+        "SELECT query_id, vec_id, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY adc, vec_id) AS rank "
+        f"FROM {p}adc) t WHERE rank <= {topk})"
+    )
+    return ctes
+
+
+def _retrain_trigger_oracle(
+    shift_duck: str = _TRG_SHIFT_DUCK, iters: int = TRG_ITERS,
+    k_pq: int = PQ_K,
+) -> str:
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod_sql,
+    )
+
+    batch_pred = (
+        md5_mod_sql(
+            "CAST(vec_id AS VARCHAR)", IVFPQ_INCR_SALT, IVFPQ_INCR_MOD
+        )
+        + " = 0"
+    )
+    exact_d = (
+        f"list_sum(list_transform(range(0, {DIM}), "
+        "i -> (b.v[i+1] - q.v[i+1]) * (b.v[i+1] - q.v[i+1])))"
+    )
+    base_smp = md5_mod_sql(
+        "CAST(vec_id AS VARCHAR)", IVFPQ_SMP_SALT, IVFPQ_SMP_MOD
+    )
+    ctes = [
+        "bv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"sh AS (SELECT vec_id + {TRG_OFF} AS vec_id, "
+        f"{shift_duck} AS v FROM bv WHERE {batch_pred})",
+        "uni AS (SELECT vec_id, v FROM bv UNION ALL "
+        "SELECT vec_id, v FROM sh)",
+        f"panel AS (SELECT vec_id AS query_id, v FROM sh "
+        f"WHERE vec_id < {TRG_OFF + TRG_LIM})",
+        # Aged codebooks trained on the base md5 sample; the retrain
+        # candidate is RECENCY-WEIGHTED: base sample + the FULL
+        # drifted batch (the standard drift response — without the
+        # weighting the batch's ~10% mass earns too few codewords to
+        # discriminate inside the drifted region and retraining shows
+        # no recall gain to act on).
+        f"ag_smp AS (SELECT vec_id, v FROM bv WHERE {base_smp} "
+        f"< {IVFPQ_SMP_THR})",
+        "rt_smp AS (SELECT vec_id, v FROM ag_smp UNION ALL "
+        "SELECT vec_id, v FROM sh)",
+    ]
+    for p, sample in (("ag_", "ag_smp"), ("rt_", "rt_smp")):
+        ctes += _ivfpq_serve_ctes(
+            p, "uni", sample, "panel", IVFPQ_TOPK, PQ_M, k_pq, K_DEFAULT,
+            iters, _PQ_DSUB,
+        )
+    ctes += [
+        f"ex AS (SELECT query_id, vec_id FROM ("
+        f"SELECT q.query_id, b.vec_id, {exact_d} AS d, "
+        "ROW_NUMBER() OVER (PARTITION BY q.query_id "
+        "ORDER BY d, b.vec_id) AS rn "
+        "FROM uni b CROSS JOIN panel q WHERE b.vec_id <> q.query_id) t "
+        f"WHERE rn <= {IVFPQ_TOPK})",
+        "ha AS (SELECT e.query_id, COUNT(*) AS c FROM ex e "
+        "JOIN ag_topk t ON t.query_id = e.query_id "
+        "AND t.vec_id = e.vec_id GROUP BY e.query_id)",
+        "hr AS (SELECT e.query_id, COUNT(*) AS c FROM ex e "
+        "JOIN rt_topk t ON t.query_id = e.query_id "
+        "AND t.vec_id = e.vec_id GROUP BY e.query_id)",
+        "per AS (SELECT p.query_id, COALESCE(ha.c, 0) AS hits_aged, "
+        "COALESCE(hr.c, 0) AS hits_retrained "
+        "FROM (SELECT query_id FROM panel) p "
+        "LEFT JOIN ha USING (query_id) LEFT JOIN hr USING (query_id))",
+        f"tot AS (SELECT SUM(hits_retrained - hits_aged) AS dt, "
+        f"COUNT(*) * {IVFPQ_TOPK} AS slots FROM per)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT per.query_id, "
+        f"CAST({IVFPQ_TOPK} AS BIGINT) AS k_requested, "
+        "CAST(hits_aged AS BIGINT) AS hits_aged, "
+        "CAST(hits_retrained AS BIGINT) AS hits_retrained, "
+        "CAST(dt AS BIGINT) AS recall_delta_total, "
+        "CAST(CASE WHEN dt * 10 >= slots THEN 1 ELSE 0 END AS INTEGER) "
+        "AS retrain_recommended\n"
+        "FROM per CROSS JOIN tot"
+    )
+
+
+@register("ann_codebook_retrain_trigger", oracle=_retrain_trigger_oracle())
+def q_ann_codebook_retrain_trigger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RETRAIN-TRIGGER closure for the frozen-codebook incremental ANN
+    path (r10 VERDICT #4): the append/compact path never retrains, so
+    a drifting crawl ages the codebooks — this query IS the decision
+    row the ops loop acts on. Replay: a deterministic
+    distribution-shifted batch (the engine-wide md5 batch carve,
+    +{{6,12,18}} per-dim exact-IEEE offsets, re-identified above any
+    real vec_id) lands twice — once ENCODE-ONLY into the persisted
+    base index (``ivfpq_index_append``: the aged arm), once folded
+    into a full rebuild whose codebooks train on the shifted union
+    (the retrained arm). A panel of shifted queries is served from
+    BOTH stored indexes (``ivfpq_adc_from_index``, manifest-default
+    segments on the aged side), scored against the exact L2 top-k
+    over the union, and the row emits per-query hits plus the global
+    decision: retrain_recommended = 1 iff the retrained index recovers
+    >= 10 recall points (delta*10 >= panel slots) — integer
+    arithmetic end to end, so the driver hash pins the whole loop.
+    The global totals attach via the reference's own J4 shape (a
+    broadcast 1-row aggregate cross join), not an unpartitioned
+    window. At 100 TB this runs on a hash-sampled panel after every
+    K appends; its flag is what schedules the expensive retrain+
+    re-encode, turning ``ann_ivfpq_recall_audit``'s standing dial
+    into an actionable trigger."""
+    import tempfile
+
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_adc_from_index,
+        ivfpq_index_append,
+        ivfpq_index_write,
+    )
+    from supplier_performance_data_pipeline_spark.operators.sampling import (
+        md5_mod,
+    )
+    from supplier_performance_data_pipeline_spark.operators.similarity import (
+        _as_double,
+    )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        sweep_stale_artifacts,
+    )
+
+    sweep_stale_artifacts(tempfile.gettempdir(), "spark_graft_ann_trg_")
+    app = spark.sparkContext.applicationId
+    path_a = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ann_trg_{app}_aged"
+    )
+    path_r = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ann_trg_{app}_retr"
+    )
+    emb = _embeddings(spark, sf_dir)
+    base = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    is_batch = (
+        md5_mod(F.col("vec_id"), IVFPQ_INCR_SALT, IVFPQ_INCR_MOD) == 0
+    )
+    shifted = base.filter(is_batch).select(
+        (F.col("vec_id") + F.lit(TRG_OFF)).alias("vec_id"),
+        F.expr(_TRG_SHIFT_SPARK).alias("v"),
+    )
+    uni = base.unionByName(shifted)
+    common = dict(
+        sample_salt=IVFPQ_SMP_SALT, sample_mod=IVFPQ_SMP_MOD,
+        sample_thr=IVFPQ_SMP_THR, m=PQ_M, k_pq=PQ_K, k_coarse=K_DEFAULT,
+        iters=TRG_ITERS, dim=DIM, vec_col="v",
+    )
+    # Aged: base-trained codebooks, batch appended encode-only.
+    ivfpq_index_write(base, path_a, **common)
+    ivfpq_index_append(shifted, path_a, m=PQ_M, dim=DIM, vec_col="v")
+    # Retrain candidate: RECENCY-WEIGHTED training set — the base md5
+    # sample plus the FULL drifted batch (standard drift response;
+    # un-weighted, the batch's ~10% mass earns too few codewords to
+    # discriminate inside the drifted region). Encoding covers the
+    # whole union either way.
+    base_smp = base.filter(
+        md5_mod(F.col("vec_id"), IVFPQ_SMP_SALT, IVFPQ_SMP_MOD)
+        < IVFPQ_SMP_THR
+    )
+    ivfpq_index_write(
+        uni, path_r, train=base_smp.unionByName(shifted), **common
+    )
+    panel = shifted.filter(F.col("vec_id") < TRG_OFF + TRG_LIM).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    aged = ivfpq_adc_from_index(
+        spark, path_a, panel, topk=IVFPQ_TOPK, m=PQ_M, dim=DIM
+    ).select("query_id", "neighbor_id")
+    retr = ivfpq_adc_from_index(
+        spark, path_r, panel, topk=IVFPQ_TOPK, m=PQ_M, dim=DIM
+    ).select("query_id", "neighbor_id")
+    from pyspark.sql.window import Window
+
+    ed = (
+        uni.crossJoin(
+            F.broadcast(
+                panel.select("query_id", F.col("v").alias("qv"))
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), "
+                "0.0D, (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    exact = (
+        ed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVFPQ_TOPK)
+        .select("query_id", "vec_id")
+    )
+
+    def hits(arm: DataFrame, out: str) -> DataFrame:
+        return (
+            exact.join(
+                arm,
+                (exact["query_id"] == arm["query_id"])
+                & (exact["vec_id"] == arm["neighbor_id"]),
+            )
+            .groupBy(exact["query_id"].alias("query_id"))
+            .agg(F.count("*").alias(out))
+        )
+
+    per = (
+        panel.select("query_id")
+        .join(hits(aged, "ha"), "query_id", "left")
+        .join(hits(retr, "hr"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("ha", F.lit(0)).cast("long").alias("hits_aged"),
+            F.coalesce("hr", F.lit(0)).cast("long").alias("hits_retrained"),
+        )
+    )
+    tot = per.agg(
+        F.sum(F.col("hits_retrained") - F.col("hits_aged")).alias("dt"),
+        (F.count("*") * F.lit(IVFPQ_TOPK)).alias("slots"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "query_id",
+        F.lit(IVFPQ_TOPK).cast("long").alias("k_requested"),
+        "hits_aged",
+        "hits_retrained",
+        F.col("dt").cast("long").alias("recall_delta_total"),
+        F.when(F.col("dt") * 10 >= F.col("slots"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("retrain_recommended"),
+    )
+
+
 # --- Johnson-Lindenstrauss random-projection distortion audit ----------------
 
 JL_M = 16  # target dimensionality

@@ -3348,6 +3348,152 @@ REGISTRY["dedup_components_incremental"] = QuerySpec(
 )
 
 
+@register(
+    "corpus_curation_incremental",
+    oracle=None,  # assigned right below: the FULL-CURATION oracle, verbatim
+)
+def q_corpus_curation_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL maintenance of the full curation composite (r10
+    VERDICT #5) — the last recompute-per-run derived artifact becomes
+    update-on-ingest. Two-batch replay, oracle =
+    ``corpus_full_curation``'s full-corpus SQL VERBATIM, so the driver
+    hash proves the incremental path equals the from-scratch pipeline
+    exactly — the same equality pattern as
+    ``dedup_components_incremental`` / ``ann_index_incremental_add``.
+
+    The stored state after batch 1 (the non-bucket-0 corpus) is every
+    per-stage artifact the pipeline already persists: the scored
+    PROFILE table, the exact-dedup SURVIVOR map (fingerprint ->
+    min doc_id), the COMPONENT table, the banded LSH index, the eval
+    N-GRAM set, and the CONTAMINATED-doc list. When the batch lands,
+    per-doc text work (tokenize/score/shingle/minhash) runs over the
+    BATCH ONLY; every stage then merges relationally:
+
+      profile   := stored ∪ profile(batch)           (per-row pure)
+      survivors := min-merge of stored map + batch fingerprints —
+                   min(min(old), min(batch)) = min(all), so the merge
+                   is exact at artifact grain
+      components:= ``incremental_components`` over stored labels +
+                   batch edges (cross probe hits vs the persistent
+                   banded index + batch-internal collapse-first edges)
+      decon     := set decomposition of the contamination join:
+                   (T_old x E_old stored) ∪ (T_old x ΔE) ∪
+                   (T_batch x E_full) — each new term batch-bounded
+                   on one side, and eval/ΔE stay broadcast-sized
+      gates     := recomputed on merged artifact-grain tables (cheap
+                   joins/filters, no text reprocessing)
+
+    At 100 TB the crawl is always incremental: per-ingest curation
+    cost must track the batch, not corpus age — the expensive per-doc
+    HOF scoring and the quadratic-avoiding LSH work here run over
+    ~10% of docs, while the merges move artifact-grain rows only."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+        near_dup_component_edges,
+        verified_pairs_between,
+    )
+    from supplier_performance_data_pipeline_spark.operators.graph import (
+        incremental_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    is_batch = _incr_md5_mod(F.col("doc_id"), _INCR_SALT, _INCR_MOD) == 0
+    index_docs = docs.filter(~is_batch)
+    batch_docs = docs.filter(is_batch)
+
+    def profile_of(d: DataFrame) -> DataFrame:
+        t = F.col("toks")
+        return (
+            d.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+            .select(
+                "doc_id",
+                F.size(t).cast("long").alias("n_tokens"),
+                F.round(
+                    quality_score_t(F.col("text"), t), 6
+                ).alias("quality_score"),
+                lang_id_t(t).alias("lang_pred"),
+                fingerprint_t(t).alias("fingerprint"),
+            )
+            .localCheckpoint()
+        )
+
+    profile_1 = profile_of(index_docs)  # stored artifact
+    profile_2 = profile_of(batch_docs)  # the ingest's per-doc work
+    profile_full = profile_1.unionByName(profile_2)
+    # Survivor-map merge: stored (fingerprint, min id) rows + the
+    # batch's profile rows through ONE min-agg — exact because min
+    # composes; cost is batch + touched-fingerprint grain.
+    kept_1 = profile_1.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept_full = (
+        kept_1.unionByName(profile_2.select("fingerprint", "doc_id"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    # Component maintenance: stored labels + batch-scale edge mass
+    # (identical machinery to dedup_components_incremental).
+    old_labels = doc_components(index_docs, min_match=CC_MIN_MATCH)
+    sigs = minhash_signatures(docs).localCheckpoint()
+    cross = (
+        verified_pairs_between(
+            sigs.filter(is_batch), sigs.filter(~is_batch)
+        )
+        .filter(F.col("n_matching_components") >= CC_MIN_MATCH)
+        .select("doc_a", "doc_b")
+    )
+    within = near_dup_component_edges(batch_docs, min_match=CC_MIN_MATCH)
+    nd_drop = (
+        incremental_components(old_labels, cross.unionByName(within))
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    # Decontamination by set decomposition: contaminated(T, E) with
+    # T = T_old ∪ T_batch, E = E_old ∪ ΔE splits into three joins —
+    # the stored report, old-train vs the NEW eval n-grams, and the
+    # batch's train docs vs the full eval set.
+    bkt = hash_bucket(F.col("doc_id"), _DECON_SEED)
+    e_old = eval_ngram_set(
+        index_docs.filter(bkt < _FULL_THR), n=_DECON_N
+    )  # stored artifact
+    e_new = eval_ngram_set(batch_docs.filter(bkt < _FULL_THR), n=_DECON_N)
+    e_full = e_old.unionByName(e_new).distinct()
+    t_old = index_docs.filter(bkt >= _FULL_THR)
+    cont_stored = contamination_report(t_old, e_old, n=_DECON_N).select(
+        "doc_id"
+    )  # stored artifact
+    cont_old_delta = contamination_report(t_old, e_new, n=_DECON_N).select(
+        "doc_id"
+    )
+    cont_batch = contamination_report(
+        batch_docs.filter(bkt >= _FULL_THR), e_full, n=_DECON_N
+    ).select("doc_id")
+    contaminated = cont_stored.unionByName(cont_old_delta).unionByName(
+        cont_batch
+    )
+    final = (
+        profile_full.join(kept_full.select("doc_id"), "doc_id")
+        .join(nd_drop, "doc_id", "left_anti")
+        .filter(bkt >= _FULL_THR)
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(F.col("quality_score") >= 0.4)
+    )
+    return final.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+REGISTRY["corpus_curation_incremental"] = QuerySpec(
+    name="corpus_curation_incremental",
+    build=REGISTRY["corpus_curation_incremental"].build,
+    oracle=REGISTRY["corpus_full_curation"].oracle,
+)
+
+
 _BUCKET_UNPIVOT_SQL = " UNION ALL ".join(
     f"SELECT {b} AS band, band{b} AS band_hash FROM bands"
     for b in range(LSH_BANDS)
