@@ -210,10 +210,59 @@ def encode_png(arr) -> bytes:
     )
 
 
+def encode_png_palette(indices, palette) -> bytes:
+    """8-bit palette (color type 3) PNG from an (H, W) uint8 index
+    array plus an (N<=256, 3) uint8 palette — the fixture encoder for
+    the PLTE-indirection decode path. Scanline r is filtered with
+    type r % 5 exactly like ``encode_png``, but at bpp=1: the
+    Sub/Average/Paeth left-neighbor offset is ONE byte here, so a
+    decoder that hardcoded the truecolor bpp=3 offset would shear
+    every palette scanline — precisely the trap the round-trip test
+    pins."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError("palette must be (N<=256, 3) uint8")
+    h, w = idx.shape[0], idx.shape[1]
+    raw = idx.reshape(h, w).astype(np.int64)
+    out = bytearray()
+    for r in range(h):
+        cur = raw[r]
+        prev = raw[r - 1] if r else np.zeros(w, dtype=np.int64)
+        left = np.concatenate([np.zeros(1, dtype=np.int64), cur[:-1]])
+        ul = np.concatenate([np.zeros(1, dtype=np.int64), prev[:-1]])
+        f = r % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            filt = cur - _paeth(left, prev, ul)
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes):
-    """(H, W, 3) uint8 array from an 8-bit PNG (grayscale, truecolor,
-    or truecolor+alpha — color types 0 / 2 / 6, which together cover
-    essentially all real-world non-palette PNGs).
+    """(H, W, 3) uint8 array from an 8-bit PNG (grayscale, palette,
+    truecolor, or truecolor+alpha — color types 0 / 2 / 3 / 6, which
+    together cover essentially all real-world PNGs).
 
     Real decode, stdlib only: signature check, chunk walk with CRC32
     verified per chunk (a flipped container byte fails loudly, never
@@ -224,16 +273,18 @@ def decode_png(payload: bytes):
     bpp — unfiltering an RGBA stream at bpp=3 would shear every
     channel, which the system-file test would catch). Output
     normalizes to RGB: grayscale replicates the single channel;
-    RGBA drops the alpha plane (PNG alpha is NOT premultiplied, so
-    the RGB samples are unchanged by the drop — documented, not
-    silent). Honest plug-points, each a documented trap rather than
-    a silent wrong answer:
+    palette (type 3, added r11) resolves each bpp=1 index through the
+    CRC-checked PLTE triples with loud out-of-range failure; RGBA
+    drops the alpha plane (PNG alpha is NOT premultiplied, so the RGB
+    samples are unchanged by the drop — documented, not silent).
+    Honest plug-points, each a documented trap rather than a silent
+    wrong answer:
 
     - interlace=1 (Adam7) raises NotImplementedError — the seven-pass
       pixel shuffle reorders scanlines, so treating the stream as
       sequential would produce plausible-looking garbage;
-    - bit depth != 8, palette (color type 3, needs PLTE indirection),
-      and gray+alpha (type 4) raise NotImplementedError.
+    - bit depth != 8 and gray+alpha (type 4) raise
+      NotImplementedError.
 
     Unfiltering is sequential by construction (Sub/Average/Paeth
     predict from the RECONSTRUCTED left neighbor), so the inner loop
@@ -251,6 +302,7 @@ def decode_png(payload: bytes):
     pos = 8
     w = h = None
     idat = bytearray()
+    plte = None
     while pos < len(payload):
         if pos + 8 > len(payload):
             raise ValueError("truncated PNG chunk header")
@@ -273,22 +325,26 @@ def decode_png(payload: bytes):
                     "scanline reorder — sequential unfiltering would "
                     "silently shear; plug in a full decoder here)"
                 )
-            if depth != 8 or color not in (0, 2, 6):
+            if depth != 8 or color not in (0, 2, 3, 6):
                 raise NotImplementedError(
                     f"PNG bit depth {depth} / color type {color} "
-                    "unsupported (8-bit gray/truecolor/RGBA only; "
-                    "palette needs PLTE indirection, 16-bit needs "
-                    "sample pairs)"
+                    "unsupported (8-bit gray/palette/truecolor/RGBA "
+                    "only; 16-bit needs sample pairs, gray+alpha "
+                    "(type 4) needs a 2-channel plane split)"
                 )
             if comp != 0 or filt_m != 0:
                 raise ValueError("invalid PNG compression/filter method")
+        elif ctype == b"PLTE":
+            if ln == 0 or ln % 3 != 0 or ln > 768:
+                raise ValueError(f"PNG PLTE length {ln} invalid")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    bpp = {0: 1, 2: 3, 6: 4}[color]
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     stride = w * bpp
     flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if flat.size != h * (stride + 1):
@@ -338,6 +394,22 @@ def decode_png(payload: bytes):
     px = recon.reshape(h, w, bpp)
     if color == 0:
         return np.repeat(px, 3, axis=2)
+    if color == 3:
+        # PLTE indirection (type 3, r10 VERDICT #8): each
+        # reconstructed byte is an index into the palette's RGB
+        # triples. Spec order allows PLTE anywhere before IDAT; the
+        # chunk walk above already collected it. Out-of-range indices
+        # fail loudly — a silent clamp would alias palette bugs into
+        # plausible pixels.
+        if plte is None:
+            raise ValueError("palette PNG (type 3) missing PLTE chunk")
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError(
+                f"PNG palette index {int(idx.max())} >= "
+                f"{plte.shape[0]} PLTE entries"
+            )
+        return plte[idx]
     if color == 6:
         return np.ascontiguousarray(px[:, :, :3])
     return px

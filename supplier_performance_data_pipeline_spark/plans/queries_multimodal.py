@@ -449,8 +449,9 @@ def q_multimodal_png_pixel_stats(
     agree only if inflate+unfilter exactly inverts the encoder.
     n_bytes is deliberately NOT in the output: DEFLATE stream length
     is not SQL-expressible (unlike the PPM row, whose header grammar
-    pins it). Interlaced/16-bit/palette PNGs remain honest
-    NotImplementedError plug-points (decode_png docstring). Scale:
+    pins it). Palette PNGs are covered by
+    ``multimodal_png_palette_stats`` (r11); interlaced/16-bit remain
+    honest NotImplementedError plug-points (decode_png docstring). Scale:
     both steps are mapInPandas projections — no shuffle; payloads
     never leave the executor. Decoder validated this round against
     real libpng-produced files (adaptive per-row filters) under
@@ -460,6 +461,136 @@ def q_multimodal_png_pixel_stats(
     )
 
     return image_pixel_checksums(_png_media(spark, sf_dir))
+
+
+# PNG palette (color type 3) twin — the PLTE-indirection decode path
+# (r10 VERDICT #8). Distinct moduli from the truecolor PNG row so the
+# two can't alias; h >= 5 keeps all five filters in play at bpp=1
+# (where the Sub/Average/Paeth left-neighbor offset is ONE byte — a
+# decoder reusing the truecolor bpp=3 offset shears every scanline).
+_PAL_W = 16
+_PAL_IDX_A = 31
+_PAL_IDX_B = 17
+_PAL_P = 37
+_PAL_Q = 101
+_PAL_R = 7
+
+
+def _png_palette_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → palette-PNG table: indices and palette both
+    closed-form in (doc_id, j) / (p, c), so the oracle reproduces the
+    RESOLVED pixel stream without ever seeing PLTE — the Spark arm
+    must walk the chunk stream, inflate, unfilter at bpp=1, and
+    resolve the palette to agree."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        PNG_MIME,
+        encode_png_palette,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+    pal = (
+        (
+            np.arange(256, dtype=np.int64)[:, None] * _PAL_P
+            + np.arange(3, dtype=np.int64)[None, :] * _PAL_Q
+            + _PAL_R
+        )
+        % 256
+    ).astype(np.uint8)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():
+                h = 5 + int(row["doc_id"]) % 7
+                n = _PAL_W * h
+                idx = (
+                    (
+                        np.int64(row["doc_id"]) * _PAL_IDX_A
+                        + np.arange(n, dtype=np.int64) * _PAL_IDX_B
+                    )
+                    % 256
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_png_palette(idx.reshape(h, _PAL_W), pal)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": PNG_MIME,
+                    "width": _PAL_W,
+                    "height": [5 + int(d) % 7 for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(
+        synth,
+        schema="media_id long, payload binary, mime string, "
+        "width int, height int",
+    )
+
+
+@register(
+    "multimodal_png_palette_stats",
+    oracle=f"""
+WITH img AS (
+    SELECT doc_id, 5 + doc_id % 7 AS h FROM documents
+),
+px AS (
+    SELECT doc_id, h, unnest(range(0, {_PAL_W} * h * 3)) AS i
+    FROM img
+),
+v AS (
+    SELECT doc_id, h, i,
+           (((doc_id * {_PAL_IDX_A} + (i // 3) * {_PAL_IDX_B}) % 256)
+            * {_PAL_P} + (i % 3) * {_PAL_Q} + {_PAL_R}) % 256 AS v
+    FROM px
+),
+agg AS (
+    SELECT doc_id, h, COUNT(*) AS npx, SUM(v) AS px_sum,
+           SUM((i + 1) * v) AS px_wsum
+    FROM v GROUP BY doc_id, h
+)
+SELECT doc_id AS media_id,
+       'image/png' AS mime,
+       CAST({_PAL_W} AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(npx AS BIGINT) AS npx,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_wsum AS BIGINT) AS px_wsum,
+       (px_sum * 1000000 // npx) / 1e6 AS px_mean
+FROM agg
+""".strip(),
+)
+def q_multimodal_png_palette_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PNG PALETTE (color type 3) closes the last common-PNG gap (r10
+    VERDICT #8): synthesize an indexed PNG per document (indices AND
+    palette closed-form, encode_png_palette cycles all five filters at
+    bpp=1), then run operators/multimodal.py::image_pixel_checksums —
+    CRC-verified chunk walk (now collecting PLTE), inflate, unfilter
+    at bpp=1, palette resolution with loud out-of-range failure. The
+    oracle computes the RESOLVED pixel integers from the closed forms
+    directly — it never sees the container or the palette table, so
+    the arms agree only if the full indirection chain is exact; the
+    position-weighted px_wsum pins byte order (a bpp=3 unfilter shear
+    or index/channel swap changes it). px_mean is the exact
+    micro-unit derivation shared with the other pixel-stats rows.
+    Scale: two shuffle-free mapInPandas projections; payloads never
+    leave the executor."""
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        image_pixel_checksums,
+    )
+
+    return image_pixel_checksums(_png_palette_media(spark, sf_dir))
 
 
 from supplier_performance_data_pipeline_spark.operators.multimodal import (  # noqa: E402

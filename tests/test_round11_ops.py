@@ -136,6 +136,47 @@ def test_compaction_serves_bit_equal_and_flips_manifest(spark):
         assert ivfpq_index_compact(spark, path) == gen
 
 
+def test_png_palette_roundtrip_and_traps():
+    """Palette (type 3) decode: encode indices+PLTE with all five
+    filters at bpp=1, decode, compare against direct palette lookup;
+    missing PLTE and out-of-range indices fail loudly."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators import (
+        multimodal as m,
+    )
+
+    rng_idx = (np.arange(7 * 16, dtype=np.int64) * 29 + 3) % 250
+    idx = rng_idx.reshape(7, 16).astype(np.uint8)  # h=7: all 5 filters
+    pal = (
+        (np.arange(256)[:, None] * 11 + np.arange(3)[None, :] * 59 + 5) % 256
+    ).astype(np.uint8)
+    png = m.encode_png_palette(idx, pal)
+    got = m.decode_png(png)
+    assert got.shape == (7, 16, 3)
+    assert (got == pal[idx]).all()
+    # grayscale/truecolor paths unaffected
+    rgb = ((np.arange(6 * 16 * 3) * 7) % 256).astype(np.uint8).reshape(6, 16, 3)
+    assert (m.decode_png(m.encode_png(rgb)) == rgb).all()
+    # out-of-range index fails loudly
+    small_pal = pal[:100]
+    bad = m.encode_png_palette(idx, small_pal)  # idx has values >= 100
+    with pytest.raises(ValueError, match="palette index"):
+        m.decode_png(bad)
+    # missing PLTE fails loudly: strip the PLTE chunk
+    import struct
+
+    pos, out = 8, bytearray(png[:8])
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos : pos + 4])
+        ctype = png[pos + 4 : pos + 8]
+        if ctype != b"PLTE":
+            out += png[pos : pos + 12 + ln]
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="missing PLTE"):
+        m.decode_png(bytes(out))
+
+
 def test_quantile_blocks_reliable_release_handle_unpersists(spark):
     """r10 ADVICE (low): reliable=True persists DISK_ONLY and could
     never unpersist (the cache must outlive downstream consumers) —
