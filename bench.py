@@ -279,6 +279,11 @@ HEADLINE = [
     "lineitem_profile_moment_merge",
     "lsh_bucket_size_histogram",
     "ann_index_incremental_add",
+    # round 11
+    "ann_index_compaction",
+    "ann_codebook_retrain_trigger",
+    "corpus_curation_incremental",
+    "multimodal_png_palette_stats",
 ]
 
 

@@ -227,9 +227,19 @@ def main() -> None:
         k_coarse=K_DEFAULT, iters=ITERS_DEFAULT, dim=DIM,
     )
     append_sec = rebuild_sec = None
+    segs = []
     for rep in range(2):
         t0 = time.monotonic()
-        ivfpq_index_append(emb.filter(is_batch), incr_path, m=PQ_M, dim=DIM)
+        # Manifest-tracked auto-named segment (r11): each rep lands a
+        # fresh segment, so rep timings are honest repeat ingests; the
+        # equality check below serves ONE batch segment explicitly
+        # (the second is the same codes again — duplicate vec_ids
+        # would double-count in ADC).
+        segs.append(
+            ivfpq_index_append(
+                emb.filter(is_batch), incr_path, m=PQ_M, dim=DIM
+            )
+        )
         dt = round(time.monotonic() - t0, 3)
         append_sec = dt if append_sec is None else min(append_sec, dt)
         print(f"rep{rep} incremental append ({n_batch} vecs): {dt}s")
@@ -247,7 +257,7 @@ def main() -> None:
         print(f"rep{rep} full rebuild ({N_ROWS} vecs): {dt}s")
     serve_union = ivfpq_adc_from_index(
         spark, incr_path, queries, topk=IVFPQ_TOPK, m=PQ_M, dim=DIM,
-        segments=("codes", "codes_incr"),
+        segments=("codes", segs[0]),
     ).collect()
     serve_rebuild = ivfpq_adc_from_index(
         spark, os.path.join(tempfile.gettempdir(),
@@ -259,6 +269,47 @@ def main() -> None:
     )
     assert incr_equal, "segment-union serving != from-scratch rebuild"
     print(f"incremental serving equality at sf1: {incr_equal}")
+
+    # Compaction isolation (r10 VERDICT #3): fold the segment fan-out
+    # back into one generation. The claim — compaction is an
+    # O(index-rewrite) scan+write over the m+1 small-int code columns,
+    # NEVER touching raw vectors or codebooks — shows up as
+    # compact_sec well under rebuild_sec (which re-trains + re-encodes
+    # from the 64-float vectors) and amortized once over all folded
+    # appends. Serving equality vs the segment union is the
+    # correctness half (codes unchanged => bit-equal; the registered
+    # ann_index_compaction query pins the same identity against the
+    # DuckDB oracle at driver scales).
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_index_compact,
+    )
+
+    # Drop the duplicate rep-1 segment first so the compacted index
+    # equals base+batch exactly (manifest surgery via one re-append of
+    # nothing is not supported on purpose — rewrite the manifest the
+    # way an ops runbook would, through the public helpers).
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        _read_segment_manifest,
+        _write_segment_manifest,
+    )
+
+    keep = [s for s in _read_segment_manifest(spark, incr_path)
+            if s in ("codes", segs[0])]
+    _write_segment_manifest(spark, incr_path, keep)
+    n_segments_before = len(keep)
+    t0 = time.monotonic()
+    gen = ivfpq_index_compact(spark, incr_path)
+    compact_sec = round(time.monotonic() - t0, 3)
+    print(f"compaction ({n_segments_before} segments -> {gen}): "
+          f"{compact_sec}s")
+    serve_compacted = ivfpq_adc_from_index(
+        spark, incr_path, queries, topk=IVFPQ_TOPK, m=PQ_M, dim=DIM,
+    ).collect()
+    compact_equal = sorted(map(tuple, serve_compacted)) == sorted(
+        map(tuple, serve_rebuild)
+    )
+    assert compact_equal, "compacted serving != from-scratch rebuild"
+    print(f"compacted serving equality at sf1: {compact_equal}")
 
     # Stamp which round measured this: bench.py re-embeds the file into
     # every later BENCH_LOCAL record, and an unstamped probe would read
@@ -323,6 +374,24 @@ def main() -> None:
                 "an exact row-set comparison of the segment-union "
                 "serve vs the rebuilt index's serve (codes are a pure "
                 "per-row function of frozen codebooks)"
+            ),
+        },
+        "compaction": {
+            "segments_before": n_segments_before,
+            "compact_sec": compact_sec,
+            "full_rebuild_sec": rebuild_sec,
+            "rebuild_over_compact_ratio": round(
+                rebuild_sec / compact_sec, 4
+            ),
+            "append_sec": append_sec,
+            "serving_equal_to_rebuild": compact_equal,
+            "note": (
+                "fold all manifest segments into one generation: a "
+                "scan+write over the (vec_id, coarse, c0..c3) "
+                "small-int columns only — no retrain, no re-encode, "
+                "raw vectors never read; paid once and amortized over "
+                "every append it folds, restoring single-table scan "
+                "fan-out and footer pruning for serving"
             ),
         },
     }
