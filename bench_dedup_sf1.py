@@ -352,6 +352,52 @@ def main() -> None:
     print(f"incremental == full recompute on all "
           f"{full_labels.count()} labels")
 
+    # --- quantile_blocks reliable-knob A/B (r10 VERDICT #8) -------------
+    # The r10 knob landed with correctness pins but no scale cost
+    # number. Rank all 500k docs by text length through the full
+    # two-level prefix (quantile_blocks -> blocked_row_number) under
+    # both materialization modes: localCheckpoint (default; fastest,
+    # truncates lineage) vs persist(DISK_ONLY)+eager count
+    # (reliable=True; lineage kept for preemptible executors). Result
+    # equality is asserted via a full-rank checksum (Σ rank·doc_id —
+    # order-free exact in int64 at this scale), the deterministic
+    # load-bearing claim; the timing pair is the cost of fault
+    # tolerance at 100x driver scale. min-of-2 per mode.
+    from supplier_performance_data_pipeline_spark.operators.ranking import (
+        blocked_row_number,
+        quantile_blocks,
+    )
+
+    rank_in = docs.select("doc_id", F.length("text").alias("v"))
+    qb_sec: dict[str, float] = {}
+    qb_checksum: dict[str, int] = {}
+    for mode_name, reliable in (
+        ("localcheckpoint", False), ("disk_only_reliable", True),
+    ):
+        for rep in range(2):
+            handles: list = []
+            t0 = time.monotonic()
+            ranked = blocked_row_number(
+                quantile_blocks(
+                    rank_in, "v", desc=True, reliable=reliable,
+                    release=handles,
+                ),
+                [F.desc("v"), F.asc("doc_id")],
+            )
+            chk = ranked.agg(
+                F.sum(F.col("rn") * F.col("doc_id"))
+            ).first()[0]
+            dt = round(time.monotonic() - t0, 3)
+            for h in handles:
+                h.unpersist(blocking=True)
+            qb_sec[mode_name] = min(qb_sec.get(mode_name, dt), dt)
+            qb_checksum[mode_name] = int(chk)
+            print(f"rep{rep} quantile_blocks {mode_name}: {dt}s "
+                  f"(checksum {chk})")
+    assert (
+        qb_checksum["localcheckpoint"] == qb_checksum["disk_only_reliable"]
+    ), f"reliable-knob rank divergence: {qb_checksum}"
+
     # Round stamp DELEGATED to bench.py's _round_files() so this record
     # and the BENCH_LOCAL record it gets embedded into can never drift
     # (same rule as ANN_SF1 / SUFFIX_AB).
@@ -452,6 +498,24 @@ def main() -> None:
                 "CONTRACTED graph (touched roots + new vertices). "
                 "equal_to_full_recompute is an exact full-outer-join "
                 "check over all labels, asserted in-run"
+            ),
+        },
+        "quantile_blocks_reliable_ab": {
+            "rows": N_DOCS,
+            "localcheckpoint_sec": qb_sec["localcheckpoint"],
+            "disk_only_reliable_sec": qb_sec["disk_only_reliable"],
+            "reliable_over_default_ratio": round(
+                qb_sec["disk_only_reliable"] / qb_sec["localcheckpoint"], 4
+            ),
+            "rank_checksums_equal": True,
+            "note": (
+                "full two-level prefix rank (quantile_blocks -> "
+                "blocked_row_number) over 500k rows under both "
+                "materialization modes; equality asserted in-run via "
+                "the Σ rank·doc_id checksum. The reliable mode's "
+                "premium is the price of lineage-kept DISK_ONLY "
+                "blocks on preemptible executors (r10 knob, r10 "
+                "ADVICE unpersist handle exercised both reps)"
             ),
         },
         "adversarial_chain": {
