@@ -64,6 +64,14 @@ INTENDED_PLAN_TRADES = {
     # (tests/test_exact_collapse.py). The extra hash-agg materialization
     # is ~+1-2s fixed at sf0.1's 5k near-duplicate-free docs — the
     # regime it exists for is duplicate-dominated web-crawl corpora.
+    "ann_index_incremental_add": (
+        "round-11 segment manifest (r10 ADVICE data-loss fix): append "
+        "and serving now read/maintain the index's segments_manifest "
+        "(a second silent-overwrite append is impossible; serving can "
+        "never drop a segment) — ~2-3s of per-INDEX metadata jobs at "
+        "toy scale, constant per index and irrelevant at 100 TB where "
+        "appends are minutes of encode work"
+    ),
     "dedup_components": "exact-collapse-first dedup graph (see above)",
     "dedup_rate_by_source": "exact-collapse-first dedup graph",
     "dedup_cluster_size_histogram": "exact-collapse-first dedup graph",

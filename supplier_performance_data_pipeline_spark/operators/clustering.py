@@ -547,8 +547,23 @@ def _read_segment_manifest(spark, path: str) -> list[str]:
 def _write_segment_manifest(spark, path: str, segments: list[str]) -> None:
     # The list is fully materialized driver-side before the overwrite,
     # so read-then-rewrite of the same path never races its own scan.
-    df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(segments)], "seq int, segment string"
+    # Built as a pure-SQL VALUES plan, NOT spark.createDataFrame: the
+    # latter routes two rows through a Python-worker RDD conversion
+    # that costs 5-10s of pure latency per call (measured r11 — it
+    # was the whole ann_index_incremental_add bench regression), while
+    # the VALUES literal stays JVM-side at ~0.3s. Names are validated
+    # because they are inlined into SQL text.
+    import re
+
+    for s in segments:
+        if not re.fullmatch(r"[A-Za-z0-9_.\-]+", s):
+            raise ValueError(f"invalid segment name {s!r}")
+    vals = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(segments)
+    )
+    df = spark.sql(
+        f"SELECT CAST(seq AS INT) AS seq, segment "
+        f"FROM (VALUES {vals}) AS t(seq, segment)"
     )
     from supplier_performance_data_pipeline_spark.sources.writers import (
         write_parquet,
