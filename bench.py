@@ -292,6 +292,7 @@ HEADLINE = [
     "ann_codebook_retrain_trigger",
     "corpus_curation_incremental",
     "multimodal_png_palette_stats",
+    "multimodal_png_graya_stats",
 ]
 
 

@@ -259,10 +259,59 @@ def encode_png_palette(indices, palette) -> bytes:
     )
 
 
+def encode_png_graya(gray, alpha) -> bytes:
+    """8-bit gray+alpha (color type 4) PNG from two (H, W) uint8
+    planes — the fixture encoder for the bpp=2 decode path. Scanline
+    r is filtered with type r % 5 like the other encoders, at bpp=2:
+    the TWO-byte left-neighbor offset is the trap (a bpp=1 gray-style
+    unfilter would predict each luma sample from the previous ALPHA
+    byte and shear alternate samples)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.uint8)
+    a = np.asarray(alpha, dtype=np.uint8)
+    if g.shape != a.shape or g.ndim != 2:
+        raise ValueError("gray and alpha must be matching (H, W) planes")
+    h, w = g.shape
+    raw = (
+        np.stack([g, a], axis=2).reshape(h, w * 2).astype(np.int64)
+    )
+    zeros2 = np.zeros(2, dtype=np.int64)
+    out = bytearray()
+    for r in range(h):
+        cur = raw[r]
+        prev = raw[r - 1] if r else np.zeros(w * 2, dtype=np.int64)
+        left = np.concatenate([zeros2, cur[:-2]])
+        ul = np.concatenate([zeros2, prev[:-2]])
+        f = r % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            filt = cur - _paeth(left, prev, ul)
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes):
-    """(H, W, 3) uint8 array from an 8-bit PNG (grayscale, palette,
-    truecolor, or truecolor+alpha — color types 0 / 2 / 3 / 6, which
-    together cover essentially all real-world PNGs).
+    """(H, W, 3) uint8 array from an 8-bit PNG — ALL FIVE color types
+    (0 gray, 2 truecolor, 3 palette, 4 gray+alpha, 6 RGBA), which
+    together cover every real-world non-interlaced 8-bit PNG.
 
     Real decode, stdlib only: signature check, chunk walk with CRC32
     verified per chunk (a flipped container byte fails loudly, never
@@ -274,17 +323,18 @@ def decode_png(payload: bytes):
     channel, which the system-file test would catch). Output
     normalizes to RGB: grayscale replicates the single channel;
     palette (type 3, added r11) resolves each bpp=1 index through the
-    CRC-checked PLTE triples with loud out-of-range failure; RGBA
-    drops the alpha plane (PNG alpha is NOT premultiplied, so the RGB
-    samples are unchanged by the drop — documented, not silent).
-    Honest plug-points, each a documented trap rather than a silent
-    wrong answer:
+    CRC-checked PLTE triples with loud out-of-range failure;
+    gray+alpha (type 4, added r11) unfilters at bpp=2 then replicates
+    the luma plane; RGBA drops the alpha plane (PNG alpha is NOT
+    premultiplied, so the RGB samples are unchanged by the drop —
+    documented, not silent). Honest plug-points, each a documented
+    trap rather than a silent wrong answer:
 
     - interlace=1 (Adam7) raises NotImplementedError — the seven-pass
       pixel shuffle reorders scanlines, so treating the stream as
       sequential would produce plausible-looking garbage;
-    - bit depth != 8 and gray+alpha (type 4) raise
-      NotImplementedError.
+    - bit depth != 8 raises NotImplementedError (16-bit needs
+      big-endian sample pairs end to end).
 
     Unfiltering is sequential by construction (Sub/Average/Paeth
     predict from the RECONSTRUCTED left neighbor), so the inner loop
@@ -325,12 +375,12 @@ def decode_png(payload: bytes):
                     "scanline reorder — sequential unfiltering would "
                     "silently shear; plug in a full decoder here)"
                 )
-            if depth != 8 or color not in (0, 2, 3, 6):
+            if depth != 8 or color not in (0, 2, 3, 4, 6):
                 raise NotImplementedError(
                     f"PNG bit depth {depth} / color type {color} "
-                    "unsupported (8-bit gray/palette/truecolor/RGBA "
-                    "only; 16-bit needs sample pairs, gray+alpha "
-                    "(type 4) needs a 2-channel plane split)"
+                    "unsupported (all five 8-bit color types decode; "
+                    "16-bit needs sample pairs and Adam7 a seven-pass "
+                    "reorder — the remaining honest plug-points)"
                 )
             if comp != 0 or filt_m != 0:
                 raise ValueError("invalid PNG compression/filter method")
@@ -344,7 +394,7 @@ def decode_png(payload: bytes):
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * bpp
     flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if flat.size != h * (stride + 1):
@@ -394,6 +444,13 @@ def decode_png(payload: bytes):
     px = recon.reshape(h, w, bpp)
     if color == 0:
         return np.repeat(px, 3, axis=2)
+    if color == 4:
+        # Gray+alpha (type 4, r11): unfilter ran at bpp=2 (the
+        # Sub/Average/Paeth left-neighbor offset is TWO bytes — a
+        # bpp=1 gray-style unfilter would shear alternate samples);
+        # replicate the luma plane to RGB and drop alpha (not
+        # premultiplied — same documented drop as RGBA).
+        return np.repeat(px[:, :, :1], 3, axis=2)
     if color == 3:
         # PLTE indirection (type 3, r10 VERDICT #8): each
         # reconstructed byte is an index into the palette's RGB

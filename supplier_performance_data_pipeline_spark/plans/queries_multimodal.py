@@ -593,6 +593,130 @@ def q_multimodal_png_palette_stats(
     return image_pixel_checksums(_png_palette_media(spark, sf_dir))
 
 
+# Gray+alpha (color type 4) twin — the bpp=2 decode path that
+# completes ALL FIVE 8-bit PNG color types (0/2/3/4/6). Alpha is a
+# distinct closed form that the output NEVER sees (decode drops it) —
+# but a bpp=1 gray-style unfilter would predict luma from the
+# previous ALPHA byte, shearing every Sub/Average/Paeth scanline, so
+# the alpha plane still pins the stride handling through px_wsum.
+_GA_W = 16
+_GA_GRAY_A = 67
+_GA_GRAY_B = 41
+_GA_ALPHA_C = 29
+_GA_ALPHA_D = 13
+
+
+def _png_graya_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → gray+alpha PNG table: luma and alpha planes both
+    closed-form in (doc_id, j); the oracle reproduces the REPLICATED
+    luma stream only, never seeing the container or the alpha
+    bytes."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        PNG_MIME,
+        encode_png_graya,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():
+                h = 5 + int(row["doc_id"]) % 9
+                n = _GA_W * h
+                j = np.arange(n, dtype=np.int64)
+                g = (
+                    (np.int64(row["doc_id"]) * _GA_GRAY_A + j * _GA_GRAY_B)
+                    % 256
+                ).astype(np.uint8)
+                a = (
+                    (np.int64(row["doc_id"]) * _GA_ALPHA_C + j * _GA_ALPHA_D)
+                    % 256
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_png_graya(
+                        g.reshape(h, _GA_W), a.reshape(h, _GA_W)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": PNG_MIME,
+                    "width": _GA_W,
+                    "height": [5 + int(d) % 9 for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(
+        synth,
+        schema="media_id long, payload binary, mime string, "
+        "width int, height int",
+    )
+
+
+@register(
+    "multimodal_png_graya_stats",
+    oracle=f"""
+WITH img AS (
+    SELECT doc_id, 5 + doc_id % 9 AS h FROM documents
+),
+px AS (
+    SELECT doc_id, h, unnest(range(0, {_GA_W} * h * 3)) AS i
+    FROM img
+),
+v AS (
+    SELECT doc_id, h, i,
+           (doc_id * {_GA_GRAY_A} + (i // 3) * {_GA_GRAY_B}) % 256 AS v
+    FROM px
+),
+agg AS (
+    SELECT doc_id, h, COUNT(*) AS npx, SUM(v) AS px_sum,
+           SUM((i + 1) * v) AS px_wsum
+    FROM v GROUP BY doc_id, h
+)
+SELECT doc_id AS media_id,
+       'image/png' AS mime,
+       CAST({_GA_W} AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(npx AS BIGINT) AS npx,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_wsum AS BIGINT) AS px_wsum,
+       (px_sum * 1000000 // npx) / 1e6 AS px_mean
+FROM agg
+""".strip(),
+)
+def q_multimodal_png_graya_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GRAY+ALPHA PNG (color type 4) completes the five 8-bit color
+    types (r11; 0/2/3/4/6 all decode for real now): synthesize a
+    two-plane PNG per document (luma AND alpha closed-form;
+    encode_png_graya cycles all five filters at bpp=2), then run
+    operators/multimodal.py::image_pixel_checksums — chunk walk,
+    inflate, unfilter at bpp=2, replicate luma, drop alpha. The
+    oracle computes the replicated-luma integers directly and never
+    sees the alpha plane — yet alpha still pins the decode: a bpp=1
+    unfilter would predict each luma sample from the previous ALPHA
+    byte and the position-weighted px_wsum hash-fails every sheared
+    row. px_mean is the shared exact micro-unit derivation. Scale:
+    two shuffle-free mapInPandas projections; payloads never leave
+    the executor. Remaining honest plug-points: 16-bit depth, Adam7,
+    entropy-coded formats."""
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        image_pixel_checksums,
+    )
+
+    return image_pixel_checksums(_png_graya_media(spark, sf_dir))
+
+
 from supplier_performance_data_pipeline_spark.operators.multimodal import (  # noqa: E402
     ahash_near_dup_pairs,
 )

@@ -150,10 +150,10 @@ def test_png_crc_corruption_fails_loudly():
 
 
 def test_png_unsupported_shapes_raise_honestly():
-    """Interlace / 16-bit / gray+alpha are documented plug-points —
-    they must raise, never silently shear pixels. (Palette, type 3,
-    moved from this trap list to real coverage in r11 — see
-    tests/test_round11_ops.py::test_png_palette_roundtrip_and_traps.)"""
+    """Interlace / 16-bit are the documented plug-points — they must
+    raise, never silently shear pixels. (Palette and gray+alpha,
+    types 3/4, moved from this trap list to real coverage in r11 —
+    see tests/test_round11_ops.py.)"""
     m = _codec()
 
     def chunk(ctype, data):
@@ -165,10 +165,10 @@ def test_png_unsupported_shapes_raise_honestly():
         )
 
     sig = b"\x89PNG\r\n\x1a\n"
-    # interlaced, 16-bit, gray+alpha — NOT color types 0/3/6, which
-    # decode for real (see the coverage tests below and round 11's
-    # palette tests).
-    for depth, color, interlace in [(8, 2, 1), (16, 2, 0), (8, 4, 0)]:
+    # interlaced and 16-bit — every 8-bit color type (0/2/3/4/6)
+    # decodes for real (coverage tests below and round 11's
+    # palette/gray+alpha tests).
+    for depth, color, interlace in [(8, 2, 1), (16, 2, 0)]:
         ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
         with pytest.raises(NotImplementedError):
             m.decode_png(sig + chunk(b"IHDR", ihdr))

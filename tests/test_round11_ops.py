@@ -177,6 +177,29 @@ def test_png_palette_roundtrip_and_traps():
         m.decode_png(bytes(out))
 
 
+def test_png_graya_roundtrip_bpp2():
+    """Gray+alpha (type 4): encode two closed-form planes with all
+    five filters at bpp=2, decode, expect the luma replicated to RGB
+    and the alpha dropped. The alpha plane differs from luma, so a
+    bpp=1 unfilter (predicting luma from the previous alpha byte)
+    would corrupt every Sub/Average/Paeth scanline."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators import (
+        multimodal as m,
+    )
+
+    h, w = 7, 16  # h >= 5: all five filters
+    j = np.arange(h * w, dtype=np.int64)
+    g = ((j * 37 + 11) % 256).astype(np.uint8).reshape(h, w)
+    a = ((j * 101 + 5) % 256).astype(np.uint8).reshape(h, w)
+    got = m.decode_png(m.encode_png_graya(g, a))
+    assert got.shape == (h, w, 3)
+    assert (got == np.repeat(g[:, :, None], 3, axis=2)).all()
+    with pytest.raises(ValueError):
+        m.encode_png_graya(g, a[:-1])  # mismatched planes
+
+
 def test_quantile_blocks_reliable_release_handle_unpersists(spark):
     """r10 ADVICE (low): reliable=True persists DISK_ONLY and could
     never unpersist (the cache must outlive downstream consumers) —
