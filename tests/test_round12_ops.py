@@ -1,0 +1,316 @@
+"""Round-12 operator tests: the JSON-sidecar segment manifest
+(r11 VERDICT #5 / ADVICE medium+low — atomic versioned manifest,
+monotonic never-reused segment names, narrow fallback) and
+``ivfpq_index_gc`` (r11 VERDICT #6 — reclaim superseded generations)."""
+
+import json
+import os
+import tempfile
+
+import pytest
+
+DIM = 8
+M = 2
+
+
+def _emb(spark, n, start=0, shift=0.0):
+    rows = [
+        (
+            start + i,
+            [float((i * 7 + d * 3) % 13) + shift for d in range(DIM)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _build(spark, tmp, n=60):
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_index_write,
+    )
+
+    path = os.path.join(tmp, "idx")
+    ivfpq_index_write(
+        _emb(spark, n),
+        path,
+        sample_mod=10,
+        sample_thr=10,
+        m=M,
+        k_pq=4,
+        k_coarse=2,
+        iters=1,
+        dim=DIM,
+    )
+    return path
+
+
+def _serve(spark, path, queries, segments=None):
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_adc_from_index,
+    )
+
+    df = ivfpq_adc_from_index(
+        spark, path, queries, topk=3, m=M, dim=DIM, segments=segments
+    )
+    return sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_dist) for r in df.collect()
+    )
+
+
+def _queries(spark):
+    from pyspark.sql import functions as F
+
+    return _emb(spark, 3, start=900, shift=0.25).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> double(x))").alias("v"),
+    )
+
+
+def test_segment_names_monotonic_never_reused_after_compact(spark):
+    """r11 ADVICE (low): compaction drops codes_seg0001 from the
+    manifest but leaves its directory; the NEXT append must mint a
+    fresh name past the generation, never resurrect the orphan."""
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        _load_manifest,
+        ivfpq_index_append,
+        ivfpq_index_compact,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _build(spark, tmp)
+        s1 = ivfpq_index_append(_emb(spark, 5, start=100), path, m=M, dim=DIM)
+        assert s1 == "codes_seg0001"
+        gen = ivfpq_index_compact(spark, path)
+        assert gen == "codes_g0002"
+        # orphan dir still on disk, but the name is burned forever
+        assert os.path.isdir(os.path.join(path, s1))
+        s2 = ivfpq_index_append(_emb(spark, 5, start=200), path, m=M, dim=DIM)
+        assert s2 == "codes_seg0003"
+        man = _load_manifest(spark, path)
+        assert man["segments"] == [gen, s2]
+        assert man["max_seq"] == 3
+        assert man["version"] == 4  # write, append, compact, append
+
+
+def test_append_refuses_orphaned_segment_directory(spark):
+    """An explicit segment name whose directory exists on disk but is
+    absent from the manifest (pre-compaction orphan) must raise, not
+    overwrite it under a reader holding the old manifest."""
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_index_append,
+        ivfpq_index_compact,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _build(spark, tmp)
+        ivfpq_index_append(_emb(spark, 5, start=100), path, m=M, dim=DIM)
+        ivfpq_index_compact(spark, path)  # "codes" now orphaned
+        with pytest.raises(ValueError, match="orphaned"):
+            ivfpq_index_append(
+                _emb(spark, 5, start=200),
+                path,
+                m=M,
+                dim=DIM,
+                segment="codes",
+            )
+
+
+def test_corrupt_manifest_raises_not_silent_fallback(spark):
+    """r11 ADVICE (medium): only a MISSING manifest reads as the
+    pre-manifest layout; a present-but-unreadable manifest must raise
+    — silently serving ["codes"] is the data-loss class the manifest
+    exists to eliminate."""
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        MANIFEST_DIR,
+        _load_manifest,
+        ivfpq_index_append,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _build(spark, tmp)
+        ivfpq_index_append(_emb(spark, 5, start=100), path, m=M, dim=DIM)
+        mdir = os.path.join(path, MANIFEST_DIR)
+        latest = sorted(os.listdir(mdir))[-1]
+        with open(os.path.join(mdir, latest), "w") as f:
+            f.write("{ not json")
+        with pytest.raises(Exception):
+            _load_manifest(spark, path)
+
+
+def test_manifest_versions_are_immutable_history(spark):
+    """Every write lands a NEW manifest-<version>.json — a reader that
+    opened version N mid-append still sees N's complete segment list;
+    nothing is overwritten in place."""
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        MANIFEST_DIR,
+        ivfpq_index_append,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _build(spark, tmp)
+        mdir = os.path.join(path, MANIFEST_DIR)
+        v1 = json.load(open(os.path.join(mdir, "manifest-0000000001.json")))
+        ivfpq_index_append(_emb(spark, 5, start=100), path, m=M, dim=DIM)
+        names = sorted(
+            n for n in os.listdir(mdir) if not n.startswith(".")
+        )
+        assert names == [
+            "manifest-0000000001.json",
+            "manifest-0000000002.json",
+        ]
+        # old version untouched
+        assert (
+            json.load(open(os.path.join(mdir, "manifest-0000000001.json")))
+            == v1
+        )
+
+
+def test_legacy_parquet_manifest_still_reads(spark):
+    """Indexes persisted under the r10/r11 parquet-manifest layout keep
+    serving: the JSON log is preferred, the parquet manifest is the
+    existence-checked fallback."""
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        MANIFEST_DIR,
+        SEGMENT_MANIFEST,
+        _load_manifest,
+        ivfpq_index_append,
+    )
+    from supplier_performance_data_pipeline_spark.sources.writers import (
+        write_parquet,
+    )
+    import shutil
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _build(spark, tmp)
+        s1 = ivfpq_index_append(_emb(spark, 5, start=100), path, m=M, dim=DIM)
+        # Reconstruct the legacy layout: parquet manifest, no JSON log.
+        legacy = spark.sql(
+            "SELECT CAST(seq AS INT) AS seq, segment FROM (VALUES "
+            f"(0, 'codes'), (1, '{s1}')) AS t(seq, segment)"
+        )
+        write_parquet(legacy, os.path.join(path, SEGMENT_MANIFEST))
+        shutil.rmtree(os.path.join(path, MANIFEST_DIR))
+        man = _load_manifest(spark, path)
+        assert man["segments"] == ["codes", s1]
+        assert man["max_seq"] == 1
+        assert man["version"] == 0
+        # manifest-default serving == explicit union of both segments
+        q = _queries(spark)
+        assert _serve(spark, path, q) == _serve(
+            spark, path, q, segments=("codes", s1)
+        )
+
+
+def test_gc_reclaims_superseded_segments_serving_unchanged(spark):
+    """r11 VERDICT #6: after compact + gc the index dir holds ONLY the
+    live generation, the centroid tables, and the latest manifest —
+    and serving from the GC'd index is bit-equal to pre-GC."""
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        MANIFEST_DIR,
+        ivfpq_index_append,
+        ivfpq_index_compact,
+        ivfpq_index_gc,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _build(spark, tmp)
+        ivfpq_index_append(_emb(spark, 5, start=100), path, m=M, dim=DIM)
+        ivfpq_index_append(_emb(spark, 5, start=200), path, m=M, dim=DIM)
+        gen = ivfpq_index_compact(spark, path)
+        q = _queries(spark)
+        before = _serve(spark, path, q)
+        deleted = ivfpq_index_gc(spark, path)
+        assert set(deleted) >= {"codes", "codes_seg0001", "codes_seg0002"}
+        entries = set(os.listdir(path))
+        assert entries == {
+            gen,
+            "coarse_centroids",
+            "pq_centroids",
+            MANIFEST_DIR,
+        }
+        mfiles = [
+            n
+            for n in os.listdir(os.path.join(path, MANIFEST_DIR))
+            if not n.startswith(".")
+        ]
+        assert len(mfiles) == 1  # only the latest version survives
+        assert _serve(spark, path, q) == before
+        # idempotent
+        assert ivfpq_index_gc(spark, path) == []
+
+
+def test_png16_roundtrip_all_filters_and_endianness():
+    """16-bit truecolor PNG (r11 VERDICT #7): encode cycles all five
+    filters; decode must unfilter at bpp=6 BYTES then assemble
+    big-endian pairs. The asymmetric-byte fixture (hi != lo in every
+    sample) makes a little-endian assembly or an 8-bit bpp=3 unfilter
+    offset change every value."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png16,
+    )
+
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 65536, size=(11, 7, 3), dtype=np.uint16)
+    # force hi/lo asymmetry: hi byte = ~lo byte
+    a = (((a & 0xFF) ^ 0xFF) << 8 | (a & 0xFF)).astype(np.uint16)
+    out = decode_png(encode_png16(a))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, a)
+    with pytest.raises(ValueError, match="uint16"):
+        encode_png16(a[:, :, 0])
+
+
+def test_png16_grayscale_decodes_and_replicates():
+    """16-bit GRAYSCALE (color type 0, depth 16): hand-built container
+    (filters 0 and 2), decode must unfilter at bpp=2 bytes, assemble
+    big-endian, and replicate the single channel to RGB as uint16."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    g = np.array([[256, 513, 65535], [1, 65280, 255]], dtype=np.uint16)
+    raw = np.frombuffer(g.astype(">u2").tobytes(), dtype=np.uint8).reshape(
+        2, 6
+    )
+    scan = b"\x00" + raw[0].tobytes()  # filter None
+    up = (raw[1].astype(np.int64) - raw[0].astype(np.int64)) % 256
+    scan += b"\x02" + up.astype(np.uint8).tobytes()  # filter Up
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_gc_never_touches_foreign_segment_names(spark):
+    """Caller-supplied names outside the codes_* scheme are not GC'd
+    even when absent from the manifest — GC only eats what the index's
+    own writers minted."""
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_index_append,
+        ivfpq_index_compact,
+        ivfpq_index_gc,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _build(spark, tmp)
+        ivfpq_index_append(
+            _emb(spark, 5, start=100), path, m=M, dim=DIM, segment="seg_a"
+        )
+        ivfpq_index_compact(spark, path)
+        ivfpq_index_gc(spark, path)
+        assert os.path.isdir(os.path.join(path, "seg_a"))
