@@ -523,7 +523,21 @@ def ivfpq_index_write(
             sub_cents[s].select(F.lit(s).alias("sub"), "cluster", "cv")
         )
     write_parquet(pq, os.path.join(path, "pq_centroids"))
-    _write_segment_manifest(emb.sparkSession, path, ["codes"])
+    # A rebuild over an existing index CARRIES the name counter forward
+    # (max_seq from the old manifest, version chained): a compact after
+    # the rebuild must not re-mint a generation name the previous
+    # build's compaction left orphaned on disk. The base "codes" table
+    # itself is overwritten by design — a full rebuild is a declared
+    # teardown (S4 overwrite idempotency), unlike append/compact which
+    # stay reader-safe.
+    prev = _load_manifest(emb.sparkSession, path)
+    _write_segment_manifest(
+        emb.sparkSession,
+        path,
+        ["codes"],
+        max_seq=prev["max_seq"],
+        prev_version=prev["version"],
+    )
 
 
 SEGMENT_MANIFEST = "segments_manifest"  # legacy parquet layout (read-only)

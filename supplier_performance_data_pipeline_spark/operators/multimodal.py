@@ -252,6 +252,143 @@ def encode_png16(arr) -> bytes:
     )
 
 
+def encode_png_adam7(arr) -> bytes:
+    """ADAM7-INTERLACED 8-bit truecolor PNG from an (H, W, 3) uint8
+    array — the fixture encoder for the interlaced decode path. The
+    IDAT stream is the concatenation of the seven passes' filtered
+    scanlines: each pass extracts its (start, step) lattice sub-image
+    and filters it INDEPENDENTLY (``_filter_idat`` cycles all five
+    filter types per pass scanline, predicting only within the pass —
+    exactly the independence the decoder must honor; an encoder or
+    decoder that let predictions cross a pass boundary would shear).
+    Passes whose reduced width or height is zero contribute zero
+    bytes, not even filter bytes — the small-image trap the
+    round-trip fixtures pin by varying height through 1..N."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_png_adam7 needs an (H, W, 3) uint8 array")
+    h, w = a.shape[0], a.shape[1]
+    out = bytearray()
+    for xs, xst, ys, yst in _ADAM7:
+        sub = a[ys::yst, xs::xst]
+        hp, wp = sub.shape[0], sub.shape[1]
+        if hp == 0 or wp == 0:
+            continue
+        raw = sub.reshape(hp, wp * 3).astype(np.int64)
+        out += _filter_idat(raw, 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _pack_rows_lowbit(vals, depth: int):
+    """(H, row_bytes) int64 raw scanline bytes from an (H, W) sample
+    array at a sub-byte depth: samples pack MSB-first within each
+    byte (png spec bit order), each ROW padded independently to a
+    byte boundary with zero bits."""
+    import numpy as np
+
+    v = np.asarray(vals)
+    h, w = v.shape
+    spb = 8 // depth  # samples per byte
+    wpad = (w + spb - 1) // spb * spb
+    padded = np.zeros((h, wpad), dtype=np.uint8)
+    padded[:, :w] = v
+    bits = np.zeros((h, wpad * depth), dtype=np.uint8)
+    for k in range(depth):
+        bits[:, k::depth] = (padded >> (depth - 1 - k)) & 1
+    return np.packbits(bits, axis=1).astype(np.int64)
+
+
+def encode_png_lowbit(vals, depth: int, palette=None) -> bytes:
+    """Sub-byte-depth PNG (1/2/4-bit) from an (H, W) sample array —
+    grayscale (color type 0) when ``palette`` is None, else indexed
+    (type 3) through the given (N<=2^depth, 3) palette. Samples pack
+    MSB-first with per-row byte padding; filtering runs on the packed
+    BYTES at bpp=1 (spec: the filter offset is max(1, bits//8)), all
+    five filter types cycled via ``_filter_idat``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if depth not in (1, 2, 4):
+        raise ValueError("encode_png_lowbit depth must be 1, 2, or 4")
+    v = np.asarray(vals, dtype=np.uint8)
+    if v.ndim != 2:
+        raise ValueError("vals must be (H, W) samples")
+    if int(v.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample exceeds {depth}-bit range")
+    h, w = v.shape
+    color = 0 if palette is None else 3
+    chunks = b""
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if (
+            pal.ndim != 2
+            or pal.shape[1] != 3
+            or not 1 <= pal.shape[0] <= (1 << depth)
+        ):
+            raise ValueError(f"palette must be (N<={1 << depth}, 3) uint8")
+        chunks = _png_chunk(b"PLTE", pal.tobytes())
+    raw = _pack_rows_lowbit(v, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + chunks
+        + _png_chunk(b"IDAT", zlib.compress(_filter_idat(raw, 1), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_adam7_lowbit(vals, depth: int, palette=None) -> bytes:
+    """ADAM7-interlaced sub-byte PNG — the compounding of the two
+    hardest container behaviors: each of the seven passes packs ITS
+    OWN reduced rows to byte boundaries (per-pass padding, per-pass
+    filters at bpp=1). A decoder that unpacked bits before slicing
+    passes, or carried row padding across a pass boundary, shears."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if depth not in (1, 2, 4):
+        raise ValueError("depth must be 1, 2, or 4")
+    v = np.asarray(vals, dtype=np.uint8)
+    if v.ndim != 2:
+        raise ValueError("vals must be (H, W) samples")
+    h, w = v.shape
+    color = 0 if palette is None else 3
+    chunks = b""
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        chunks = _png_chunk(b"PLTE", pal.tobytes())
+    out = bytearray()
+    for xs, xst, ys, yst in _ADAM7:
+        sub = v[ys::yst, xs::xst]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        out += _filter_idat(_pack_rows_lowbit(sub, depth), 1)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + chunks
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_png_palette(indices, palette) -> bytes:
     """8-bit palette (color type 3) PNG from an (H, W) uint8 index
     array plus an (N<=256, 3) uint8 palette — the fixture encoder for
@@ -313,13 +450,118 @@ def encode_png_graya(gray, alpha) -> bytes:
     )
 
 
+def _png_unfilter(flat, h: int, stride: int, bpp: int):
+    """Reconstruct (h, stride) uint8 scanline bytes from a filtered PNG
+    stream segment (h scanlines of 1 filter byte + stride data bytes).
+    Shared by the sequential and the per-Adam7-pass decode paths —
+    each interlace pass is an independent reduced image whose filters
+    predict only within the pass.
+
+    Unfiltering is sequential by construction (Sub/Average/Paeth
+    predict from the RECONSTRUCTED left neighbor), so the inner loop
+    walks pixels left-to-right vectorized over the bpp channels; Up,
+    None, and Sub (an exact per-channel cumsum) vectorize whole-row."""
+    import numpy as np
+
+    if flat.size != h * (stride + 1):
+        raise ValueError(
+            f"PNG scanline stream is {flat.size} bytes, "
+            f"expected {h * (stride + 1)}"
+        )
+    lines = flat.reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zeros_px = np.zeros(bpp, dtype=np.int64)
+    for r in range(h):
+        f = int(lines[r, 0])
+        cur = lines[r, 1:].astype(np.int64)
+        prev = (
+            recon[r - 1].astype(np.int64)
+            if r
+            else np.zeros(stride, dtype=np.int64)
+        )
+        if f == 0:
+            rec = cur
+        elif f == 1:
+            # Sub unrolls to a per-channel prefix sum: rec[p] =
+            # (cur[p] + rec[p-bpp]) mod 256 == cumsum(cur) mod 256 —
+            # exact in int64, vectorized whole-row.
+            rec = (
+                np.cumsum(cur.reshape(stride // bpp, bpp), axis=0)
+                .reshape(stride) % 256
+            )
+        elif f == 2:
+            rec = (cur + prev) % 256
+        elif f in (3, 4):
+            # Average/Paeth predict from the RECONSTRUCTED left pixel,
+            # a true sequential dependency — walk pixels left-to-right,
+            # vectorized over the bpp channels.
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(0, stride, bpp):
+                left = rec[i - bpp : i] if i else zeros_px
+                up = prev[i : i + bpp]
+                ul = prev[i - bpp : i] if i else zeros_px
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                rec[i : i + bpp] = (cur[i : i + bpp] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        recon[r] = rec.astype(np.uint8)
+    return recon
+
+
+def _png_assemble(recon, h: int, w: int, channels: int, depth: int):
+    """(h, w, channels) sample array from reconstructed scanline bytes:
+    uint8 passthrough at depth 8, big-endian pair assembly (hi<<8 | lo,
+    spec network order) at depth 16, MSB-first bit unpack with per-row
+    padding discard at depths 1/2/4 — always AFTER the byte-level
+    unfilter."""
+    import numpy as np
+
+    if depth == 16:
+        b = recon.reshape(h, w * channels, 2).astype(np.uint16)
+        return ((b[:, :, 0] << 8) | b[:, :, 1]).reshape(h, w, channels)
+    if depth < 8:
+        # Sub-byte samples pack MSB-first; each row pads to a byte
+        # boundary independently, so the unpack is per-row and the
+        # tail beyond w*channels samples is padding to discard.
+        bits = np.unpackbits(recon, axis=1)
+        k = bits.shape[1] // depth
+        grp = bits[:, : k * depth].reshape(h, k, depth)
+        vals = np.zeros((h, k), dtype=np.uint8)
+        for j in range(depth):
+            vals = (vals << 1) | grp[:, :, j]
+        return vals[:, : w * channels].reshape(h, w, channels)
+    return recon.reshape(h, w, channels)
+
+
+# Adam7 pass grid: (x_start, x_step, y_start, y_step) per pass, png
+# spec order. Pass p covers out[ys::yst, xs::xst]; a pass whose
+# reduced width or height is zero contributes NO bytes (not even
+# filter bytes) — the classic small-image trap.
+_ADAM7 = (
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes):
-    """(H, W, 3) array from a PNG — ALL FIVE 8-bit color types
-    (0 gray, 2 truecolor, 3 palette, 4 gray+alpha, 6 RGBA) plus
-    16-bit depth for types 0/2/4/6 (r12), which together cover every
-    real-world non-interlaced PNG. Output dtype follows the depth:
-    uint8 for 8-bit, uint16 for 16-bit (big-endian sample pairs
-    assembled AFTER the byte-level unfilter, per spec).
+    """(H, W, 3) array from a PNG — EVERY legal shape the spec
+    defines: all five color types (0 gray, 2 truecolor, 3 palette,
+    4 gray+alpha, 6 RGBA), all legal bit depths per type (1/2/4-bit
+    gray and palette, 8-bit everywhere, 16-bit for 0/2/4/6 — r12),
+    and both interlace methods (sequential and Adam7 — r12). Output
+    dtype follows the depth: uint8 for ≤8-bit (sub-byte gray scales
+    by the exact bit-replication factor 255/(2^d-1); palette indices
+    resolve through PLTE unscaled), uint16 for 16-bit (big-endian
+    sample pairs assembled AFTER the byte-level unfilter, per
+    spec).
 
     Real decode, stdlib only: signature check, chunk walk with CRC32
     verified per chunk (a flipped container byte fails loudly, never
@@ -335,16 +577,14 @@ def decode_png(payload: bytes):
     gray+alpha (type 4, added r11) unfilters at bpp=2 then replicates
     the luma plane; RGBA drops the alpha plane (PNG alpha is NOT
     premultiplied, so the RGB samples are unchanged by the drop —
-    documented, not silent). Honest plug-points, each a documented
-    trap rather than a silent wrong answer:
-
-    - interlace=1 (Adam7) raises NotImplementedError — the seven-pass
-      pixel shuffle reorders scanlines, so treating the stream as
-      sequential would produce plausible-looking garbage;
-    - sub-byte depths (1/2/4) raise NotImplementedError (bit-packed
-      scanlines need a bit-level unpack before unfiltering);
-    - depth 16 with palette (type 3) raises ValueError — illegal per
-      spec, not a plug-point.
+    documented, not silent). Adam7 (interlace=1) decodes the stream
+    as SEVEN consecutive independent sub-images scattered onto the
+    output lattice — see the decode body. Spec-ILLEGAL shapes (bad
+    depth-for-color combos like 16-bit palette, unknown color types,
+    unknown interlace methods) raise ValueError — there is no
+    remaining NotImplementedError in the PNG container; the honest
+    plug-point boundary for this repo is ENTROPY-CODED formats
+    (JPEG etc., see ``decode_rgb``).
 
     Unfiltering is sequential by construction (Sub/Average/Paeth
     predict from the RECONSTRUCTED left neighbor), so the inner loop
@@ -379,24 +619,23 @@ def decode_png(payload: bytes):
             w, h, depth, color, comp, filt_m, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if interlace != 0:
-                raise NotImplementedError(
-                    "Adam7 interlaced PNG unsupported (seven-pass "
-                    "scanline reorder — sequential unfiltering would "
-                    "silently shear; plug in a full decoder here)"
-                )
-            if depth == 16 and color == 3:
+            if interlace not in (0, 1):
                 raise ValueError(
-                    "PNG palette color type 3 with bit depth 16 is "
-                    "illegal per spec (PLTE entries are 8-bit)"
+                    f"invalid PNG interlace method {interlace}"
                 )
-            if depth not in (8, 16) or color not in (0, 2, 3, 4, 6):
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} / color type {color} "
-                    "unsupported (all five 8-bit color types and "
-                    "16-bit gray/truecolor/alpha decode; sub-byte "
-                    "depths and Adam7 are the remaining honest "
-                    "plug-points)"
+            legal = {
+                0: (1, 2, 4, 8, 16),
+                2: (8, 16),
+                3: (1, 2, 4, 8),
+                4: (8, 16),
+                6: (8, 16),
+            }
+            if color not in legal:
+                raise ValueError(f"invalid PNG color type {color}")
+            if depth not in legal[color]:
+                raise ValueError(
+                    f"PNG bit depth {depth} illegal for color type "
+                    f"{color} per spec"
                 )
             if comp != 0 or filt_m != 0:
                 raise ValueError("invalid PNG compression/filter method")
@@ -412,66 +651,61 @@ def decode_png(payload: bytes):
         raise ValueError("PNG missing IHDR")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     # Filtering operates on BYTES: the Sub/Average/Paeth left-neighbor
-    # offset is ceil(depth/8) * channels (png spec), so 16-bit streams
-    # unfilter through the SAME loop with bpp doubled — a decoder that
-    # kept the 8-bit offset would shear every 16-bit scanline.
-    bpp = channels * (depth // 8)
-    stride = w * bpp
+    # offset is max(1, channels*depth/8) (png spec), so 16-bit streams
+    # unfilter through the SAME loop with the offset doubled and
+    # sub-byte streams at offset 1 over the PACKED bytes — a decoder
+    # that kept the 8-bit offset (or unpacked bits before unfiltering)
+    # would shear every scanline.
+    fbpp = max(1, channels * depth // 8)
+
+    def _rb(width: int) -> int:
+        # scanline byte width: sub-byte samples pack MSB-first with
+        # each row padded independently to a byte boundary
+        return (width * channels * depth + 7) // 8
+
     flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if flat.size != h * (stride + 1):
-        raise ValueError(
-            f"PNG scanline stream is {flat.size} bytes, "
-            f"expected {h * (stride + 1)}"
-        )
-    lines = flat.reshape(h, stride + 1)
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    zeros_px = np.zeros(bpp, dtype=np.int64)
-    for r in range(h):
-        f = int(lines[r, 0])
-        cur = lines[r, 1:].astype(np.int64)
-        prev = (
-            recon[r - 1].astype(np.int64)
-            if r
-            else np.zeros(stride, dtype=np.int64)
-        )
-        if f == 0:
-            rec = cur
-        elif f == 1:
-            # Sub unrolls to a per-channel prefix sum: rec[p] =
-            # (cur[p] + rec[p-bpp]) mod 256 == cumsum(cur) mod 256 —
-            # exact in int64, vectorized whole-row.
-            rec = (
-                np.cumsum(cur.reshape(w, bpp), axis=0).reshape(stride) % 256
-            )
-        elif f == 2:
-            rec = (cur + prev) % 256
-        elif f in (3, 4):
-            # Average/Paeth predict from the RECONSTRUCTED left pixel,
-            # a true sequential dependency — walk pixels left-to-right,
-            # vectorized over the bpp channels.
-            rec = np.zeros(stride, dtype=np.int64)
-            for i in range(0, stride, bpp):
-                left = rec[i - bpp : i] if i else zeros_px
-                up = prev[i : i + bpp]
-                ul = prev[i - bpp : i] if i else zeros_px
-                if f == 3:
-                    pred = (left + up) // 2
-                else:
-                    pred = _paeth(left, up, ul)
-                rec[i : i + bpp] = (cur[i : i + bpp] + pred) % 256
-        else:
-            raise ValueError(f"invalid PNG filter type {f}")
-        recon[r] = rec.astype(np.uint8)
-    if depth == 16:
-        # Big-endian sample assembly AFTER unfiltering (the spec's
-        # byte-level filter ran above): hi<<8 | lo per sample pair.
-        # Output dtype uint16 signals the depth to callers; the color
-        # normalization below is shared with the 8-bit path.
-        b = recon.reshape(h, w * channels, 2).astype(np.uint16)
-        px = ((b[:, :, 0] << 8) | b[:, :, 1]).reshape(h, w, channels)
+    if interlace == 0:
+        recon = _png_unfilter(flat, h, _rb(w), fbpp)
+        # Sample assembly AFTER unfiltering (the spec's byte-level
+        # filter ran above): big-endian pairs at 16-bit (uint16 output
+        # signals the depth to callers), bit unpack at sub-byte. The
+        # color normalization below is shared across depths and
+        # interlace methods.
+        px = _png_assemble(recon, h, w, channels, depth)
     else:
-        px = recon.reshape(h, w, bpp)
+        # Adam7: the stream is SEVEN consecutive sub-streams, one per
+        # pass — each an independent reduced image (own scanlines, own
+        # filter bytes, neighbors predicted within the pass), scattered
+        # into the output grid by the pass's (start, step) lattice.
+        # Treating the stream as sequential scanlines would produce
+        # plausible-looking garbage — the trap this path closes (r12).
+        px = np.zeros(
+            (h, w, channels),
+            dtype=np.uint16 if depth == 16 else np.uint8,
+        )
+        pos = 0
+        for xs, xst, ys, yst in _ADAM7:
+            wp = (w - xs + xst - 1) // xst
+            hp = (h - ys + yst - 1) // yst
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass: zero bytes, not even filters
+            n = hp * (_rb(wp) + 1)
+            seg = flat[pos : pos + n]
+            pos += n
+            recon = _png_unfilter(seg, hp, _rb(wp), fbpp)
+            px[ys::yst, xs::xst] = _png_assemble(
+                recon, hp, wp, channels, depth
+            )
+        if pos != flat.size:
+            raise ValueError(
+                f"Adam7 stream is {flat.size} bytes, consumed {pos}"
+            )
     if color == 0:
+        if depth < 8:
+            # Spec sample-depth scaling for display: v * 255/(2^d - 1)
+            # is EXACT bit replication at d in {1,2,4} (255, 85, 17) —
+            # full-range uint8 out, no rounding anywhere.
+            px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
         return np.repeat(px, 3, axis=2)
     if color == 4:
         # Gray+alpha (type 4, r11): unfilter ran at bpp=2 (the

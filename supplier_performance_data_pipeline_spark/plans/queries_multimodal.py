@@ -451,8 +451,11 @@ def q_multimodal_png_pixel_stats(
     is not SQL-expressible (unlike the PPM row, whose header grammar
     pins it). Palette PNGs are covered by
     ``multimodal_png_palette_stats`` (r11), 16-bit by
-    ``multimodal_png_16bit_stats`` (r12); interlaced/sub-byte remain
-    honest NotImplementedError plug-points (decode_png docstring). Scale:
+    ``multimodal_png_16bit_stats``, Adam7 by
+    ``multimodal_png_adam7_stats``, sub-byte depths by
+    ``multimodal_png_lowbit_stats`` (all r12 — the PNG container is
+    now fully covered; entropy-coded formats are the remaining honest
+    plug-point, decode_rgb docstring). Scale:
     both steps are mapInPandas projections — no shuffle; payloads
     never leave the executor. Decoder validated this round against
     real libpng-produced files (adaptive per-row filters) under
@@ -709,9 +712,9 @@ def q_multimodal_png_graya_stats(
     byte and the position-weighted px_wsum hash-fails every sheared
     row. px_mean is the shared exact micro-unit derivation. Scale:
     two shuffle-free mapInPandas projections; payloads never leave
-    the executor. Remaining honest plug-points: sub-byte depths,
-    Adam7, entropy-coded formats (16-bit converted to coverage in
-    r12 — see multimodal_png_16bit_stats)."""
+    the executor. The PNG container is fully covered as of r12
+    (16-bit, Adam7, sub-byte all decode); entropy-coded formats
+    remain the honest plug-point."""
     from supplier_performance_data_pipeline_spark.operators.multimodal import (
         image_pixel_checksums,
     )
@@ -824,13 +827,255 @@ def q_multimodal_png_16bit_stats(
     pins byte order end to end. px_mean is the shared exact
     micro-unit derivation (int64-safe: px_sum ≤ 65535·360 per image).
     Scale: two shuffle-free mapInPandas projections; payloads never
-    leave the executor. Remaining honest plug-points: sub-byte
-    depths, Adam7, entropy-coded formats."""
+    leave the executor."""
     from supplier_performance_data_pipeline_spark.operators.multimodal import (
         image_pixel_checksums,
     )
 
     return image_pixel_checksums(_png_16bit_media(spark, sf_dir))
+
+
+# Adam7 interlace (r12 — the LAST byte-aligned PNG container trap):
+# w=11 (not a multiple of 8 -> every pass ragged) and h cycling 1..13
+# (heights below 5 leave whole passes EMPTY — zero bytes, not even
+# filter bytes — the small-image trap).
+_A7_W = 11
+_A7_A = 73
+_A7_B = 29
+
+
+def _png_adam7_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Adam7-interlaced truecolor PNG table: the SAME
+    closed-form pixel stream contract as the sequential fixtures —
+    interlacing permutes bytes inside the container only, so the
+    oracle never changes; only a correct seven-pass decode recovers
+    the stream."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        PNG_MIME,
+        encode_png_adam7,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():
+                h = 1 + int(row["doc_id"]) % 13
+                n = _A7_W * h * 3
+                i = np.arange(n, dtype=np.int64)
+                v = (
+                    (np.int64(row["doc_id"]) * _A7_A + i * _A7_B) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_png_adam7(v.reshape(h, _A7_W, 3)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": PNG_MIME,
+                    "width": _A7_W,
+                    "height": [1 + int(d) % 13 for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(
+        synth,
+        schema="media_id long, payload binary, mime string, "
+        "width int, height int",
+    )
+
+
+@register(
+    "multimodal_png_adam7_stats",
+    oracle=f"""
+WITH img AS (
+    SELECT doc_id, 1 + doc_id % 13 AS h FROM documents
+),
+px AS (
+    SELECT doc_id, h, unnest(range(0, {_A7_W} * h * 3)) AS i
+    FROM img
+),
+v AS (
+    SELECT doc_id, h, i,
+           (doc_id * {_A7_A} + i * {_A7_B}) % 256 AS v
+    FROM px
+),
+agg AS (
+    SELECT doc_id, h, COUNT(*) AS npx, SUM(v) AS px_sum,
+           SUM((i + 1) * v) AS px_wsum
+    FROM v GROUP BY doc_id, h
+)
+SELECT doc_id AS media_id,
+       'image/png' AS mime,
+       CAST({_A7_W} AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(npx AS BIGINT) AS npx,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_wsum AS BIGINT) AS px_wsum,
+       (px_sum * 1000000 // npx) / 1e6 AS px_mean
+FROM agg
+""".strip(),
+)
+def q_multimodal_png_adam7_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADAM7-INTERLACED PNG (r12 — the last byte-aligned container
+    trap becomes coverage): synthesize an interlaced truecolor PNG
+    per document (encode_png_adam7 filters each of the seven passes
+    INDEPENDENTLY, cycling all five filter types per pass scanline),
+    then run operators/multimodal.py::image_pixel_checksums — chunk
+    walk, inflate, then seven per-pass unfilters scattered onto the
+    (start, step) output lattice. The oracle computes the resolved
+    pixel integers from the closed form and never sees the container:
+    interlacing permutes bytes INSIDE the stream only, so the oracle
+    is identical in shape to the sequential rows — and that identity
+    is the point: a decoder that unfiltered sequentially, crossed a
+    pass boundary with a predictor, or mis-sized a ragged/empty pass
+    (w=11 is never a step multiple; h cycles 1..13 so small images
+    drop whole passes) hash-fails px_wsum. Scale: two shuffle-free
+    mapInPandas projections; payloads never leave the executor."""
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        image_pixel_checksums,
+    )
+
+    return image_pixel_checksums(_png_adam7_media(spark, sf_dir))
+
+
+# Sub-byte depth × Adam7 × palette — the compound of the three
+# hardest container behaviors in ONE payload (r12): 2-bit indices
+# pack 4-per-byte MSB-first with PER-PASS row padding (w=9 -> 2.25
+# bytes/row pads to 3 in the sequential frame, but each Adam7 pass
+# pads ITS OWN reduced rows), then resolve through PLTE.
+_LB_W = 9
+_LB_DEPTH = 2
+
+
+def _png_lowbit_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Adam7-interlaced 2-bit palette PNG table. Indices
+    and palette are closed-form; the oracle reproduces the RESOLVED
+    RGB stream and never sees packing, passes, or PLTE."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        PNG_MIME,
+        encode_png_adam7_lowbit,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+    pal = np.array(
+        [
+            [(k * 37 + 11) % 256, (k * 59 + 7) % 256, (k * 83 + 3) % 256]
+            for k in range(1 << _LB_DEPTH)
+        ],
+        dtype=np.uint8,
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():
+                h = 1 + int(row["doc_id"]) % 13
+                j = np.arange(_LB_W * h, dtype=np.int64)
+                idx = (
+                    (np.int64(row["doc_id"]) * 31 + j * 17)
+                    % (1 << _LB_DEPTH)
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_png_adam7_lowbit(
+                        idx.reshape(h, _LB_W), _LB_DEPTH, palette=pal
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": PNG_MIME,
+                    "width": _LB_W,
+                    "height": [1 + int(d) % 13 for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(
+        synth,
+        schema="media_id long, payload binary, mime string, "
+        "width int, height int",
+    )
+
+
+@register(
+    "multimodal_png_lowbit_stats",
+    oracle=f"""
+WITH img AS (
+    SELECT doc_id, 1 + doc_id % 13 AS h FROM documents
+),
+px AS (
+    SELECT doc_id, h, unnest(range(0, {_LB_W} * h * 3)) AS i
+    FROM img
+),
+v AS (
+    SELECT doc_id, h, i,
+           (doc_id * 31 + (i // 3) * 17) % {1 << _LB_DEPTH} AS k,
+           i % 3 AS c
+    FROM px
+),
+rgb AS (
+    SELECT doc_id, h, i,
+           CASE c WHEN 0 THEN (k * 37 + 11) % 256
+                  WHEN 1 THEN (k * 59 + 7) % 256
+                  ELSE (k * 83 + 3) % 256 END AS v
+    FROM v
+),
+agg AS (
+    SELECT doc_id, h, COUNT(*) AS npx, SUM(v) AS px_sum,
+           SUM((i + 1) * v) AS px_wsum
+    FROM rgb GROUP BY doc_id, h
+)
+SELECT doc_id AS media_id,
+       'image/png' AS mime,
+       CAST({_LB_W} AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(npx AS BIGINT) AS npx,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_wsum AS BIGINT) AS px_wsum,
+       (px_sum * 1000000 // npx) / 1e6 AS px_mean
+FROM agg
+""".strip(),
+)
+def q_multimodal_png_lowbit_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUB-BYTE × ADAM7 × PALETTE PNG — the compound closure of the
+    container (r12): every document becomes a 2-bit indexed,
+    Adam7-interlaced PNG (encode_png_adam7_lowbit packs each pass's
+    reduced rows MSB-first with per-pass byte padding and cycles all
+    five filters at bpp=1), then image_pixel_checksums decodes — chunk
+    walk, inflate, seven per-pass byte-level unfilters, per-pass
+    MSB-first bit unpack with padding discard, PLTE resolution. The
+    oracle computes the RESOLVED RGB integers from the closed forms
+    and never sees packing, passes, or the palette — the arms agree
+    only if the whole chain is exact: a bit-order flip, padding
+    carried across a pass boundary, or unpacking before unfiltering
+    all hash-fail the position-weighted px_wsum. w=9 makes every
+    pass ragged AND every row pad; h cycles 1..13 so small images
+    drop whole passes. Scale: two shuffle-free mapInPandas
+    projections; payloads never leave the executor."""
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        image_pixel_checksums,
+    )
+
+    return image_pixel_checksums(_png_lowbit_media(spark, sf_dir))
 
 
 from supplier_performance_data_pipeline_spark.operators.multimodal import (  # noqa: E402

@@ -150,12 +150,12 @@ def test_png_crc_corruption_fails_loudly():
 
 
 def test_png_unsupported_shapes_raise_honestly():
-    """Interlace / sub-byte depths are the documented plug-points —
-    they must raise, never silently shear pixels. (Palette and
-    gray+alpha, types 3/4, moved from this trap list to real coverage
-    in r11; 16-bit depth in r12 — see tests/test_round12_ops.py.)
-    Depth 16 + palette is ILLEGAL per spec, so it's a ValueError,
-    not a plug-point."""
+    """Every LEGAL depth/color/interlace combination now decodes for
+    real (the r10 trap list drained: palette+graya r11, 16-bit+Adam7+
+    sub-byte r12) — what must still raise, loudly and never by
+    silently shearing pixels, is the spec-ILLEGAL space: bad
+    depth-for-color combos, unknown color types, unknown interlace
+    methods, and a corrupt signature."""
     m = _codec()
 
     def chunk(ctype, data):
@@ -167,13 +167,18 @@ def test_png_unsupported_shapes_raise_honestly():
         )
 
     sig = b"\x89PNG\r\n\x1a\n"
-    for depth, color, interlace in [(8, 2, 1), (4, 0, 0), (1, 3, 0)]:
+    illegal = [
+        (16, 3, 0),  # 16-bit palette: PLTE entries are 8-bit
+        (2, 2, 0),  # sub-byte truecolor
+        (4, 6, 0),  # sub-byte RGBA
+        (1, 4, 0),  # sub-byte gray+alpha
+        (8, 5, 0),  # color type 5 does not exist
+        (8, 2, 2),  # interlace method 2 does not exist
+    ]
+    for depth, color, interlace in illegal:
         ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             m.decode_png(sig + chunk(b"IHDR", ihdr))
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
-    with pytest.raises(ValueError, match="illegal"):
-        m.decode_png(sig + chunk(b"IHDR", ihdr))
     with pytest.raises(ValueError, match="signature"):
         m.decode_png(b"NOPE" + b"\x00" * 16)
 
