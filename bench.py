@@ -296,6 +296,8 @@ HEADLINE = [
     "multimodal_png_palette_stats",
     "multimodal_png_graya_stats",
     "multimodal_png_16bit_stats",
+    "multimodal_png_adam7_stats",
+    "multimodal_png_lowbit_stats",
 ]
 
 

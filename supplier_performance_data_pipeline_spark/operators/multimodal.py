@@ -253,25 +253,28 @@ def encode_png16(arr) -> bytes:
 
 
 def encode_png_adam7(arr) -> bytes:
-    """ADAM7-INTERLACED 8-bit truecolor PNG from an (H, W, 3) uint8
-    array — the fixture encoder for the interlaced decode path. The
-    IDAT stream is the concatenation of the seven passes' filtered
-    scanlines: each pass extracts its (start, step) lattice sub-image
-    and filters it INDEPENDENTLY (``_filter_idat`` cycles all five
-    filter types per pass scanline, predicting only within the pass —
-    exactly the independence the decoder must honor; an encoder or
-    decoder that let predictions cross a pass boundary would shear).
-    Passes whose reduced width or height is zero contribute zero
-    bytes, not even filter bytes — the small-image trap the
-    round-trip fixtures pin by varying height through 1..N."""
+    """ADAM7-INTERLACED truecolor PNG from an (H, W, 3) array — uint8
+    input writes depth 8, uint16 writes depth 16 (big-endian sample
+    pairs, filter offset 6 bytes). The IDAT stream is the
+    concatenation of the seven passes' filtered scanlines: each pass
+    extracts its (start, step) lattice sub-image and filters it
+    INDEPENDENTLY (``_filter_idat`` cycles all five filter types per
+    pass scanline, predicting only within the pass — exactly the
+    independence the decoder must honor; an encoder or decoder that
+    let predictions cross a pass boundary would shear). Passes whose
+    reduced width or height is zero contribute zero bytes, not even
+    filter bytes — the small-image trap the round-trip fixtures pin
+    by varying height through 1..N."""
     import struct
     import zlib
 
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
+    a = np.asarray(arr)
     if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError("encode_png_adam7 needs an (H, W, 3) uint8 array")
+        raise ValueError("encode_png_adam7 needs an (H, W, 3) array")
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = a.astype(np.uint16 if depth == 16 else np.uint8)
     h, w = a.shape[0], a.shape[1]
     out = bytearray()
     for xs, xst, ys, yst in _ADAM7:
@@ -279,9 +282,16 @@ def encode_png_adam7(arr) -> bytes:
         hp, wp = sub.shape[0], sub.shape[1]
         if hp == 0 or wp == 0:
             continue
-        raw = sub.reshape(hp, wp * 3).astype(np.int64)
-        out += _filter_idat(raw, 3)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        if depth == 16:
+            raw = np.frombuffer(
+                np.ascontiguousarray(sub).astype(">u2").tobytes(),
+                dtype=np.uint8,
+            ).reshape(hp, wp * 6).astype(np.int64)
+            out += _filter_idat(raw, 6)
+        else:
+            raw = sub.reshape(hp, wp * 3).astype(np.int64)
+            out += _filter_idat(raw, 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 1)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
