@@ -311,6 +311,34 @@ def main() -> None:
     assert compact_equal, "compacted serving != from-scratch rebuild"
     print(f"compacted serving equality at sf1: {compact_equal}")
 
+    # GC isolation (round-12): reclaim every superseded code table and
+    # manifest version the append/compact lifecycle left behind. The
+    # claim — GC is driver-side filesystem metadata work, NEVER a data
+    # scan — shows up as gc_sec in fractions of a second against an
+    # index whose rewrite costs compact_sec, with serving from the
+    # GC'd index still row-set-equal to the from-scratch rebuild and
+    # only the live generation + centroid tables + manifest left on
+    # disk (monotonic segment naming is what makes the delete safe).
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        ivfpq_index_gc,
+    )
+
+    t0 = time.monotonic()
+    gc_deleted = ivfpq_index_gc(spark, incr_path)
+    gc_sec = round(time.monotonic() - t0, 3)
+    serve_post_gc = ivfpq_adc_from_index(
+        spark, incr_path, queries, topk=IVFPQ_TOPK, m=PQ_M, dim=DIM,
+    ).collect()
+    gc_equal = sorted(map(tuple, serve_post_gc)) == sorted(
+        map(tuple, serve_rebuild)
+    )
+    assert gc_equal, "post-GC serving != from-scratch rebuild"
+    gc_remaining = sorted(
+        e for e in os.listdir(incr_path) if not e.startswith(".")
+    )
+    print(f"gc: removed {len(gc_deleted)} entries in {gc_sec}s; "
+          f"remaining {gc_remaining}; serving equal: {gc_equal}")
+
     # Stamp which round measured this: bench.py re-embeds the file into
     # every later BENCH_LOCAL record, and an unstamped probe would read
     # as freshly measured each round (the stale-data class
@@ -392,6 +420,20 @@ def main() -> None:
                 "raw vectors never read; paid once and amortized over "
                 "every append it folds, restoring single-table scan "
                 "fan-out and footer pruning for serving"
+            ),
+        },
+        "gc": {
+            "gc_sec": gc_sec,
+            "entries_removed": len(gc_deleted),
+            "removed": sorted(gc_deleted),
+            "remaining_entries": gc_remaining,
+            "serving_equal_to_rebuild": gc_equal,
+            "note": (
+                "driver-side filesystem metadata work only (Hadoop FS "
+                "delete of non-manifest code tables + superseded "
+                "manifest versions) — no data scan, no Spark job; "
+                "safe because segment names are monotonic and never "
+                "reborn"
             ),
         },
     }
