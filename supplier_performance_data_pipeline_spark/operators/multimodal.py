@@ -59,15 +59,23 @@ def _fake_features(payload: bytes) -> tuple[float, float]:
 PPM_MIME = "image/x-portable-pixmap"
 RAW_RGB_MIME = "image/x-raw-rgb"
 
+from supplier_performance_data_pipeline_spark.operators.jpeg import (  # noqa: E402,E501
+    JPEG_MIME,
+)
+
 
 def decode_rgb(payload: bytes, mime: str, width=None, height=None):
-    """(H, W, 3) uint8 array from an UNCOMPRESSED payload.
+    """(H, W, 3) uint8 array from a raster payload.
 
     Supports binary PPM P6 with maxval 255 (dimensions parsed from the
-    header, comments honored) and headerless interleaved raw RGB
-    (dimensions taken from the metadata columns). Raises
-    NotImplementedError for anything entropy-coded — that is the
-    Pillow/ffmpeg plug-point, not something numpy should fake."""
+    header, comments honored), headerless interleaved raw RGB
+    (dimensions taken from the metadata columns), every legal PNG
+    shape (``decode_png``), and baseline JPEG — grayscale or 4:4:4,
+    real Huffman entropy decode (``operators/jpeg.py``; r12). What
+    remains NotImplementedError is stated per format at the marker
+    that triggers it (progressive/subsampled JPEG, compressed
+    video/audio FOURCCs) — the Pillow/ffmpeg plug-points, never a
+    silent fake."""
     import numpy as np
 
     if mime == PPM_MIME:
@@ -108,6 +116,12 @@ def decode_rgb(payload: bytes, mime: str, width=None, height=None):
         return data.reshape(h, w, 3)
     if mime == PNG_MIME:
         return decode_png(payload)
+    if mime == JPEG_MIME:
+        from supplier_performance_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+        )
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"decoding {mime!r} requires a codec library (Pillow/ffmpeg) "
         "not present in this container"

@@ -1078,6 +1078,129 @@ def q_multimodal_png_lowbit_stats(
     return image_pixel_checksums(_png_lowbit_media(spark, sf_dir))
 
 
+# Baseline JPEG (r12 — the entropy-coded plug-point becomes partial
+# real coverage): DC-only grayscale with the all-8 quant table makes
+# the reconstruction EXACT (IDCT of a DC-only block is the flat value
+# dc·8/8; pixel = dc + 128, no trig, no rounding), so the oracle is
+# closed-form while the Spark arm runs the entire container: marker
+# walk, canonical Huffman decode, DC prediction chain, EOB per block,
+# byte unstuffing.
+_JPG_W = 16  # 2 blocks across
+_JPG_DC_A = 53
+_JPG_DC_B = 29
+
+
+def _jpeg_dc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → baseline-JPEG table: per doc a (1 + doc_id % 3)-
+    block-row grayscale image whose per-block DC coefficients are
+    closed-form; the oracle reproduces the decoded flat blocks and
+    never sees the container."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.jpeg import (
+        JPEG_MIME,
+        encode_jpeg_gray_dc,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():
+                by = 1 + int(row["doc_id"]) % 3
+                b = np.arange(by * 2, dtype=np.int64)
+                dc = (
+                    (np.int64(row["doc_id"]) * _JPG_DC_A + b * _JPG_DC_B)
+                    % 256
+                ) - 128
+                payloads.append(encode_jpeg_gray_dc(dc.reshape(by, 2)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": JPEG_MIME,
+                    "width": _JPG_W,
+                    "height": [8 * (1 + int(d) % 3) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(
+        synth,
+        schema="media_id long, payload binary, mime string, "
+        "width int, height int",
+    )
+
+
+@register(
+    "multimodal_jpeg_dc_stats",
+    oracle=f"""
+WITH img AS (
+    SELECT doc_id, 8 * (1 + doc_id % 3) AS h FROM documents
+),
+px AS (
+    SELECT doc_id, h, unnest(range(0, {_JPG_W} * h * 3)) AS i
+    FROM img
+),
+v AS (
+    SELECT doc_id, h, i,
+           (doc_id * {_JPG_DC_A}
+            + (((i // 3) // {_JPG_W}) // 8 * 2
+               + ((i // 3) % {_JPG_W}) // 8) * {_JPG_DC_B}) % 256 AS v
+    FROM px
+),
+agg AS (
+    SELECT doc_id, h, COUNT(*) AS npx, SUM(v) AS px_sum,
+           SUM((i + 1) * v) AS px_wsum
+    FROM v GROUP BY doc_id, h
+)
+SELECT doc_id AS media_id,
+       'image/jpeg' AS mime,
+       CAST({_JPG_W} AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(npx AS BIGINT) AS npx,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_wsum AS BIGINT) AS px_wsum,
+       (px_sum * 1000000 // npx) / 1e6 AS px_mean
+FROM agg
+""".strip(),
+)
+def q_multimodal_jpeg_dc_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BASELINE JPEG through a REAL entropy decoder (r12 —
+    operators/jpeg.py; the format that was the stack's biggest honest
+    NotImplementedError through r11): synthesize a grayscale DC-only
+    baseline JFIF per document (standard Annex K Huffman tables,
+    differential DC coding across blocks, EOB per block, byte
+    stuffing), then run image_pixel_checksums → decode_rgb →
+    decode_jpeg: marker walk (APP0/DQT/DHT/SOF0/SOS), canonical
+    Huffman decode over unstuffed bits, DC prediction, dequantize,
+    full spec IDCT, level shift. The all-8 quant table makes the
+    reconstruction EXACT — IDCT of a DC-only block is the flat value
+    dc+128 with no trig surviving — so the oracle computes the
+    decoded integers in closed form and the driver hash pins the
+    whole entropy chain: a wrong Huffman table, a broken predictor
+    reset, or an off-by-one in the category extension changes
+    px_wsum. The 2-blocks-across layout makes the DC DIFFERENCE
+    sequence nontrivial (b varies within AND across rows). Lossy-JPEG
+    generality (AC coefficients, color, restart markers, the
+    independent-reference IDCT pins) lives in tests/test_jpeg.py;
+    progressive/subsampled/12-bit raise loudly at the marker. Scale:
+    two shuffle-free mapInPandas projections; payloads never leave
+    the executor."""
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        image_pixel_checksums,
+    )
+
+    return image_pixel_checksums(_jpeg_dc_media(spark, sf_dir))
+
+
 from supplier_performance_data_pipeline_spark.operators.multimodal import (  # noqa: E402
     ahash_near_dup_pairs,
 )
