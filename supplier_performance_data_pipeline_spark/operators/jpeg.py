@@ -10,13 +10,17 @@ prediction, AC run-length/ZRL/EOB, dequantization, the spec's full
 encoder. Scope is stated exactly:
 
 - SUPPORTED: SOF0 baseline DCT, 8-bit precision, 1 component
-  (grayscale) or 3 components at 1x1 sampling (4:4:4), multi-table
-  DQT/DHT segments, restart markers (DRI/RSTn), APPn/COM skip,
-  FF00 byte stuffing, fill bytes.
+  (grayscale) or 3 components with sampling factors up to 2x2 —
+  4:4:4, 4:2:2, 4:4:0, and the ubiquitous 4:2:0 all decode with the
+  spec's interleaved MCU block order (per component, Hc x Vc blocks
+  left-right top-bottom) and REPLICATION chroma upsampling (spec-
+  legal nearest; libjpeg's -nosmooth — documented, deterministic).
+  Multi-table DQT/DHT segments, restart markers (DRI/RSTn), APPn/COM
+  skip, FF00 byte stuffing, fill bytes.
 - NotImplementedError (honest, loud): progressive (SOF2), extended/
-  lossless/arithmetic frames (SOF1/3/9-15), chroma subsampling
-  (any H or V sampling factor != 1), 12-bit precision / 16-bit quant
-  tables. These raise at the marker, never shear pixels.
+  lossless/arithmetic frames (SOF1/3/9-15), sampling factors above
+  2, 12-bit precision / 16-bit quant tables. These raise at the
+  marker, never shear pixels.
 
 Determinism contract: IDCT is the spec's closed-form float64 basis
 product (bit-stable across platforms for the fixture range), final
@@ -287,13 +291,26 @@ def decode_jpeg(payload: bytes):
             comps = []
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise NotImplementedError(
-                        "JPEG chroma subsampling unsupported (sampling "
-                        f"factor 0x{hv:02x}; only 1x1 / 4:4:4 decodes)"
+                        f"JPEG sampling factor {hs}x{vs} unsupported "
+                        "(factors up to 2x2 decode — 4:4:4/4:2:2/"
+                        "4:4:0/4:2:0)"
                     )
-                comps.append({"id": cid, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
+                comps.append({"id": cid, "tq": tq, "hs": hs, "vs": vs})
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            for c in comps:
+                if hmax % c["hs"] or vmax % c["vs"]:
+                    raise NotImplementedError(
+                        "JPEG sampling factors must divide the frame "
+                        f"maxima ({c['hs']}x{c['vs']} vs {hmax}x{vmax})"
+                    )
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "hmax": hmax, "vmax": vmax,
+            }
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -375,17 +392,23 @@ def decode_jpeg(payload: bytes):
 
 
 def _decode_scan(frame, qt, scan_tabs, segments, restart_interval):
-    """Interleaved baseline scan at 1x1 sampling: MCU = one block per
-    component; restart intervals reset DC predictors and byte-align
-    (each ``segments`` entry is one already-unstuffed interval)."""
+    """Interleaved baseline scan, general sampling (factors ≤ 2): one
+    MCU carries, per component in frame order, Hc × Vc blocks scanned
+    left-right top-bottom (spec A.2.3). Restart intervals reset DC
+    predictors and byte-align (each ``segments`` entry is one
+    already-unstuffed interval). Returns FULL-RESOLUTION planes:
+    subsampled components are replication-upsampled (spec-legal
+    nearest; deterministic)."""
     fh, fw = frame["h"], frame["w"]
     comps = frame["comps"]
-    bx = (fw + 7) // 8
-    by = (fh + 7) // 8
-    total_mcus = bx * by
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    total_mcus = mcux * mcuy
     per_seg = restart_interval if restart_interval else total_mcus
+    grids = [(mcuy * c["vs"], mcux * c["hs"]) for c in comps]
     coefs = [
-        np.zeros((total_mcus, 64), dtype=np.int64) for _ in comps
+        np.zeros((r * cl, 64), dtype=np.int64) for r, cl in grids
     ]
     mcu = 0
     for seg_bytes in segments:
@@ -394,12 +417,19 @@ def _decode_scan(frame, qt, scan_tabs, segments, restart_interval):
         br = _BitReader(seg_bytes)
         preds = [0] * len(comps)
         for _ in range(min(per_seg, total_mcus - mcu)):
-            for ci in range(len(comps)):
+            my, mx = mcu // mcux, mcu % mcux
+            for ci, comp in enumerate(comps):
                 dc_tab, ac_tab = scan_tabs[ci]
-                block, preds[ci] = _decode_block(
-                    br, dc_tab, ac_tab, preds[ci]
-                )
-                coefs[ci][mcu] = block
+                _, cols = grids[ci]
+                for vb in range(comp["vs"]):
+                    for hb in range(comp["hs"]):
+                        block, preds[ci] = _decode_block(
+                            br, dc_tab, ac_tab, preds[ci]
+                        )
+                        bi = (my * comp["vs"] + vb) * cols + (
+                            mx * comp["hs"] + hb
+                        )
+                        coefs[ci][bi] = block
             mcu += 1
     if mcu != total_mcus:
         raise ValueError(
@@ -411,18 +441,23 @@ def _decode_scan(frame, qt, scan_tabs, segments, restart_interval):
         table = qt.get(comp["tq"])
         if table is None:
             raise ValueError("JPEG component references missing DQT")
+        rows, cols = grids[ci]
+        nb = rows * cols
         # de-zigzag + dequantize, all blocks at once
-        nat = np.zeros((total_mcus, 64), dtype=np.float64)
+        nat = np.zeros((nb, 64), dtype=np.float64)
         nat[:, _ZZ] = coefs[ci] * table
-        blocks = nat.reshape(total_mcus, 8, 8)
+        blocks = nat.reshape(nb, 8, 8)
         # f = M F Mᵀ per block + level shift
         spatial = (
             np.einsum("xu,buv,yv->bxy", _IDCT_M, blocks, _IDCT_M) + 128.0
         )
-        plane = np.zeros((by * 8, bx * 8))
-        for i in range(total_mcus):
-            y0, x0 = (i // bx) * 8, (i % bx) * 8
+        plane = np.zeros((rows * 8, cols * 8))
+        for i in range(nb):
+            y0, x0 = (i // cols) * 8, (i % cols) * 8
             plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[i]
+        ry, rx = vmax // comp["vs"], hmax // comp["hs"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane)
     return planes
 
@@ -487,6 +522,7 @@ def encode_jpeg(
     h: int,
     qtable=None,
     restart_interval: int = 0,
+    sampling=None,
 ) -> bytes:
     """Baseline JFIF payload from QUANTIZED zigzag coefficient blocks —
     the fixture encoder (the inverse entropy-coding half; it does not
@@ -495,16 +531,27 @@ def encode_jpeg(
     dequant/IDCT wiring bit-for-bit).
 
     ``blocks``: one array (n_blocks, 64) for grayscale, or a list of
-    THREE such arrays for YCbCr 4:4:4; block n covers the image tile
-    (n // ceil(w/8), n % ceil(w/8)). Standard Annex K Huffman tables;
-    ``qtable`` (64 entries, zigzag, default all-8s) is shared by all
-    components; ``restart_interval`` > 0 emits DRI + RSTn markers."""
+    THREE such arrays for YCbCr; each component's block n covers ITS
+    plane tile (n // cols_c, n % cols_c) where the per-component grid
+    is (mcuy·Vc) × (mcux·Hc). ``sampling`` is a per-component list of
+    (H, V) factors ≤ 2 — e.g. ``[(2, 2), (1, 1), (1, 1)]`` for 4:2:0
+    — default all 1x1 (4:4:4). The scan interleaves MCUs in spec
+    A.2.3 order (per component, Hc × Vc blocks left-right
+    top-bottom). Standard Annex K Huffman tables; ``qtable`` (64
+    entries, zigzag, default all-8s) is shared by all components;
+    ``restart_interval`` > 0 emits DRI + RSTn markers."""
     if isinstance(blocks, (list, tuple)):
         comps = [np.asarray(b, dtype=np.int64) for b in blocks]
     else:
         comps = [np.asarray(blocks, dtype=np.int64)]
     if len(comps) not in (1, 3):
         raise ValueError("encode_jpeg takes 1 or 3 component block sets")
+    if sampling is None:
+        sampling = [(1, 1)] * len(comps)
+    if len(sampling) != len(comps) or any(
+        not (1 <= hs <= 2 and 1 <= vs <= 2) for hs, vs in sampling
+    ):
+        raise ValueError("sampling must give each component (H, V) in 1..2")
     qtable = (
         np.full(64, 8, dtype=np.int64)
         if qtable is None
@@ -512,12 +559,18 @@ def encode_jpeg(
     )
     if qtable.shape != (64,) or (qtable < 1).any() or (qtable > 255).any():
         raise ValueError("qtable must be 64 entries in 1..255 (8-bit DQT)")
-    bx, by = (w + 7) // 8, (h + 7) // 8
-    n_blocks = bx * by
-    for c in comps:
-        if c.shape != (n_blocks, 64):
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcux * mcuy
+    grids = [(mcuy * vs, mcux * hs) for hs, vs in sampling]
+    for ci, c in enumerate(comps):
+        r, cl = grids[ci]
+        if c.shape != (r * cl, 64):
             raise ValueError(
-                f"need {n_blocks} blocks of 64 zigzag coefficients"
+                f"component {ci} needs {r * cl} blocks of 64 zigzag "
+                f"coefficients (grid {r}x{cl}), got {c.shape}"
             )
     ncomp = len(comps)
     out = bytearray(b"\xff\xd8")  # SOI
@@ -533,7 +586,8 @@ def encode_jpeg(
         out += _dht_segment(1, 1, _STD_AC_CHR)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])
+        hs, vs = sampling[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
@@ -548,44 +602,54 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
-    per_seg = restart_interval if restart_interval else n_blocks
+    def emit_block(bw, ci, blk, pred):
+        dc_codes, ac_codes = enc_tabs[ci]
+        diff = int(blk[0]) - pred
+        s = _category(diff)
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            _emit_coef(bw, diff, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            _emit_coef(bw, v, s)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+        return int(blk[0])
+
+    per_seg = restart_interval if restart_interval else n_mcus
     mcu = 0
     rst = 0
-    while mcu < n_blocks:
+    while mcu < n_mcus:
         bw = _BitWriter()
         preds = [0] * ncomp
-        for _ in range(min(per_seg, n_blocks - mcu)):
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = mcu // mcux, mcu % mcux
             for ci in range(ncomp):
-                dc_codes, ac_codes = enc_tabs[ci]
-                blk = comps[ci][mcu]
-                diff = int(blk[0]) - preds[ci]
-                preds[ci] = int(blk[0])
-                s = _category(diff)
-                code, ln = dc_codes[s]
-                bw.write(code, ln)
-                if s:
-                    _emit_coef(bw, diff, s)
-                run = 0
-                for k in range(1, 64):
-                    v = int(blk[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = ac_codes[(run << 4) | s]
-                    bw.write(code, ln)
-                    _emit_coef(bw, v, s)
-                    run = 0
-                if run:
-                    code, ln = ac_codes[0x00]  # EOB
-                    bw.write(code, ln)
+                hs, vs = sampling[ci]
+                _, cols = grids[ci]
+                for vb in range(vs):
+                    for hb in range(hs):
+                        bi = (my * vs + vb) * cols + (mx * hs + hb)
+                        preds[ci] = emit_block(
+                            bw, ci, comps[ci][bi], preds[ci]
+                        )
             mcu += 1
         out += bw.flush()
-        if mcu < n_blocks and restart_interval:
+        if mcu < n_mcus and restart_interval:
             out += bytes([0xFF, 0xD0 + (rst & 7)])
             rst += 1
     out += b"\xff\xd9"  # EOI

@@ -1201,6 +1201,130 @@ def q_multimodal_jpeg_dc_stats(
     return image_pixel_checksums(_jpeg_dc_media(spark, sf_dir))
 
 
+# 4:2:0 — the ubiquitous real-world JPEG shape (r12): the scan
+# carries FOUR luma blocks + Cb + Cr per MCU in spec A.2.3 interleave
+# order; flat-zero chroma keeps the decoded integers exact (gray =
+# Y + 128) while the container exercises the full subsampled MCU
+# routing — a wrong interleave scrambles Y blocks between MCU rows.
+_J42_DC_A = 47
+_J42_DC_B = 31
+
+
+def _jpeg_420_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → 4:2:0 baseline-JPEG table: per doc a 16-wide,
+    (1 + doc_id % 2)-MCU-row color image; per-Y-block DC closed-form,
+    chroma DC zero. The oracle reproduces the decoded flat Y tiles
+    and never sees MCUs, sampling factors, or the color transform."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.jpeg import (
+        JPEG_MIME,
+        encode_jpeg,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():
+                mcus = 1 + int(row["doc_id"]) % 2
+                nyb = 4 * mcus  # Y grid (2*mcus) x 2
+                b = np.arange(nyb, dtype=np.int64)
+                y = np.zeros((nyb, 64), dtype=np.int64)
+                y[:, 0] = (
+                    (np.int64(row["doc_id"]) * _J42_DC_A + b * _J42_DC_B)
+                    % 256
+                ) - 128
+                zero = np.zeros((mcus, 64), dtype=np.int64)
+                payloads.append(
+                    encode_jpeg(
+                        [y, zero, zero],
+                        16,
+                        16 * mcus,
+                        sampling=[(2, 2), (1, 1), (1, 1)],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": JPEG_MIME,
+                    "width": 16,
+                    "height": [16 * (1 + int(d) % 2) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(
+        synth,
+        schema="media_id long, payload binary, mime string, "
+        "width int, height int",
+    )
+
+
+@register(
+    "multimodal_jpeg_420_stats",
+    oracle=f"""
+WITH img AS (
+    SELECT doc_id, 16 * (1 + doc_id % 2) AS h FROM documents
+),
+px AS (
+    SELECT doc_id, h, unnest(range(0, 16 * h * 3)) AS i
+    FROM img
+),
+v AS (
+    SELECT doc_id, h, i,
+           (doc_id * {_J42_DC_A}
+            + (((i // 3) // 16) // 8 * 2
+               + ((i // 3) % 16) // 8) * {_J42_DC_B}) % 256 AS v
+    FROM px
+),
+agg AS (
+    SELECT doc_id, h, COUNT(*) AS npx, SUM(v) AS px_sum,
+           SUM((i + 1) * v) AS px_wsum
+    FROM v GROUP BY doc_id, h
+)
+SELECT doc_id AS media_id,
+       'image/jpeg' AS mime,
+       CAST(16 AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(npx AS BIGINT) AS npx,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_wsum AS BIGINT) AS px_wsum,
+       (px_sum * 1000000 // npx) / 1e6 AS px_mean
+FROM agg
+""".strip(),
+)
+def q_multimodal_jpeg_420_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """4:2:0 CHROMA-SUBSAMPLED JPEG — the shape virtually every
+    real-world photo ships in (r12): synthesize a color baseline JFIF
+    per document with Y at 2x2 sampling and flat-zero chroma, then
+    decode through the full subsampled path: each MCU carries FOUR
+    luma blocks + Cb + Cr in spec A.2.3 interleave order, chroma
+    planes replication-upsample, and the JFIF transform runs with
+    Cb=Cr=128 so R=G=B=Y exactly — the decoded integers stay
+    closed-form (Y-block DC + 128 per 8x8 tile) while the container
+    pins what 4:4:4 cannot: the subsampled MCU block ROUTING (two MCU
+    rows at doc_id%2=1 make a wrong interleave scramble tiles across
+    rows and hash-fail px_wsum), the separate chroma Huffman tables,
+    and the upsample plumbing. Lossy generality (nonzero chroma,
+    4:2:2/4:4:0, ragged dims) is pinned against the independent
+    reference in tests/test_jpeg.py. Scale: two shuffle-free
+    mapInPandas projections; payloads never leave the executor."""
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        image_pixel_checksums,
+    )
+
+    return image_pixel_checksums(_jpeg_420_media(spark, sf_dir))
+
+
 from supplier_performance_data_pipeline_spark.operators.multimodal import (  # noqa: E402
     ahash_near_dup_pairs,
 )

@@ -154,6 +154,76 @@ def test_color_flat_chroma_equals_gray_and_random_matches_formula():
     assert np.array_equal(gray, color)
 
 
+def _plane(blocks, rows, cols, q):
+    nat = np.zeros((len(blocks), 64))
+    nat[:, _ZZ] = blocks * q
+    sp = (
+        np.einsum("xu,buv,yv->bxy", _IDCT_M, nat.reshape(-1, 8, 8), _IDCT_M)
+        + 128.0
+    )
+    pl = np.zeros((rows * 8, cols * 8))
+    for i in range(len(blocks)):
+        pl[(i // cols) * 8 : (i // cols) * 8 + 8,
+           (i % cols) * 8 : (i % cols) * 8 + 8] = sp[i]
+    return pl
+
+
+def test_420_dc_block_interleave():
+    """4:2:0, two MCU rows: the scan carries Y00 Y01 Y10 Y11 Cb Cr per
+    MCU; a decoder with the wrong interleave scrambles Y blocks
+    between MCU rows. Flat chroma keeps the expectation exact."""
+    y = np.zeros((8, 64), dtype=np.int64)
+    y[:, 0] = [10, -20, 30, -40, 50, -60, 70, -80]
+    zero = np.zeros((2, 64), dtype=np.int64)
+    p = encode_jpeg(
+        [y, zero, zero], 16, 32, sampling=[(2, 2), (1, 1), (1, 1)]
+    )
+    out = decode_jpeg(p)
+    exp = np.zeros((32, 16), dtype=np.uint8)
+    for b in range(8):
+        by, bx = b // 2, b % 2
+        exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = int(y[b, 0]) + 128
+    assert np.array_equal(out, np.repeat(exp[:, :, None], 3, axis=2))
+
+
+@pytest.mark.parametrize(
+    "sampling,ygrid,w,h",
+    [
+        ([(2, 2), (1, 1), (1, 1)], (4, 4), 32, 24),  # 4:2:0, ragged h
+        ([(2, 1), (1, 1), (1, 1)], (2, 4), 32, 16),  # 4:2:2
+        ([(1, 2), (1, 1), (1, 1)], (4, 2), 16, 32),  # 4:4:0
+    ],
+)
+def test_subsampled_color_matches_reference(sampling, ygrid, w, h):
+    """Chroma-subsampled scans vs the independent reference: per-plane
+    dequant+IDCT, replication upsample, JFIF conversion."""
+    rng = np.random.default_rng(w * h)
+    q = rng.integers(1, 16, size=64).astype(np.int64)
+    yr, yc = ygrid
+    hs0, vs0 = sampling[0]
+    cr_rows, cr_cols = yr // vs0, yc // hs0
+    y = rng.integers(-30, 31, size=(yr * yc, 64)).astype(np.int64)
+    cb = rng.integers(-15, 16, size=(cr_rows * cr_cols, 64)).astype(np.int64)
+    cr = rng.integers(-15, 16, size=(cr_rows * cr_cols, 64)).astype(np.int64)
+    out = decode_jpeg(
+        encode_jpeg([y, cb, cr], w, h, qtable=q, sampling=sampling,
+                    restart_interval=1)
+    )
+    Y = _plane(y, yr, yc, q)[:h, :w]
+    CB = np.repeat(
+        np.repeat(_plane(cb, cr_rows, cr_cols, q), vs0, 0), hs0, 1
+    )[:h, :w] - 128
+    CR = np.repeat(
+        np.repeat(_plane(cr, cr_rows, cr_cols, q), vs0, 0), hs0, 1
+    )[:h, :w] - 128
+    rgb = np.stack(
+        [Y + 1.402 * CR, Y - 0.344136 * CB - 0.714136 * CR, Y + 1.772 * CB],
+        axis=2,
+    )
+    exp = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
 def test_honest_failures():
     g = np.array([[1]], dtype=np.int64)
     payload = encode_jpeg_gray_dc(g)
@@ -163,11 +233,11 @@ def test_honest_failures():
     bad[i + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="SOF0|progressive"):
         decode_jpeg(bytes(bad))
-    # subsampling: rewrite the SOF0 sampling byte (component 1 H|V)
+    # sampling factor above 2: rewrite the SOF0 sampling byte
     bad = bytearray(payload)
     # SOF0 body: len(2) P(1) h(2) w(2) nf(1) then (id, hv, tq)
-    bad[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    bad[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x33
+    with pytest.raises(NotImplementedError, match="sampling factor"):
         decode_jpeg(bytes(bad))
     # 16-bit quant table
     bad = bytearray(payload)

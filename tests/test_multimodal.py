@@ -100,14 +100,35 @@ def test_real_codec_still_raises_for_compressed(spark):
         extract_features,
     )
 
-    # JPEG, not PNG: PNG decodes for real since round 10 (stdlib zlib
-    # provides DEFLATE); JPEG's entropy coding has no stdlib decoder,
-    # so it stays the honest NotImplementedError plug-point.
-    media = spark.createDataFrame(
-        [(1, b"\xff\xd8\xff\xe0....", "image/jpeg", 4, 4)], MEDIA_SCHEMA
+    # Baseline JPEG decodes for real since r12 (operators/jpeg.py), so
+    # the honest-plug-point pin moves WITH the boundary: a PROGRESSIVE
+    # frame (SOF2) must raise through the real-decode path — and a
+    # truncated/garbage JPEG must fail loudly too, never shear.
+    import struct as st
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_gray_dc,
     )
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        extract_features(media, decode_stub=False).collect()
+
+    payload = bytearray(encode_jpeg_gray_dc(np.array([[1]])))
+    i = bytes(payload).index(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    media = spark.createDataFrame(
+        [
+            (1, bytes(payload), "image/jpeg", 8, 8),
+            (2, b"\xff\xd8\xff\xe0....", "image/jpeg", 4, 4),
+        ],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="SOF0|baseline|truncated"):
+        extract_features(
+            media.filter("media_id = 1"), decode_stub=False
+        ).collect()
+    with pytest.raises(Exception, match="truncated|marker"):
+        extract_features(
+            media.filter("media_id = 2"), decode_stub=False
+        ).collect()
 
 
 def test_real_resize_roundtrip(spark):
