@@ -623,6 +623,16 @@ def _write_local_record(out: dict) -> str:
                 out["suffix_ab"] = json.load(f)
         except (OSError, json.JSONDecodeError):
             pass
+    # Same attach for idle re-probe receipts (REPROBE.json): isolated
+    # min-of-3 re-measurements that adjudicate driver-flagged
+    # regressions on untouched code (r12 VERDICT #1 ritual).
+    rp_path = os.path.join(here, "REPROBE.json")
+    if os.path.exists(rp_path):
+        try:
+            with open(rp_path) as f:
+                out["reprobe"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     # Same attach for the dedup/CC scale probe (bench_dedup_sf1.py):
     # LSH quadratic-avoidance + star-contraction round count at 100x.
     dsf_path = os.path.join(here, "DEDUP_SF1.json")
