@@ -70,10 +70,12 @@ def decode_rgb(payload: bytes, mime: str, width=None, height=None):
     Supports binary PPM P6 with maxval 255 (dimensions parsed from the
     header, comments honored), headerless interleaved raw RGB
     (dimensions taken from the metadata columns), every legal PNG
-    shape (``decode_png``), and baseline JPEG — grayscale or 4:4:4,
-    real Huffman entropy decode (``operators/jpeg.py``; r12). What
-    remains NotImplementedError is stated per format at the marker
-    that triggers it (progressive/subsampled JPEG, compressed
+    shape (``decode_png``), and baseline JPEG — real Huffman entropy
+    decode with sampling factors up to 2x2, i.e. grayscale, 4:4:4,
+    4:2:0, 4:2:2 and 4:4:0 chroma subsampling (``operators/jpeg.py``;
+    r12). What remains NotImplementedError is stated per format at the
+    marker that triggers it (progressive/extended/arithmetic JPEG
+    frames, sampling factors >2, 12-bit precision, compressed
     video/audio FOURCCs) — the Pillow/ffmpeg plug-points, never a
     silent fake."""
     import numpy as np
