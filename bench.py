@@ -299,6 +299,7 @@ HEADLINE = [
     "multimodal_png_adam7_stats",
     "multimodal_png_lowbit_stats",
     "multimodal_jpeg_dc_stats",
+    "multimodal_jpeg_progressive_dc_stats",
     "multimodal_jpeg_420_stats",
 ]
 

@@ -16,11 +16,17 @@ encoder. Scope is stated exactly:
   left-right top-bottom) and REPLICATION chroma upsampling (spec-
   legal nearest; libjpeg's -nosmooth — documented, deterministic).
   Multi-table DQT/DHT segments, restart markers (DRI/RSTn), APPn/COM
-  skip, FF00 byte stuffing, fill bytes.
-- NotImplementedError (honest, loud): progressive (SOF2), extended/
-  lossless/arithmetic frames (SOF1/3/9-15), sampling factors above
-  2, 12-bit precision / 16-bit quant tables. These raise at the
-  marker, never shear pixels.
+  skip, FF00 byte stuffing, fill bytes. PROGRESSIVE (SOF2) decodes
+  its DC band (r13): the interleaved DC first scan (spec G.1.2.1
+  point transform, value << Al) plus successive-approximation DC
+  refinement scans (one raw bit per block, OR'd at Al) accumulate
+  across the multi-scan container and IDCT once at EOI — a DC-only
+  progressive file reconstructs exactly.
+- NotImplementedError (honest, loud): progressive AC scans (spectral
+  selection beyond the DC band — the Pillow plug-point), scans over
+  a component subset, extended/lossless/arithmetic frames
+  (SOF1/3/9-15), sampling factors above 2, 12-bit precision / 16-bit
+  quant tables. These raise at the marker, never shear pixels.
 
 Determinism contract: IDCT is the spec's closed-form float64 basis
 product (bit-stable across platforms for the fixture range), final
@@ -236,6 +242,9 @@ def decode_jpeg(payload: bytes):
     frame = None
     restart_interval = 0
     planes = None
+    prog_coefs = None  # progressive: coefficients accumulate across scans
+    prog_grids = None
+    cur_al = None  # progressive DC successive-approximation chain state
     n = len(payload)
     while pos < n:
         if payload[pos] != 0xFF:
@@ -280,7 +289,7 @@ def decode_jpeg(payload: bytes):
                 vals = list(seg[o + 17 : o + 17 + nv])
                 huffs[(tc, th)] = _decode_table(bits, vals)
                 o += 17 + nv
-        elif m == 0xC0:  # SOF0 baseline
+        elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             p, fh, fw, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if p != 8:
                 raise NotImplementedError(f"JPEG precision {p} unsupported")
@@ -310,32 +319,39 @@ def decode_jpeg(payload: bytes):
             frame = {
                 "h": fh, "w": fw, "comps": comps,
                 "hmax": hmax, "vmax": vmax,
+                "progressive": m == 0xC2,
             }
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG frame type 0xFF{m:02X} unsupported (only SOF0 "
-                "baseline sequential decodes; progressive/extended/"
-                "lossless/arithmetic are the remaining honest "
-                "plug-points)"
+                f"JPEG frame type 0xFF{m:02X} unsupported (SOF0 "
+                "baseline sequential and SOF2 progressive DC-only "
+                "decode; extended/lossless/arithmetic are the "
+                "remaining honest plug-points)"
             )
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS + entropy-coded data
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
+            progressive = frame["progressive"]
             ns = seg[0]
             if ns != len(frame["comps"]):
                 raise NotImplementedError(
-                    "JPEG multi-scan (non-interleaved) unsupported"
+                    "progressive JPEG scans over a component subset "
+                    "unsupported (fully interleaved DC scans only)"
+                    if progressive
+                    else "JPEG multi-scan (non-interleaved) unsupported"
                 )
-            scan_tabs = []
+            specs = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
-                td, ta = tdta >> 4, tdta & 0x0F
-                if (0, td) not in huffs or (1, ta) not in huffs:
-                    raise ValueError("JPEG scan references missing DHT")
-                scan_tabs.append((huffs[(0, td)], huffs[(1, ta)]))
+                specs.append((cs, tdta >> 4, tdta & 0x0F))
+            # Ss/Se spectral selection + Ah/Al successive approximation
+            # (baseline writes 0/63/0 here and the sequential decode
+            # ignores them, as before)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             # entropy data: up to the next marker that is not a
             # stuffed 0x00 or a restart RSTn
             start = pos
@@ -360,12 +376,77 @@ def decode_jpeg(payload: bytes):
             segments.append(bytes(cur))
             if start == pos and not segments[0]:
                 raise ValueError("empty JPEG scan")
-            planes = _decode_scan(
-                frame, qt, scan_tabs, segments, restart_interval
-            )
+            if not progressive:
+                scan_tabs = []
+                for _, td, ta in specs:
+                    if (0, td) not in huffs or (1, ta) not in huffs:
+                        raise ValueError(
+                            "JPEG scan references missing DHT"
+                        )
+                    scan_tabs.append((huffs[(0, td)], huffs[(1, ta)]))
+                planes = _decode_scan(
+                    frame, qt, scan_tabs, segments, restart_interval
+                )
+            elif ss == 0 and se == 0:  # progressive DC band
+                if prog_coefs is None:
+                    _, _, _, prog_grids = _mcu_geometry(frame)
+                    prog_coefs = [
+                        np.zeros((r * cl, 64), dtype=np.int64)
+                        for r, cl in prog_grids
+                    ]
+                if ah == 0:  # DC first scan
+                    if cur_al is not None:
+                        raise ValueError(
+                            "duplicate progressive DC first scan"
+                        )
+                    dc_tabs = []
+                    for _, td, _ta in specs:
+                        if (0, td) not in huffs:
+                            raise ValueError(
+                                "JPEG scan references missing DHT"
+                            )
+                        dc_tabs.append(huffs[(0, td)])
+                    _decode_dc_scan(
+                        frame, prog_coefs, dc_tabs, segments,
+                        restart_interval, 0, al,
+                    )
+                    cur_al = al
+                else:  # DC refinement: one raw bit per block
+                    if cur_al is None:
+                        raise ValueError(
+                            "progressive DC refinement before the "
+                            "DC first scan"
+                        )
+                    if ah != cur_al or al != ah - 1:
+                        raise ValueError(
+                            "progressive DC successive-approximation "
+                            f"chain broken (Ah={ah}, Al={al}; "
+                            f"expected Ah={cur_al}, Al={cur_al - 1})"
+                        )
+                    _decode_dc_scan(
+                        frame, prog_coefs, None, segments,
+                        restart_interval, ah, al,
+                    )
+                    cur_al = al
+            else:
+                raise NotImplementedError(
+                    "progressive JPEG AC scans unsupported — the "
+                    "DC band (spectral selection 0,0: first scan + "
+                    "successive-approximation refinements) decodes; "
+                    "AC spectral/refinement scans are the Pillow "
+                    "plug-point"
+                )
         elif m == 0xD8:
             raise ValueError("unexpected second SOI")
         # APPn (E0-EF), COM (FE), others with length: skipped
+    if planes is None and prog_coefs is not None:
+        # Progressive reconstruction at EOI: coefficients accumulated
+        # across the DC scans IDCT exactly once. A chain ending above
+        # Al=0 still renders (the spec's preview semantics — the
+        # coefficients simply carry fewer refined bits).
+        if cur_al is None:
+            raise ValueError("progressive JPEG has no DC scan")
+        planes = _coefs_to_planes(frame, qt, prog_coefs, prog_grids)
     if planes is None:
         raise ValueError("JPEG contains no decoded scan")
     fh, fw = frame["h"], frame["w"]
@@ -391,6 +472,17 @@ def decode_jpeg(payload: bytes):
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
+def _mcu_geometry(frame):
+    """(mcux, mcuy, total_mcus, per-component (rows, cols) block
+    grids) for an interleaved scan of ``frame`` (spec A.2.3)."""
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    grids = [(mcuy * c["vs"], mcux * c["hs"]) for c in comps]
+    return mcux, mcuy, mcux * mcuy, grids
+
+
 def _decode_scan(frame, qt, scan_tabs, segments, restart_interval):
     """Interleaved baseline scan, general sampling (factors ≤ 2): one
     MCU carries, per component in frame order, Hc × Vc blocks scanned
@@ -399,14 +491,9 @@ def _decode_scan(frame, qt, scan_tabs, segments, restart_interval):
     already-unstuffed interval). Returns FULL-RESOLUTION planes:
     subsampled components are replication-upsampled (spec-legal
     nearest; deterministic)."""
-    fh, fw = frame["h"], frame["w"]
     comps = frame["comps"]
-    hmax, vmax = frame["hmax"], frame["vmax"]
-    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-    total_mcus = mcux * mcuy
+    mcux, mcuy, total_mcus, grids = _mcu_geometry(frame)
     per_seg = restart_interval if restart_interval else total_mcus
-    grids = [(mcuy * c["vs"], mcux * c["hs"]) for c in comps]
     coefs = [
         np.zeros((r * cl, 64), dtype=np.int64) for r, cl in grids
     ]
@@ -436,6 +523,16 @@ def _decode_scan(frame, qt, scan_tabs, segments, restart_interval):
             f"JPEG scan decoded {mcu} of {total_mcus} MCUs "
             "(truncated or restart-interval mismatch)"
         )
+    return _coefs_to_planes(frame, qt, coefs, grids)
+
+
+def _coefs_to_planes(frame, qt, coefs, grids):
+    """Dequantize + IDCT every component's zigzag coefficient blocks
+    into FULL-RESOLUTION planes (replication upsampling for
+    subsampled components) — shared by the baseline one-scan path and
+    the progressive accumulate-then-reconstruct path."""
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for ci, comp in enumerate(comps):
         table = qt.get(comp["tq"])
@@ -460,6 +557,56 @@ def _decode_scan(frame, qt, scan_tabs, segments, restart_interval):
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane)
     return planes
+
+
+def _decode_dc_scan(frame, coefs, dc_tabs, segments, restart_interval,
+                    ah, al):
+    """One PROGRESSIVE DC scan (spectral band 0..0), interleaved over
+    all frame components, into the accumulating coefficient arrays.
+
+    First scan (Ah=0): baseline DC Huffman coding of the point-
+    transformed values — DIFF + EXTEND against a per-component
+    predictor, coefficient = decoded value << Al (spec G.1.2.1).
+    Refinement scan (Ah>0): ONE raw bit per block, OR'd in at
+    position Al (spec G.1.2.1's successive-approximation DC
+    correction; two's-complement OR restores negative DCs exactly).
+    Restart intervals reset predictors and byte-align, as in the
+    baseline scan."""
+    comps = frame["comps"]
+    mcux, _, total_mcus, grids = _mcu_geometry(frame)
+    per_seg = restart_interval if restart_interval else total_mcus
+    mcu = 0
+    for seg_bytes in segments:
+        if mcu >= total_mcus:
+            break
+        br = _BitReader(seg_bytes)
+        preds = [0] * len(comps)
+        for _ in range(min(per_seg, total_mcus - mcu)):
+            my, mx = mcu // mcux, mcu % mcux
+            for ci, comp in enumerate(comps):
+                _, cols = grids[ci]
+                for vb in range(comp["vs"]):
+                    for hb in range(comp["hs"]):
+                        bi = (my * comp["vs"] + vb) * cols + (
+                            mx * comp["hs"] + hb
+                        )
+                        if ah == 0:
+                            s = br.huff(dc_tabs[ci])
+                            if s > 11:
+                                raise ValueError(
+                                    f"invalid JPEG DC category {s}"
+                                )
+                            diff = _extend(br.read(s), s) if s else 0
+                            preds[ci] += diff
+                            coefs[ci][bi, 0] = preds[ci] << al
+                        else:
+                            coefs[ci][bi, 0] |= br.read(1) << al
+            mcu += 1
+    if mcu != total_mcus:
+        raise ValueError(
+            f"JPEG DC scan decoded {mcu} of {total_mcus} MCUs "
+            "(truncated or restart-interval mismatch)"
+        )
 
 
 # --- fixture encoder ---------------------------------------------------------
@@ -671,3 +818,65 @@ def encode_jpeg_gray_dc(dc_grid) -> bytes:
     blocks = np.zeros((by * bx, 64), dtype=np.int64)
     blocks[:, 0] = g.reshape(-1)
     return encode_jpeg(blocks, bx * 8, by * 8)
+
+
+def encode_jpeg_progressive_dc(dc_grid, al: int = 1) -> bytes:
+    """Grayscale PROGRESSIVE (SOF2) DC-only JPEG from a (BY, BX) int
+    grid of DC coefficients in [-128, 127] — the r13 fixture: scan 1
+    Huffman-codes the point-transformed values dc >> al (Ah=0, Al=al;
+    arithmetic shift per spec G.1.2.1), then ``al`` refinement scans
+    each append ONE raw bit per block (Ah=k, Al=k-1) until Al=0, so
+    the accumulated coefficient is exactly ``dc`` and — with the all-8
+    quant table — block (by, bx) decodes to the FLAT value dc + 128,
+    the same closed form as the baseline fixture. The decoder must
+    walk the multi-scan container, keep the successive-approximation
+    chain, and OR refinement bits into negative two's-complement DCs
+    to reproduce it."""
+    g = np.asarray(dc_grid, dtype=np.int64)
+    if g.ndim != 2:
+        raise ValueError("dc_grid must be (BY, BX)")
+    if (g < -128).any() or (g > 127).any():
+        raise ValueError("DC values must lie in [-128, 127]")
+    if not 0 <= al <= 7:
+        raise ValueError("al must lie in 0..7")
+    by, bx = g.shape
+    flat = [int(v) for v in g.reshape(-1)]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (  # APP0 JFIF
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _dqt_segment(0, np.full(64, 8, dtype=np.int64))
+    out += _dht_segment(0, 0, _STD_DC_LUM)
+    sof = bytes([8]) + struct.pack(">HH", by * 8, bx * 8) + bytes([1])
+    sof += bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    dc_codes = _canonical_codes(*_STD_DC_LUM)
+
+    def sos_header(ah_, al_) -> bytes:
+        body = bytes([1, 1, 0x00, 0, 0, (ah_ << 4) | al_])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    # DC first scan: diffs of the point-transformed values
+    out += sos_header(0, al)
+    bw = _BitWriter()
+    pred = 0
+    for dc in flat:
+        v = dc >> al
+        diff = v - pred
+        pred = v
+        s = _category(diff)
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            _emit_coef(bw, diff, s)
+    out += bw.flush()
+    # refinement scans: one raw bit per block, Al stepping down to 0
+    for k in range(al, 0, -1):
+        out += sos_header(k, k - 1)
+        bw = _BitWriter()
+        for dc in flat:
+            bw.write((dc >> (k - 1)) & 1, 1)
+        out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

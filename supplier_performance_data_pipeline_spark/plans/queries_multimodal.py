@@ -1201,6 +1201,129 @@ def q_multimodal_jpeg_dc_stats(
     return image_pixel_checksums(_jpeg_dc_media(spark, sf_dir))
 
 
+# Progressive (SOF2) DC band (r13 — the next trap after baseline): a
+# multi-scan container whose DC first scan codes the point-transformed
+# values (dc >> Al) and whose refinement scans each append one raw bit
+# per block. With the all-8 quant table the accumulated coefficient is
+# exactly dc, so the decoded pixel keeps the baseline closed form
+# dc + 128 while the Spark arm must walk the scan chain: a dropped
+# refinement bit, a predictor carried across scans, or a wrong shift
+# direction all hash-fail. al = doc_id % 3 varies the CHAIN LENGTH
+# (0..2 refinement scans) across documents — invisible to the oracle.
+_JPR_DC_A = 59
+_JPR_DC_B = 23
+
+
+def _jpeg_progressive_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → progressive-JPEG table: per doc a (1 + doc_id % 3)-
+    block-row grayscale SOF2 image with a doc-dependent successive-
+    approximation depth; per-block DC closed-form, so the oracle never
+    sees scans, shifts, or refinement bits."""
+    import numpy as np
+
+    from supplier_performance_data_pipeline_spark.operators.jpeg import (
+        JPEG_MIME,
+        encode_jpeg_progressive_dc,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():
+                by = 1 + int(row["doc_id"]) % 3
+                b = np.arange(by * 2, dtype=np.int64)
+                dc = (
+                    (np.int64(row["doc_id"]) * _JPR_DC_A + b * _JPR_DC_B)
+                    % 256
+                ) - 128
+                payloads.append(
+                    encode_jpeg_progressive_dc(
+                        dc.reshape(by, 2), al=int(row["doc_id"]) % 3
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": JPEG_MIME,
+                    "width": _JPG_W,
+                    "height": [8 * (1 + int(d) % 3) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(
+        synth,
+        schema="media_id long, payload binary, mime string, "
+        "width int, height int",
+    )
+
+
+@register(
+    "multimodal_jpeg_progressive_dc_stats",
+    oracle=f"""
+WITH img AS (
+    SELECT doc_id, 8 * (1 + doc_id % 3) AS h FROM documents
+),
+px AS (
+    SELECT doc_id, h, unnest(range(0, {_JPG_W} * h * 3)) AS i
+    FROM img
+),
+v AS (
+    SELECT doc_id, h, i,
+           (doc_id * {_JPR_DC_A}
+            + (((i // 3) // {_JPG_W}) // 8 * 2
+               + ((i // 3) % {_JPG_W}) // 8) * {_JPR_DC_B}) % 256 AS v
+    FROM px
+),
+agg AS (
+    SELECT doc_id, h, COUNT(*) AS npx, SUM(v) AS px_sum,
+           SUM((i + 1) * v) AS px_wsum
+    FROM v GROUP BY doc_id, h
+)
+SELECT doc_id AS media_id,
+       'image/jpeg' AS mime,
+       CAST({_JPG_W} AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(npx AS BIGINT) AS npx,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_wsum AS BIGINT) AS px_wsum,
+       (px_sum * 1000000 // npx) / 1e6 AS px_mean
+FROM agg
+""".strip(),
+)
+def q_multimodal_jpeg_progressive_dc_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE JPEG's DC band through the real multi-scan decoder
+    (r13 — operators/jpeg.py; the largest honest plug-point left after
+    baseline closed in r12): synthesize a grayscale SOF2 per document
+    whose DC first scan carries the point-transformed values and whose
+    al = doc_id %% 3 refinement scans each carry one raw bit per
+    block, then run image_pixel_checksums → decode_rgb → decode_jpeg:
+    marker walk across MULTIPLE SOS segments, successive-approximation
+    chain enforcement, per-scan Huffman/raw-bit decode into the
+    accumulating coefficient store, IDCT once at EOI. The all-8 quant
+    table keeps the reconstruction EXACT (flat dc + 128 per block), so
+    the oracle computes the decoded integers in closed form and the
+    driver hash pins the whole chain — a dropped refinement bit or a
+    shift-direction error changes px_wsum. AC spectral/refinement
+    scans remain the loud plug-point (tests pin the raise). Scale: two
+    shuffle-free mapInPandas projections; payloads never leave the
+    executor."""
+    from supplier_performance_data_pipeline_spark.operators.multimodal import (
+        image_pixel_checksums,
+    )
+
+    return image_pixel_checksums(_jpeg_progressive_media(spark, sf_dir))
+
+
 # 4:2:0 — the ubiquitous real-world JPEG shape (r12): the scan
 # carries FOUR luma blocks + Cb + Cr per MCU in spec A.2.3 interleave
 # order; flat-zero chroma keeps the decoded integers exact (gray =

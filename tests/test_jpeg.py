@@ -286,3 +286,90 @@ def test_decode_rgb_dispatches_jpeg():
     out = decode_rgb(encode_jpeg_gray_dc(g), JPEG_MIME)
     assert out.shape == (8, 16, 3)
     assert out[0, 0, 0] == 133 and out[0, 8, 0] == 123
+
+
+# --- progressive DC band (r13) ----------------------------------------------
+
+
+@pytest.mark.parametrize("al", [0, 1, 3])
+def test_progressive_dc_roundtrip_exact(al):
+    """SOF2 DC-only: the first scan's point transform plus the full
+    refinement chain reconstructs every DC exactly (negative values
+    exercise the two's-complement OR), so the decoded image equals
+    the baseline DC fixture's closed form dc + 128."""
+    from supplier_performance_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive_dc,
+    )
+
+    g = ((np.arange(24, dtype=np.int64) * 37 + 11) % 256 - 128).reshape(
+        4, 6
+    )
+    img = decode_jpeg(encode_jpeg_progressive_dc(g, al=al))
+    exp = np.repeat(np.repeat(g + 128, 8, 0), 8, 1).astype(np.uint8)
+    assert np.array_equal(img, exp[:, :, None].repeat(3, 2))
+    # and identical to the baseline container carrying the same DCs
+    assert np.array_equal(img, decode_jpeg(encode_jpeg_gray_dc(g)))
+
+
+def test_progressive_scan_discipline_errors():
+    """The successive-approximation chain is enforced: refinement
+    before a first scan, a duplicate first scan, and a broken Ah/Al
+    chain all raise; AC scans stay the loud plug-point."""
+    from supplier_performance_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive_dc,
+    )
+
+    g = np.array([[7, -9]], dtype=np.int64)
+    payload = encode_jpeg_progressive_dc(g, al=1)
+
+    def scans(p):
+        """(offset, Ss, Se, Ah, Al) per SOS in the payload."""
+        out, i = [], 0
+        while True:
+            i = p.find(b"\xff\xda", i)
+            if i < 0:
+                return out
+            (ln,) = struct.unpack(">H", p[i + 2 : i + 4])
+            ns = p[i + 4]
+            o = i + 5 + 2 * ns
+            out.append((i, p[o], p[o + 1], p[o + 2] >> 4, p[o + 2] & 15))
+            i += 2 + ln
+
+    assert [s[1:] for s in scans(payload)] == [(0, 0, 0, 1), (0, 0, 1, 0)]
+    # refinement-only file: first scan missing
+    (s0, s1) = (scans(payload)[0][0], scans(payload)[1][0])
+    with pytest.raises(ValueError, match="before the DC first scan"):
+        decode_jpeg(payload[:s0] + payload[s1:])
+    # duplicate DC first scan
+    first = payload[s0:s1]
+    with pytest.raises(ValueError, match="duplicate"):
+        decode_jpeg(payload[:s1] + first + payload[s1:])
+    # broken chain: refinement claims Ah=2 after a first scan at Al=1
+    bad = bytearray(payload)
+    o = scans(payload)[1][0] + 5 + 2
+    bad[o + 2] = (2 << 4) | 1
+    with pytest.raises(ValueError, match="chain broken"):
+        decode_jpeg(bytes(bad))
+    # AC band: flip the first scan's Se to 63
+    bad = bytearray(payload)
+    o = scans(payload)[0][0] + 5 + 2
+    bad[o + 1] = 63
+    with pytest.raises(NotImplementedError, match="AC scans"):
+        decode_jpeg(bytes(bad))
+
+
+def test_progressive_partial_chain_renders_preview():
+    """A DC chain cut before Al=0 still decodes — the spec's preview
+    semantics: coefficients carry only the refined high bits."""
+    from supplier_performance_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive_dc,
+    )
+
+    g = np.array([[5, -6, 100]], dtype=np.int64)
+    payload = encode_jpeg_progressive_dc(g, al=1)
+    i = payload.find(b"\xff\xda", payload.find(b"\xff\xda") + 2)
+    preview = decode_jpeg(payload[:i] + b"\xff\xd9")
+    exp = (g >> 1 << 1) + 128  # refinement bit never lands
+    assert np.array_equal(
+        preview[::8, ::8, 0], exp.astype(np.uint8)
+    )

@@ -100,10 +100,12 @@ def test_real_codec_still_raises_for_compressed(spark):
         extract_features,
     )
 
-    # Baseline JPEG decodes for real since r12 (operators/jpeg.py), so
-    # the honest-plug-point pin moves WITH the boundary: a PROGRESSIVE
-    # frame (SOF2) must raise through the real-decode path — and a
-    # truncated/garbage JPEG must fail loudly too, never shear.
+    # Baseline JPEG decodes for real since r12 and the progressive DC
+    # band since r13 (operators/jpeg.py), so the honest-plug-point pin
+    # moves WITH the boundary: a progressive frame whose scan carries
+    # AC coefficients (Ss/Se 0..63 — what a real SOF2 encoder emits)
+    # must raise through the real-decode path — and a truncated/
+    # garbage JPEG must fail loudly too, never shear.
     import struct as st
     import numpy as np
 
@@ -121,7 +123,7 @@ def test_real_codec_still_raises_for_compressed(spark):
         ],
         MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="SOF0|baseline|truncated"):
+    with pytest.raises(Exception, match="AC scans|plug-point|truncated"):
         extract_features(
             media.filter("media_id = 1"), decode_stub=False
         ).collect()
