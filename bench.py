@@ -102,6 +102,7 @@ HEADLINE = [
     "text_profile",
     "corpus_curation_stats",
     "dedup_exact",
+    "corpus_duplicate_spans",
     "lsh_near_dup_pairs",
     "simhash_signatures",
     "ann_cosine_topk",

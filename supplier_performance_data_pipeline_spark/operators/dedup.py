@@ -1071,3 +1071,88 @@ def containment_prefix_join(
             ).alias("containment"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    gram_len: int = 8,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spread: bool = True,
+) -> DataFrame:
+    """MAXIMAL exact duplicated token spans ≥ ``gram_len`` — the
+    substring grain of the dedup family (Lee et al. '22's suffix-array
+    dedup, relationalized as sorted k-gram runs): a span is duplicated
+    when EVERY ``gram_len``-token window inside it occurs at least
+    ``min_occurrences`` times in the corpus — across documents OR
+    within one (self-repeats like boilerplate refrains count, unlike
+    the cross-doc coverage report in ``dedup_duplicate_spans``) — and
+    maximal when it cannot be extended a token in either direction.
+    Under that definition a maximal span is exactly a maximal run of
+    CONSECUTIVE duplicated gram-start positions, so extraction is the
+    gaps-and-islands merge (break when the next start is not the
+    previous + 1), never a pairwise alignment.
+
+    Returns one row per maximal span: (doc_id, span_start, span_end,
+    span_len, n_grams) with token positions 0-based inclusive and
+    n_grams = span_len - gram_len + 1.
+
+    Scale plan (the suffix array's job, in three bounded shuffles):
+    grams carry a 128-bit md5 FINGERPRINT (16 bytes into the shuffle,
+    never the text — portable to the DuckDB oracle, which computes the
+    identical md5); the duplicate cut is ONE hash aggregation with
+    map-side partials (groupBy fingerprint ≥ min_occurrences — the
+    sorted-run equivalent: equal grams meet in a bucket instead of
+    adjacent sorted rows); the mark-back is a fingerprint equi-join
+    (never all-pairs — a frequent gram costs its occurrence count,
+    not its count²); the island merge is a window PARTITIONED BY
+    document, bounded by document length. What the k-gram relaxation
+    gives up vs a true suffix array: spans shorter than ``gram_len``
+    are invisible, and maximality is per-corpus (any partner), not
+    per-pair — the standard trade (the paper's ExactSubstr uses the
+    same fixed minimum match length, 50 tokens)."""
+    if gram_len < 1:
+        raise ValueError(f"gram_len must be >= 1, got {gram_len}")
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be >= 2, got {min_occurrences}"
+        )
+    from pyspark.sql.window import Window
+
+    base = spread_scan(docs, id_col) if spread else docs
+    toks = base.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    t = F.col("toks")
+    fps = F.when(
+        F.size(t) >= gram_len,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (gram_len - 1)),
+            lambda i: F.md5(F.array_join(F.slice(t, i, gram_len), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select("doc_id", F.posexplode(fps).alias("pos", "fp"))
+    dup = (
+        g.groupBy("fp")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("fp")
+    )
+    marked = g.join(dup, "fp").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = marked.withColumn("brk", brk).withColumn(
+        "span_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy("doc_id", "span_id").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (gram_len - 1)).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + gram_len).cast("long").alias(
+            "span_len"
+        ),
+        F.count("*").cast("long").alias("n_grams"),
+    ).drop("span_id")

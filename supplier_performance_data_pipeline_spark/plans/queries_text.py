@@ -3697,6 +3697,86 @@ q_dedup_duplicate_spans.__doc__ = q_dedup_duplicate_spans.__doc__.format(
 )
 
 
+# --- maximal duplicated-span EXTRACTION (r12 VERDICT #6) ---------------------
+
+_CSPAN_K = 8  # minimum duplicated-span length in tokens (= gram size)
+
+_CSPAN_GRAM_SQL = "concat_ws(' ', " + ", ".join(
+    f"toks[i + {j + 1}]" for j in range(_CSPAN_K)
+) + ")"
+
+
+@register(
+    "corpus_duplicate_spans",
+    oracle=f"""
+WITH {_TOKS_CTE},
+g AS (
+    SELECT doc_id, i AS pos, md5({_CSPAN_GRAM_SQL}) AS fp
+    FROM toks_cte,
+         UNNEST(range(0, CASE WHEN len(toks) >= {_CSPAN_K}
+                              THEN len(toks) - {_CSPAN_K - 1}
+                              ELSE 0 END)) AS u(i)
+),
+d AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (fp)),
+b AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     > 1
+                THEN 1 ELSE 0 END AS brk
+    FROM p
+),
+s AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS span_id
+    FROM b
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_CSPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {_CSPAN_K} AS BIGINT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM s GROUP BY doc_id, span_id
+""".strip(),
+)
+def q_corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact duplicated-span EXTRACTION (r12 VERDICT #6 — the
+    substring grain the dedup family lacked): emit every maximal token
+    span of length ≥ {k} whose {k}-gram windows ALL occur at least
+    twice in the corpus — across documents or WITHIN one (self-repeats
+    count; ``dedup_duplicate_spans`` above is the complementary
+    cross-doc coverage report). This is the relational form of Lee et
+    al. '22's ExactSubstr suffix-array dedup: equal grams meet in a
+    hash bucket instead of adjacent sorted suffix ranks, and a maximal
+    duplicated span is exactly a maximal run of consecutive duplicated
+    gram starts, merged with the gaps-and-islands window — the spans a
+    curation pass would actually cut, with their positions.
+
+    Determinism: gram fingerprints are md5 over the shared tokenizer's
+    space-joined grams (bit-identical in DuckDB); positions, lengths,
+    and counts are integers — no floats anywhere.
+
+    Plan at scale (operators/dedup.py::duplicate_spans): one hash
+    aggregation for the duplicate cut (map-side partials), one
+    fingerprint equi-join to mark positions (cost linear in occurrence
+    counts, never all-pairs), one doc-partitioned window for the
+    merge. The brute-force property test
+    (tests/test_duplicate_spans.py) pins the semantics on adversarial
+    overlaps — periodic strings, self-overlapping repeats, boundary
+    runs."""
+    from supplier_performance_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    return duplicate_spans(_docs(spark, sf_dir), gram_len=_CSPAN_K)
+
+
+q_corpus_duplicate_spans.__doc__ = q_corpus_duplicate_spans.__doc__.format(
+    k=_CSPAN_K
+)
+
+
 # --- quality-curriculum staging (distributed NTILE over the quality score) ---
 
 _CURR_STAGES = 4  # curriculum stages (quality-ascending quartiles)
