@@ -39,7 +39,15 @@ def test_feature_extraction_deterministic(media):
 
 
 def test_real_codec_path_is_stubbed(media):
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    # image/jpeg decodes for REAL since round 12, so its garbage row
+    # raises the decoder's own container validation ("not a JPEG
+    # payload") rather than the plug-point NotImplementedError that
+    # still covers bmp/mp4 — either way the real path must raise
+    # loudly instead of fabricating features from opaque bytes.
+    with pytest.raises(
+        Exception,
+        match="NotImplementedError|codec|not a JPEG payload|unsupported",
+    ):
         extract_features(media, decode_stub=False).collect()
 
 
