@@ -128,6 +128,160 @@ def _to_1row(cent: DataFrame) -> DataFrame:
     )
 
 
+# --- fused multi-subspace Lloyd's (r13 optimization) -------------------------
+#
+# PQ trains m independent k-means, one per subspace. Expressed as m
+# separate lazy chains (the r5-r12 shape) each chain contributes
+# iters x (update agg + centroid collapse + broadcast) AQE stages to
+# the final plan, and every consumer of a chain's centroids (the
+# full-table encode, the query LUT, the persisted centroid table)
+# re-embeds — and re-EXECUTES — the whole chain. At sf0.1 the r13
+# profile measured the IVF-PQ queries at 58-249 Spark jobs apiece,
+# nearly all 1-task stages: pure scheduler overhead (guide §1/§2.4).
+#
+# The fused form keys ONE chain by (sub, cluster) over the exploded
+# (vec_id, sub, subvector) table: per iteration exactly one
+# (sub, cluster)-keyed update agg, one per-sub centroid collapse and
+# one broadcast — m x fewer exchanges, and the trained (sub, cluster,
+# cv) table is tiny (m*k rows) so callers localCheckpoint it once and
+# every downstream read is free. Per-subspace arithmetic is
+# BIT-IDENTICAL to the m-chain form: the same rows fold through the
+# same left-to-right double distance and the same per-(sub, cluster)
+# DECIMAL sums — grouping by an extra key changes neither membership
+# nor order-free DECIMAL addition, and seeding selects the same k
+# rows per sub (proven by the unchanged DuckDB oracles of all eight
+# registered IVF-PQ queries).
+
+
+def _run_concurrent(*thunks):
+    """Run independent eager Spark workloads (localCheckpoint /
+    write jobs) from concurrent driver threads — guide §2.6: actions
+    are only sequential because driver code calls them sequentially,
+    and these tiny-stage training chains leave the cluster idle while
+    the scheduler round-trips. Exceptions propagate; results return in
+    the thunks' order, so determinism is untouched."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return (thunks[0](),)
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return tuple(f.result() for f in futures)
+
+
+def _decoded_base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Decode the vector column to double arrays and materialize ONCE,
+    SPREAD to cluster parallelism first (r13): the local fixtures scan
+    as one parquet split, so without the spread every downstream
+    argmin projection (interpreted higher-order functions) and every
+    DECIMAL(20,10) centroid sum (BigDecimal-backed above 18 digits)
+    runs single-threaded — measured ~0.3 s per stage at sf0.1.
+    ``spread_for_fanout`` is a no-op on a scan that is already at
+    least cluster-wide, so at 100 TB this adds nothing."""
+    spread = spread_for_fanout(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_e")),
+        "vec_id",
+    )
+    return spread.select(
+        "vec_id", F.expr("transform(_e, x -> double(x))").alias("v")
+    ).localCheckpoint()
+
+
+def _explode_subs(
+    df: DataFrame, m: int, d_sub: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, v) -> (id, sub, v): one row per PQ subspace, v sliced to
+    that subspace — the long-format input of the fused Lloyd's."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice(
+                            F.col("v"), s * d_sub + 1, d_sub
+                        ).alias("v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sv"),
+    ).select(id_col, F.col("sv.sub").alias("sub"), F.col("sv.v").alias("v"))
+
+
+def _to_persub(cent: DataFrame) -> DataFrame:
+    """(sub, cluster, cv) -> (sub, cents): per-sub broadcastable
+    centroid arrays — the multi-subspace twin of ``_to_1row``."""
+    return cent.groupBy("sub").agg(
+        F.collect_list(F.struct("cluster", "cv")).alias("cents")
+    )
+
+
+def _assign_multi(base_sub: DataFrame, cents_persub: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment per (row, sub): broadcast equi-join
+    on ``sub`` (each row sees only its own subspace's codebook), then
+    the same argmin-over-structs projection as ``_assign``."""
+    with_c = base_sub.join(F.broadcast(cents_persub), "sub")
+    mexp = F.expr(
+        "array_min(transform(cents, s -> struct("
+        + _DIST_SQL.format(cv="s.cv")
+        + " AS d, s.cluster AS cluster)))"
+    )
+    return with_c.select(
+        "vec_id",
+        "sub",
+        "v",
+        mexp["cluster"].alias("cluster"),
+        mexp["d"].alias("d"),
+    )
+
+
+def _update_multi(assigned: DataFrame, dim: int) -> DataFrame:
+    """Centroid update keyed by (sub, cluster): ONE hash agg for all m
+    subspaces — the same per-group DECIMAL sums as ``_update``."""
+    upd = assigned.groupBy("sub", "cluster").agg(
+        F.expr("count(*) AS cnt"),
+        *[
+            F.expr(f"sum(cast(v[{i}] AS {COMP_DEC})) AS s{i}")
+            for i in range(dim)
+        ],
+    )
+    cv = "array(" + ", ".join(f"double(s{i}) / cnt" for i in range(dim)) + ")"
+    return upd.select("sub", "cluster", F.expr(cv).alias("cv"))
+
+
+def _lloyd_multi_cents(
+    base_sub: DataFrame, k: int, iters: int, dim: int, seed: str = "first"
+) -> DataFrame:
+    """Fused Lloyd training over (vec_id, sub, v): final (sub, cluster,
+    cv) after ``iters`` update rounds. ``seed="first"`` takes vec_id <
+    k per sub with cluster = vec_id (the ``_lloyd_with_cents``
+    contract); ``seed="rank"`` takes the k lowest vec_ids per sub
+    renumbered 0..k-1 (the ``_lloyd_train_cents`` contract — a
+    PARTITIONED window here, since each sub sees the same id set)."""
+    if seed == "first":
+        cent = base_sub.filter(F.col("vec_id") < k).select(
+            "sub", F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+        )
+    else:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("sub").orderBy("vec_id")
+        cent = (
+            base_sub.select("sub", "v", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= k)
+            .select(
+                "sub",
+                (F.col("rn") - 1).alias("cluster"),
+                F.col("v").alias("cv"),
+            )
+        )
+    for _ in range(iters):
+        cent = _update_multi(_assign_multi(base_sub, _to_persub(cent)), dim)
+    return cent
+
+
 def kmeans_assignments(
     emb: DataFrame,
     k: int = K_DEFAULT,
@@ -143,10 +297,7 @@ def kmeans_assignments(
     # persist: same in-memory reuse, but the checkpointed RDD is
     # GC-cleaned when the plan is dropped instead of occupying the cache
     # manager until someone remembers to unpersist).
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
-    ).localCheckpoint()
+    base = _decoded_base(emb, id_col, vec_col)
     return _lloyd_from_base(base, k, iters, dim)
 
 
@@ -227,27 +378,18 @@ def pq_encode(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
-    ).localCheckpoint()
-    parts = []
-    for s in range(m):
-        sub = base.select(
-            "vec_id", F.slice(F.col("v"), s * d_sub + 1, d_sub).alias("v")
-        )
-        assign = _lloyd_from_base(sub, k, iters, d_sub)
-        parts.append(
-            assign.select(
-                "vec_id",
-                F.lit(s).alias("sub"),
-                F.col("cluster").cast("int").alias("code"),
-                F.col("d").cast(DIST_DEC).alias("d"),
-            )
-        )
-    allsub = parts[0]
-    for p in parts[1:]:
-        allsub = allsub.unionAll(p)
+    base = _decoded_base(emb, id_col, vec_col)
+    # Fused multi-subspace Lloyd's (r13): one (sub, cluster)-keyed
+    # chain over the exploded table instead of m separate chains —
+    # identical per-subspace arithmetic, m x fewer exchanges.
+    bsub = _explode_subs(base, m, d_sub)
+    cent = _lloyd_multi_cents(bsub, k, iters, d_sub, seed="first")
+    allsub = _assign_multi(bsub, _to_persub(cent)).select(
+        "vec_id",
+        "sub",
+        F.col("cluster").cast("int").alias("code"),
+        F.col("d").cast(DIST_DEC).alias("d"),
+    )
     return allsub.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(
@@ -328,20 +470,34 @@ def ivfpq_adc_topk_sampled(
     )
 
     d_sub = dim // m
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
-    ).localCheckpoint()
+    base = _decoded_base(emb, id_col, vec_col)
     samp = base.filter(
         md5_mod(F.col("vec_id"), sample_salt, sample_mod) < sample_thr
     )
-    coarse_cent = _lloyd_train_cents(samp, k_coarse, iters, dim)
-    # Frozen-codebook encode of the FULL table: a projection, not a
-    # training pass. localCheckpoint: it feeds both IVF join sides.
-    coarse = (
-        _assign(base, _to_1row(coarse_cent))
-        .select("vec_id", "cluster")
-        .localCheckpoint()
+    # localCheckpoint the trained coarse codebook (k_coarse rows): it
+    # feeds the full-table encode AND the multiprobe query ranking —
+    # without it each consumer re-executes the whole training chain
+    # (r13 profile: the chains, not the data, were the cost). The
+    # coarse arm (train + frozen full-table encode) and the fused PQ
+    # training are independent: concurrent driver threads (guide §2.6).
+    def _coarse_arm():
+        cc = _lloyd_train_cents(samp, k_coarse, iters, dim).localCheckpoint()
+        # Frozen-codebook encode of the FULL table: a projection, not
+        # a training pass. localCheckpoint: it feeds both IVF join
+        # sides.
+        enc = (
+            _assign(base, _to_1row(cc))
+            .select("vec_id", "cluster")
+            .localCheckpoint()
+        )
+        return cc, enc
+
+    samp_sub = _explode_subs(samp, m, d_sub)
+    (coarse_cent, coarse), cent = _run_concurrent(
+        _coarse_arm,
+        lambda: _lloyd_multi_cents(
+            samp_sub, k_pq, iters, d_sub, seed="rank"
+        ).localCheckpoint(),
     )
     qbase = base.filter(F.col("vec_id") < n_queries)
     if n_probe <= 1:
@@ -371,31 +527,27 @@ def ivfpq_adc_topk_sampled(
         "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
         "0.0D, (acc, x) -> acc + x)"
     )
-    parts = []
-    for s in range(m):
-        sl = F.slice(F.col("v"), s * d_sub + 1, d_sub)
-        cent = _lloyd_train_cents(
-            samp.select("vec_id", sl.alias("v")), k_pq, iters, d_sub
-        )
-        codes = _assign(
-            base.select("vec_id", sl.alias("v")), _to_1row(cent)
-        ).select("vec_id", F.col("cluster").alias("code"))
-        qsub = qbase.select(
-            F.col("vec_id").alias("query_id"), sl.alias("qv")
-        )
-        lut = qsub.crossJoin(cent).select(
-            "query_id", F.col("cluster").alias("code"), lut_pd.alias("pd")
-        )
-        parts.append(
-            cand.join(codes, "vec_id")
-            .join(F.broadcast(lut), ["query_id", "code"])
-            .select(
-                "query_id", "vec_id", F.col("pd").cast(DIST_DEC).alias("pd")
-            )
-        )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionAll(p)
+    # Fused multi-subspace path (r13): the (sub, cluster)-keyed PQ
+    # codebook trained above (seed = k lowest sample ids per sub,
+    # renumbered — the `_lloyd_train_cents` contract) drives the
+    # full-table PQ encode and the LUT as single equi-joins.
+    codes = _assign_multi(_explode_subs(base, m, d_sub), _to_persub(cent)).select(
+        "vec_id", "sub", F.col("cluster").alias("code")
+    )
+    qsub = _explode_subs(
+        qbase.select(F.col("vec_id").alias("query_id"), "v"),
+        m,
+        d_sub,
+        id_col="query_id",
+    ).withColumnRenamed("v", "qv")
+    lut = qsub.join(cent, "sub").select(
+        "query_id", "sub", F.col("cluster").alias("code"), lut_pd.alias("pd")
+    )
+    allp = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .select("query_id", "vec_id", F.col("pd").cast(DIST_DEC).alias("pd"))
+    )
     adc = allp.groupBy("query_id", "vec_id").agg(F.sum("pd").alias("adc"))
     from pyspark.sql.window import Window
 
@@ -473,40 +625,46 @@ def ivfpq_index_write(
     )
 
     d_sub = dim // m
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
-    ).localCheckpoint()
+    base = _decoded_base(emb, id_col, vec_col)
     if train is not None:
-        samp = train.select(
-            F.col(id_col).alias("vec_id"),
-            F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
-        ).localCheckpoint()
+        samp = _decoded_base(train, id_col, vec_col)
     else:
         samp = base.filter(
             md5_mod(F.col("vec_id"), sample_salt, sample_mod) < sample_thr
         )
-    coarse_cent = _lloyd_train_cents(samp, k_coarse, iters, dim)
-    sub_cents = [
-        _lloyd_train_cents(
-            samp.select(
-                "vec_id", F.slice(F.col("v"), s * d_sub + 1, d_sub).alias("v")
-            ),
-            k_pq,
-            iters,
-            d_sub,
-        )
-        for s in range(m)
-    ]
+    # r13: train ONCE, serve many — the coarse codebook and the fused
+    # (sub, cluster)-keyed PQ codebook both localCheckpoint (k_coarse
+    # and m*k_pq rows), so the codes encode, the centroid-table writes
+    # and nothing downstream ever re-executes a training chain (the
+    # r5-r12 lazy form executed each of the 5 chains twice: once under
+    # the codes write's broadcasts, once for its centroid-table write).
+    # The two trainings are independent, so they run as CONCURRENT
+    # driver-thread jobs (guide §2.6): each chain's stages are mostly
+    # 1-task scheduler latency, and overlapping them hides one chain
+    # behind the other. Results are unaffected — each chain's output
+    # is a deterministic function of its own input.
+    coarse_cent, pq_cent = _run_concurrent(
+        lambda: _lloyd_train_cents(
+            samp, k_coarse, iters, dim
+        ).localCheckpoint(),
+        lambda: _lloyd_multi_cents(
+            _explode_subs(samp, m, d_sub), k_pq, iters, d_sub, seed="rank"
+        ).localCheckpoint(),
+    )
+    # All m per-sub 1-row centroid arrays come out of ONE aggregate of
+    # the checkpointed codebook (collect_list skips the non-matching
+    # subs' NULLs) instead of m filtered scans + broadcasts.
+    pq_1row = pq_cent.groupBy().agg(
+        *[
+            F.collect_list(
+                F.when(F.col("sub") == s, F.struct("cluster", "cv"))
+            ).alias(f"ce{s}")
+            for s in range(m)
+        ]
+    )
     enc = base.crossJoin(
         F.broadcast(_to_1row(coarse_cent).withColumnRenamed("cents", "co"))
-    )
-    for s in range(m):
-        enc = enc.crossJoin(
-            F.broadcast(
-                _to_1row(sub_cents[s]).withColumnRenamed("cents", f"ce{s}")
-            )
-        )
+    ).crossJoin(F.broadcast(pq_1row))
     codes = enc.select(
         "vec_id",
         _subspace_code_expr("co", 0, dim).cast("int").alias("coarse"),
@@ -517,14 +675,16 @@ def ivfpq_index_write(
             for s in range(m)
         ],
     )
-    write_parquet(codes, os.path.join(path, "codes"))
+    # Output file sizing (guide §6): the encode runs wide (spread
+    # base), so an AQE rebalance before the write coalesces the tiny
+    # local output to one file — and at 100 TB caps files at the
+    # advisory partition size instead of one-per-task.
+    write_parquet(codes.hint("rebalance"), os.path.join(path, "codes"))
     write_parquet(coarse_cent, os.path.join(path, "coarse_centroids"))
-    pq = sub_cents[0].select(F.lit(0).alias("sub"), "cluster", "cv")
-    for s in range(1, m):
-        pq = pq.unionAll(
-            sub_cents[s].select(F.lit(s).alias("sub"), "cluster", "cv")
-        )
-    write_parquet(pq, os.path.join(path, "pq_centroids"))
+    write_parquet(
+        pq_cent.select("sub", "cluster", "cv"),
+        os.path.join(path, "pq_centroids"),
+    )
     # A rebuild over an existing index CARRIES the name counter forward
     # (max_seq from the old manifest, version chained): a compact after
     # the rebuild must not re-mint a generation name the previous
@@ -810,17 +970,20 @@ def ivfpq_index_append(
         F.col(id_col).alias("vec_id"),
         F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
     )
+    # r13: one aggregate of the stored codebook builds ALL m per-sub
+    # 1-row centroid arrays (collect_list skips non-matching subs'
+    # NULLs) — one scan + one broadcast instead of m of each.
+    pq_1row = pq_cent.groupBy().agg(
+        *[
+            F.collect_list(
+                F.when(F.col("sub") == s, F.struct("cluster", "cv"))
+            ).alias(f"ce{s}")
+            for s in range(m)
+        ]
+    )
     enc = base.crossJoin(
         F.broadcast(_to_1row(co_cent).withColumnRenamed("cents", "co"))
-    )
-    for s in range(m):
-        enc = enc.crossJoin(
-            F.broadcast(
-                _to_1row(
-                    pq_cent.filter(F.col("sub") == s).select("cluster", "cv")
-                ).withColumnRenamed("cents", f"ce{s}")
-            )
-        )
+    ).crossJoin(F.broadcast(pq_1row))
     codes = enc.select(
         "vec_id",
         _subspace_code_expr("co", 0, dim).cast("int").alias("coarse"),
@@ -831,7 +994,8 @@ def ivfpq_index_append(
             for s in range(m)
         ],
     )
-    write_parquet(codes, os.path.join(path, segment))
+    # AQE rebalance before the write: batch-sized segment, sized files.
+    write_parquet(codes.hint("rebalance"), os.path.join(path, segment))
     _write_segment_manifest(
         spark,
         path,
@@ -880,7 +1044,9 @@ def ivfpq_index_compact(spark, path: str) -> str:
     codes = spark.read.parquet(os.path.join(path, segs[0]))
     for seg in segs[1:]:
         codes = codes.unionByName(spark.read.parquet(os.path.join(path, seg)))
-    write_parquet(codes, os.path.join(path, gen))
+    # AQE rebalance: the new generation lands as sized files instead
+    # of one file per input segment split (guide §6).
+    write_parquet(codes.hint("rebalance"), os.path.join(path, gen))
     _write_segment_manifest(
         spark, path, [gen], max_seq=seq, prev_version=man["version"]
     )
@@ -1045,30 +1211,35 @@ def ivfpq_adc_from_index(
         "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
         "0.0D, (acc, x) -> acc + x)"
     )
-    parts = []
-    for s in range(m):
-        lut = (
-            queries.select(
-                F.col("query_id"),
-                F.slice(F.col("v"), s * d_sub + 1, d_sub).alias("qv"),
+    # r13: the m per-sub LUT joins collapse into ONE — unpivot the
+    # candidate's m code columns to (query_id, vec_id, sub, code) rows
+    # and equi-join the single (query_id, sub, code) broadcast LUT
+    # built from ONE scan of the stored pq_centroids. Identical pd
+    # rows reach the DECIMAL adc sum.
+    cand_sub = cand.select(
+        "query_id",
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.col(f"c{s}").alias("code"),
+                    )
+                    for s in range(m)
+                ]
             )
-            .crossJoin(F.broadcast(pq_cent.filter(F.col("sub") == s)))
-            .select(
-                "query_id", F.col("cluster").alias("code"), lut_pd.alias("pd")
-            )
-        )
-        parts.append(
-            cand.select(
-                "query_id", "vec_id", F.col(f"c{s}").alias("code")
-            )
-            .join(F.broadcast(lut), ["query_id", "code"])
-            .select(
-                "query_id", "vec_id", F.col("pd").cast(DIST_DEC).alias("pd")
-            )
-        )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionAll(p)
+        ).alias("sc"),
+    ).select("query_id", "vec_id", F.col("sc.sub").alias("sub"), F.col("sc.code").alias("code"))
+    qsub = _explode_subs(
+        queries.select("query_id", "v"), m, d_sub, id_col="query_id"
+    ).withColumnRenamed("v", "qv")
+    lut = qsub.join(pq_cent, "sub").select(
+        "query_id", "sub", F.col("cluster").alias("code"), lut_pd.alias("pd")
+    )
+    allp = cand_sub.join(
+        F.broadcast(lut), ["query_id", "sub", "code"]
+    ).select("query_id", "vec_id", F.col("pd").cast(DIST_DEC).alias("pd"))
     adc = allp.groupBy("query_id", "vec_id").agg(F.sum("pd").alias("adc"))
     from pyspark.sql.window import Window
 
@@ -1125,14 +1296,24 @@ def ivfpq_adc_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.expr(f"transform({vec_col}, x -> double(x))").alias("v"),
-    ).localCheckpoint()
-    coarse = (
-        _lloyd_from_base(base, k_coarse, iters, dim)
+    base = _decoded_base(emb, id_col, vec_col)
+    # Fused multi-subspace path (r13): ONE (sub, cluster)-keyed Lloyd
+    # chain over the exploded table, its tiny (m*k_pq)-row codebook
+    # localCheckpointed so the encode, the LUT and nothing else ever
+    # re-executes training; the per-sub parts union collapses into a
+    # single (query_id, sub, code) LUT equi-join. Identical rows reach
+    # the DECIMAL adc sum — same per-subspace arithmetic, same
+    # (query_id, vec_id) groups. The coarse and PQ chains are
+    # independent, so they run as concurrent driver-thread jobs
+    # (guide §2.6).
+    bsub = _explode_subs(base, m, d_sub)
+    coarse, cent = _run_concurrent(
+        lambda: _lloyd_from_base(base, k_coarse, iters, dim)
         .select("vec_id", "cluster")
-        .localCheckpoint()
+        .localCheckpoint(),
+        lambda: _lloyd_multi_cents(
+            bsub, k_pq, iters, d_sub, seed="first"
+        ).localCheckpoint(),
     )
     qc = coarse.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("cluster").alias("qcl")
@@ -1147,32 +1328,23 @@ def ivfpq_adc_topk(
         "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
         "0.0D, (acc, x) -> acc + x)"
     )
-    parts = []
-    for s in range(m):
-        sub = base.select(
-            "vec_id", F.slice(F.col("v"), s * d_sub + 1, d_sub).alias("v")
-        )
-        assign, cent = _lloyd_with_cents(sub, k_pq, iters, d_sub)
-        qsub = qbase.select(
-            F.col("vec_id").alias("query_id"),
-            F.slice(F.col("v"), s * d_sub + 1, d_sub).alias("qv"),
-        )
-        lut = qsub.crossJoin(cent).select(
-            "query_id", F.col("cluster").alias("code"), lut_pd.alias("pd")
-        )
-        parts.append(
-            cand.join(
-                assign.select("vec_id", F.col("cluster").alias("code")),
-                "vec_id",
-            )
-            .join(F.broadcast(lut), ["query_id", "code"])
-            .select(
-                "query_id", "vec_id", F.col("pd").cast(DIST_DEC).alias("pd")
-            )
-        )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionAll(p)
+    codes = _assign_multi(bsub, _to_persub(cent)).select(
+        "vec_id", "sub", F.col("cluster").alias("code")
+    )
+    qsub = _explode_subs(
+        qbase.select(F.col("vec_id").alias("query_id"), "v"),
+        m,
+        d_sub,
+        id_col="query_id",
+    ).withColumnRenamed("v", "qv")
+    lut = qsub.join(cent, "sub").select(
+        "query_id", "sub", F.col("cluster").alias("code"), lut_pd.alias("pd")
+    )
+    allp = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .select("query_id", "vec_id", F.col("pd").cast(DIST_DEC).alias("pd"))
+    )
     adc = allp.groupBy("query_id", "vec_id").agg(F.sum("pd").alias("adc"))
     from pyspark.sql.window import Window
 

@@ -2245,9 +2245,6 @@ def q_ann_codebook_retrain_trigger(
         sample_thr=IVFPQ_SMP_THR, m=PQ_M, k_pq=PQ_K, k_coarse=K_DEFAULT,
         iters=TRG_ITERS, dim=DIM, vec_col="v",
     )
-    # Aged: base-trained codebooks, batch appended encode-only.
-    ivfpq_index_write(base, path_a, **common)
-    ivfpq_index_append(shifted, path_a, m=PQ_M, dim=DIM, vec_col="v")
     # Retrain candidate: RECENCY-WEIGHTED training set — the base md5
     # sample plus the FULL drifted batch (standard drift response;
     # un-weighted, the batch's ~10% mass earns too few codewords to
@@ -2257,9 +2254,27 @@ def q_ann_codebook_retrain_trigger(
         md5_mod(F.col("vec_id"), IVFPQ_SMP_SALT, IVFPQ_SMP_MOD)
         < IVFPQ_SMP_THR
     )
-    ivfpq_index_write(
-        uni, path_r, train=base_smp.unionByName(shifted), **common
+
+    # The two arms build into DIFFERENT index paths from independent
+    # inputs, so they run as concurrent driver-thread jobs (guide
+    # §2.6) — the aged arm chains its encode-only append after its own
+    # write. Each arm's on-disk artifact is a deterministic function
+    # of its own inputs, so concurrency cannot change the decision row.
+    def _aged_arm() -> None:
+        # Aged: base-trained codebooks, batch appended encode-only.
+        ivfpq_index_write(base, path_a, **common)
+        ivfpq_index_append(shifted, path_a, m=PQ_M, dim=DIM, vec_col="v")
+
+    def _retr_arm() -> None:
+        ivfpq_index_write(
+            uni, path_r, train=base_smp.unionByName(shifted), **common
+        )
+
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        _run_concurrent,
     )
+
+    _run_concurrent(_aged_arm, _retr_arm)
     panel = shifted.filter(F.col("vec_id") < TRG_OFF + TRG_LIM).select(
         F.col("vec_id").alias("query_id"), "v"
     )

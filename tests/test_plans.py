@@ -1437,59 +1437,58 @@ def test_zipf_fit_head_cut_then_tiny_aggregates(spark, specs):
 
 
 def test_ivfpq_sampled_codebooks_train_on_sample_only(spark, specs):
-    """The sampled IVF-PQ variant must keep EVERY Lloyd training agg
-    on the md5-sample side: the sample filter appears under each of
-    the m x iters subspace update chains (the coarse chain trains
-    eagerly behind a localCheckpoint), the ADC/candidate joins stay
-    broadcast equi-joins, and nothing plans as a cartesian or
-    sort-merge join. Losing the sample filter (training on the full
-    table) drops the marker count below the chain count and fails."""
+    """r13 fused form: both quantizers train EAGERLY behind
+    localCheckpoints (one coarse chain + ONE (sub, cluster)-keyed PQ
+    chain instead of m), so the served plan is a tiny encode + LUT
+    join tree. Training-on-the-sample is pinned by the unchanged
+    DuckDB oracle (sample-trained centroid VALUES differ from
+    full-trained ones, so the hash gate catches any drift); this test
+    pins the serving-plan scale shape: broadcast equi-joins only, no
+    cartesian / sort-merge, and a single-digit shuffle budget (the
+    r12 form budgeted 34)."""
     plan = plan_of(spark, specs, "ann_ivfpq_sampled_codebooks")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    # one marker per sampled-Lloyd chain reference: 4 subspaces x
-    # (seed + 2 assign references) at minimum
-    assert plan.count("ivfpq-smp|") >= 8
-    assert plan.count("BroadcastHashJoin") >= 8  # LUT + candidate joins
-    # every exchange is sample-sized or K-keyed; budget with margin
-    assert shuffles(plan) <= 34
+    assert plan.count("BroadcastHashJoin") >= 4  # encode + LUT + cand
+    assert shuffles(plan) <= 6
 
 
 def test_ivfpq_multiprobe_relational_probe_no_cartesian(spark, specs):
     """Multi-probe IVF-PQ: the probe choice must stay a broadcast
     rank over the nq x k_coarse distance grid (never a driver-side
-    probe list or a cartesian), training stays on the md5 sample, and
-    the candidate/LUT joins stay broadcast equi-joins."""
+    probe list or a cartesian) and the candidate/LUT joins stay
+    broadcast equi-joins. Training runs eagerly behind checkpoints
+    (r13 fused form); sample-only training is value-pinned by the
+    oracle hash gate."""
     plan = plan_of(spark, specs, "ann_ivfpq_multiprobe_topk")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("ivfpq-smp|") >= 8
-    assert plan.count("BroadcastHashJoin") >= 8
-    # the probe grid references the coarse-centroid chain a second
-    # time (kept lazy so the sample markers stay pinned above), adding
-    # its sample-sized exchanges once more: every shuffle here moves
-    # sample- or K-sized rows, never the full table
-    assert shuffles(plan) <= 48
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert shuffles(plan) <= 6
 
 
 def test_ann_index_serve_prunes_codes_and_pushes_query_filter(spark, specs):
     """Serving from the persisted IVF-PQ index must read the STORED
-    layout the scale story depends on: each per-subspace ADC branch
-    scans (vec_id, coarse, c<s>) ONLY (column pruning reaches the
-    codes parquet), the 8-query selection pushes down into the
-    query-vector scan, and every join is a broadcast — no
-    sort-merge, no cartesian, bounded shuffles."""
+    layout the scale story depends on: ONE codes scan pruned to
+    exactly the ADC columns (vec_id, coarse, c0..c3) — never cv or
+    raw vectors (the r13 unpivot replaced m single-column scans with
+    one multi-column scan; same bytes, a quarter of the jobs) — the
+    8-query selection pushes down into the query-vector scan, and
+    every join is a broadcast — no sort-merge, no cartesian, bounded
+    shuffles."""
     import re as _re
 
     plan = plan_of(spark, specs, "ann_index_persist_roundtrip")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "LessThan(vec_id,8)" in plan  # query filter pushed to scan
-    # pruned codes scan: c0 branch reads c0 and nothing else
+    # pruned codes scan: exactly the ADC columns, nothing else
     assert _re.search(
-        r"FileScan parquet \[vec_id#\d+L,coarse#\d+,c0#\d+\]", plan
-    ), "codes scan not pruned to the branch's single code column"
-    assert plan.count("BroadcastHashJoin") >= 8
+        r"FileScan parquet \[vec_id#\d+L,coarse#\d+,"
+        r"c0#\d+,c1#\d+,c2#\d+,c3#\d+\]",
+        plan,
+    ), "codes scan not pruned to the ADC (vec_id, coarse, c0..c3) columns"
+    assert plan.count("BroadcastHashJoin") >= 3
     assert shuffles(plan) <= 8
 
 

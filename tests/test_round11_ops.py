@@ -210,8 +210,18 @@ def test_quantile_blocks_reliable_release_handle_unpersists(spark):
         quantile_blocks,
     )
 
-    jsc = spark.sparkContext._jsc.sc()
-    base = jsc.getPersistentRDDs().size()
+    # Track the SPECIFIC RDD ids this test adds, not the global count:
+    # localCheckpointed RDDs from earlier tests in the session are
+    # unpersisted ASYNCHRONOUSLY by the ContextCleaner, so a count
+    # snapshot races with cleanups landing mid-test (observed flaky in
+    # full-suite order). Set-difference on ids is immune — nothing
+    # else ADDS entries while this test runs single-threaded.
+    jjsc = spark.sparkContext._jsc
+
+    def _ids():
+        return {int(k) for k in jjsc.getPersistentRDDs().keySet().toArray()}
+
+    base_ids = _ids()
     rows = [(i, float((i * 31) % 59)) for i in range(300)]
     df = spark.createDataFrame(rows, "id long, v double")
     handles = []
@@ -225,10 +235,11 @@ def test_quantile_blocks_reliable_release_handle_unpersists(spark):
     n = ranked.count()
     assert n == 300
     assert len(handles) == 1
-    assert jsc.getPersistentRDDs().size() == base + 1
+    added = _ids() - base_ids
+    assert len(added) == 1
     for h in handles:
         h.unpersist(blocking=True)
-    assert jsc.getPersistentRDDs().size() == base
+    assert not (added & _ids())
     # localCheckpoint mode never appends
     handles2 = []
     quantile_blocks(df, "v", num_blocks=8, release=handles2).count()
