@@ -1953,7 +1953,15 @@ def q_lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile is the wrong plan — ``lineitem_hll_profile`` is the
     sketch-based variant with no Expand (fixed-size mergeable buffers),
     registered and driver-graded alongside this one."""
-    li = _t(spark, sf_dir, "lineitem")
+    from supplier_performance_data_pipeline_spark.sources.readers import (
+        spread_scan,
+    )
+
+    # r13: the Expand multiplies the scan x6 BEFORE the first
+    # exchange, so a single-split local fixture runs 3.6M expanded
+    # rows in ONE task (measured 7.5 s). spread_scan parallelizes the
+    # expand across the cluster and is a no-op on a wide 100 TB scan.
+    li = spread_scan(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     a = li.agg(
         F.count("*").alias("n_rows"),
         F.count("l_returnflag").alias("c_rf"),

@@ -446,6 +446,25 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_EQ_SEQ = iter(range(1_000_000))
 
 
+def _replay_partitions(
+    spark: SparkSession, sf_dir: str, factor: int = 1
+) -> int:
+    """Scale-adaptive state-partition count for a bounded events
+    replay (r13): size the stream's shuffle partitions to the rows it
+    will actually replay (``factor`` for replays that duplicate the
+    table) instead of the session's cluster-wide default — streaming
+    state stores are one per shuffle partition per micro-batch and
+    never coalesce, so the fixed 32 was pure per-batch overhead at
+    fixture scale and would still be wrong (too small) at 100 TB.
+    The parquet footer count is a metadata-only job."""
+    from supplier_performance_data_pipeline_spark.streaming.events import (
+        replay_state_partitions,
+    )
+
+    n = _events(spark, sf_dir).count()
+    return replay_state_partitions(n * factor)
+
+
 @register(
     "streaming_batch_equivalence",
     oracle="""
@@ -483,7 +502,12 @@ def q_streaming_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
     app = spark.sparkContext.applicationId.replace("-", "_")
     name = f"stream_eq_{app}_{next(_STREAM_EQ_SEQ)}"
     stream = read_event_stream(spark, sf_dir)
-    run_to_memory_sink(streaming_hourly_rollup(stream), name, "complete")
+    run_to_memory_sink(
+        streaming_hourly_rollup(stream),
+        name,
+        "complete",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
+    )
     streamed = spark.table(name)
     batch = hourly_rollup(_events(spark, sf_dir))
     j = batch.alias("b").join(
@@ -782,7 +806,10 @@ def q_streaming_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = read_event_stream(spark, replay, glob="*.parquet")
     name = f"stream_dedup_{app}_{next(_STREAM_EQ_SEQ)}"
     run_to_memory_sink(
-        streaming_dedup(stream, keys=["event_id"]), name, "append"
+        streaming_dedup(stream, keys=["event_id"]),
+        name,
+        "append",
+        shuffle_partitions=_replay_partitions(spark, sf_dir, factor=2),
     )
     s = spark.table(name).agg(F.count("*").alias("n_s"))
     b = ev.agg(F.count_distinct("event_id").alias("n_u"))
@@ -902,7 +929,10 @@ def q_streaming_enrichment_equivalence(
     cust = _t_customer(spark, sf_dir)
     stream = read_event_stream(spark, sf_dir)
     run_to_memory_sink(
-        streaming_enriched_segment_rollup(stream, cust), name, "complete"
+        streaming_enriched_segment_rollup(stream, cust),
+        name,
+        "complete",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
     )
     streamed = spark.table(name)
     batch = (
@@ -982,7 +1012,12 @@ def q_streaming_sliding_equivalence(
     app = spark.sparkContext.applicationId.replace("-", "_")
     name = f"stream_slide_{app}_{next(_STREAM_EQ_SEQ)}"
     stream = read_event_stream(spark, sf_dir)
-    run_to_memory_sink(streaming_sliding_rollup(stream), name, "complete")
+    run_to_memory_sink(
+        streaming_sliding_rollup(stream),
+        name,
+        "complete",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
+    )
     streamed = spark.table(name)
     ev = _events(spark, sf_dir)
     vdec = F.col("value").cast("decimal(18,6)")
@@ -1152,7 +1187,12 @@ def q_streaming_session_equivalence(
     app = spark.sparkContext.applicationId.replace("-", "_")
     name = f"stream_sess_{app}_{next(_STREAM_EQ_SEQ)}"
     stream = read_event_stream(spark, sf_dir)
-    run_to_memory_sink(streaming_sessionize(stream), name, "append")
+    run_to_memory_sink(
+        streaming_sessionize(stream),
+        name,
+        "append",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
+    )
     ev = _events(spark, sf_dir)
     max_ts = ev.agg(F.max("ts").alias("max_ts"))
     cutoff = (
@@ -1520,6 +1560,7 @@ def q_streaming_left_outer_equivalence(
         ),
         name,
         "append",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
     )
     ev = _events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase")
@@ -1939,7 +1980,10 @@ def q_streaming_throttle_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
     )
     name = f"stream_throttle_{app}_{next(_STREAM_EQ_SEQ)}"
     run_to_memory_sink(
-        streaming_throttle(stream, _THROTTLE_QUIET_S), name, "append"
+        streaming_throttle(stream, _THROTTLE_QUIET_S),
+        name,
+        "append",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
     )
     s = spark.table(name).select(
         F.col("event_id").alias("s_eid"), F.lit(1).alias("s_tag")
@@ -2066,6 +2110,7 @@ def q_streaming_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFram
         streaming_profiles_event_ttl(stream, _TTL_S, _TTL_WM_DELAY_S),
         name,
         "append",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
     )
     return spark.table(name).filter(F.col("user_id") >= 0).select(
         "user_id", "n_events", "evicted"

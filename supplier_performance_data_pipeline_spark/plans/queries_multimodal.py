@@ -19,6 +19,7 @@ from supplier_performance_data_pipeline_spark.operators.multimodal import (
     extract_features,
     frame_sample,
 )
+from supplier_performance_data_pipeline_spark.sources.readers import spread_scan
 from supplier_performance_data_pipeline_spark.plans.registry import register
 from supplier_performance_data_pipeline_spark.session import tune_session
 
@@ -30,7 +31,12 @@ _CODES = "list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → media table: opaque binary payload + typed metadata."""
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # r13: spread before the downstream Python feature pass (no-op at
+    # scale).
+    docs = spread_scan(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")),
+        "doc_id",
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -140,8 +146,12 @@ def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id", "n_chars"
+    # r13: spread before the Python codec work (no-op at scale).
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "n_chars"),
+        "doc_id",
     )
 
     def synth(batches):
@@ -255,8 +265,14 @@ def _image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
+    # r13: spread the single-split local scan to cluster parallelism
+    # before the Python codec work (spread_scan: a no-op on a wide
+    # 100 TB scan) — encode+decode otherwise run in ONE task.
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id"),
+        "doc_id",
     )
 
     def synth(batches):
@@ -364,8 +380,14 @@ def _png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
+    # r13: spread the single-split local scan to cluster parallelism
+    # before the Python codec work (spread_scan: a no-op on a wide
+    # 100 TB scan) — encode+decode otherwise run in ONE task.
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id"),
+        "doc_id",
     )
 
     def synth(batches):
@@ -494,8 +516,14 @@ def _png_palette_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
+    # r13: spread the single-split local scan to cluster parallelism
+    # before the Python codec work (spread_scan: a no-op on a wide
+    # 100 TB scan) — encode+decode otherwise run in ONE task.
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id"),
+        "doc_id",
     )
     pal = (
         (
@@ -623,8 +651,14 @@ def _png_graya_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
+    # r13: spread the single-split local scan to cluster parallelism
+    # before the Python codec work (spread_scan: a no-op on a wide
+    # 100 TB scan) — encode+decode otherwise run in ONE task.
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id"),
+        "doc_id",
     )
 
     def synth(batches):
@@ -745,8 +779,14 @@ def _png_16bit_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
+    # r13: spread the single-split local scan to cluster parallelism
+    # before the Python codec work (spread_scan: a no-op on a wide
+    # 100 TB scan) — encode+decode otherwise run in ONE task.
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id"),
+        "doc_id",
     )
 
     def synth(batches):
@@ -858,8 +898,14 @@ def _png_adam7_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
+    # r13: spread the single-split local scan to cluster parallelism
+    # before the Python codec work (spread_scan: a no-op on a wide
+    # 100 TB scan) — encode+decode otherwise run in ONE task.
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id"),
+        "doc_id",
     )
 
     def synth(batches):
@@ -969,8 +1015,14 @@ def _png_lowbit_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
+    # r13: spread the single-split local scan to cluster parallelism
+    # before the Python codec work (spread_scan: a no-op on a wide
+    # 100 TB scan) — encode+decode otherwise run in ONE task.
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id"),
+        "doc_id",
     )
     pal = np.array(
         [
@@ -1103,8 +1155,14 @@ def _jpeg_dc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
+    # r13: spread the single-split local scan to cluster parallelism
+    # before the Python codec work (spread_scan: a no-op on a wide
+    # 100 TB scan) — encode+decode otherwise run in ONE task.
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id"),
+        "doc_id",
     )
 
     def synth(batches):
@@ -1227,8 +1285,14 @@ def _jpeg_progressive_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
+    # r13: spread the single-split local scan to cluster parallelism
+    # before the Python codec work (spread_scan: a no-op on a wide
+    # 100 TB scan) — encode+decode otherwise run in ONE task.
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id"),
+        "doc_id",
     )
 
     def synth(batches):
@@ -1346,8 +1410,14 @@ def _jpeg_420_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
+    # r13: spread the single-split local scan to cluster parallelism
+    # before the Python codec work (spread_scan: a no-op on a wide
+    # 100 TB scan) — encode+decode otherwise run in ONE task.
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id"),
+        "doc_id",
     )
 
     def synth(batches):
@@ -1550,8 +1620,14 @@ def _video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id"
+    # r13: spread the single-split local scan to cluster parallelism
+    # before the Python codec work (spread_scan: a no-op on a wide
+    # 100 TB scan) — encode+decode otherwise run in ONE task.
+    docs = spread_scan(
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id"),
+        "doc_id",
     )
 
     def synth(batches):

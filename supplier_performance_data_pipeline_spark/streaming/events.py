@@ -258,21 +258,63 @@ def streaming_dedup(
     )
 
 
+REPLAY_ROWS_PER_STATE_TASK = 12_500
+
+
+def replay_state_partitions(
+    n_rows: int, rows_per_task: int = REPLAY_ROWS_PER_STATE_TASK
+) -> int:
+    """Scale-adaptive shuffle/state-partition count for a bounded
+    replay: one state task per ~``rows_per_task`` replayed rows,
+    floor 2 (so multi-partition state semantics stay exercised even
+    at the smallest fixtures). Streaming state stores are created one
+    per shuffle partition at the first micro-batch and never coalesce
+    (AQE is off in stateful workloads), so a partition count sized for
+    a cluster makes a bounded replay pay that many state-store commits
+    PER micro-batch regardless of data: the r13 profile measured the
+    sf0.1 throttle replay at 12.6 s with 32 state partitions and 5.0 s
+    with 8, identical output. At a 100 TB replay the same rule yields
+    thousands of state tasks — it scales with input, not with the
+    local core count."""
+    return max(2, -(-int(n_rows) // int(rows_per_task)))
+
+
 def run_to_memory_sink(
-    stream_df: DataFrame, name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drive a bounded file-backed stream to completion synchronously
-    (memory sink + processAllAvailable) — the local smoke path."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    (memory sink + processAllAvailable) — the local smoke path.
+
+    ``shuffle_partitions`` (optional) pins the stream's state-store
+    partition count for the run — set it from
+    ``replay_state_partitions(n_rows)`` so the replay's state fan-out
+    tracks its input size; the session conf is restored afterwards
+    (the count is locked into the query's own checkpoint at the first
+    micro-batch, so restoring cannot affect the running query)."""
+    spark = stream_df.sparkSession
+    prev: str | None = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(int(shuffle_partitions))
+        )
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def streaming_upsert_sink(

@@ -278,17 +278,39 @@ def streaming_throttle(events: DataFrame, quiet_seconds: int) -> DataFrame:
 
 def batch_throttle(events: DataFrame, quiet_seconds: int) -> DataFrame:
     """Batch twin of ``streaming_throttle``: the SAME ``_throttle_core``
-    run once per key over the fully-sorted history via
-    ``applyInPandas`` (the sequential scan is irreducible — this is
-    the documented reason ``operators/windows.debounce`` implements
-    burst-opener semantics instead; per-key groups bound the scan)."""
+    run once per key over the fully-sorted history (the sequential
+    scan is irreducible — this is the documented reason
+    ``operators/windows.debounce`` implements burst-opener semantics
+    instead; per-key groups bound the scan).
+
+    r13 plan note: this is ``mapInPandas`` over a user-hash
+    repartition with the per-key split done by pandas ``groupby``
+    INSIDE the partition, not ``applyInPandas`` — the latter crosses
+    the Arrow boundary once per GROUP, and at fixture scale (1,500
+    users) that per-group framing was 2x the total arm cost (guide
+    §4.1: one batch per partition, not per key). Per-key results are
+    identical: each user's rows land in exactly one partition and
+    ``_throttle_core`` still scans each user's full history alone."""
     quiet_us = quiet_seconds * 1_000_000
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        kept, _ = _throttle_core(pdf, None, quiet_us)
-        return kept[["user_id", "event_id", "ts_us"]]
+    def run(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            outs = []
+            for _, g in pdf.groupby("user_id", sort=False):
+                kept, _last = _throttle_core(g, None, quiet_us)
+                outs.append(kept[["user_id", "event_id", "ts_us"]])
+            o = pd.concat(outs, ignore_index=True)
+            yield pd.DataFrame(
+                {
+                    "user_id": o["user_id"].astype("int64"),
+                    "event_id": o["event_id"].astype("int64"),
+                    "ts_us": o["ts_us"].astype("int64"),
+                }
+            )
 
     prepped = _throttle_prepped(events)
-    return prepped.groupBy("user_id").applyInPandas(
-        run, schema=THROTTLE_SCHEMA
+    return prepped.repartition(F.col("user_id")).mapInPandas(
+        run, THROTTLE_SCHEMA
     )
