@@ -60,7 +60,15 @@ def _star(edges: DataFrame, verts: DataFrame, large: bool) -> DataFrame:
     ``edges`` holds undirected edges as (src, dst) with src > dst;
     ``verts`` is the full vertex set (self-loops are re-added from it
     every round so vertices whose edges were rewritten away — and
-    isolated vertices — keep a neighborhood)."""
+    isolated vertices — keep a neighborhood).
+
+    r13: no longer materializes its own output — the large-star half
+    of a round stays LAZY under the small-star half (its three
+    references all hang off the same final ``distinct`` exchange, which
+    the engine's exchange reuse executes once), and the ROUND PAIR
+    materializes once in ``connected_components``. One checkpoint
+    action per round instead of two; per-round results unchanged
+    (asserted fixed-point-equal on the sf0.1 LSH pair graph)."""
     v = F.col("v")
     sym = (
         edges.union(
@@ -73,7 +81,7 @@ def _star(edges: DataFrame, verts: DataFrame, large: bool) -> DataFrame:
     cond = (
         F.col("dst") > F.col("src") if large else F.col("dst") <= F.col("src")
     )
-    out = (
+    return (
         sym.filter(cond)
         .join(mins, "src")
         .filter(F.col("dst") != F.col("m"))
@@ -82,7 +90,6 @@ def _star(edges: DataFrame, verts: DataFrame, large: bool) -> DataFrame:
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .distinct()
     )
-    return out.localCheckpoint()
 
 
 def _edge_fingerprint(e: DataFrame) -> tuple:
@@ -169,7 +176,11 @@ def connected_components(
     executed = 0
     fp = _edge_fingerprint(edges)
     for _ in range(rounds):
-        new_edges = _star(_star(edges, verts, large=True), verts, large=False)
+        # One materialization per ROUND PAIR (r13): the large-star half
+        # stays lazy under the small-star's exchange-reused references.
+        new_edges = _star(
+            _star(edges, verts, large=True), verts, large=False
+        ).localCheckpoint()
         new_fp = _edge_fingerprint(new_edges)
         executed += 1
         # Digest match → exact confirm (both sides are distinct and
@@ -384,7 +395,15 @@ def pagerank(
     n1 = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
         "s", (F.lit(1.0) / F.col("n")).alias("r")
-    ).localCheckpoint()
+    )
+    # r13: the rank chain is LAZY — each iteration references the
+    # previous rank table exactly once (contrib -> inbound -> update),
+    # so the logical plan grows LINEARLY in iters and one action
+    # executes the whole power iteration; the per-round
+    # localCheckpoint actions (3 extra jobs at PR_ITERS=3) bought
+    # nothing on a linear chain. Checkpointed edges/nodes above still
+    # cut the lineage back to the scan. Identical arithmetic, pinned
+    # by the unchanged oracle unroll.
     for _ in range(iters):
         contrib = edeg.join(
             _nodes_side(ranks, broadcast_nodes), edeg.u == ranks.s
@@ -412,7 +431,6 @@ def pagerank(
                     PR_RANK_SCALE,
                 ).alias("r"),
             )
-            .localCheckpoint()
         )
     return ranks
 
@@ -641,6 +659,10 @@ def hits_scores(
         .localCheckpoint()
     )
     a = None
+    # r13 note: a lazier one-materialization-per-iteration variant was
+    # measured SLOWER here (the normalization's double reference to
+    # each sum table deepens every checkpointed DAG faster than the
+    # saved action pays back), so the per-half-step checkpoints stay.
     for _ in range(iters):
         asum = (
             e.join(_nodes_side(h, broadcast_nodes), "u")

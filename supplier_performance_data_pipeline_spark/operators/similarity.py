@@ -319,15 +319,26 @@ def knn_join_topk(
 
     v = _as_double(F.col(vec_col))
     lbl = [F.col(exclude_label_col).alias("lbl")] if exclude_label_col else []
-    base = embeddings.select(
-        F.col(id_col).alias("vid"), v.alias("v"), *lbl
+    from supplier_performance_data_pipeline_spark.sources.readers import (
+        spread_scan,
+    )
+
+    # r13: the bucketed/normed base feeds BOTH sides of the bucket
+    # self-join — materialize it once (localCheckpoint) instead of
+    # re-deriving the hyperplane buckets and norms per side, and
+    # spread the single-split local scan first so the interpreted
+    # bucket/norm folds run cluster-wide (spread_scan: no-op at
+    # 100 TB scan widths).
+    base = spread_scan(
+        embeddings.select(F.col(id_col).alias("vid"), v.alias("v"), *lbl),
+        "vid",
     ).select(
         "vid",
         "v",
         F.expr(lsh_bucket_expr("v", dim, n_planes)).alias("bucket"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
         *(["lbl"] if exclude_label_col else []),
-    ).filter(F.col("nrm") > 0.0)
+    ).filter(F.col("nrm") > 0.0).localCheckpoint()
     la = [F.col("lbl").alias("label_a")] if exclude_label_col else []
     lb = [F.col("lbl").alias("label_b")] if exclude_label_col else []
     a = base.select(
@@ -416,8 +427,18 @@ def knn_join_topk_banded(
     from pyspark.sql.window import Window
 
     v = _as_double(F.col(vec_col))
+    from supplier_performance_data_pipeline_spark.sources.readers import (
+        spread_scan,
+    )
+
+    # r13: materialize the banded/normed base once for both join sides
+    # and spread the single-split local scan first (no-op at scale) —
+    # same reasoning as ``knn_join_topk``.
     base = (
-        embeddings.select(F.col(id_col).alias("vid"), v.alias("v"))
+        spread_scan(
+            embeddings.select(F.col(id_col).alias("vid"), v.alias("v")),
+            "vid",
+        )
         .select(
             "vid",
             "v",
@@ -427,6 +448,7 @@ def knn_join_topk_banded(
             F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
         )
         .filter(F.col("nrm") > 0.0)
+        .localCheckpoint()
     )
     a = base.select(
         F.col("vid").alias("vec_a"), F.col("v").alias("va"),

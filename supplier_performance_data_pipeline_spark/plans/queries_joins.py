@@ -32,6 +32,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
+def _spread_li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem spread to cluster parallelism for graph-building
+    queries whose first op is a distinct + self-join fan-out — the
+    local fixture is one parquet split, so that fan-out otherwise runs
+    single-threaded. spread_scan no-ops on a wide scan."""
+    from supplier_performance_data_pipeline_spark.sources.readers import (
+        spread_scan,
+    )
+
+    return spread_scan(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
 
 def _revenue_cols():
     """Discounted revenue in exact integer 1e-4 dollars (the portable
@@ -808,7 +820,9 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank/degree tables broadcast onto the edge scan; the only
     data-scale exchange is the inbound DECIMAL sum keyed by target.
     The top-k is TakeOrdered on the node table with a key tie-break."""
-    li = _t(spark, sf_dir, "lineitem")
+    # r13: spread the single-split local scan before the distinct +
+    # self-join fan-out (spread_scan: no-op on a wide 100 TB scan).
+    li = _spread_li(spark, sf_dir)
     op = li.select("l_orderkey", "l_suppkey").distinct()
     a = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
     b = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
@@ -885,7 +899,9 @@ def q_supplier_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. The distance table is node-sized and broadcasts onto the
     edge scan each round; the only data-scale exchange per round is
     the min-agg, and lineage truncates round-by-round."""
-    li = _t(spark, sf_dir, "lineitem")
+    # r13: spread the single-split local scan before the distinct +
+    # self-join fan-out (spread_scan: no-op on a wide 100 TB scan).
+    li = _spread_li(spark, sf_dir)
     op = li.select("l_orderkey", "l_suppkey").distinct()
     a = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
     b = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
@@ -973,7 +989,9 @@ def q_supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_count,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    # r13: spread the single-split local scan before the distinct +
+    # self-join fan-out (spread_scan: no-op on a wide 100 TB scan).
+    li = _spread_li(spark, sf_dir)
     op = li.select("l_orderkey", "l_suppkey").distinct()
     a = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("x"))
     b = op.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("y"))
@@ -1517,7 +1535,8 @@ def q_supplier_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, score tables are node-sized, and the broadcast has the same
     ``broadcast_nodes=False`` escape hatch as PageRank."""
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # r13: spread before the join + distinct fan-out (no-op at scale).
+    li = _spread_li(spark, sf_dir)
     edges = (
         o.select(F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("u"))
         .join(li.select(F.col("l_orderkey").alias("k"),

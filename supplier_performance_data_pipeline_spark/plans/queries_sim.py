@@ -854,8 +854,16 @@ def q_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_a") % KNN_RECALL_SAMPLE_MOD == 0
     )
 
-    nbase = emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    from supplier_performance_data_pipeline_spark.sources.readers import (
+        spread_scan,
+    )
+
+    # r13: spread the exact arm's candidate side — the single-split
+    # local scan otherwise scores every (query, candidate) cosine in
+    # ONE task (no-op on a wide 100 TB scan).
+    nbase = spread_scan(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v")),
+        "vec_id",
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
         F.col("nrm") > 0
     )

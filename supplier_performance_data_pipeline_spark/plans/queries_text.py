@@ -3321,12 +3321,22 @@ def q_dedup_components_incremental(
     is_batch = _incr_md5_mod(F.col("doc_id"), _INCR_SALT, _INCR_MOD) == 0
     index_docs = docs.filter(~is_batch)
     batch_docs = docs.filter(is_batch)
-    # The stored state: component table of the pre-batch corpus.
-    old_labels = doc_components(index_docs, min_match=CC_MIN_MATCH)
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        _run_concurrent,
+    )
+
+    # r13: the stored-state CC loop (eager star rounds inside
+    # doc_components) and the signature-table materialization are
+    # independent — run them as concurrent driver threads (guide
+    # §2.6); each result is a deterministic function of its own input.
+    # old_labels: the stored component table of the pre-batch corpus.
     # The batch's new edges: cross probe hits against the persistent
     # index + batch-internal collapse-first edges. min_match filters
     # cross pairs to the same verify bar the full graph uses.
-    sigs = minhash_signatures(docs).localCheckpoint()
+    old_labels, sigs = _run_concurrent(
+        lambda: doc_components(index_docs, min_match=CC_MIN_MATCH),
+        lambda: minhash_signatures(docs).localCheckpoint(),
+    )
     cross = (
         verified_pairs_between(
             sigs.filter(is_batch), sigs.filter(~is_batch)
@@ -3419,8 +3429,22 @@ def q_corpus_curation_incremental(
             .localCheckpoint()
         )
 
-    profile_1 = profile_of(index_docs)  # stored artifact
-    profile_2 = profile_of(batch_docs)  # the ingest's per-doc work
+    from supplier_performance_data_pipeline_spark.operators.clustering import (
+        _run_concurrent,
+    )
+
+    # r13: the four eager sub-chains below are mutually independent —
+    # the two profile materializations, the signature table, and the
+    # stored-label CC loop (doc_components runs its star rounds
+    # eagerly inside the call) — so they run as concurrent driver
+    # threads (guide §2.6). Each output is a deterministic function of
+    # its own input; concurrency changes wall-clock only.
+    profile_1, profile_2, sigs, old_labels = _run_concurrent(
+        lambda: profile_of(index_docs),  # stored artifact
+        lambda: profile_of(batch_docs),  # the ingest's per-doc work
+        lambda: minhash_signatures(docs).localCheckpoint(),
+        lambda: doc_components(index_docs, min_match=CC_MIN_MATCH),
+    )
     profile_full = profile_1.unionByName(profile_2)
     # Survivor-map merge: stored (fingerprint, min id) rows + the
     # batch's profile rows through ONE min-agg — exact because min
@@ -3434,9 +3458,8 @@ def q_corpus_curation_incremental(
         .agg(F.min("doc_id").alias("doc_id"))
     )
     # Component maintenance: stored labels + batch-scale edge mass
-    # (identical machinery to dedup_components_incremental).
-    old_labels = doc_components(index_docs, min_match=CC_MIN_MATCH)
-    sigs = minhash_signatures(docs).localCheckpoint()
+    # (identical machinery to dedup_components_incremental); the
+    # stored-label CC and the signature table materialized above.
     cross = (
         verified_pairs_between(
             sigs.filter(is_batch), sigs.filter(~is_batch)
