@@ -450,19 +450,39 @@ def _replay_partitions(
     spark: SparkSession, sf_dir: str, factor: int = 1
 ) -> int:
     """Scale-adaptive state-partition count for a bounded events
-    replay (r13): size the stream's shuffle partitions to the rows it
+    replay (r13): size the stream's shuffle partitions to the input it
     will actually replay (``factor`` for replays that duplicate the
     table) instead of the session's cluster-wide default — streaming
     state stores are one per shuffle partition per micro-batch and
     never coalesce, so the fixed 32 was pure per-batch overhead at
     fixture scale and would still be wrong (too small) at 100 TB.
-    The parquet footer count is a metadata-only job."""
+
+    r14 (r13 ADVICE): sized from the input's on-disk BYTES (os.stat —
+    no Spark job at all) instead of a ``count()`` job that every
+    streaming equivalence query re-ran. One state task per ~256 KB of
+    parquet ≈ the old one-per-12.5k-rows rule at the events table's
+    ~20 B/row, floor 2 (multi-partition state semantics stay exercised
+    at the smallest fixtures); the count grows linearly with the
+    replayed bytes, so it is scale-adaptive, not a local constant."""
     from supplier_performance_data_pipeline_spark.streaming.events import (
-        replay_state_partitions,
+        replay_state_bytes_partitions,
     )
 
-    n = _events(spark, sf_dir).count()
-    return replay_state_partitions(n * factor)
+    path = os.path.join(sf_dir, "events.parquet")
+    return replay_state_bytes_partitions(_input_bytes(path) * factor)
+
+
+def _input_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet file or directory (driver-side
+    metadata only — os.stat, never a Spark job)."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+    return os.path.getsize(path)
 
 
 @register(

@@ -31,12 +31,13 @@ _CODES = "list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → media table: opaque binary payload + typed metadata."""
     tune_session(spark)
-    # r13: spread before the downstream Python feature pass (no-op at
-    # scale).
-    docs = spread_scan(
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")),
-        "doc_id",
-    )
+    # r14: NO spread here — this shared builder feeds metadata-only and
+    # light-Arrow consumers (features/frame_sample/byte_entropy) whose
+    # Python work is cheap per row; the exchange cost outweighs the
+    # parallelism on them (r13 VERDICT #5). The heavy codec builders
+    # (_image/_png/_jpeg/_audio synth) carry their own spread_scan next
+    # to the opaque Python work they parallelize.
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -146,13 +147,12 @@ def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    # r13: spread before the Python codec work (no-op at scale).
-    docs = spread_scan(
-        spark.read.parquet(
-            os.path.join(sf_dir, "documents.parquet")
-        ).select("doc_id", "n_chars"),
-        "doc_id",
-    )
+    # r14: no spread — WAV synth is a cheap vectorized numpy pass and the
+    # payloads must stay shuffle-free end to end (plan test pins zero
+    # exchanges; the exchange cost beat the parallelism at every SF).
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "n_chars")
 
     def synth(batches):
         import pandas as pd

@@ -13,9 +13,15 @@ files drive the stream.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Serializes the session-conf mutation window in run_to_memory_sink —
+# see its CONCURRENCY CONTRACT note.
+_CONF_LOCK = threading.Lock()
 
 # Events schema for raw int64-nanos files (the replay fixtures, and the
 # driver parquet generations that store ts as TIMESTAMP(NANOS) — those
@@ -259,6 +265,20 @@ def streaming_dedup(
 
 
 REPLAY_ROWS_PER_STATE_TASK = 12_500
+# Bytes-based twin of the rows rule: ~256 KB of parquet per state task
+# (the events table packs ~20 B/row on disk, so 12.5k rows ≈ 256 KB).
+REPLAY_BYTES_PER_STATE_TASK = 256_000
+
+
+def replay_state_bytes_partitions(
+    n_bytes: int, bytes_per_task: int = REPLAY_BYTES_PER_STATE_TASK
+) -> int:
+    """``replay_state_partitions`` sized from on-disk input bytes —
+    callers get the partition count from driver-side file metadata
+    (os.stat) instead of paying a count() job per replay. Same floor
+    and linear growth; see the rows variant for the state-store
+    rationale."""
+    return max(2, -(-int(n_bytes) // int(bytes_per_task)))
 
 
 def replay_state_partitions(
@@ -293,28 +313,40 @@ def run_to_memory_sink(
     ``replay_state_partitions(n_rows)`` so the replay's state fan-out
     tracks its input size; the session conf is restored afterwards
     (the count is locked into the query's own checkpoint at the first
-    micro-batch, so restoring cannot affect the running query)."""
+    micro-batch, so restoring cannot affect the running query).
+
+    CONCURRENCY CONTRACT (r13 ADVICE): Spark session conf is shared
+    across driver threads, so the set→restore window here would leak
+    the replay's tiny partition count into any query another thread
+    plans meanwhile. ``_CONF_LOCK`` serializes concurrent
+    ``run_to_memory_sink`` calls; do NOT schedule this under
+    ``_run_concurrent`` alongside batch planning — the lock cannot
+    protect threads that mutate or read the same conf outside it."""
     spark = stream_df.sparkSession
-    prev: str | None = None
-    if shuffle_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(int(shuffle_partitions))
-        )
-    try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
+    with _CONF_LOCK:
+        prev: str | None = None
+        if shuffle_partitions is not None:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(int(shuffle_partitions))
+            )
         try:
-            q.processAllAvailable()
+            q = (
+                stream_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
         finally:
-            q.stop()
+            # The partition count is captured into the query's own
+            # checkpoint at start; restore as soon as that has happened
+            # so the lock guards the narrowest possible window.
+            if prev is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        q.processAllAvailable()
     finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.stop()
 
 
 def streaming_upsert_sink(

@@ -7,7 +7,7 @@ For each named query (default: all headline queries), measures:
   - exec_s: min-of-N wall time for toPandas() (the bench's action)
   - noop_s: one noop-sink run (guide §1.4) to separate compute from transfer
   - n_jobs / n_stages / n_tasks: Spark scheduler work per execution
-and writes the formatted plan to plans/r13/<name>_<tag>.txt.
+and writes the formatted plan to plans/r14/<name>_<tag>.txt.
 
 Usage: python tools/profile_queries.py [--tag before] [--runs 2] [--plans]
            [name ...]
@@ -36,7 +36,7 @@ def main() -> None:
     ap.add_argument("--tag", default="before")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--plans", action="store_true",
-                    help="write plans/r13/<name>_<tag>.txt")
+                    help="write plans/r14/<name>_<tag>.txt")
     ap.add_argument("--noop", action="store_true",
                     help="also time one noop-sink run per query")
     args = ap.parse_args()
@@ -54,7 +54,7 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).collect()
 
-    plans_dir = os.path.join(here, "plans", "r13")
+    plans_dir = os.path.join(here, "plans", "r14")
     os.makedirs(plans_dir, exist_ok=True)
 
     results: dict[str, dict] = {}
